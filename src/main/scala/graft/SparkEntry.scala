@@ -1,13 +1,445 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * query key maps to. Every oracle is ANSI-ish SQL in DuckDB dialect over
+  * the same parquet tables; Spark results are engineered to hash-match
+  * exactly (decimal aggregation, integer epoch-micros, explicit double
+  * formulas at the boundary).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: hourly OHLC candles joined with per-type counters on
+    * sf0.001 (driver smoke-checks rows>0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    EventOps.ohlc1h(ev)
+      .join(broadcast(EventOps.countsByType(ev)), Seq("event_type"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. event-stream surface ----
+    "q_events_filter_types" -> ((s, d) =>
+      EventOps.filterTypes(Tables.events(s, d), Seq("purchase", "signup"))),
+    "q_events_counts_by_type" -> ((s, d) =>
+      EventOps.countsByType(Tables.events(s, d))),
+    "q_events_windowed_1h" -> ((s, d) =>
+      EventOps.tumbling1h(Tables.events(s, d))),
+    "q_events_sliding_1h_15m" -> ((s, d) =>
+      EventOps.sliding1h15m(Tables.events(s, d))),
+    "q_events_value_stats" -> ((s, d) =>
+      EventOps.valueStats(Tables.events(s, d))),
+    "q_events_dedup_exact" -> ((s, d) =>
+      EventOps.dedupExact(Tables.events(s, d))),
+    "q_events_json_props" -> ((s, d) =>
+      EventOps.jsonProps(Tables.events(s, d))),
+    "q_events_session_30m" -> ((s, d) =>
+      EventOps.sessionize(Tables.events(s, d))),
+    "q_events_topk_users" -> ((s, d) =>
+      EventOps.topKUsers(Tables.events(s, d))),
+    "q_events_asof_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val joined = AsOfJoin.asOf(
+        ev.filter(col("event_type") === "purchase").drop("event_type"),
+        ev.filter(col("event_type") === "view").drop("event_type"),
+        "user_id", "ts_us", "event_id", Seq())
+      joined.select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("asof.event_id").as("view_id"),
+        col("asof.ts_us").as("view_ts_us"))
+    }),
+    "q_events_cumulative_user" -> ((s, d) =>
+      EventOps.cumulativeByUser(Tables.events(s, d))),
+    "q_events_ohlc_1h" -> ((s, d) =>
+      EventOps.ohlc1h(Tables.events(s, d))),
+    // ---- B. relational surface ----
+    "q_tpch_q1_pricing" -> ((s, d) =>
+      Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q_join_orders_customer" -> ((s, d) =>
+      Relational.revenueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_multijoin_nation_region" -> ((s, d) =>
+      Relational.regionVolume(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_broadcast_part_agg" -> ((s, d) =>
+      Relational.brandAgg(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_semi_anti_orders" -> ((s, d) =>
+      Relational.customersOrdersPresence(
+        Tables.customer(s, d), Tables.orders(s, d))),
+    "q_rollup_sales" -> ((s, d) =>
+      Relational.rollupSales(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_window_rank_orders" -> ((s, d) =>
+      Relational.topOrdersPerCustomer(Tables.orders(s, d))),
+    "q_vwap_lineitem" -> ((s, d) =>
+      Relational.vwapByMonth(Tables.lineitem(s, d))),
+    // ---- A13/A15: codec + streaming parity ----
+    "q_events_decode_roundtrip" -> ((s, d) =>
+      graft.sources.EventCodec.decodeTrade(
+        graft.sources.EventCodec.encodeTrade(Tables.events(s, d)))),
+    "q_stream_windowed_counts" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.windowedCountsAvailableNow(
+        s, d, Seq("purchase"))),
+    // ---- C. LLM-pipeline surface ----
+    "q_dedup_docs_exact" -> ((s, d) =>
+      Dedup.exactDocs(Tables.documents(s, d))),
+    "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
+    "q_dedup_docs_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), 0.5)),
+    "q_dedup_docs_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d))),
+    "q_dedup_docs_embedding" -> ((s, d) =>
+      Similarity.cosinePairs(
+        Tables.embeddings(s, d)
+          .filter(col("label") === 3 && col("vec_id") % 5 === 0), 0.30)),
+    "q_ann_bruteforce_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    "q_ann_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    "q_text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d))),
+    "q_text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "q_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d)).drop("roll_min")),
+    "q_multimodal_features" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        expr("octet_length(cast(text as binary)) div 256 + 1").as("n_frames"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_events_filter_types" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         FROM events WHERE event_type IN ('purchase', 'signup')""",
+    "q_events_counts_by_type" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type""",
+    "q_events_windowed_1h" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q_events_sliding_1h_15m" ->
+      """SELECT (epoch_us(ts) // 900000000 - g.k) * 900 AS ws, event_type,
+                count(*) AS n
+         FROM events, generate_series(0, 3) AS g(k)
+         GROUP BY 1, 2""",
+    "q_events_value_stats" ->
+      """WITH r AS (
+           SELECT event_type, value, event_id,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM events),
+         a AS (
+           SELECT event_type, count(*) AS n, min(value) AS min_v,
+                  max(value) AS max_v,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+                  CAST(sum(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_v,
+                  max(CASE WHEN rn = (cnt + 1) // 2 THEN value END) AS p50,
+                  max(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN value END) AS p95
+           FROM r GROUP BY event_type)
+         SELECT event_type, n, min_v, max_v,
+                sum_v / CAST(n AS DOUBLE) AS avg_v,
+                sqrt((sumsq_v - sum_v * sum_v / CAST(n AS DOUBLE)) /
+                     (CAST(n AS DOUBLE) - 1.0)) AS stddev_v,
+                p50, p95
+         FROM a""",
+    "q_events_dedup_exact" ->
+      """SELECT user_id, event_type,
+                epoch_us(ts) // 60000000 AS minute_bucket,
+                min(event_id) AS keep_id, count(*) AS n_dups
+         FROM events GROUP BY 1, 2, 3""",
+    "q_events_json_props" ->
+      """SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) % 10 AS k_mod,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1""",
+    "q_events_session_30m" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                              WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                              ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+               FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                CAST(sum(v) AS DOUBLE) AS total_value
+         FROM g GROUP BY user_id, session_id""",
+    "q_events_topk_users" ->
+      """WITH t AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS td,
+                           count(*) AS np
+                    FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         r AS (SELECT user_id, td, np,
+                      row_number() OVER (ORDER BY td DESC, user_id) AS rk
+               FROM t)
+         SELECT rk, user_id, CAST(td AS DOUBLE) AS total_value,
+                np AS n_purchases
+         FROM r WHERE rk <= 10""",
+    "q_events_asof_attribution" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           0 AS kind, event_id AS view_id,
+                           epoch_us(ts) AS view_ts_us
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, 1 AS kind,
+                      CAST(NULL AS BIGINT) AS view_id,
+                      CAST(NULL AS BIGINT) AS view_ts_us
+               FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT * FROM v UNION ALL SELECT * FROM p),
+         w AS (SELECT *, last_value(view_id IGNORE NULLS) OVER win AS lv,
+                      last_value(view_ts_us IGNORE NULLS) OVER win AS lvts
+               FROM u WINDOW win AS (PARTITION BY user_id
+                 ORDER BY ts_us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+                lv AS view_id, lvts AS view_ts_us
+         FROM w WHERE kind = 1""",
+    "q_events_cumulative_user" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS cum_value
+         FROM events""",
+    "q_events_ohlc_1h" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                           event_type, CAST(value AS DECIMAL(18,2)) AS v,
+                           epoch_us(ts) AS tu, event_id
+                    FROM events),
+         w AS (SELECT *,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu, event_id) AS rna,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu DESC, event_id DESC) AS rnd
+               FROM b)
+         SELECT hb, event_type,
+                CAST(max(CASE WHEN rna = 1 THEN v END) AS DOUBLE) AS open,
+                CAST(max(CASE WHEN rnd = 1 THEN v END) AS DOUBLE) AS close,
+                CAST(max(v) AS DOUBLE) AS high, CAST(min(v) AS DOUBLE) AS low,
+                count(*) AS n, CAST(sum(v) AS DOUBLE) AS volume
+         FROM w GROUP BY hb, event_type""",
+    "q_tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+                  AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) *
+                         CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+                  AS sum_charge,
+                count(*) AS count_order,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS avg_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS avg_price
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_join_orders_customer" ->
+      """SELECT c_mktsegment, year(o_orderdate) AS yr,
+                month(o_orderdate) AS mon, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3""",
+    "q_multijoin_nation_region" ->
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+                  AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q_broadcast_part_agg" ->
+      """SELECT p_brand, count(*) AS n_items,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q_semi_anti_orders" ->
+      """WITH w AS (SELECT c_mktsegment, count(*) AS with_orders FROM customer c
+                    WHERE EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey)
+                    GROUP BY c_mktsegment),
+         a AS (SELECT c_mktsegment, count(*) AS n FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_totalprice > 450000)
+               GROUP BY c_mktsegment)
+         SELECT w.c_mktsegment AS c_mktsegment, w.with_orders,
+                coalesce(a.n, 0) AS no_big_orders
+         FROM w LEFT JOIN a ON w.c_mktsegment = a.c_mktsegment""",
+    "q_rollup_sales" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY ROLLUP (c_mktsegment, o_orderpriority)""",
+    "q_window_rank_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3""",
+    "q_vwap_lineitem" ->
+      """SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS vwap,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS total_qty
+         FROM lineitem GROUP BY 1, 2""",
+    "q_events_decode_roundtrip" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+                CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
+         FROM events""",
+    "q_stream_windowed_counts" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
+                count(*) AS n
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
+    "q_dedup_docs_exact" ->
+      """SELECT md5(text) AS content_md5, count(*) AS n_dups,
+                min(doc_id) AS keep_id
+         FROM documents GROUP BY 1""",
+    "q_dedup_docs_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+                CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jac
+         FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5""",
+    "q_dedup_docs_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE label = 3 AND vec_id % 5 = 0),
+         x AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS v FROM e),
+         n AS (SELECT vec_id, sum(v * v) AS n2 FROM x GROUP BY 1),
+         d AS (SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS dot
+               FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+               GROUP BY 1, 2),
+         c AS (SELECT v1, v2,
+                      round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos6
+               FROM d JOIN n na ON v1 = na.vec_id JOIN n nb ON v2 = nb.vec_id)
+         SELECT v1, v2, cos6 FROM c WHERE cos6 >= 0.30""",
+    "q_ann_bruteforce_topk" ->
+      """WITH x AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, sum(v * v) AS n2 FROM x GROUP BY 1),
+         q AS (SELECT * FROM x WHERE vec_id < 10),
+         d AS (SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id,
+                      sum(q.v * x.v) AS dot
+               FROM q JOIN x ON q.i = x.i AND q.vec_id <> x.vec_id
+               GROUP BY 1, 2),
+         c AS (SELECT q_id, neighbor_id,
+                      round(dot / (sqrt(nq.n2) * sqrt(nn.n2)), 6) AS cos6
+               FROM d JOIN n nq ON q_id = nq.vec_id
+                      JOIN n nn ON neighbor_id = nn.vec_id),
+         r AS (SELECT q_id, neighbor_id, cos6,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos6 DESC, neighbor_id) AS rk
+               FROM c)
+         SELECT q_id, neighbor_id, cos6, rk FROM r WHERE rk <= 5""",
+    "q_text_langid" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '\b(the|is|and)\b')) AS n_en,
+                len(regexp_extract_all(text, '\b(der|und|die)\b')) AS n_de,
+                len(regexp_extract_all(text, '\b(el|la|los)\b')) AS n_es,
+                len(regexp_extract_all(text, '\b(le|les|des)\b')) AS n_fr,
+                CASE WHEN len(regexp_extract_all(text, '\b(the|is|and)\b')) >=
+                          greatest(len(regexp_extract_all(text, '\b(der|und|die)\b')),
+                                   len(regexp_extract_all(text, '\b(el|la|los)\b')),
+                                   len(regexp_extract_all(text, '\b(le|les|des)\b')))
+                      AND len(regexp_extract_all(text, '\b(the|is|and)\b')) > 0
+                     THEN 'en'
+                     WHEN len(regexp_extract_all(text, '\b(der|und|die)\b')) >=
+                          greatest(len(regexp_extract_all(text, '\b(el|la|los)\b')),
+                                   len(regexp_extract_all(text, '\b(le|les|des)\b')))
+                      AND len(regexp_extract_all(text, '\b(der|und|die)\b')) > 0
+                     THEN 'de'
+                     WHEN len(regexp_extract_all(text, '\b(el|la|los)\b')) >=
+                          len(regexp_extract_all(text, '\b(le|les|des)\b'))
+                      AND len(regexp_extract_all(text, '\b(el|la|los)\b')) > 0
+                     THEN 'es'
+                     WHEN len(regexp_extract_all(text, '\b(le|les|des)\b')) > 0
+                     THEN 'fr'
+                     ELSE 'unk' END AS pred_lang,
+                lang
+         FROM documents""",
+    "q_text_quality" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n_chars_t,
+                           len(string_split(text, ' ')) AS n_tok,
+                           len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS n_stop,
+                           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                           length(regexp_replace(text, ' ', '', 'g')) AS n_nospace
+                    FROM documents)
+         SELECT doc_id, n_chars_t, n_tok, n_stop, n_punct,
+                CAST(n_nospace AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_wlen,
+                CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+                CAST(n_punct AS DOUBLE) / CAST(n_chars_t AS DOUBLE) AS punct_ratio,
+                least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) *
+                  (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_t AS DOUBLE)) *
+                  (0.5 + CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                  AS quality_score
+         FROM b""",
+    "q_text_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+                CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                  AS BIGINT) AS total_bpe_tokens,
+                CAST(sum(len(string_split(text, ' '))) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS avg_ws_tokens
+         FROM documents GROUP BY source""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5, length(text) AS n_chars_t
+         FROM documents""",
+    "q_multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                md5(text) AS content_md5,
+                octet_length(encode(text)) // 256 + 1 AS n_frames
+         FROM documents""",
+  )
 }

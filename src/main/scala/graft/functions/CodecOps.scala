@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers backing the custom Catalyst expressions; the generated
+  * (whole-stage) code calls these via their static forwarders.
+  */
+object CodecOps {
+  /** Little-endian signed 64-bit read at byte offset. */
+  def leLong(bytes: Array[Byte], offset: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) {
+      v = (v << 8) | (bytes(offset + i) & 0xffL)
+      i -= 1
+    }
+    v
+  }
+
+  /** Little-endian signed 32-bit read at byte offset. */
+  def leInt(bytes: Array[Byte], offset: Int): Int = {
+    ((bytes(offset) & 0xff)) |
+      ((bytes(offset + 1) & 0xff) << 8) |
+      ((bytes(offset + 2) & 0xff) << 16) |
+      ((bytes(offset + 3) & 0xff) << 24)
+  }
+
+  /** Little-endian encode of the low `width` bytes of a long. */
+  def leBytes(value: Long, width: Int): Array[Byte] = {
+    val out = new Array[Byte](width)
+    var i = 0
+    while (i < width) {
+      out(i) = ((value >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Minimum polynomial rolling hash over all `window`-byte windows of the
+    * UTF-8 bytes (document-winnowing style fingerprint). Base 257 modulo
+    * 2^61-1; returns Long.MaxValue for strings shorter than the window.
+    */
+  def rollMin(s: UTF8String, window: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < window || window <= 0) return Long.MaxValue
+    val M = 2305843009213693951L // 2^61 - 1
+    val B = 257L
+    // B^(window-1) mod M for removing the outgoing byte
+    var pow = 1L
+    var k = 0
+    while (k < window - 1) { pow = mulMod(pow, B, M); k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (mulMod(h, B, M) + (bytes(i) & 0xffL)) % M; i += 1 }
+    var min = h
+    i = window
+    while (i < n) {
+      val outgoing = mulMod(bytes(i - window) & 0xffL, pow, M)
+      h = (h - outgoing % M + M) % M
+      h = (mulMod(h, B, M) + (bytes(i) & 0xffL)) % M
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** (a*b) mod (2^61-1) for a,b < 2^61, branch-light Mersenne reduction:
+    * with m = 2^61-1, 2^61 ≡ 1 and 2^64 ≡ 8, so the 128-bit product
+    * hi·2^64 + lo folds to hi·8 + (lo >>> 61) + (lo & m).
+    */
+  def mulMod(a: Long, b: Long, m: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & m)
+    r = (r & m) + (r >>> 61)
+    if (r >= m) r -= m
+    r
+  }
+}

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the binary event-decode path — the
+  * Spark-native equivalent of the reference's hand-rolled little-endian
+  * parsers (reference `src/streaming/event_parser/protocols/pumpfun/
+  * events.rs:57-180` reads `u32/u64 from_le_bytes` + 32-byte pubkeys).
+  * All are codegen'd (whole-stage friendly): the generated Java calls the
+  * static forwarders on [[CodecOps]] / [[Base58]].
+  */
+case class LeLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_le_long"
+  override protected def nullSafeEval(bytes: Any, off: Any): Any =
+    CodecOps.leLong(bytes.asInstanceOf[Array[Byte]], off.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, o) => s"graft.functions.CodecOps.leLong($b, $o)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LeLong =
+    copy(left = newLeft, right = newRight)
+}
+
+case class LeInt(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_le_int"
+  override protected def nullSafeEval(bytes: Any, off: Any): Any =
+    CodecOps.leInt(bytes.asInstanceOf[Array[Byte]], off.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, o) => s"graft.functions.CodecOps.leInt($b, $o)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LeInt =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Little-endian encode of the low `width` bytes of a long (borsh-style). */
+case class LeBytes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_le_bytes"
+  override protected def nullSafeEval(value: Any, width: Any): Any =
+    CodecOps.leBytes(value.asInstanceOf[Long], width.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, w) => s"graft.functions.CodecOps.leBytes($v, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LeBytes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Render binary (e.g. a 32-byte pubkey) as base58, as Solana tooling does. */
+case class Base58Encode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_base58"
+  override protected def nullSafeEval(bytes: Any): Any =
+    UTF8String.fromString(Base58.encode(bytes.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Base58.encode($b))")
+  override protected def withNewChildInternal(newChild: Expression): Base58Encode =
+    copy(child = newChild)
+}
+
+/** Winnowing-style fingerprint: min polynomial rolling hash over all
+  * byte windows of the given size. */
+case class RollingHashMin(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(StringType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_min"
+  override protected def nullSafeEval(s: Any, w: Any): Any =
+    CodecOps.rollMin(s.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, w) => s"graft.functions.CodecOps.rollMin($s, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RollingHashMin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Identity marker used to demonstrate the injected optimizer rule (D1):
+  * `GraftNopElimination` strips it from plans. */
+case class GraftNop(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "graft_nop"
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): GraftNop =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the custom expressions. */
+object exprs {
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+
+  def le_long(bin: Column, offset: Int): Column =
+    col(LeLong(ex(bin), Literal(offset)))
+  def le_int(bin: Column, offset: Int): Column =
+    col(LeInt(ex(bin), Literal(offset)))
+  def le_bytes(value: Column, width: Int): Column =
+    col(LeBytes(ex(value), Literal(width)))
+  def base58(bin: Column): Column = col(Base58Encode(ex(bin)))
+  def rolling_min(s: Column, window: Int): Column =
+    col(RollingHashMin(ex(s), Literal(window)))
+  def graft_nop(c: Column): Column = col(GraftNop(ex(c)))
+}

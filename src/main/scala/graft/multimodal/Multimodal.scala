@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2 C12).
+  *
+  * Media assets ride through the engine as opaque `binary` columns with
+  * typed metadata alongside. The decode / feature-extract / resize /
+  * frame-sample stages run partition-batched so a real codec would be
+  * initialized once per partition (the JVM-side equivalent of a vectorized
+  * UDF batch). This container has no image/audio libraries, so
+  * [[StubCodec]] derives deterministic pseudo-features from the bytes —
+  * the Spark-side plumbing (schema, batching, partitioning) is real.
+  */
+object Multimodal {
+
+  /** Decoded media header + features (what a real codec would emit). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      frame_offsets: Seq[Int],
+      brightness: Double)
+
+  /** Deterministic stand-in for an image/video codec. */
+  object StubCodec {
+    val FrameSize = 256
+
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+      val len = bytes.length
+      // "header": dimensions derived from leading bytes, like a real
+      // decoder would read them from the container format
+      val w = 16 + (if (len > 0) (bytes(0) & 0x7f) else 0)
+      val h = 16 + (if (len > 1) (bytes(1) & 0x7f) else 0)
+      val nFrames = len / FrameSize + 1
+      // frame sampling: fixed-stride offsets into the payload
+      val offsets = (0 until nFrames).map(_ * FrameSize)
+      // "brightness": mean byte value — stands in for pixel statistics
+      var sum = 0L
+      var i = 0
+      while (i < len) { sum += bytes(i) & 0xff; i += 1 }
+      val brightness = if (len == 0) 0.0 else sum.toDouble / len
+      MediaFeatures(docId, len, w, h, nFrames, offsets, brightness)
+    }
+
+    /** "resize": crop/pad payload to a target byte budget (thumbnailing). */
+    def resize(bytes: Array[Byte], target: Int): Array[Byte] =
+      java.util.Arrays.copyOf(bytes, math.min(bytes.length, target))
+  }
+
+  /** Attach a binary payload column (here: utf-8 of text as a stand-in
+    * asset; production replaces this with real object-store bytes). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Partition-batched decode + feature extraction over binary payloads. */
+  def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition: a real implementation initializes the codec here
+        it.map { case (id, bytes) => StubCodec.decode(id, bytes) }
+      }
+  }
+}

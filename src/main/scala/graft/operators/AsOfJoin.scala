@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: for each left row, attach the most recent right
+  * row (at-or-before its event time) with the same key.
+  *
+  * Re-expresses the reference's account-state lookup pattern (an event is
+  * interpreted against the latest cached account update — reference
+  * `streaming/event_parser/core/account_event_parser.rs` + dashmap caches)
+  * as a set-oriented operator.
+  *
+  * Implementation: union both sides, one shuffle on the key, sort within
+  * partitions, and carry the last right-side value forward with
+  * `last(..., ignoreNulls)` over a running frame. O(n log n) per key group,
+  * no per-row lookups, no broadcast of the right side — scales to fact-fact
+  * joins at 100 TB (the shuffle is on the join key only).
+  *
+  * Tie rule: right rows at the same timestamp as a left row ARE visible to
+  * it (kind 0 sorts before kind 1); remaining ties break by `idCol`.
+  */
+object AsOfJoin {
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val rightTagged = right.select(
+      col(keyCol), col(tsCol), col(idCol), lit(0).as("kind"),
+      struct((tsCol +: idCol +: rightValueCols).map(col): _*).as("rval"))
+    val leftTagged = left.select(
+      col(keyCol), col(tsCol), col(idCol), lit(1).as("kind"),
+      lit(null).cast(rightTagged.schema("rval").dataType).as("rval"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("kind"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightTagged.unionByName(leftTagged)
+      .withColumn("asof", last("rval", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .drop("kind", "rval")
+  }
+}

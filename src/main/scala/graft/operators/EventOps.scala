@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the decoded event stream.
+  *
+  * Spark-native re-expression of the reference's event-processing surface:
+  * include-list filtering (reference `event_parser/common/filter.rs`),
+  * per-type counters and windowed throughput / processing-time statistics
+  * (`streaming/common/metrics.rs`), signature dedup and per-wallet flow
+  * analysis (`streaming/common/event_processor.rs`). Everything is built
+  * from codegen'd built-in expressions; aggregates on monetary values go
+  * through fixed-scale decimals so results are exact and reproducible
+  * across engines, and event-time ordering uses integer epoch-micros.
+  *
+  * Scale notes: every operator is a single shuffle on its natural key
+  * (event_type / user_id / window bucket) with map-side partial
+  * aggregation; nothing collects to the driver.
+  */
+object EventOps {
+
+  /** Event-time as integer micros — total order used by every operator. */
+  private def tsUs = expr("unix_micros(ts)")
+
+  private def valDec = col("value").cast("decimal(18,2)")
+
+  /** A1: include-list event-type filter (EventTypeFilter analog). */
+  def filterTypes(events: DataFrame, include: Seq[String]): DataFrame =
+    events
+      .filter(col("event_type").isin(include: _*))
+      .select(col("event_id"), tsUs.as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+
+  /** A2: per-type counters (process_count / events_processed analog). */
+  def countsByType(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(valDec).cast("double").as("total_value"))
+
+  /** A3: tumbling 1h window throughput (metrics window reset analog). */
+  def tumbling1h(events: DataFrame): DataFrame =
+    events
+      .groupBy(expr("(unix_micros(ts) div 3600000000) * 3600").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(valDec).cast("double").as("total_value"))
+
+  /** A4: sliding window (1h length, 15m slide) event rates.
+    * Uses the built-in `window()` generator — each row lands in 4 windows,
+    * assignment is computed map-side, then one shuffle on (window, type).
+    */
+  def sliding1h15m(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_timestamp(window.start)").as("ws"), col("event_type"),
+        col("n"))
+
+  /** A5: value distribution stats per type (processing-time stats analog).
+    * min/max are raw column values (bit-exact); avg/stddev are derived from
+    * exact decimal sums with an explicit formula; p50/p95 are exact order
+    * statistics (element at rank ceil(p*n)) — no interpolation, so results
+    * are engine-independent.
+    */
+  def valueStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val ranked = events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      min("value").as("min_v"),
+      max("value").as("max_v"),
+      sum(valDec).cast("double").as("sum_v"),
+      sum(valDec.multiply(valDec)).cast("double").as("sumsq_v"),
+      max(when(col("rn") === expr("(cnt + 1) div 2"), col("value"))).as("p50"),
+      max(when(col("rn") === expr("(cnt * 95 + 99) div 100"), col("value")))
+        .as("p95"))
+      .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+        (col("sum_v") / col("n").cast("double")).as("avg_v"),
+        sqrt((col("sumsq_v") - col("sum_v") * col("sum_v") /
+          col("n").cast("double")) / (col("n").cast("double") - lit(1.0)))
+          .as("stddev_v"),
+        col("p50"), col("p95"))
+  }
+
+  /** A6: dedup (signature-dedup analog): collapse to the first event per
+    * (user, type, minute) and count suppressed duplicates. Deterministic
+    * keep rule: min event_id.
+    */
+  def dedupExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 60000000").as("minute_bucket"))
+      .agg(min("event_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** A7: payload JSON field extraction (event payload access analog). */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .select(expr("cast(get_json_object(props, '$.k') as int)").as("k"),
+        valDec.as("v"))
+      .groupBy(expr("k % 10").as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum("v").cast("double").as("total_value"))
+
+  /** A8: gap-based sessionization per wallet (30 min inactivity gap). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"), valDec.as("v"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs, 1)
+          .otherwise(when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum("new_session")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        sum("v").cast("double").as("total_value"))
+  }
+
+  /** A9: top-K wallets by purchase volume, deterministic tiebreak. */
+  def topKUsers(events: DataFrame, k: Int = 10): DataFrame = {
+    val totals = events
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(valDec).as("total_dec"), count(lit(1)).as("n_purchases"))
+    val ranked = totals.withColumn("rk", row_number().over(
+      Window.orderBy(col("total_dec").desc, col("user_id"))).cast("bigint"))
+    ranked
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("user_id"),
+        col("total_dec").cast("double").as("total_value"), col("n_purchases"))
+  }
+
+  /** A11: cumulative per-wallet volume (`current_sol_volume` analog). */
+  def cumulativeByUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), valDec.as("v"))
+      .withColumn("cum_value", sum("v").over(w).cast("double"))
+      .drop("v")
+  }
+
+  /** A12: hourly OHLC candles per event type (DEX price analytics). */
+  def ohlc1h(events: DataFrame): DataFrame = {
+    val base = events.select(
+      expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"),
+      col("event_type"), valDec.as("v"), tsUs.as("tu"), col("event_id"))
+    val part = Window.partitionBy("hb", "event_type")
+    val wAsc = part.orderBy(col("tu"), col("event_id"))
+    val wDesc = part.orderBy(col("tu").desc, col("event_id").desc)
+    base
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy("hb", "event_type")
+      .agg(
+        max(when(col("rna") === 1, col("v"))).cast("double").as("open"),
+        max(when(col("rnd") === 1, col("v"))).cast("double").as("close"),
+        max("v").cast("double").as("high"),
+        min("v").cast("double").as("low"),
+        count(lit(1)).as("n"),
+        sum("v").cast("double").as("volume"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface (SURVEY §2 B): the engine a subscriber uses to
+  * analyze decoded event history. Classic scan/join/agg shapes expressed
+  * declaratively so Catalyst handles pushdown, pruning, and join planning;
+  * dimension joins are explicitly broadcast.
+  *
+  * All monetary aggregation is done in fixed-scale decimal (exact,
+  * engine-reproducible) and only cast to double at the output boundary.
+  */
+object Relational {
+
+  // All money columns carry exact 2-decimal data, so these casts are
+  // lossless in both Spark and DuckDB. Widths are kept minimal so chained
+  // products stay at scale <= 6: the scaled integer of any sum then stays
+  // below 2^53 and the final decimal->double conversion is deterministic
+  // across engines (see SURVEY §6).
+  private def dec2(c: String) = col(c).cast("decimal(12,2)")
+  private def rate2(c: String) = col(c).cast("decimal(4,2)")
+  private def oneMinus(c: String) =
+    (lit(1).cast("decimal(4,2)") - rate2(c)).cast("decimal(4,2)")
+  private def onePlus(c: String) =
+    (lit(1).cast("decimal(4,2)") + rate2(c)).cast("decimal(4,2)")
+
+  /** B1: pricing summary (TPC-H Q1 shape): scan + filter + wide agg. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2("l_extendedprice") * oneMinus("l_discount") *
+          onePlus("l_tax")).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
+      .withColumn("avg_price",
+        col("sum_base_price") / col("count_order").cast("double"))
+
+  /** B2: shuffle join + group: revenue by market segment and order month. */
+  def revenueBySegment(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2("o_totalprice")).cast("double").as("revenue"))
+
+  /** B3: five-way join: revenue by region/nation of the customer.
+    * region/nation are broadcast (tiny dims); customer joins shuffle on the
+    * key; AQE picks the physical join for orders⋈lineitem.
+    */
+  def regionVolume(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** B4: broadcast dimension join: volume by part brand. */
+  def brandAgg(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec2("l_extendedprice")).cast("double").as("revenue"))
+
+  /** B5: semi + anti join: per segment, customers that placed at least one
+    * order vs customers with no big-ticket (>450k) order. Uses a left outer
+    * combine so segments missing one side still appear (count 0).
+    */
+  def customersOrdersPresence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val okeys = orders.select("o_custkey")
+    val bigKeys = orders.filter(col("o_totalprice") > 450000).select("o_custkey")
+    val withOrders = customer
+      .join(okeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val noBig = customer
+      .join(bigKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    withOrders.join(noBig, Seq("c_mktsegment"), "left_outer")
+      .select(col("c_mktsegment"), col("with_orders"),
+        coalesce(col("n"), lit(0L)).as("no_big_orders"))
+  }
+
+  /** B6: rollup over (segment, priority) with ALL labels. */
+  def rollupSales(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2("o_totalprice")).cast("double").as("revenue"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+
+  /** B7: window ranking: top-N orders per customer by price. */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= n)
+  }
+
+  /** B8: VWAP per ship month: exact decimal numerator/denominator, single
+    * double division at the boundary. */
+  def vwapByMonth(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(year(col("l_shipdate")).cast("bigint").as("yr"),
+        month(col("l_shipdate")).cast("bigint").as("mon"))
+      .agg(
+        sum(dec2("l_extendedprice") * dec2("l_quantity")).cast("double")
+          .as("pv"),
+        sum(dec2("l_quantity")).cast("double").as("total_qty"))
+      .select(col("yr"), col("mon"),
+        (col("pv") / col("total_qty")).as("vwap"), col("total_qty"))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs.rolling_min
+
+/** Text-corpus analysis operators (SURVEY §2 C8-C11): language ID, quality
+  * scoring, token counting, fingerprinting. Pure column expressions —
+  * codegen'd end to end, trivially data-parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** C8: marker-word n-gram language scorer with fixed tie priority. */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_en", regexp_count(col("text"), lit("\\b(the|is|and)\\b")).cast("bigint"))
+      .withColumn("n_de", regexp_count(col("text"), lit("\\b(der|und|die)\\b")).cast("bigint"))
+      .withColumn("n_es", regexp_count(col("text"), lit("\\b(el|la|los)\\b")).cast("bigint"))
+      .withColumn("n_fr", regexp_count(col("text"), lit("\\b(le|les|des)\\b")).cast("bigint"))
+      .withColumn("pred_lang", expr(
+        """case when n_en >= greatest(n_de, n_es, n_fr) and n_en > 0 then 'en'
+          |     when n_de >= greatest(n_es, n_fr) and n_de > 0 then 'de'
+          |     when n_es >= n_fr and n_es > 0 then 'es'
+          |     when n_fr > 0 then 'fr'
+          |     else 'unk' end""".stripMargin))
+      .select(col("doc_id"), col("n_en"), col("n_de"), col("n_es"),
+        col("n_fr"), col("pred_lang"), col("lang"))
+
+  /** C9: quality scoring from length/punctuation/stopword ratios. */
+  def quality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_chars_t", length(col("text")).cast("bigint"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("n_stop",
+        regexp_count(col("text"), lit("\\b(the|a|of|to|and)\\b")).cast("bigint"))
+      .withColumn("n_punct", regexp_count(col("text"), lit("[.,!?;:]")).cast("bigint"))
+      .withColumn("avg_wlen",
+        length(regexp_replace(col("text"), lit(" "), lit("")))
+          .cast("double") / col("n_tok").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tok").cast("double"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("n_chars_t").cast("double"))
+      .withColumn("quality_score", expr(
+        "least(cast(n_tok as double) / 100.0, 1.0) * (1.0 - punct_ratio) * " +
+          "(0.5 + stop_ratio)"))
+      .select(col("doc_id"), col("n_chars_t"), col("n_tok"), col("n_stop"),
+        col("n_punct"), col("avg_wlen"), col("stop_ratio"),
+        col("punct_ratio"), col("quality_score"))
+
+  /** C10: whitespace + BPE-ish regex token counts, aggregated per source. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tok", size(split(col("text"), " ")))
+      .withColumn("bpe_tok",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tok").as("total_ws_tokens"),
+        sum("bpe_tok").as("total_bpe_tokens"))
+      .withColumn("avg_ws_tokens",
+        col("total_ws_tokens").cast("double") / col("n_docs").cast("double"))
+
+  /** C11: per-document fingerprints: content md5 (portable) + winnowing
+    * rolling-hash minimum (custom codegen'd expression). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      length(col("text")).cast("bigint").as("n_chars_t"),
+      rolling_min(col("text"), 16).as("roll_min"))
+}

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions._
+
+/** SparkSessionExtensions wiring (SURVEY §2 D1): exposes the graft
+  * expressions to SQL users and installs a small optimizer rule.
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_base58", args = 1,
+      es => Base58Encode(es.head)))
+    ext.injectFunction(fn("graft_le_long", args = 2,
+      es => LeLong(es(0), es(1))))
+    ext.injectFunction(fn("graft_le_int", args = 2,
+      es => LeInt(es(0), es(1))))
+    ext.injectFunction(fn("graft_le_bytes", args = 2,
+      es => LeBytes(es(0), es(1))))
+    ext.injectFunction(fn("graft_rolling_min", args = 2,
+      es => RollingHashMin(es(0), es(1))))
+    ext.injectFunction(fn("graft_nop", args = 1, es => GraftNop(es.head)))
+    ext.injectOptimizerRule(_ => GraftNopElimination)
+  }
+}
+
+object GraftExtensions {
+  /** Register the graft functions on an already-running session (tests,
+    * notebooks); the extensions path covers cluster-configured sessions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val fns = Seq(
+      fn("graft_base58", 1, (es: Seq[Expression]) => Base58Encode(es.head)),
+      fn("graft_le_long", 2, (es: Seq[Expression]) => LeLong(es(0), es(1))),
+      fn("graft_le_int", 2, (es: Seq[Expression]) => LeInt(es(0), es(1))),
+      fn("graft_le_bytes", 2, (es: Seq[Expression]) => LeBytes(es(0), es(1))),
+      fn("graft_rolling_min", 2,
+        (es: Seq[Expression]) => RollingHashMin(es(0), es(1))),
+      fn("graft_nop", 1, (es: Seq[Expression]) => GraftNop(es.head)))
+    fns.foreach { case (id, info, b) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, id.funcName, info, b)
+    }
+  }
+
+  private def fn(name: String, args: Int, build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val builder = (es: Seq[Expression]) => {
+      require(es.length == args, s"$name expects $args arguments")
+      build(es)
+    }
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name), builder)
+  }
+
+  /** Strips the graft_nop marker so it never reaches physical planning. */
+  object GraftNopElimination extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions { case GraftNop(child) => child }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Base58, CodecOps}
+import graft.functions.exprs._
+import graft.sources.EventCodec
+
+class CodecSpec extends TestSparkSession {
+
+  test("base58 known vectors") {
+    assert(Base58.encode(Array.emptyByteArray) == "")
+    assert(Base58.encode(Array[Byte](0)) == "1")
+    assert(Base58.encode("Hello World!".getBytes("UTF-8")) == "2NEpo7TZRRrLZSi2U")
+    // round trip random-ish bytes
+    val bytes = (0 until 32).map(i => (i * 37 % 251).toByte).toArray
+    assert(Base58.decode(Base58.encode(bytes)).toSeq == bytes.toSeq)
+  }
+
+  test("le long/int read-write round trip") {
+    val vals = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 123456789012345L)
+    vals.foreach { v =>
+      assert(CodecOps.leLong(CodecOps.leBytes(v, 8), 0) == v)
+    }
+    assert(CodecOps.leInt(Array[Byte](0x78, 0x56, 0x34, 0x12), 0) == 0x12345678)
+  }
+
+  test("rolling hash min matches brute force") {
+    val s = "the quick brown fox jumps over the lazy dog"
+    val w = 8
+    val M = 2305843009213693951L
+    def poly(sub: Array[Byte]): Long =
+      sub.foldLeft(0L)((h, b) => (CodecOps.mulMod(h, 257L, M) + (b & 0xffL)) % M)
+    val bytes = s.getBytes("UTF-8")
+    val brute = (0 to bytes.length - w)
+      .map(i => poly(bytes.slice(i, i + w))).min
+    assert(CodecOps.rollMin(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), w) == brute)
+  }
+
+  test("column expressions run inside whole-stage codegen") {
+    // non-literal input so constant folding can't bypass codegen
+    val df = spark.range(100)
+      .withColumn("bin", le_bytes(col("id") * 1000000007L, 8))
+      .withColumn("back", le_long(col("bin"), 0))
+      .withColumn("b58", base58(col("bin")))
+    val rows = df.collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("back") == r.getAs[Long]("id") * 1000000007L))
+    assert(rows.forall(_.getAs[String]("b58").nonEmpty))
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+  }
+
+  test("trade event encode/decode round trips the events table") {
+    val ev = Tables.events(spark, sfDir)
+    val decoded = EventCodec.decodeTrade(EventCodec.encodeTrade(ev))
+    assert(decoded.count() == ev.count())
+    val expected = ev.select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts)").as("ts_us"),
+      expr("cast(event_type = 'purchase' as int)").as("is_buy"),
+      expr("cast(round(value * 100, 0) as bigint)").as("amount_cents"))
+    assert(decoded.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(decoded).count() == 0)
+  }
+
+  test("foreign discriminators are dropped") {
+    import spark.implicits._
+    val junk = Seq(Array.fill[Byte](41)(9)).toDF("payload")
+    assert(EventCodec.decodeTrade(junk).count() == 0)
+  }
+}

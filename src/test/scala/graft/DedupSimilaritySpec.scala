@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends TestSparkSession {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  /** Synthetic corpus with planted near-duplicates. */
+  private lazy val planted = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq(
+      (0L, base),
+      (1L, base + " extra"), // near-dup of 0
+      (2L, base.replace("gamma", "chi")), // near-dup of 0
+      (3L, "completely different text about spark engines and parquet files"),
+      (4L, "completely different text about spark engines and parquet files"),
+      (5L, "unrelated short doc")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical docs") {
+    val res = Dedup.exactDocs(planted).filter(col("n_dups") > 1).collect()
+    assert(res.length == 1)
+    assert(res(0).getAs[Long]("keep_id") == 3L)
+    assert(res(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash LSH finds the exact-jaccard pairs (recall on planted set)") {
+    val exact = Dedup.ngramJaccard(planted, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(planted, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // no false positives (LSH verifies candidates exactly)...
+    assert(lsh.subsetOf(exact))
+    // ...and high recall on clearly-similar pairs
+    assert(lsh.intersect(exact).size >= exact.size - 1)
+  }
+
+  test("minhash LSH agrees with exact jaccard on the real corpus") {
+    val exact = Dedup.ngramJaccard(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} pairs")
+    }
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val res = Dedup.simhash(planted, maxHamming = 3).collect()
+    val pairs = res.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((3L, 4L)))
+    assert(res.filter(r => r.getAs[Long]("d1") == 3L && r.getAs[Long]("d2") == 4L)
+      .head.getAs[Int]("hamming") == 0)
+  }
+
+  test("brute-force topk is ranked and bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+    val rows = res.collect()
+    assert(rows.length == 25)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos6")) <= 1.000001))
+    // per query: ranks 1..5 with non-increasing scores
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to 5L))
+      val scores = sorted.map(_.getAs[Double]("cos6"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF topk recall vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall was $recall")
+  }
+}

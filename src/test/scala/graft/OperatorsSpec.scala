@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class OperatorsSpec extends TestSparkSession {
+
+  private def events = Tables.events(spark, sfDir)
+
+  test("filterTypes keeps only the include list") {
+    val types = EventOps.filterTypes(events, Seq("purchase", "signup"))
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("purchase", "signup"))
+  }
+
+  test("countsByType covers all types and sums rows to table size") {
+    val rows = EventOps.countsByType(events).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == events.count())
+  }
+
+  test("tumbling window counts partition the table") {
+    val df = EventOps.tumbling1h(events)
+    assert(df.agg(sum("n")).collect()(0).getLong(0) == events.count())
+  }
+
+  test("sliding window assigns each event to exactly 4 windows") {
+    val df = EventOps.sliding1h15m(events)
+    assert(df.agg(sum("n")).collect()(0).getLong(0) == 4 * events.count())
+  }
+
+  test("sessionize: session bounds ordered, totals preserved") {
+    val s = EventOps.sessionize(events)
+    assert(s.filter(col("end_us") < col("start_us")).count() == 0)
+    assert(s.agg(sum("n_events")).collect()(0).getLong(0) == events.count())
+  }
+
+  test("topKUsers is deterministically ranked") {
+    val rows = EventOps.topKUsers(events).collect()
+    assert(rows.map(_.getAs[Long]("rk")).toSeq ==
+      (1L to rows.length.toLong))
+    val totals = rows.map(_.getAs[Double]("total_value"))
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("asof join attaches the latest prior view") {
+    val ev = events.select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+      col("event_id"), col("event_type"))
+    val j = AsOfJoin.asOf(
+      ev.filter(col("event_type") === "purchase").drop("event_type"),
+      ev.filter(col("event_type") === "view").drop("event_type"),
+      "user_id", "ts_us", "event_id", Seq())
+    // every attached view must be at-or-before its purchase
+    assert(j.filter(col("asof.ts_us") > col("ts_us")).count() == 0)
+    assert(j.count() == ev.filter(col("event_type") === "purchase").count())
+  }
+
+  test("ohlc: high >= low and open/close within range") {
+    val o = EventOps.ohlc1h(events)
+    assert(o.filter(col("high") < col("low")).count() == 0)
+    assert(o.filter(col("open") > col("high") || col("open") < col("low"))
+      .count() == 0)
+    assert(o.filter(col("close") > col("high") || col("close") < col("low"))
+      .count() == 0)
+  }
+
+  test("pricing summary has expected groups") {
+    val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
+    assert(df.count() >= 4)
+    assert(df.columns.contains("sum_charge"))
+  }
+
+  test("regionVolume joins to 25 nations") {
+    val df = Relational.regionVolume(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+    assert(df.count() == 25)
+  }
+
+  test("broadcast join plan actually broadcasts the dim side") {
+    val df = Relational.brandAgg(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("window rank returns at most 3 per customer") {
+    val df = Relational.topOrdersPerCustomer(Tables.orders(spark, sfDir))
+    val maxPer = df.groupBy("o_custkey").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("lineitem scan prunes columns and pushes filters") {
+    val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      scan.contains("LessThanOrEqual(l_shipdate"))
+    // projection should not include unused columns like l_comment-ish ones
+    assert(!scan.contains("l_partkey"))
+  }
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: check_oracle.py <sf_dir> <verify_out_dir>
+
+Registers each parquet table as a DuckDB view, runs every oracle_sql.json
+entry, loads the corresponding Spark result parquet, sorts columns by name
+and rows by all columns, and compares values (exact for ints/strings,
+bit-exact for floats unless GRAFT_TOL is set).
+"""
+import json, sys, glob, math
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    try:
+        exp = con.execute(oracle[name]).df()
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        def norm(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime"):
+                    df[c] = pd.to_datetime(df[c]).astype("int64")
+                if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bytes, bytearray)):
+                    df[c] = df[c].apply(lambda b: b.hex())
+            df = df.sort_values(by=list(df.columns), ignore_index=True)
+            return df
+        exp, got = norm(exp), norm(got)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            n_fail += 1; continue
+        dt_bad = [c for c in exp.columns if str(exp[c].dtype) != str(got[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch " +
+                  ", ".join(f"{c}: exp={exp[c].dtype} got={got[c].dtype}" for c in dt_bad))
+            n_fail += 1; continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}"); n_fail += 1; continue
+        ok = True
+        for c in exp.columns:
+            e, g = exp[c].tolist(), got[c].tolist()
+            for i, (a, b) in enumerate(zip(e, g)):
+                if isinstance(a, float) and isinstance(b, float):
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                    if a != b:
+                        print(f"FAIL {name}: col {c} row {i}: {a!r} != {b!r} (diff {a-b:.3e})")
+                        ok = False; break
+                elif (pd.isna(a) and pd.isna(b)):
+                    continue
+                elif a != b:
+                    print(f"FAIL {name}: col {c} row {i}: {a!r} != {b!r}")
+                    ok = False; break
+            if not ok:
+                break
+        if ok:
+            print(f"PASS {name} ({len(exp)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    except Exception as ex:
+        print(f"FAIL {name}: {type(ex).__name__}: {ex}"); n_fail += 1
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * jaccard operator is the small-scale oracle / verification path; at
   * scale you run [[minhashLsh]], whose candidate set is proportional to
   * the number of true near-dups, then verify candidates exactly.
-  * Signatures are computed per-row with codegen'd higher-order functions
-  * (`transform`/`array_min`/`xxhash64`) — no shuffle, no UDFs.
+  * Signatures are computed with explode + narrow codegen'd hash
+  * aggregates (map-side partial min/sum) — no UDFs, no interpreted
+  * lambdas in the hot path.
   */
 object Dedup {
 
@@ -69,19 +70,35 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val grams = withTrigrams(docs)
-    // Signature via explode + numHashes codegen'd hash columns + hash
-    // aggregate: stays inside whole-stage codegen with map-side partial
-    // min() — the formulation that scales (higher-order-function lambdas
-    // run interpreted and measured ~10x slower).
+    // Signature minima as narrow codegen'd aggregates. Two formulations
+    // were measured and rejected: higher-order-function lambdas run
+    // interpreted (~10x), and a single 64-function aggregate exceeds the
+    // generated-method budget and falls back to interpreted eval (~5x).
+    // Instead: explode each gram into (doc_id, band, r, hash) rows — the
+    // hash array is built in one split-friendly Project — then aggregate
+    // `rows` min() columns per (doc_id, band). Map-side partial agg
+    // collapses the 64x row blowup to docs x bands before the shuffle.
+    // hash the gram string once; family member j is a hash of (j, h0) —
+    // fixed-width input, and the explode(sequence) keeps the generated
+    // per-row code tiny (a 64-expression array pushes the generated
+    // method past HotSpot's compile threshold and runs interpreted,
+    // measured ~10x slower cold)
     val g = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val minCols = (0 until numHashes)
-      .map(j => min(expr(s"xxhash64($j, g)")).as(s"h$j"))
-    val sig = g.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map { bi =>
-        expr((bi * rows until (bi + 1) * rows)
-          .map(r => s"h$r").mkString(s"xxhash64($bi, ", ", ", ")"))
-      }: _*)).as(Seq("band", "bh")))
+      .select(col("doc_id"), expr("xxhash64(g)").as("h0"))
+    val hashed = g
+      .select(col("doc_id"), col("h0"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("j"))
+      .select(col("doc_id"), col("j"), expr("xxhash64(j, h0)").as("h"))
+    val minCols = (0 until rows)
+      .map(r => min(when(col("r") === r, col("h"))).as(s"m$r"))
+    val perBand = hashed
+      .select(col("doc_id"), expr(s"j div $rows").as("band"),
+        expr(s"j % $rows").as("r"), col("h"))
+      .groupBy("doc_id", "band")
+      .agg(minCols.head, minCols.tail: _*)
+    val banded = perBand.select(col("doc_id"), col("band"),
+      expr((0 until rows).map(r => s"m$r")
+        .mkString("xxhash64(band, ", ", ", ")")).as("bh"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -102,28 +119,33 @@ object Dedup {
     * per-row from token hashes; candidate pairs collide on one of four
     * 16-bit bands, then are kept if total Hamming distance <= maxHamming.
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    // Same codegen-friendly shape as minhashLsh: explode distinct tokens,
-    // one codegen'd hash column, then 64 conditional-sum aggregates (one
-    // per fingerprint bit) with map-side partial aggregation.
-    val toks = docs
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // Same codegen-friendly narrow-aggregate shape as minhashLsh: explode
+    // tokens into per-bit (doc_id, k, ±1) rows, sum per (doc_id, k), then
+    // pack the 16 sign bits of each band with a second single-function
+    // aggregate. (A single 64-function aggregate exceeds the codegen
+    // method budget and runs interpreted.)
+    val perBit = docs
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("t"))
       .withColumn("h", expr("xxhash64(t)"))
-    val bitCols = (0 until 64).map(k =>
-      sum(expr(s"case when (shiftright(h, $k) & 1) = 1 then 1 else -1 end"))
-        .as(s"s$k"))
-    val sig = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    // pack sign bits into four 16-bit band values (plain int arithmetic,
-    // stays in codegen; no 64-bit value needed so no ANSI overflow risk)
-    val bandVals = (0 until 4).map { b =>
-      expr((0 until 16)
-        .map(i => s"(case when s${b * 16 + i} >= 0 then 1 else 0 end) * ${1 << (15 - i)}")
-        .mkString(" + ")).as(s"b$b")
-    }
-    val withBands = sig.select(col("doc_id") +: bandVals: _*)
-      .withColumn("bands16", array((0 until 4).map(b => col(s"b$b")): _*))
-    val banded = withBands.select(col("doc_id"), col("bands16"),
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 63)")).as("k"))
+      .select(col("doc_id"), col("k"),
+        expr("case when (shiftright(h, k) & 1) = 1 then 1 else -1 end").as("s"))
+      .groupBy("doc_id", "k")
+      .agg(sum(col("s")).as("sk"))
+    val withBands = perBit
+      .select(col("doc_id"), expr("k div 16").as("band"),
+        expr("(case when sk >= 0 then 1 else 0 end) * " +
+          "shiftleft(1, 15 - (k % 16))").as("bit"))
+      .groupBy("doc_id", "band")
+      .agg(sum("bit").cast("int").as("bv"))
+    // re-assemble the 4-band fingerprint array per doc for hamming checks
+    val fps = withBands.groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(band, bv))), " +
+        "x -> x.bv)").as("bands16"))
+    val banded = fps.select(col("doc_id"), col("bands16"),
       posexplode(col("bands16")).as(Seq("band", "bv")))
     val pairs = banded.as("a")
       .join(banded.as("b"),

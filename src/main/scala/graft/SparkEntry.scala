@@ -86,6 +86,59 @@ object SparkEntry {
     "q_stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.windowedCountsAvailableNow(
         s, d, Seq("purchase"))),
+    "q_events_decode_create" -> ((s, d) => {
+      val src = Tables.events(s, d).select(
+        expr("concat('tok_', cast(event_id as string))").as("name"),
+        expr("upper(substring(md5(cast(concat('s', cast(event_id as string)) as binary)), 1, 6))").as("symbol"),
+        expr("concat('ipfs://', md5(cast(concat('u', cast(event_id as string)) as binary)))").as("uri"),
+        expr("unhex(concat(md5(cast(concat('ma', cast(event_id as string)) as binary)), md5(cast(concat('mb', cast(event_id as string)) as binary))))").as("mint"),
+        expr("unhex(concat(md5(cast(concat('ba', cast(event_id as string)) as binary)), md5(cast(concat('bb', cast(event_id as string)) as binary))))").as("bonding_curve"),
+        expr("unhex(concat(md5(cast(concat('ua', cast(event_id as string)) as binary)), md5(cast(concat('ub', cast(event_id as string)) as binary))))").as("user_pk"),
+        expr("unhex(concat(md5(cast(concat('ca', cast(event_id as string)) as binary)), md5(cast(concat('cb', cast(event_id as string)) as binary))))").as("creator"),
+        expr("unix_micros(ts)").as("ev_ts"),
+        expr("event_id * 3 + 1").as("vtr"), expr("event_id * 5 + 2").as("vsr"),
+        expr("event_id * 7 + 3").as("rtr"),
+        expr("cast(round(value * 100, 0) as bigint)").as("tts"))
+      graft.sources.EventCodec
+        .decodeCreateToken(graft.sources.EventCodec.encodeCreateToken(src))
+        .select(col("ev.name").as("name"), col("ev.symbol").as("symbol"),
+          col("ev.uri").as("uri"),
+          lower(hex(col("ev.mint"))).as("mint_hex"),
+          lower(hex(col("ev.creator"))).as("creator_hex"),
+          col("ev.timestamp").as("ev_ts"),
+          col("ev.virtual_token_reserves").as("vtr"),
+          col("ev.virtual_sol_reserves").as("vsr"),
+          col("ev.real_token_reserves").as("rtr"),
+          col("ev.token_total_supply").as("tts"))
+    }),
+    "q_events_decode_dispatch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val trades = graft.sources.EventCodec
+        .encodeTrade(ev.filter(!col("event_type").isin("signup", "error")))
+        .select("payload")
+      val creates = graft.sources.EventCodec.encodeCreateToken(
+        ev.filter(col("event_type") === "signup").select(
+          expr("concat('tok_', cast(event_id as string))").as("name"),
+          lit("SYM").as("symbol"), lit("ipfs://x").as("uri"),
+          expr("unhex(repeat('ab', 32))").as("mint"),
+          expr("unhex(repeat('cd', 32))").as("bonding_curve"),
+          expr("unhex(repeat('ef', 32))").as("user_pk"),
+          expr("unhex(repeat('01', 32))").as("creator"),
+          expr("unix_micros(ts)").as("ev_ts"),
+          col("event_id").as("vtr"), col("event_id").as("vsr"),
+          col("event_id").as("rtr"),
+          expr("cast(round(value * 100, 0) as bigint)").as("tts")))
+        .select("payload")
+      val junk = ev.filter(col("event_type") === "error")
+        .select(expr("cast(concat('junkjunk', cast(event_id as string)) as binary)")
+          .as("payload"))
+      graft.sources.EventCodec
+        .dispatch(trades.union(creates).union(junk))
+        .groupBy("event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("trade.amount_cents")).as("trade_cents"),
+          sum(col("create_token.token_total_supply")).as("create_cents"))
+    }),
     // ---- C. LLM-pipeline surface ----
     "q_dedup_docs_exact" -> ((s, d) =>
       Dedup.exactDocs(Tables.documents(s, d))),
@@ -332,6 +385,31 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
                 count(*) AS n
          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
+    "q_events_decode_create" ->
+      """SELECT 'tok_' || CAST(event_id AS VARCHAR) AS name,
+                upper(substring(md5('s' || CAST(event_id AS VARCHAR)), 1, 6)) AS symbol,
+                'ipfs://' || md5('u' || CAST(event_id AS VARCHAR)) AS uri,
+                md5('ma' || CAST(event_id AS VARCHAR)) ||
+                  md5('mb' || CAST(event_id AS VARCHAR)) AS mint_hex,
+                md5('ca' || CAST(event_id AS VARCHAR)) ||
+                  md5('cb' || CAST(event_id AS VARCHAR)) AS creator_hex,
+                epoch_us(ts) AS ev_ts,
+                event_id * 3 + 1 AS vtr, event_id * 5 + 2 AS vsr,
+                event_id * 7 + 3 AS rtr,
+                CAST(round(value * 100, 0) AS BIGINT) AS tts
+         FROM events""",
+    "q_events_decode_dispatch" ->
+      """WITH k AS (SELECT CASE WHEN event_type = 'signup' THEN 'create_token'
+                               WHEN event_type = 'error' THEN 'unknown'
+                               ELSE 'trade' END AS event_kind,
+                          CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events)
+         SELECT event_kind, count(*) AS n,
+                CAST(sum(CASE WHEN event_kind = 'trade' THEN cents END)
+                  AS BIGINT) AS trade_cents,
+                CAST(sum(CASE WHEN event_kind = 'create_token' THEN cents END)
+                  AS BIGINT) AS create_cents
+         FROM k GROUP BY event_kind""",
     "q_dedup_docs_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_dups,
                 min(doc_id) AS keep_id

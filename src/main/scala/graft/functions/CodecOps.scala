@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers backing the custom Catalyst expressions; the generated
@@ -34,6 +36,48 @@ object CodecOps {
       i += 1
     }
     out
+  }
+
+  /** Sequential parse of a borsh-style create-token event: three
+    * length-prefixed strings, four 32-byte pubkeys, five LE u64/i64
+    * fields (same wire shape the reference decodes field-by-field in
+    * `pumpfun_create_v2_token_event_log_decode`). Returns null on
+    * malformed input, mirroring the reference's Option<_> parse.
+    */
+  def decodeCreateToken(bytes: Array[Byte]): InternalRow = {
+    var off = 8 // caller has already matched the 8-byte discriminator
+    def remaining(n: Int): Boolean = off + n <= bytes.length
+    def str(): UTF8String = {
+      if (!remaining(4)) return null
+      val len = leInt(bytes, off); off += 4
+      if (len < 0 || !remaining(len)) return null
+      val s = UTF8String.fromBytes(bytes, off, len); off += len
+      s
+    }
+    def pubkey(): Array[Byte] = {
+      if (!remaining(32)) return null
+      val out = java.util.Arrays.copyOfRange(bytes, off, off + 32)
+      off += 32
+      out
+    }
+    val name = str(); if (name == null) return null
+    val symbol = str(); if (symbol == null) return null
+    val uri = str(); if (uri == null) return null
+    val mint = pubkey(); if (mint == null) return null
+    val bondingCurve = pubkey(); if (bondingCurve == null) return null
+    val user = pubkey(); if (user == null) return null
+    val creator = pubkey(); if (creator == null) return null
+    if (!remaining(40)) return null
+    val row = new GenericInternalRow(12)
+    row.update(0, name); row.update(1, symbol); row.update(2, uri)
+    row.update(3, mint); row.update(4, bondingCurve)
+    row.update(5, user); row.update(6, creator)
+    row.setLong(7, leLong(bytes, off))
+    row.setLong(8, leLong(bytes, off + 8))
+    row.setLong(9, leLong(bytes, off + 16))
+    row.setLong(10, leLong(bytes, off + 24))
+    row.setLong(11, leLong(bytes, off + 32))
+    row
   }
 
   /** Minimum polynomial rolling hash over all `window`-byte windows of the

@@ -89,6 +89,41 @@ case class RollingHashMin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential struct decode of a variable-length create-token event
+  * (length-prefixed strings make offsets dynamic, so this can't be a
+  * composition of fixed-offset reads — exactly the case where a custom
+  * whole-payload Expression is warranted; see SURVEY §4). Nullable:
+  * malformed payloads decode to null rather than failing the task.
+  */
+case class DecodeCreateToken(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(BinaryType)
+  override def dataType: DataType = DecodeCreateToken.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_decode_create_token"
+  override protected def nullSafeEval(bytes: Any): Any =
+    CodecOps.decodeCreateToken(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""${ev.value} = graft.functions.CodecOps.decodeCreateToken($b);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): DecodeCreateToken =
+    copy(child = newChild)
+}
+
+object DecodeCreateToken {
+  val schema: StructType = StructType(Seq(
+    StructField("name", StringType), StructField("symbol", StringType),
+    StructField("uri", StringType), StructField("mint", BinaryType),
+    StructField("bonding_curve", BinaryType), StructField("user", BinaryType),
+    StructField("creator", BinaryType), StructField("timestamp", LongType),
+    StructField("virtual_token_reserves", LongType),
+    StructField("virtual_sol_reserves", LongType),
+    StructField("real_token_reserves", LongType),
+    StructField("token_total_supply", LongType)))
+}
+
 /** Identity marker used to demonstrate the injected optimizer rule (D1):
   * `GraftNopElimination` strips it from plans. */
 case class GraftNop(child: Expression) extends UnaryExpression {
@@ -113,6 +148,8 @@ object exprs {
   def le_bytes(value: Column, width: Int): Column =
     col(LeBytes(ex(value), Literal(width)))
   def base58(bin: Column): Column = col(Base58Encode(ex(bin)))
+  def decode_create_token(bin: Column): Column =
+    col(DecodeCreateToken(ex(bin)))
   def rolling_min(s: Column, window: Int): Column =
     col(RollingHashMin(ex(s), Literal(window)))
   def graft_nop(c: Column): Column = col(GraftNop(ex(c)))

@@ -26,6 +26,11 @@ object EventCodec {
   val Discriminator: Array[Byte] =
     Array(0x67, 0x72, 0x61, 0x66, 0x74, 0x01, 0x02, 0x03).map(_.toByte)
 
+  /** Second "protocol" discriminator: create-token events (variable-length
+    * strings + pubkeys, reference `PumpFunCreateV2TokenEvent`). */
+  val CreateDiscriminator: Array[Byte] =
+    Array(0x67, 0x72, 0x61, 0x66, 0x74, 0x0a, 0x0b, 0x0c).map(_.toByte)
+
   /** Encode events rows into the wire format (test/round-trip path). */
   def encodeTrade(events: DataFrame): DataFrame =
     events.withColumn("payload", concat(
@@ -36,6 +41,53 @@ object EventCodec {
       when(col("event_type") === "purchase", lit(Array(1.toByte)))
         .otherwise(lit(Array(0.toByte))),
       le_bytes(expr("cast(round(value * 100, 0) as bigint)"), 8)))
+
+  private def lenPrefixed(strCol: String): org.apache.spark.sql.Column =
+    concat(
+      le_bytes(expr(s"cast(octet_length(cast($strCol as binary)) as bigint)"), 4),
+      col(strCol).cast("binary"))
+
+  /** Encode a create-token event (3 length-prefixed strings, 4 pubkeys,
+    * 5 LE u64 fields) from columns
+    * name/symbol/uri/mint/bonding_curve/user_pk/creator (binary 32) and
+    * ev_ts/vtr/vsr/rtr/tts (long). */
+  def encodeCreateToken(df: DataFrame): DataFrame =
+    df.withColumn("payload", concat(
+      lit(CreateDiscriminator),
+      lenPrefixed("name"), lenPrefixed("symbol"), lenPrefixed("uri"),
+      col("mint"), col("bonding_curve"), col("user_pk"), col("creator"),
+      le_bytes(col("ev_ts"), 8), le_bytes(col("vtr"), 8),
+      le_bytes(col("vsr"), 8), le_bytes(col("rtr"), 8),
+      le_bytes(col("tts"), 8)))
+
+  /** Decode create-token payloads via the sequential struct expression. */
+  def decodeCreateToken(df: DataFrame, payload: String = "payload"): DataFrame =
+    df.filter(expr(s"substring($payload, 1, 8)") === lit(CreateDiscriminator))
+      .withColumn("ev", decode_create_token(col(payload)))
+      .filter(col("ev").isNotNull)
+
+  /** Multi-protocol dispatch (reference: per-protocol parser registry
+    * keyed on the instruction discriminator,
+    * `event_parser/protocols/pumpfun/parser.rs:25-35`): tag each payload
+    * with its event kind, decode the matching branch, pass through
+    * unknown payloads as `unknown` with null bodies.
+    */
+  def dispatch(df: DataFrame, payload: String = "payload"): DataFrame =
+    df.withColumn("event_kind",
+      when(expr(s"substring($payload, 1, 8)") === lit(Discriminator), "trade")
+        .when(expr(s"substring($payload, 1, 8)") === lit(CreateDiscriminator),
+          "create_token")
+        .otherwise("unknown"))
+      .withColumn("trade",
+        when(col("event_kind") === "trade", struct(
+          le_long(col(payload), 8).as("event_id"),
+          le_long(col(payload), 16).as("user_id"),
+          le_long(col(payload), 24).as("ts_us"),
+          expr(s"cast(substring($payload, 33, 1) = X'01' as int)").as("is_buy"),
+          le_long(col(payload), 33).as("amount_cents"))))
+      .withColumn("create_token",
+        when(col("event_kind") === "create_token",
+          decode_create_token(col(payload))))
 
   /** Decode the wire format; rows with a foreign discriminator are dropped,
     * mirroring the reference's discriminator dispatch. */

@@ -69,4 +69,46 @@ class CodecSpec extends TestSparkSession {
     val junk = Seq(Array.fill[Byte](41)(9)).toDF("payload")
     assert(EventCodec.decodeTrade(junk).count() == 0)
   }
+
+  test("create-token round trip including unicode and empty strings") {
+    import spark.implicits._
+    val pk = (b: Int) => Array.fill[Byte](32)(b.toByte)
+    val src = Seq(
+      ("solami 🚀", "SOL", "ipfs://QmAbc", 1),
+      ("", "", "", 2)
+    ).toDF("name", "symbol", "uri", "seed")
+      .select(col("name"), col("symbol"), col("uri"),
+        lit(pk(1)).as("mint"), lit(pk(2)).as("bonding_curve"),
+        lit(pk(3)).as("user_pk"), lit(pk(4)).as("creator"),
+        (col("seed") * 1000L).as("ev_ts"), lit(11L).as("vtr"),
+        lit(12L).as("vsr"), lit(13L).as("rtr"), lit(14L).as("tts"))
+    val out = EventCodec.decodeCreateToken(EventCodec.encodeCreateToken(src))
+      .select("ev.*").collect()
+    assert(out.length == 2)
+    val byName = out.map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName.contains("solami 🚀"))
+    assert(byName("solami 🚀").getAs[String]("symbol") == "SOL")
+    assert(byName("solami 🚀").getAs[Array[Byte]]("mint").toSeq == pk(1).toSeq)
+    assert(byName("").getAs[Long]("token_total_supply") == 14L)
+  }
+
+  test("malformed create-token payloads decode to null and are dropped") {
+    import spark.implicits._
+    // valid discriminator but truncated body
+    val bad = Seq(EventCodec.CreateDiscriminator ++ Array[Byte](5, 0, 0, 0, 'a'))
+      .toDF("payload")
+    assert(EventCodec.decodeCreateToken(bad).count() == 0)
+  }
+
+  test("dispatch tags trade, create_token, and unknown payloads") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).limit(50)
+    val trades = EventCodec.encodeTrade(ev).select("payload")
+    val junk = Seq(Array.fill[Byte](41)(7)).toDF("payload")
+    val tagged = EventCodec.dispatch(trades.union(junk))
+      .groupBy("event_kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tagged("trade") == 50)
+    assert(tagged("unknown") == 1)
+  }
 }

@@ -59,6 +59,51 @@ object EventStreamPipelines {
         col("event_type"), col("count").as("n"))
   }
 
+  /** Ingest analog of the reference's shred/grpc pipelines
+    * (`streaming/shred_stream.rs`, `grpc/subscription.rs`): a raw binary
+    * payload stream is discriminator-filtered, columnar-decoded, and
+    * rolled into per-minute buy/sell counts — the full wire-to-analytics
+    * path as one declarative streaming plan. Works on any streaming
+    * source that yields a `payload` binary column (rate-synthesized,
+    * memory, file, or a real tx feed).
+    */
+  def decodedTradeMetrics(payloads: DataFrame): DataFrame = {
+    import graft.sources.EventCodec
+    payloads
+      .filter(expr("substring(payload, 1, 8)") === lit(EventCodec.Discriminator))
+      .select(
+        graft.functions.exprs.le_long(col("payload"), 8).as("event_id"),
+        graft.functions.exprs.le_long(col("payload"), 16).as("user_id"),
+        timestamp_micros(
+          graft.functions.exprs.le_long(col("payload"), 24)).as("ts"),
+        expr("cast(substring(payload, 33, 1) = X'01' as int)").as("is_buy"),
+        graft.functions.exprs.le_long(col("payload"), 33).as("amount_cents"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 minute"), col("is_buy"))
+      .agg(count(lit(1)).as("n"), sum("amount_cents").as("cents"))
+      .select(expr("unix_timestamp(window.start)").as("ws"), col("is_buy"),
+        col("n"), col("cents"))
+  }
+
+  /** Synthetic trade-payload stream from the rate source: each tick is
+    * encoded to the borsh wire format, exercising encode→decode under
+    * Structured Streaming backpressure (`rowsPerSecond`). */
+  def syntheticTradeStream(spark: SparkSession, rowsPerSecond: Int): DataFrame = {
+    import graft.functions.exprs._
+    import graft.sources.EventCodec
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(concat(
+        lit(EventCodec.Discriminator),
+        le_bytes(col("value"), 8),
+        le_bytes(expr("value % 97"), 8),
+        le_bytes(expr("unix_micros(timestamp)"), 8),
+        when(expr("value % 2 = 0"), lit(Array(1.toByte)))
+          .otherwise(lit(Array(0.toByte))),
+        le_bytes(expr("value * 7 + 1"), 8)).as("payload"),
+        expr("unix_micros(timestamp)").as("graft_ts_us"))
+  }
+
   /** A16: watermarked streaming dedup on the event signature — the
     * streaming analog of the reference's signature cache. State is bounded
     * by the watermark horizon. */

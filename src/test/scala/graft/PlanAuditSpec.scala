@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Plan-shape audits (SURVEY §5): these lock in the physical properties
+  * the 100 TB design depends on — pushdown, pruning, broadcasts, map-side
+  * partial aggregation, single-shuffle as-of — so a regression in plan
+  * quality fails CI, not just a benchmark.
+  */
+class PlanAuditSpec extends TestSparkSession {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("event-type include filter is pushed to the parquet scan") {
+    val df = EventOps.filterTypes(Tables.events(spark, sfDir),
+      Seq("purchase", "signup"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("In(event_type"), plan.takeWhile(_ != '\n'))
+  }
+
+  test("counts query prunes the events scan to needed columns") {
+    val df = EventOps.countsByType(Tables.events(spark, sfDir))
+    val scanLine = planOf(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("props"), scanLine)
+  }
+
+  test("five-way join broadcasts the small dims and keeps partial aggs") {
+    val df = Relational.regionVolume(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+    val plan = planOf(df)
+    assert("BroadcastHashJoin|BroadcastExchange".r
+      .findAllIn(plan).size >= 2, "expected nation+region broadcasts")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "expected map-side partial aggregation")
+  }
+
+  test("as-of join shuffles exactly once on the key") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), col("event_type"))
+    val j = AsOfJoin.asOf(
+      ev.filter(col("event_type") === "purchase").drop("event_type"),
+      ev.filter(col("event_type") === "view").drop("event_type"),
+      "user_id", "ts_us", "event_id", Seq())
+    // one hash-partitioning exchange for the window; union sides feed it
+    val exchanges = "Exchange hashpartitioning\\(user_id"
+      .r.findAllIn(planOf(j)).size
+    assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges")
+  }
+
+  test("minhash signature aggregation is map-side partial") {
+    val plan = planOf(Dedup.minhashLsh(Tables.documents(spark, sfDir), 0.5))
+    assert(plan.contains("partial_min"), "expected partial min aggregation")
+  }
+
+  test("pricing summary keeps whole-stage codegen through the aggregate") {
+    val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val plan = planOf(df)
+    assert(plan.contains("*("), "expected a WholeStageCodegen span")
+  }
+}

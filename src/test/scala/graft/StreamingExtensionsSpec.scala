@@ -49,6 +49,35 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(df.collect()(0).getInt(0) == 3)
   }
 
+  test("ingest: payload stream decodes into windowed buy/sell metrics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.CodecOps
+    import graft.sources.EventCodec
+    def payload(id: Long, buy: Boolean, tsUs: Long, cents: Long): Array[Byte] =
+      EventCodec.Discriminator ++ CodecOps.leBytes(id, 8) ++
+        CodecOps.leBytes(id % 97, 8) ++ CodecOps.leBytes(tsUs, 8) ++
+        Array[Byte](if (buy) 1 else 0) ++ CodecOps.leBytes(cents, 8)
+    val input = MemoryStream[Array[Byte]]
+    val metrics = EventStreamPipelines
+      .decodedTradeMetrics(input.toDF().toDF("payload"))
+    val q = metrics.writeStream.format("memory")
+      .queryName("graft_trade_metrics").outputMode("complete").start()
+    val t0 = 1700000000000000L // fixed micros
+    input.addData(
+      payload(1, buy = true, t0, 100), payload(2, buy = true, t0 + 1000, 50),
+      payload(3, buy = false, t0 + 2000, 70),
+      "nonsense!".getBytes ++ Array.fill[Byte](32)(0)) // foreign discriminator
+    q.processAllAvailable()
+    val rows = spark.table("graft_trade_metrics").collect()
+    q.stop()
+    val byBuy = rows.map(r => r.getAs[Int]("is_buy") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
+    assert(byBuy(1) == ((2L, 150L)))
+    assert(byBuy(0) == ((1L, 70L)))
+  }
+
   test("A17: stateful session stream over a memory source") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

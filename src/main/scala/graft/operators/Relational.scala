@@ -117,6 +117,32 @@ object Relational {
       .filter(col("rk") <= n)
   }
 
+  /** B9: set operations: high-balance customers INTERSECT active buyers,
+    * then EXCEPT big-ticket buyers — distinct-based set semantics. */
+  def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rich = customer.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val active = orders.select(col("o_custkey").as("c_custkey"))
+    val bigTicket = orders.filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("c_custkey"))
+    rich.intersect(active).except(bigTicket)
+  }
+
+  /** B10: string predicates: LIKE + regexp filtering with prefix rollup. */
+  def partNameSearch(part: DataFrame): DataFrame =
+    part
+      .filter(col("p_name").like("%a%") &&
+        col("p_type").rlike("^[A-Za-z]+"))
+      .groupBy(substring(col("p_name"), 1, 1).as("first_char"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(dec2("p_retailprice")).cast("double").as("total_price"))
+
+  /** B11: calendar breakdown: orders by ISO-ish day of week. */
+  def ordersByDayOfWeek(orders: DataFrame): DataFrame =
+    orders
+      .groupBy((dayofweek(col("o_orderdate")) - 1).cast("bigint").as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2("o_totalprice")).cast("double").as("revenue"))
+
   /** B8: VWAP per ship month: exact decimal numerator/denominator, single
     * double division at the boundary. */
   def vwapByMonth(lineitem: DataFrame): DataFrame =

@@ -118,6 +118,22 @@ class OperatorsSpec extends TestSparkSession {
     assert(buys == expected)
   }
 
+  test("set ops: result excludes big-ticket buyers") {
+    val res = Relational.setOps(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir))
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("c_custkey"))
+    assert(res.join(big, "c_custkey").count() == 0)
+  }
+
+  test("day-of-week rollup partitions all orders over 7 buckets") {
+    val res = Relational.ordersByDayOfWeek(Tables.orders(spark, sfDir))
+    assert(res.count() <= 7)
+    assert(res.agg(sum("n_orders")).collect()(0).getLong(0) ==
+      Tables.orders(spark, sfDir).count())
+  }
+
   test("lineitem scan prunes columns and pushes filters") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     val scan = df.queryExecution.executedPlan.toString

@@ -64,6 +64,12 @@ object SparkEntry {
       EventOps.burstWallets(Tables.events(s, d))),
     "q_events_counts_salted" -> ((s, d) =>
       EventOps.countsByTypeSalted(Tables.events(s, d))),
+    "q_events_user_pivot" -> ((s, d) =>
+      EventOps.userTypePivot(Tables.events(s, d))),
+    "q_events_block_join" -> ((s, d) =>
+      EventOps.blockMetaJoin(Tables.events(s, d))),
+    "q_events_approx_users" -> ((s, d) =>
+      EventOps.approxUsers(Tables.events(s, d))),
     "q_events_ohlc_1h" -> ((s, d) =>
       EventOps.ohlc1h(Tables.events(s, d))),
     // ---- B. relational surface ----
@@ -397,6 +403,24 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
                 count(*) AS n
          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
+    "q_events_user_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events GROUP BY user_id""",
+    "q_events_block_join" ->
+      """WITH w AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                           epoch_us(ts) // 60000000 AS slot FROM events),
+         b AS (SELECT slot, min(ts_us) AS block_start_us, count(*) AS block_n
+               FROM w GROUP BY slot)
+         SELECT w.slot AS slot, max(b.block_n) AS n_in_block,
+                max(w.ts_us - b.block_start_us) AS max_offset_us,
+                CAST(sum(w.ts_us - b.block_start_us) AS BIGINT) AS sum_offset_us
+         FROM w JOIN b ON w.slot = b.slot
+         GROUP BY w.slot""",
     "q_set_ops_customers" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
          INTERSECT

@@ -206,6 +206,43 @@ object EventOps {
         col("total_value"))
   }
 
+  /** Pivot: per-wallet event-type count matrix (fixed column set so the
+    * schema is static and the plan stays a single shuffle). */
+  def userTypePivot(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "signup", "view", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("view").as("n_view"), col("error").as("n_error"))
+
+  /** Block-meta join analog (reference `protocols/block/block_meta_event
+    * .rs` + metadata attach): derive per-minute "block" metadata (first
+    * event time = block start), broadcast-join events to their block, and
+    * report intra-block latency stats. */
+  def blockMetaJoin(events: DataFrame): DataFrame = {
+    val withSlot = events.select(col("event_id"), col("user_id"),
+      tsUs.as("ts_us"), expr("unix_micros(ts) div 60000000").as("slot"))
+    val blocks = withSlot.groupBy("slot")
+      .agg(min("ts_us").as("block_start_us"), count(lit(1)).as("block_n"))
+    withSlot.join(broadcast(blocks), "slot")
+      .withColumn("offset_us", col("ts_us") - col("block_start_us"))
+      .groupBy("slot")
+      .agg(max("block_n").as("n_in_block"),
+        max("offset_us").as("max_offset_us"),
+        sum("offset_us").as("sum_offset_us"))
+  }
+
+  /** Approximate distinct wallets per type (HLL sketch — the constant-
+    * memory cardinality path at 100 TB; sketch values are engine-specific
+    * so this is spec/rows checked, with exact counts alongside). */
+  def approxUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   /** A12: hourly OHLC candles per event type (DEX price analytics). */
   def ohlc1h(events: DataFrame): DataFrame = {
     val base = events.select(

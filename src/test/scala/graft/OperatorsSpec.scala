@@ -118,6 +118,30 @@ class OperatorsSpec extends TestSparkSession {
     assert(buys == expected)
   }
 
+  test("pivot row sums equal per-user event counts") {
+    val p = EventOps.userTypePivot(events)
+    val total = p.select((col("n_click") + col("n_purchase") + col("n_signup")
+      + col("n_view") + col("n_error")).as("t"))
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(total == events.count())
+  }
+
+  test("block join offsets are non-negative and bounded by the slot") {
+    val b = EventOps.blockMetaJoin(events)
+    assert(b.filter(col("max_offset_us") < 0).count() == 0)
+    assert(b.filter(col("max_offset_us") >= 60000000L).count() == 0)
+  }
+
+  test("approx distinct is within the configured error of exact") {
+    val a = EventOps.approxUsers(events).collect()
+    a.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.25,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("set ops: result excludes big-ticket buyers") {
     val res = Relational.setOps(Tables.customer(spark, sfDir),
       Tables.orders(spark, sfDir))

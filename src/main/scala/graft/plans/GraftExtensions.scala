@@ -2,9 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BinaryType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions._
 
@@ -29,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => RollingHashMin(es(0), es(1))))
     ext.injectFunction(fn("graft_nop", args = 1, es => GraftNop(es.head)))
     ext.injectOptimizerRule(_ => GraftNopElimination)
+    ext.injectOptimizerRule(_ => Base58LiteralRewrite)
   }
 }
 
@@ -63,5 +66,25 @@ object GraftExtensions {
   object GraftNopElimination extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       plan.transformAllExpressions { case GraftNop(child) => child }
+  }
+
+  /** `graft_base58(col) = 'literal'` → `col = unbase58(literal)`:
+    * decodes the literal once at plan time instead of base58-encoding
+    * every row (base58 is bijective, so the rewrite is exact). Predicates
+    * on rendered pubkeys — the reference's account-include filters — then
+    * compare raw bytes and can push into scans. Invalid literals are
+    * left untouched (the comparison is then always false/null anyway).
+    */
+  object Base58LiteralRewrite extends Rule[LogicalPlan] {
+    private def decoded(s: UTF8String): Option[Array[Byte]] =
+      try Some(Base58.decode(s.toString)) catch { case _: Exception => None }
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case eq @ EqualTo(Base58Encode(child), Literal(s: UTF8String, StringType)) =>
+          decoded(s).map(b => EqualTo(child, Literal(b, BinaryType))).getOrElse(eq)
+        case eq @ EqualTo(Literal(s: UTF8String, StringType), Base58Encode(child)) =>
+          decoded(s).map(b => EqualTo(Literal(b, BinaryType), child)).getOrElse(eq)
+      }
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.EventOps
 import graft.plans.GraftExtensions
-import graft.streaming.EventStreamPipelines
+import graft.streaming.{EventStreamPipelines, EventSubscription, SubscriptionConfig}
 
 class StreamingExtensionsSpec extends TestSparkSession {
 
@@ -76,6 +76,51 @@ class StreamingExtensionsSpec extends TestSparkSession {
       (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
     assert(byBuy(1) == ((2L, 150L)))
     assert(byBuy(0) == ((1L, 70L)))
+  }
+
+  test("base58 literal rewrite avoids per-row encoding") {
+    import graft.functions.Base58
+    import graft.functions.exprs._
+    spark.experimental.extraOptimizations =
+      Seq(GraftExtensions.GraftNopElimination,
+        GraftExtensions.Base58LiteralRewrite)
+    val needle = Base58.encode(graft.functions.CodecOps.leBytes(77777L, 8))
+    val df = spark.range(100000)
+      .withColumn("pk", le_bytes(col("id"), 8))
+      .filter(base58(col("pk")) === lit(needle))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_base58"),
+      "literal comparison should rewrite to a binary equality")
+    val hit = df.collect()
+    assert(hit.length == 1 && hit(0).getAs[Long]("id") == 77777L)
+    // invalid literal (0 is not a base58 char) is left untouched and empty
+    val bad = spark.range(10).withColumn("pk", le_bytes(col("id"), 8))
+      .filter(base58(col("pk")) === lit("0invalid"))
+    assert(bad.count() == 0)
+  }
+
+  test("subscription facade filters, observes metrics, and calls back") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "event_type", "value")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = EventSubscription.subscribe(events,
+      SubscriptionConfig(includeEventTypes = Seq("purchase"),
+        includeUsers = Seq(1L, 2L), enableMetrics = true)) { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    input.addData(
+      (1L, ts(0), "purchase", 10.0), (2L, ts(1), "purchase", 20.0),
+      (3L, ts(2), "purchase", 30.0), // excluded: user 3
+      (1L, ts(3), "click", 40.0)) // excluded: wrong type
+    q.processAllAvailable()
+    val progress = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get(EventSubscription.MetricName)))
+    q.stop()
+    assert(seen.get() == 2)
+    assert(progress.exists(_.getAs[Long]("n_events") == 2L))
   }
 
   test("A17: stateful session stream over a memory source") {

@@ -37,9 +37,18 @@ object Dedup {
     * at scale cap gram document-frequency (stop-gram removal) or use
     * [[minhashLsh]]; this operator is the exactness baseline.
     */
-  def ngramJaccard(docs: DataFrame, tau: Double): DataFrame = {
+  def ngramJaccard(
+      docs: DataFrame, tau: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val grams = withTrigrams(docs)
-    val g = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val gAll = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    // stop-gram removal: drop grams shared by more than maxDocFreq docs —
+    // they contribute little to Jaccard but quadratic join fan-out; this
+    // bounds inverted-index skew at scale (approximation documented)
+    val g = maxDocFreq.fold(gAll) { cap =>
+      val hot = gAll.groupBy("g").count().filter(col("count") > cap)
+        .select("g")
+      gAll.join(broadcast(hot), Seq("g"), "left_anti")
+    }
     val sizes =
       grams.select(col("doc_id"), size(col("grams")).cast("bigint").as("n"))
     val inter = g.as("a")
@@ -113,6 +122,32 @@ object Dedup {
           size(array_union(col("ga"), col("gb"))).cast("double"))
       .filter(col("jac") >= tau)
       .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** Canonicalization: collapse near-dup pairs into clusters and pick one
+    * keeper per cluster (min doc_id). Iterative min-label propagation —
+    * each round is one shuffle join and resolves clusters up to diameter
+    * `iterations`, which covers realistic near-dup clusters (small
+    * cliques/chains) without a full connected-components framework.
+    */
+  def canonicalize(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    var labels = edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id"))).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to iterations) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "b2"),
+          col("b") === col("b2"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min("label").as("nlabel"))
+      labels = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+    }
+    labels.withColumnRenamed("label", "keep_id")
   }
 
   /** C3: 64-bit SimHash near-dup detection. The fingerprint is built

@@ -60,6 +60,53 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** C7b: random-hyperplane LSH near-dup candidates over embeddings —
+    * the shuffle-free-signature scale path. Each of `bits` hyperplanes is
+    * a Rademacher (+1/−1) vector derived deterministically from
+    * xxhash64(plane, dim); sign(v·h) bits are banded like SimHash and
+    * bucket-colliding pairs are verified with exact cosine. Signature
+    * computation is the same explode + narrow-aggregate shape as
+    * Dedup.minhashLsh (codegen-friendly, map-side partial sums).
+    */
+  def hyperplaneLshPairs(
+      emb: DataFrame, tau: Double,
+      bits: Int = 32, bands: Int = 8): DataFrame = {
+    require(bits % bands == 0)
+    val rows = bits / bands
+    // (vec_id, dim, value) rows, then one row per (vec, plane, dim) with
+    // the Rademacher sign applied — all plain codegen'd expressions
+    val comps = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+    val contrib = comps
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"),
+        explode(expr(s"sequence(0, ${bits - 1})")).as("k"))
+      .select(col("vec_id"), col("k"),
+        expr("case when (shiftright(xxhash64(k, i), 7) & 1) = 1 " +
+          "then v else -v end").as("c"))
+    val bandVals = contrib
+      .groupBy("vec_id", "k").agg(sum("c").as("proj"))
+      .select(col("vec_id"), expr(s"k div $rows").as("band"),
+        expr(s"(case when proj >= 0 then 1 else 0 end) * " +
+          s"shiftleft(1, $rows - 1 - (k % $rows))").as("bit"))
+      .groupBy("vec_id", "band")
+      .agg(sum("bit").cast("int").as("bv"))
+    val cand = bandVals.as("a")
+      .join(bandVals.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val e = withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("n2"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
+        col("n2").as("na")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+        col("n2").as("nb")), "v2")
+      .select(col("v1"), col("v2"), cos6("ea", "eb", "na", "nb").as("cos6"))
+      .filter(col("cos6") >= tau)
+  }
+
   /** C7: IVF-style ANN: deterministic coarse centroids (every 97th vector),
     * one-time nearest-cell assignment, queries probe `probes` cells.
     */

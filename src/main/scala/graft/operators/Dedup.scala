@@ -131,11 +131,16 @@ object Dedup {
     * cliques/chains) without a full connected-components framework.
     */
   def canonicalize(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    // Iterative algorithm: truncate lineage each round (localCheckpoint is
+    // eager) — otherwise every iteration re-derives the whole upstream
+    // pair pipeline and plan size grows combinatorially.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id"))
       .union(edges.select(col("b").as("doc_id"))).distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "b2"),
@@ -146,6 +151,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
+        .localCheckpoint()
     }
     labels.withColumnRenamed("label", "keep_id")
   }

@@ -70,6 +70,16 @@ object SparkEntry {
       EventOps.blockMetaJoin(Tables.events(s, d))),
     "q_events_approx_users" -> ((s, d) =>
       EventOps.approxUsers(Tables.events(s, d))),
+    "q_events_rate_1m" -> ((s, d) =>
+      EventOps.ratePerMinute(Tables.events(s, d))),
+    "q_multimodal_frames" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"))
+        .select(col("doc_id"), col("byte_len"),
+          explode(expr("sequence(0, byte_len div 256)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 256).as("frame_offset"))),
     "q_events_ohlc_1h" -> ((s, d) =>
       EventOps.ohlc1h(Tables.events(s, d))),
     // ---- B. relational surface ----
@@ -408,6 +418,20 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
                 count(*) AS n
          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
+    "q_events_rate_1m" ->
+      """WITH m AS (SELECT epoch_us(ts) // 60000000 AS mb, count(*) AS n
+                    FROM events GROUP BY 1)
+         SELECT mb, n,
+                CAST(sum(n) OVER w AS DOUBLE) /
+                  CAST(count(*) OVER w AS DOUBLE) AS ma5
+         FROM m
+         WINDOW w AS (ORDER BY mb ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    "q_multimodal_frames" ->
+      """SELECT doc_id, frame_idx, frame_idx * 256 AS frame_offset FROM (
+           SELECT doc_id,
+                  unnest(generate_series(0, octet_length(encode(text)) // 256))
+                    AS frame_idx
+           FROM documents)""",
     "q_events_user_pivot" ->
       """SELECT user_id,
                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

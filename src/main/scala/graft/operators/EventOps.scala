@@ -206,6 +206,19 @@ object EventOps {
         col("total_value"))
   }
 
+  /** Per-minute event rate with a 5-minute trailing moving average
+    * (reference metrics: events_in_window throughput with smoothing). */
+  def ratePerMinute(events: DataFrame): DataFrame = {
+    val perMin = events
+      .groupBy(expr("unix_micros(ts) div 60000000").as("mb"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("mb").rowsBetween(-4, Window.currentRow)
+    perMin
+      .withColumn("ma5",
+        (sum("n").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")))
+  }
+
   /** Pivot: per-wallet event-type count matrix (fixed column set so the
     * schema is static and the plan stays a single shuffle). */
   def userTypePivot(events: DataFrame): DataFrame =

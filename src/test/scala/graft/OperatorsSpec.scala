@@ -158,6 +158,16 @@ class OperatorsSpec extends TestSparkSession {
       Tables.orders(spark, sfDir).count())
   }
 
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("per-minute rate moving average stays within observed bounds") {
+    val r = EventOps.ratePerMinute(events)
+    val row = r.agg(min("ma5"), max("ma5"), max("n")).collect()(0)
+    assert(row.getDouble(0) >= 1.0 && row.getDouble(1) <= row.getLong(2) + 1e-9)
+  }
+
   test("lineitem scan prunes columns and pushes filters") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     val scan = df.queryExecution.executedPlan.toString

@@ -46,6 +46,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     SparkEntry.queries("q_events_counts_by_type")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    // warm the LSH generated-code paths on a tiny sample: HotSpot needs a
+    // first pass before the fat hash/aggregate loops are compiled, and
+    // attributing that one-time cost to the measured run adds ~1 min of
+    // pure JIT noise
+    operators.Dedup.minhashLsh(Tables.documents(spark, sfDir).limit(100), 0.5)
+      .write.format("noop").mode("overwrite").save()
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

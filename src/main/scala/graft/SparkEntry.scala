@@ -178,7 +178,7 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, d))),
     "q_dedup_docs_canonical" -> ((s, d) =>
       Dedup.canonicalize(
-        Dedup.ngramJaccard(Tables.documents(s, d), 0.5), iterations = 8)),
+        Dedup.ngramJaccard(Tables.documents(s, d), 0.5))),
     "q_dedup_docs_hyperplane" -> ((s, d) =>
       Similarity.hyperplaneLshPairs(Tables.embeddings(s, d), 0.3)),
     "q_dedup_docs_embedding" -> ((s, d) =>

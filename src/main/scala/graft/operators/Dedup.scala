@@ -125,12 +125,15 @@ object Dedup {
   }
 
   /** Canonicalization: collapse near-dup pairs into clusters and pick one
-    * keeper per cluster (min doc_id). Iterative min-label propagation —
-    * each round is one shuffle join and resolves clusters up to diameter
-    * `iterations`, which covers realistic near-dup clusters (small
-    * cliques/chains) without a full connected-components framework.
+    * keeper per cluster (min doc_id). Iterative min-label propagation to a
+    * FIXED POINT — each round is one shuffle join; iteration stops when a
+    * round changes no label (a cheap count on the already-materialized
+    * round result), so clusters of any graph diameter fully converge —
+    * matching the recursive-CTE transitive closure the oracle computes.
+    * `maxIterations` is only a runaway backstop (label propagation on a
+    * connected component of n nodes converges in <= n rounds).
     */
-  def canonicalize(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+  def canonicalize(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
     // Iterative algorithm: truncate lineage each round (localCheckpoint is
     // eager) — otherwise every iteration re-derives the whole upstream
     // pair pipeline and plan size grows combinatorially.
@@ -141,17 +144,22 @@ object Dedup {
       .union(edges.select(col("b").as("doc_id"))).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIterations) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "b2"),
           col("b") === col("b2"))
         .groupBy(col("a").as("doc_id"))
         .agg(min("label").as("nlabel"))
-      labels = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
         .localCheckpoint()
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
+      round += 1
     }
     labels.withColumnRenamed("label", "keep_id")
   }

@@ -79,7 +79,11 @@ object EventCodec {
           "create_token")
         .otherwise("unknown"))
       .withColumn("trade",
-        when(col("event_kind") === "trade", struct(
+        // length-guarded like decodeTrade: a truncated trade payload keeps
+        // its kind tag but decodes to a null body (same contract as the
+        // create-token decoder's null-on-malformed)
+        when(col("event_kind") === "trade" &&
+            expr(s"octet_length($payload)") >= 41, struct(
           le_long(col(payload), 8).as("event_id"),
           le_long(col(payload), 16).as("user_id"),
           le_long(col(payload), 24).as("ts_us"),
@@ -99,9 +103,14 @@ object EventCodec {
   }
 
   /** Decode the wire format; rows with a foreign discriminator are dropped,
-    * mirroring the reference's discriminator dispatch. */
+    * mirroring the reference's discriminator dispatch. Truncated payloads
+    * (valid discriminator but fewer than the 41 layout bytes) are skipped
+    * too — the reference length-checks every read and drops malformed
+    * events (`protocols/pumpfun/parser.rs:120-154`), and untrusted wire
+    * data must never be able to fail the job. */
   def decodeTrade(df: DataFrame, payload: String = "payload"): DataFrame =
-    df.filter(expr(s"substring($payload, 1, 8)") === lit(Discriminator))
+    df.filter(expr(s"substring($payload, 1, 8)") === lit(Discriminator) &&
+        expr(s"octet_length($payload)") >= 41)
       .select(
         le_long(col(payload), 8).as("event_id"),
         le_long(col(payload), 16).as("user_id"),

@@ -8,10 +8,11 @@ entry, loads the corresponding Spark result parquet, sorts columns by name
 and rows by all columns, and compares values (exact for ints/strings,
 bit-exact for floats unless GRAFT_TOL is set).
 """
-import json, sys, glob, math
+import json, sys, glob, math, os
 import duckdb
 import pandas as pd
 
+TOL = float(os.environ.get("GRAFT_TOL", "0"))
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -54,7 +55,7 @@ for name in sorted(oracle):
                 if isinstance(a, float) and isinstance(b, float):
                     if math.isnan(a) and math.isnan(b):
                         continue
-                    if a != b:
+                    if a != b and not abs(a - b) <= TOL:
                         print(f"FAIL {name}: col {c} row {i}: {a!r} != {b!r} (diff {a-b:.3e})")
                         ok = False; break
                 elif (pd.isna(a) and pd.isna(b)):

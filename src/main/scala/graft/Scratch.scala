@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Temporary profiling harness (not part of the library surface). */
 object Scratch {
@@ -25,43 +26,58 @@ object Scratch {
       f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
     val docs = Tables.documents(spark, sfDir)
+    locally {
+      val grams0 = operators.Dedup.withTrigrams(docs)
+      val g0 = grams0.select(col("doc_id"), explode(col("grams")).as("g"))
+        .select(col("doc_id"), expr("xxhash64(g)").as("h0"))
+      println(s"[scratch] gram rows: ${g0.count()}")
+      time("g0_count2")(g0.count())
+      time("g0_noop")(noop(g0))
+      val gplain = grams0.select(col("doc_id"), explode(col("grams")).as("g"))
+      time("gplain_noop")(noop(gplain))
+      time("repart")(noop(g0.repartition(32, col("doc_id"))))
+      val gramsM = grams0.localCheckpoint()
+      val gM = gramsM.select(col("doc_id"), explode(col("grams")).as("g"))
+      time("explode_after_ckpt")(noop(gM))
+      time("explode_after_ckpt2")(noop(gM))
+      println("[scratch] PLAN:\n" + gplain.queryExecution.executedPlan.toString.take(3000))
+      time("plain_min")(noop(g0.groupBy("doc_id").agg(min("h0"))))
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      val s0 = g0.groupBy("doc_id")
+        .agg(functions.MinHashAgg.minhash(col("h0"), 64).as("sig"))
+      time("sigs_hithresh")(noop(s0))
+      time("sigs_hithresh2")(noop(s0))
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    }
     val grams = operators.Dedup.withTrigrams(docs)
-    import org.apache.spark.sql.functions._
-    time("grams")(grams.write.format("noop").mode("overwrite").save())
+    time("grams")(noop(grams))
+    time("grams2")(noop(grams))
     val g = grams.select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), expr("xxhash64(g)").as("h0"))
-    time("g_h0")(g.write.format("noop").mode("overwrite").save())
-    val hashed = g
-      .select(col("doc_id"), col("h0"),
-        explode(expr("sequence(0, 63)")).as("j"))
-      .select(col("doc_id"), col("j"), expr("xxhash64(j, h0)").as("h"))
-    time("hashed")(hashed.write.format("noop").mode("overwrite").save())
-    val rows = 4
-    val minCols = (0 until rows)
-      .map(r => min(when(col("r") === r, col("h"))).as(s"m$r"))
-    val perBand = hashed
-      .select(col("doc_id"), expr(s"j div $rows").as("band"),
-        expr(s"j % $rows").as("r"), col("h"))
-      .groupBy("doc_id", "band")
-      .agg(minCols.head, minCols.tail: _*)
-    time("perBand")(perBand.write.format("noop").mode("overwrite").save())
-    val banded = perBand.select(col("doc_id"), col("band"),
-      expr((0 until rows).map(r => s"m$r")
-        .mkString("xxhash64(band, ", ", ", ")")).as("bh"))
-    time("banded")(banded.write.format("noop").mode("overwrite").save())
+    val sigs = g.groupBy("doc_id")
+      .agg(functions.MinHashAgg.minhash(col("h0"), 64).as("sig"))
+    time("sigs")(noop(sigs))
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 15)")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("xxhash64(band, slice(sig, band * 4 + 1, 4))").as("bh"))
+    time("banded")(noop(banded))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    time("candidates")(candidates.write.format("noop").mode("overwrite").save())
-    time("full")(operators.Dedup.minhashLsh(docs, 0.5)
-      .write.format("noop").mode("overwrite").save())
-    time("full2")(operators.Dedup.minhashLsh(docs, 0.5)
-      .write.format("noop").mode("overwrite").save())
+    time("candidates")(noop(candidates))
+    val full = operators.Dedup.minhashLsh(docs, 0.5)
+    time("full")(noop(full))
+    time("full2")(noop(full))
+    time("full3")(noop(full))
     spark.stop()
   }
 }

@@ -124,6 +124,29 @@ object DecodeCreateToken {
     StructField("token_total_supply", LongType)))
 }
 
+/** Distinct word trigrams of a document (shingling for the dedup family).
+  * Null (filterable) for docs under 3 tokens. A single compiled pass per
+  * document — the equivalent transform/concat_ws lambda formulation runs
+  * interpreted and is re-evaluated by optimizer-inferred generate filters
+  * (see [[TextOps.trigrams]]).
+  */
+case class Trigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_trigrams"
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.trigrams(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""${ev.value} = graft.functions.TextOps.trigrams($s);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Trigrams =
+    copy(child = newChild)
+}
+
 /** Identity marker used to demonstrate the injected optimizer rule (D1):
   * `GraftNopElimination` strips it from plans. */
 case class GraftNop(child: Expression) extends UnaryExpression {
@@ -152,5 +175,6 @@ object exprs {
     col(DecodeCreateToken(ex(bin)))
   def rolling_min(s: Column, window: Int): Column =
     col(RollingHashMin(ex(s), Literal(window)))
+  def trigrams(s: Column): Column = col(Trigrams(ex(s)))
   def graft_nop(c: Column): Column = col(GraftNop(ex(c)))
 }

@@ -16,15 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** doc_id + distinct word-trigram array (docs with <3 tokens drop out). */
+  /** doc_id + distinct word-trigram array (docs with <3 tokens drop out).
+    * Shingling runs in one codegen'd pass per document
+    * ([[graft.functions.Trigrams]]); the null-on-short-doc contract makes
+    * the <3-token filter a plain IsNotNull that pushes into the scan.
+    */
   def withTrigrams(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(ws) - 3),
-          |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))""".stripMargin)
-        .as("grams"))
+      .select(col("doc_id"),
+        graft.functions.exprs.trigrams(col("text")).as("grams"))
+      .filter(col("grams").isNotNull)
 
   /** C1: exact dedup via content hash; deterministic keeper = min doc_id. */
   def exactDocs(docs: DataFrame): DataFrame =
@@ -79,35 +80,26 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val grams = withTrigrams(docs)
-    // Signature minima as narrow codegen'd aggregates. Two formulations
-    // were measured and rejected: higher-order-function lambdas run
-    // interpreted (~10x), and a single 64-function aggregate exceeds the
-    // generated-method budget and falls back to interpreted eval (~5x).
-    // Instead: explode each gram into (doc_id, band, r, hash) rows — the
-    // hash array is built in one split-friendly Project — then aggregate
-    // `rows` min() columns per (doc_id, band). Map-side partial agg
-    // collapses the 64x row blowup to docs x bands before the shuffle.
-    // hash the gram string once; family member j is a hash of (j, h0) —
-    // fixed-width input, and the explode(sequence) keeps the generated
-    // per-row code tiny (a 64-expression array pushes the generated
-    // method past HotSpot's compile threshold and runs interpreted,
-    // measured ~10x slower cold)
+    // Signature via a one-pass custom aggregate ([[graft.functions.
+    // MinHashAgg]]): each gram is hashed once (codegen'd xxhash64) and the
+    // 64 family minima are folded inside the aggregate update. Three
+    // other formulations were measured and rejected: higher-order-function
+    // lambdas run interpreted (~10x); a single 64-function min() aggregate
+    // exceeds the generated-method budget and falls back to interpreted
+    // eval (~5x); explode(sequence(0,63)) blows every gram row up 64x
+    // before the partial aggregate — the map-side combine contains the
+    // shuffle but not the CPU. The imperative aggregate keeps the row
+    // count at |grams| and ships one 64-long buffer per doc per map task.
     val g = grams.select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), expr("xxhash64(g)").as("h0"))
-    val hashed = g
-      .select(col("doc_id"), col("h0"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("j"))
-      .select(col("doc_id"), col("j"), expr("xxhash64(j, h0)").as("h"))
-    val minCols = (0 until rows)
-      .map(r => min(when(col("r") === r, col("h"))).as(s"m$r"))
-    val perBand = hashed
-      .select(col("doc_id"), expr(s"j div $rows").as("band"),
-        expr(s"j % $rows").as("r"), col("h"))
-      .groupBy("doc_id", "band")
-      .agg(minCols.head, minCols.tail: _*)
-    val banded = perBand.select(col("doc_id"), col("band"),
-      expr((0 until rows).map(r => s"m$r")
-        .mkString("xxhash64(band, ", ", ", ")")).as("bh"))
+    val sigs = g.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("h0"), numHashes).as("sig"))
+    // band b's key = hash of its signature slice; one row per (doc, band)
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr(s"xxhash64(band, slice(sig, band * $rows + 1, $rows))").as("bh"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

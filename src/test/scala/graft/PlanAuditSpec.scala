@@ -56,7 +56,8 @@ class PlanAuditSpec extends TestSparkSession {
 
   test("minhash signature aggregation is map-side partial") {
     val plan = planOf(Dedup.minhashLsh(Tables.documents(spark, sfDir), 0.5))
-    assert(plan.contains("partial_min"), "expected partial min aggregation")
+    assert(plan.contains("partial_graft_minhash"),
+      "expected map-side partial MinHashAgg")
   }
 
   test("pricing summary keeps whole-stage codegen through the aggregate") {

@@ -147,6 +147,83 @@ case class Trigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** Dot product of two float vectors, accumulated in double in index order
+  * (bit-identical to the zip_with/aggregate left fold it replaces — those
+  * higher-order lambdas run interpreted; see [[VecOps.dot]]). Null on
+  * length mismatch. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""java.lang.Double $tmp = graft.functions.VecOps.dot($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 norm of a float vector (double accumulation, index order). */
+case class VecNorm2(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_norm2"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.norm2(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.norm2($a)")
+  override protected def withNewChildInternal(newChild: Expression): VecNorm2 =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature of a float vector (see
+  * [[VecOps.hyperplaneSig]]): one compiled pass instead of a
+  * per-(component, plane) explode + shuffle reassembly. */
+case class HyperplaneSig(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+  override protected def nullSafeEval(v: Any, bits: Any): Any =
+    VecOps.hyperplaneSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b) =>
+      s"graft.functions.VecOps.hyperplaneSig($v, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneSig =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of a document as four 16-bit band values (see
+  * [[VecOps.simhashBands]]): one compiled pass instead of a
+  * per-(token, bit) explode + two shuffles. */
+case class SimHashBands(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_simhash_bands"
+  override protected def nullSafeEval(s: Any): Any =
+    VecOps.simhashBands(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.VecOps.simhashBands($s)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashBands =
+    copy(child = newChild)
+}
+
 /** Identity marker used to demonstrate the injected optimizer rule (D1):
   * `GraftNopElimination` strips it from plans. */
 case class GraftNop(child: Expression) extends UnaryExpression {
@@ -176,5 +253,10 @@ object exprs {
   def rolling_min(s: Column, window: Int): Column =
     col(RollingHashMin(ex(s), Literal(window)))
   def trigrams(s: Column): Column = col(Trigrams(ex(s)))
+  def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
+  def vec_norm2(a: Column): Column = col(VecNorm2(ex(a)))
+  def hyperplane_sig(v: Column, bits: Int): Column =
+    col(HyperplaneSig(ex(v), Literal(bits)))
+  def simhash_bands(s: Column): Column = col(SimHashBands(ex(s)))
   def graft_nop(c: Column): Column = col(GraftNop(ex(c)))
 }

@@ -156,36 +156,31 @@ object Dedup {
     labels.withColumnRenamed("label", "keep_id")
   }
 
+  /** C13b: the end-to-end dedup pipeline a training-data run would ship —
+    * the corpus surviving BOTH exact dedup (one keeper per
+    * identical-content group) and near-dup canonicalization (one keeper
+    * per transitive near-dup cluster). Composes the single-shuffle exact
+    * pass with the pair+label-propagation pipeline; the final anti-join
+    * streams (no extra shuffle beyond its key exchange).
+    */
+  def dedupedCorpus(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val keepExact = exactDocs(docs).select(col("keep_id").as("doc_id"))
+    val nonKeepers = canonicalize(ngramJaccard(docs, tau))
+      .filter(col("keep_id") =!= col("doc_id")).select("doc_id")
+    keepExact.join(nonKeepers, Seq("doc_id"), "left_anti")
+  }
+
   /** C3: 64-bit SimHash near-dup detection. The fingerprint is built
     * per-row from token hashes; candidate pairs collide on one of four
     * 16-bit bands, then are kept if total Hamming distance <= maxHamming.
     */
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // Same codegen-friendly narrow-aggregate shape as minhashLsh: explode
-    // tokens into per-bit (doc_id, k, ±1) rows, sum per (doc_id, k), then
-    // pack the 16 sign bits of each band with a second single-function
-    // aggregate. (A single 64-function aggregate exceeds the codegen
-    // method budget and runs interpreted.)
-    val perBit = docs
-      .select(col("doc_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("t"))
-      .withColumn("h", expr("xxhash64(t)"))
-      .select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 63)")).as("k"))
-      .select(col("doc_id"), col("k"),
-        expr("case when (shiftright(h, k) & 1) = 1 then 1 else -1 end").as("s"))
-      .groupBy("doc_id", "k")
-      .agg(sum(col("s")).as("sk"))
-    val withBands = perBit
-      .select(col("doc_id"), expr("k div 16").as("band"),
-        expr("(case when sk >= 0 then 1 else 0 end) * " +
-          "shiftleft(1, 15 - (k % 16))").as("bit"))
-      .groupBy("doc_id", "band")
-      .agg(sum("bit").cast("int").as("bv"))
-    // re-assemble the 4-band fingerprint array per doc for hamming checks
-    val fps = withBands.groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(band, bv))), " +
-        "x -> x.bv)").as("bands16"))
+    // Whole 64-bit fingerprint in one codegen'd pass per document
+    // ([[graft.functions.SimHashBands]]) — byte-identical band values to
+    // the exploded per-(token, bit) formulation this replaces, which
+    // needed a |tokens| * 64 row blowup and two shuffles to reassemble.
+    val fps = docs.select(col("doc_id"),
+      graft.functions.exprs.simhash_bands(col("text")).as("bands16"))
     val banded = fps.select(col("doc_id"), col("bands16"),
       posexplode(col("bands16")).as(Seq("band", "bv")))
     val pairs = banded.as("a")

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY §2 C5-C7).
   *
-  * Cosine is computed with codegen'd higher-order functions
-  * (`zip_with` + `aggregate` fold in double), rounded to 6 decimals at the
-  * output boundary so rank order and threshold filters are deterministic
-  * across engines. Squared norms are precomputed once per vector.
+  * Cosine is computed with custom codegen'd vector expressions
+  * ([[graft.functions.VecDot]]/[[graft.functions.VecNorm2]] — the
+  * equivalent `zip_with`+`aggregate` lambdas run interpreted), rounded to
+  * 6 decimals at the output boundary so rank order and threshold filters
+  * are deterministic across engines. Squared norms are precomputed once
+  * per vector; accumulation order is identical to the left fold, so
+  * oracle-checked outputs are unchanged.
   *
   * Scale design: brute force is O(Q·N) with the query side broadcast —
   * correct baseline and fine for small Q. The IVF variant is the scale
@@ -20,18 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val norm2Expr =
-    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)"
+  import graft.functions.exprs.{vec_dot, vec_norm2, hyperplane_sig}
 
   private def cos6(ea: String, eb: String, na: String, nb: String) =
-    expr(s"""round(
-      aggregate(zip_with($ea, $eb, (x, y) -> cast(x as double) * cast(y as double)),
-                cast(0.0 as double), (acc, v) -> acc + v)
-      / (sqrt($na) * sqrt($nb)), 6)""")
+    round(vec_dot(col(ea), col(eb)) / (sqrt(col(na)) * sqrt(col(nb))), 6)
 
   def withNorm(emb: DataFrame): DataFrame =
-    emb.withColumn("n2", expr(norm2Expr))
+    emb.withColumn("n2", vec_norm2(col("embedding")))
 
   /** C5: exact cosine near-dup pairs within a blocking predicate. */
   def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
@@ -73,23 +71,18 @@ object Similarity {
       bits: Int = 32, bands: Int = 8): DataFrame = {
     require(bits % bands == 0)
     val rows = bits / bands
-    // (vec_id, dim, value) rows, then one row per (vec, plane, dim) with
-    // the Rademacher sign applied — all plain codegen'd expressions
-    val comps = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("i", "v")))
-    val contrib = comps
-      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"),
-        explode(expr(s"sequence(0, ${bits - 1})")).as("k"))
-      .select(col("vec_id"), col("k"),
-        expr("case when (shiftright(xxhash64(k, i), 7) & 1) = 1 " +
-          "then v else -v end").as("c"))
-    val bandVals = contrib
-      .groupBy("vec_id", "k").agg(sum("c").as("proj"))
-      .select(col("vec_id"), expr(s"k div $rows").as("band"),
-        expr(s"(case when proj >= 0 then 1 else 0 end) * " +
-          s"shiftleft(1, $rows - 1 - (k % $rows))").as("bit"))
-      .groupBy("vec_id", "band")
-      .agg(sum("bit").cast("int").as("bv"))
+    // whole signature in one codegen'd pass per vector (identical bits to
+    // the exploded per-(component, plane) formulation this replaces, which
+    // needed a |dims| * bits row blowup plus a shuffle to reassemble);
+    // band b = `rows` consecutive signature bits, MSB-first within band
+    val sigs = emb.select(col("vec_id"),
+      hyperplane_sig(col("embedding"), bits).as("sig"))
+    val bandVals = sigs
+      .select(col("vec_id"), col("sig"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .select(col("vec_id"), col("band"),
+        expr(s"cast(shiftright(sig, band * $rows) & ${(1 << rows) - 1} as int)")
+          .as("bv"))
     val cand = bandVals.as("a")
       .join(bandVals.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

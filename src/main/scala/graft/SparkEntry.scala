@@ -167,9 +167,114 @@ object SparkEntry {
           sum(col("trade.amount_cents")).as("trade_cents"),
           sum(col("create_token.token_total_supply")).as("create_cents"))
     }),
+    // ---- A13d: multi-protocol registry ----
+    "q_events_decode_swap" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d).select(
+        col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("base_amount"),
+        (col("event_id") * 2 + 1).as("quote_amount"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      val buy = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase"),
+        ProtocolRegistry.Swap.layouts(0))
+      val sell = ProtocolRegistry.encode(
+        ev.filter(col("event_type") =!= "purchase"),
+        ProtocolRegistry.Swap.layouts(1))
+      val out = ProtocolRegistry.dispatch(
+        buy.select("payload").union(sell.select("payload")),
+        Seq(ProtocolRegistry.Swap))
+      out.select(col("event_kind"),
+        coalesce(col("buy.event_id"), col("sell.event_id")).as("event_id"),
+        coalesce(col("buy.pool"), col("sell.pool")).as("pool"),
+        coalesce(col("buy.user_id"), col("sell.user_id")).as("user_id"),
+        coalesce(col("buy.base_amount"), col("sell.base_amount"))
+          .as("base_amount"),
+        coalesce(col("buy.quote_amount"), col("sell.quote_amount"))
+          .as("quote_amount"),
+        coalesce(col("buy.ts_us"), col("sell.ts_us")).as("ts_us"))
+    }),
+    "q_events_decode_liquidity" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view")).select(
+          col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("lp_amount"),
+          (col("event_id") * 3).as("base_in"),
+          (col("event_id") * 5).as("quote_in"),
+          (col("event_id") * 3).as("base_out"),
+          (col("event_id") * 5).as("quote_out"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      val dep = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "click"),
+        ProtocolRegistry.Amm.layouts(0))
+      val wdr = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view"),
+        ProtocolRegistry.Amm.layouts(1))
+      val out = ProtocolRegistry.dispatch(
+        dep.select("payload").union(wdr.select("payload")),
+        Seq(ProtocolRegistry.Amm))
+      out.select(col("event_kind"),
+        coalesce(col("deposit.event_id"), col("withdraw.event_id"))
+          .as("event_id"),
+        coalesce(col("deposit.pool"), col("withdraw.pool")).as("pool"),
+        coalesce(col("deposit.user_id"), col("withdraw.user_id"))
+          .as("user_id"),
+        coalesce(col("deposit.lp_amount"), col("withdraw.lp_amount"))
+          .as("lp_amount"),
+        coalesce(col("deposit.base_in"), col("withdraw.base_out"))
+          .as("base_amt"),
+        coalesce(col("deposit.quote_in"), col("withdraw.quote_out"))
+          .as("quote_amt"),
+        coalesce(col("deposit.ts_us"), col("withdraw.ts_us")).as("ts_us"))
+    }),
+    "q_events_registry_dispatch" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d).select(
+        col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("amt"),
+        (col("event_id") * 2 + 1).as("amt2"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      def enc(t: String, l: ProtocolRegistry.LayoutSpec,
+          amtNames: Seq[String]) =
+        ProtocolRegistry.encode(
+          ev.filter(col("event_type") === t).select(
+            Seq(col("event_id"), col("pool"), col("user_id")) ++
+              Seq(col("amt").as(amtNames.head)) ++
+              amtNames.tail.map(col("amt2").as(_)) :+
+              col("ts_us"): _*),
+          l).select("payload")
+      val buy = enc("purchase", ProtocolRegistry.Swap.layouts(0),
+        Seq("base_amount", "quote_amount"))
+      val sell = enc("view", ProtocolRegistry.Swap.layouts(1),
+        Seq("base_amount", "quote_amount"))
+      val dep = enc("click", ProtocolRegistry.Amm.layouts(0),
+        Seq("lp_amount", "base_in", "quote_in"))
+      val wdr = enc("signup", ProtocolRegistry.Amm.layouts(1),
+        Seq("lp_amount", "base_out", "quote_out"))
+      val junk = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(expr(
+          "cast(concat('junkjunk', cast(event_id as string)) as binary)")
+          .as("payload"))
+      ProtocolRegistry
+        .dispatch(buy.union(sell).union(dep).union(wdr).union(junk))
+        .groupBy("protocol", "event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("buy.base_amount"), col("sell.base_amount"),
+            col("deposit.lp_amount"), col("withdraw.lp_amount"))).as("sum_amt"))
+    }),
     // ---- C. LLM-pipeline surface ----
     "q_dedup_docs_exact" -> ((s, d) =>
       Dedup.exactDocs(Tables.documents(s, d))),
+    "q_dedup_docs_corpus" -> ((s, d) =>
+      Dedup.dedupedCorpus(Tables.documents(s, d), 0.5)),
+    "q_ann_ivf_full_probe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        probes = Int.MaxValue)
+    }),
+    "q_stream_dedup_counts" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.dedupCountsAvailableNow(s, d)),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
@@ -521,6 +626,89 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_kind = 'create_token' THEN cents END)
                   AS BIGINT) AS create_cents
          FROM k GROUP BY event_kind""",
+    "q_events_decode_swap" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'buy' ELSE 'sell' END
+                  AS event_kind,
+                event_id, user_id % 100 AS pool, user_id,
+                CAST(round(value * 100, 0) AS BIGINT) AS base_amount,
+                event_id * 2 + 1 AS quote_amount, epoch_us(ts) AS ts_us
+         FROM events""",
+    "q_events_decode_liquidity" ->
+      """SELECT CASE WHEN event_type = 'click' THEN 'deposit'
+                     ELSE 'withdraw' END AS event_kind,
+                event_id, user_id % 100 AS pool, user_id,
+                CAST(round(value * 100, 0) AS BIGINT) AS lp_amount,
+                event_id * 3 AS base_amt, event_id * 5 AS quote_amt,
+                epoch_us(ts) AS ts_us
+         FROM events WHERE event_type IN ('click', 'view')""",
+    "q_events_registry_dispatch" ->
+      """WITH k AS (SELECT CASE event_type
+                            WHEN 'purchase' THEN 'swap' WHEN 'view' THEN 'swap'
+                            WHEN 'click' THEN 'amm' WHEN 'signup' THEN 'amm'
+                            ELSE 'unknown' END AS protocol,
+                          CASE event_type
+                            WHEN 'purchase' THEN 'buy' WHEN 'view' THEN 'sell'
+                            WHEN 'click' THEN 'deposit'
+                            WHEN 'signup' THEN 'withdraw'
+                            ELSE 'unknown' END AS event_kind,
+                          CAST(round(value * 100, 0) AS BIGINT) AS amt
+                   FROM events)
+         SELECT protocol, event_kind, count(*) AS n,
+                CAST(sum(CASE WHEN protocol <> 'unknown' THEN amt END)
+                  AS BIGINT) AS sum_amt
+         FROM k GROUP BY 1, 2""",
+    "q_dedup_docs_corpus" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM p
+                   JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE) /
+                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         lbl AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM (
+                   WITH RECURSIVE reach(a, b) AS (
+                     SELECT a, b FROM edges
+                     UNION
+                     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+                   SELECT a, b FROM reach)
+                 GROUP BY a),
+         ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT doc_id FROM ex
+         WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE keep_id < doc_id)""",
+    "q_ann_ivf_full_probe" ->
+      """WITH x AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, sum(v * v) AS n2 FROM x GROUP BY 1),
+         q AS (SELECT * FROM x WHERE vec_id < 10),
+         d AS (SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id,
+                      sum(q.v * x.v) AS dot
+               FROM q JOIN x ON q.i = x.i AND q.vec_id <> x.vec_id
+               GROUP BY 1, 2),
+         c AS (SELECT q_id, neighbor_id,
+                      round(dot / (sqrt(nq.n2) * sqrt(nn.n2)), 6) AS cos6
+               FROM d JOIN n nq ON q_id = nq.vec_id
+                      JOIN n nn ON neighbor_id = nn.vec_id),
+         r AS (SELECT q_id, neighbor_id, cos6,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos6 DESC, neighbor_id) AS rk
+               FROM c)
+         SELECT q_id, neighbor_id, cos6, rk FROM r WHERE rk <= 5""",
+    "q_stream_dedup_counts" ->
+      """SELECT event_type, count(*) AS n_distinct FROM (
+           SELECT DISTINCT user_id, event_type,
+                  epoch_us(ts) // 60000000 AS minute_bucket
+           FROM events)
+         GROUP BY event_type""",
     "q_dedup_docs_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_dups,
                 min(doc_id) AS keep_id

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs._
+
+/** Multi-protocol event-parser registry (SURVEY §2 A13d).
+  *
+  * The reference registers one parser per DEX protocol, each dispatching
+  * on an 8-byte instruction discriminator to a fixed-layout decoder
+  * (`event_parser/protocols/pumpswap/parser.rs:25-36` routes BUY_IX /
+  * SELL_IX / CREATE_POOL_IX / DEPOSIT_IX / WITHDRAW_IX; same shape for
+  * bonk, raydium_amm_v4, raydium_cpmm, raydium_clmm, meteora_damm_v2).
+  *
+  * Here the registry is DATA: a [[ProtocolSpec]] lists each layout's
+  * discriminator and little-endian field offsets, and [[dispatch]] compiles
+  * the whole registry into one codegen'd column projection — a when-chain
+  * tags (protocol, event_kind) and one struct column per layout decodes
+  * the matching payloads. Adding a protocol is a new spec entry, not new
+  * execution code; every branch is length-guarded so truncated/foreign
+  * payloads degrade to `unknown`/null rather than failing the job
+  * (the reference length-checks every read, `pumpfun/parser.rs:120-154`).
+  */
+object ProtocolRegistry {
+
+  /** A fixed-offset little-endian u64/i64 field. */
+  final case class FieldSpec(name: String, offset: Int)
+
+  /** One event layout: discriminator + fixed LE fields after it. */
+  final case class LayoutSpec(
+      kind: String, discriminator: Array[Byte], fields: Seq[FieldSpec]) {
+    def minLen: Int = fields.map(_.offset + 8).max
+  }
+
+  final case class ProtocolSpec(protocol: String, layouts: Seq[LayoutSpec])
+
+  private def disc(tag: Byte*): Array[Byte] =
+    (Array[Byte](0x67, 0x72) ++ tag).padTo(8, 0x00.toByte)
+
+  private def u64s(names: String*): Seq[FieldSpec] =
+    names.zipWithIndex.map { case (n, i) => FieldSpec(n, 8 + i * 8) }
+
+  /** "swap" protocol: buy/sell fills (PumpSwap analog — the reference's
+    * `PumpSwapBuyEvent`/`PumpSwapSellEvent`, pumpswap/events.rs:10-124). */
+  val Swap: ProtocolSpec = ProtocolSpec("swap", Seq(
+    LayoutSpec("buy", disc(0x51, 0x01),
+      u64s("event_id", "pool", "user_id", "base_amount", "quote_amount", "ts_us")),
+    LayoutSpec("sell", disc(0x51, 0x02),
+      u64s("event_id", "pool", "user_id", "base_amount", "quote_amount", "ts_us"))))
+
+  /** "amm" protocol: liquidity add/remove (deposit/withdraw analog —
+    * `PumpSwapDepositEvent`/`PumpSwapWithdrawEvent`,
+    * pumpswap/events.rs:167-246). */
+  val Amm: ProtocolSpec = ProtocolSpec("amm", Seq(
+    LayoutSpec("deposit", disc(0x52, 0x01),
+      u64s("event_id", "pool", "user_id", "lp_amount", "base_in", "quote_in",
+        "ts_us")),
+    LayoutSpec("withdraw", disc(0x52, 0x02),
+      u64s("event_id", "pool", "user_id", "lp_amount", "base_out", "quote_out",
+        "ts_us"))))
+
+  /** Default registry (the single-layout trade/create protocols live in
+    * [[EventCodec]]; this registry carries the multi-layout protocols). */
+  val registry: Seq[ProtocolSpec] = Seq(Swap, Amm)
+
+  /** Encode rows into a layout's wire format (round-trip/test path):
+    * requires one long column per field name. */
+  def encode(df: DataFrame, layout: LayoutSpec): DataFrame =
+    df.withColumn("payload",
+      concat(lit(layout.discriminator) +:
+        layout.fields.map(f => le_bytes(col(f.name), 8)): _*))
+
+  private def discMatches(payload: String, l: LayoutSpec): Column =
+    expr(s"substring($payload, 1, 8)") === lit(l.discriminator) &&
+      expr(s"octet_length($payload)") >= l.minLen
+
+  /** Decode payloads of one layout; foreign/truncated rows drop out. */
+  def decode(df: DataFrame, layout: LayoutSpec,
+      payload: String = "payload"): DataFrame =
+    df.filter(discMatches(payload, layout))
+      .select(layout.fields.map(f =>
+        le_long(col(payload), f.offset).as(f.name)): _*)
+
+  /** Registry-wide dispatch: tag (protocol, event_kind) and decode every
+    * layout into its own struct column in ONE projection pass. */
+  def dispatch(df: DataFrame, protocols: Seq[ProtocolSpec] = registry,
+      payload: String = "payload"): DataFrame = {
+    val all = protocols.flatMap(p => p.layouts.map(l => (p.protocol, l)))
+    val protoCol = all.foldRight(lit("unknown")) { case ((proto, l), rest) =>
+      when(discMatches(payload, l), lit(proto)).otherwise(rest)
+    }
+    val kindCol = all.foldRight(lit("unknown")) { case ((_, l), rest) =>
+      when(discMatches(payload, l), lit(l.kind)).otherwise(rest)
+    }
+    all.foldLeft(
+      df.withColumn("protocol", protoCol).withColumn("event_kind", kindCol)) {
+      case (acc, (_, l)) =>
+        acc.withColumn(l.kind,
+          when(discMatches(payload, l), struct(l.fields.map(f =>
+            le_long(col(payload), f.offset).as(f.name)): _*)))
+    }
+  }
+}

@@ -112,6 +112,29 @@ object EventStreamPipelines {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** A16 parity query: streaming dedup (watermarked dropDuplicates on the
+    * signature columns) rolled into per-type distinct counts, run to
+    * completion with availableNow — oracle-checked against the batch
+    * DISTINCT, proving the streaming dedup semantics match the reference's
+    * signature-cache dedup (`common/event_processor.rs`). */
+  def dedupCountsAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_dd_${memCounter.incrementAndGet()}"
+    val deduped = eventsStream(spark, dir)
+      .withColumn("minute_bucket", expr("unix_micros(ts) div 60000000"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type", "minute_bucket")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** A17: stateful sessionization with mapGroupsWithState (processing-time
     * timeout flushes idle wallets). Emits one running session summary per
     * wallet per trigger. */

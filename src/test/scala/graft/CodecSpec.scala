@@ -111,4 +111,47 @@ class CodecSpec extends TestSparkSession {
     assert(tagged("trade") == 50)
     assert(tagged("unknown") == 1)
   }
+
+  test("protocol registry round-trips every layout and guards truncation") {
+    import spark.implicits._
+    import graft.sources.ProtocolRegistry
+    import graft.sources.ProtocolRegistry._
+    val src = Seq((1L, 2L, 3L, 4L, 5L, 6L), (7L, 8L, 9L, 10L, 11L, 12L))
+      .toDF("event_id", "pool", "user_id", "base_amount", "quote_amount",
+        "ts_us")
+    for (l <- Swap.layouts) {
+      val decoded = ProtocolRegistry.decode(
+        ProtocolRegistry.encode(src, l).select("payload"), l)
+      assert(decoded.orderBy("event_id").collect().map(_.toSeq).toSeq ==
+        src.orderBy("event_id").collect().map(_.toSeq).toSeq, l.kind)
+    }
+    // truncated payload with a valid discriminator is skipped, not fatal
+    val trunc = Seq(Swap.layouts.head.discriminator ++ Array[Byte](1, 2, 3))
+      .toDF("payload")
+    assert(ProtocolRegistry.decode(trunc, Swap.layouts.head).count() == 0)
+    val tagged = ProtocolRegistry.dispatch(trunc)
+      .select("protocol", "event_kind").collect().head
+    assert(tagged.getString(0) == "unknown" && tagged.getString(1) == "unknown")
+  }
+
+  test("registry dispatch separates protocols and decodes in one pass") {
+    import spark.implicits._
+    import graft.sources.ProtocolRegistry
+    import graft.sources.ProtocolRegistry._
+    val swapRows = Seq((1L, 2L, 3L, 4L, 5L, 6L))
+      .toDF("event_id", "pool", "user_id", "base_amount", "quote_amount",
+        "ts_us")
+    val ammRows = Seq((9L, 8L, 7L, 6L, 5L, 4L, 3L))
+      .toDF("event_id", "pool", "user_id", "lp_amount", "base_in", "quote_in",
+        "ts_us")
+    val payloads = ProtocolRegistry.encode(swapRows, Swap.layouts.head)
+      .select("payload")
+      .union(ProtocolRegistry.encode(ammRows, Amm.layouts.head)
+        .select("payload"))
+    val out = ProtocolRegistry.dispatch(payloads)
+      .select("protocol", "event_kind", "buy.base_amount", "deposit.lp_amount")
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(Seq("swap", "buy", 4L, null),
+      Seq("amm", "deposit", null, 6L)))
+  }
 }

@@ -60,6 +60,13 @@ class PlanAuditSpec extends TestSparkSession {
       "expected map-side partial MinHashAgg")
   }
 
+  test("top-K ranks via distributed TakeOrderedAndProject, not a global window") {
+    val df = EventOps.topKUsers(Tables.events(spark, sfDir))
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected per-partition top-K merge")
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

@@ -311,6 +311,22 @@ object SparkEntry {
         expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"),
         md5(col("text").cast("binary")).as("content_md5"),
         expr("octet_length(cast(text as binary)) div 256 + 1").as("n_frames"))),
+    "q_multimodal_resize" -> ((s, d) => {
+      val p = graft.multimodal.Multimodal
+        .withPayload(Tables.documents(s, d))
+      graft.multimodal.Multimodal.resize(p, 100).toDF()
+        .select(col("doc_id"),
+          expr("cast(octet_length(resized) as bigint)").as("resized_len"),
+          md5(col("resized")).as("resized_md5"))
+    }),
+    "q_multimodal_sample_frames" -> ((s, d) => {
+      val p = graft.multimodal.Multimodal
+        .withPayload(Tables.documents(s, d))
+      graft.multimodal.Multimodal.sampleFrames(p, 256, 2).toDF()
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          expr("cast(octet_length(frame) as bigint)").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -842,5 +858,17 @@ object SparkEntry {
                 md5(text) AS content_md5,
                 octet_length(encode(text)) // 256 + 1 AS n_frames
          FROM documents""",
+    "q_multimodal_resize" ->
+      """SELECT doc_id, least(length(text), 100) AS resized_len,
+                md5(substring(text, 1, 100)) AS resized_md5
+         FROM documents""",
+    "q_multimodal_sample_frames" ->
+      """SELECT doc_id, frame_idx,
+                least(256, length(text) - frame_idx * 256) AS frame_len,
+                md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(0, length(text) // 256, 2))
+                        AS frame_idx
+               FROM documents)""",
   )
 }

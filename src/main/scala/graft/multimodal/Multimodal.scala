@@ -66,4 +66,40 @@ object Multimodal {
         it.map { case (id, bytes) => StubCodec.decode(id, bytes) }
       }
   }
+
+  final case class Resized(doc_id: Long, resized: Array[Byte])
+
+  /** "Thumbnailing": partition-batched resize of every asset to a byte
+    * budget. Same batching contract as [[extractFeatures]] — a real codec
+    * initializes once per partition and processes the iterator. */
+  def resize(payloads: DataFrame, target: Int): Dataset[Resized] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Resized(id, StubCodec.resize(bytes, target))
+      })
+  }
+
+  final case class Frame(
+      doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: emit every `stride`-th fixed-size frame of each
+    * asset (video keyframe-extraction analog). Flat-mapped per partition,
+    * so output rows never materialize per-asset collections. */
+  def sampleFrames(
+      payloads: DataFrame, frameSize: Int = StubCodec.FrameSize,
+      stride: Int = 1): Dataset[Frame] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val n = bytes.length / frameSize + 1
+        (0 until n by stride).iterator.map { i =>
+          val from = i * frameSize
+          val until = math.min(from + frameSize, bytes.length)
+          Frame(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      })
+  }
 }

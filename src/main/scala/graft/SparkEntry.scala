@@ -263,6 +263,36 @@ object SparkEntry {
           sum(coalesce(col("buy.base_amount"), col("sell.base_amount"),
             col("deposit.lp_amount"), col("withdraw.lp_amount"))).as("sum_amt"))
     }),
+    "q_events_json_ingest" -> ((s, d) =>
+      graft.sources.JsonIngest.fromJsonLines(
+        graft.sources.JsonIngest.toJsonLines(Tables.events(s, d)))
+        .drop("_corrupt")),
+    "q_events_account_asof" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d)
+      // account snapshots ride the wire like any event: encode → decode
+      // through the account layout, then feed the as-of "state cache"
+      val snapSrc = ev.filter(col("event_type") === "signup").select(
+        col("event_id"), (col("user_id") % 100).as("pool"),
+        (col("event_id") * 3).as("base_reserve"),
+        (col("event_id") * 5).as("quote_reserve"),
+        expr("unix_micros(ts)").as("ts_us"))
+      val snaps = ProtocolRegistry.decode(
+        ProtocolRegistry.encode(snapSrc, ProtocolRegistry.Account.layouts(0))
+          .select("payload"),
+        ProtocolRegistry.Account.layouts(0))
+      val trades = ev.filter(col("event_type") === "purchase").select(
+        col("event_id"), (col("user_id") % 100).as("pool"),
+        expr("unix_micros(ts)").as("ts_us"))
+      AsOfJoin.asOf(trades, snaps, "pool", "ts_us", "event_id",
+        Seq("base_reserve", "quote_reserve"))
+        .select(col("event_id").as("purchase_id"), col("pool"),
+          col("ts_us").as("purchase_ts_us"),
+          col("asof.event_id").as("snap_id"),
+          col("asof.ts_us").as("snap_ts_us"),
+          col("asof.base_reserve").as("base_reserve"),
+          col("asof.quote_reserve").as("quote_reserve"))
+    }),
     // ---- C. LLM-pipeline surface ----
     "q_dedup_docs_exact" -> ((s, d) =>
       Dedup.exactDocs(Tables.documents(s, d))),
@@ -725,6 +755,35 @@ object SparkEntry {
                   epoch_us(ts) // 60000000 AS minute_bucket
            FROM events)
          GROUP BY event_type""",
+    "q_events_json_ingest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         FROM events""",
+    "q_events_account_asof" ->
+      """WITH s AS (SELECT user_id % 100 AS pool, epoch_us(ts) AS ts_us,
+                           event_id, 0 AS kind, event_id AS snap_id,
+                           epoch_us(ts) AS snap_ts_us,
+                           event_id * 3 AS base_reserve,
+                           event_id * 5 AS quote_reserve
+                    FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id % 100 AS pool, epoch_us(ts) AS ts_us, event_id,
+                      1 AS kind, CAST(NULL AS BIGINT) AS snap_id,
+                      CAST(NULL AS BIGINT) AS snap_ts_us,
+                      CAST(NULL AS BIGINT) AS base_reserve,
+                      CAST(NULL AS BIGINT) AS quote_reserve
+               FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT * FROM s UNION ALL SELECT * FROM p),
+         w AS (SELECT *,
+                      last_value(snap_id IGNORE NULLS) OVER win AS l_id,
+                      last_value(snap_ts_us IGNORE NULLS) OVER win AS l_ts,
+                      last_value(base_reserve IGNORE NULLS) OVER win AS l_br,
+                      last_value(quote_reserve IGNORE NULLS) OVER win AS l_qr
+               FROM u WINDOW win AS (PARTITION BY pool
+                 ORDER BY ts_us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS purchase_id, pool, ts_us AS purchase_ts_us,
+                l_id AS snap_id, l_ts AS snap_ts_us, l_br AS base_reserve,
+                l_qr AS quote_reserve
+         FROM w WHERE kind = 1""",
     "q_dedup_docs_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_dups,
                 min(doc_id) AS keep_id

@@ -60,9 +60,16 @@ object ProtocolRegistry {
       u64s("event_id", "pool", "user_id", "lp_amount", "base_out", "quote_out",
         "ts_us"))))
 
+  /** "account" class: pool account-state snapshots (the reference also
+    * parses account-data events — `PumpSwapPoolAccountEvent`,
+    * pumpswap/events.rs:260-271 — which feed its account-state cache). */
+  val Account: ProtocolSpec = ProtocolSpec("account", Seq(
+    LayoutSpec("pool_state", disc(0x53, 0x01),
+      u64s("event_id", "pool", "base_reserve", "quote_reserve", "ts_us"))))
+
   /** Default registry (the single-layout trade/create protocols live in
     * [[EventCodec]]; this registry carries the multi-layout protocols). */
-  val registry: Seq[ProtocolSpec] = Seq(Swap, Amm)
+  val registry: Seq[ProtocolSpec] = Seq(Swap, Amm, Account)
 
   /** Encode rows into a layout's wire format (round-trip/test path):
     * requires one long column per field name. */

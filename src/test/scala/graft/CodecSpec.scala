@@ -154,4 +154,16 @@ class CodecSpec extends TestSparkSession {
     assert(out == Set(Seq("swap", "buy", 4L, null),
       Seq("amm", "deposit", null, 6L)))
   }
+
+  test("json ingest captures corrupt lines without failing the job") {
+    import spark.implicits._
+    import graft.sources.JsonIngest
+    val lines = Seq(
+      """{"event_id":1,"ts_us":2,"user_id":3,"event_type":"purchase","value":4.5}""",
+      """{"event_id": not-json""").toDF("line")
+    val out = JsonIngest.fromJsonLines(lines).collect()
+      .map(r => (r.getAs[Any]("event_id"), r.getAs[String]("_corrupt") == null))
+      .toSet
+    assert(out == Set((1L, true), (null, false)))
+  }
 }

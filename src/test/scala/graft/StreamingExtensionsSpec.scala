@@ -144,4 +144,28 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(u1Last.getAs[Int]("n_events") == 1) // fresh session after the gap
     assert(out.exists(r => r.getAs[Long]("user_id") == 2L))
   }
+
+  test("partitioned sink: date layout, read-back equality, partition pruning") {
+    import graft.sources.EventSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ev = Tables.events(spark, sfDir)
+    EventSink.writePartitionedByDay(ev, dir, buckets = 2)
+    // layout: one directory per event date
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_date="))
+    assert(parts.nonEmpty, "expected event_date= partition directories")
+    // read-back equality (modulo the added partition column)
+    val back = EventSink.readPartitioned(spark, dir)
+    assert(back.count() == ev.count())
+    assert(back.select(sum("event_id")).head.getLong(0) ==
+      ev.select(sum("event_id")).head.getLong(0))
+    // a date predicate must prune partitions at plan time, not scan time
+    val oneDate = parts.head.stripPrefix("event_date=")
+    val pruned = back.filter(col("event_date") === lit(oneDate))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("isnotnull(event_date"), scan.linesIterator.toSeq.last)
+    assert(pruned.count() > 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

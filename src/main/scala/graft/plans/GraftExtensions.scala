@@ -30,6 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_rolling_min", args = 2,
       es => RollingHashMin(es(0), es(1))))
     ext.injectFunction(fn("graft_nop", args = 1, es => GraftNop(es.head)))
+    ext.injectFunction(fn("graft_trigrams", args = 1,
+      es => Trigrams(es.head)))
+    ext.injectFunction(fn("graft_vec_dot", args = 2,
+      es => VecDot(es(0), es(1))))
+    ext.injectFunction(fn("graft_vec_norm2", args = 1,
+      es => VecNorm2(es.head)))
+    ext.injectFunction(fn("graft_hyperplane_sig", args = 2,
+      es => HyperplaneSig(es(0), es(1))))
+    ext.injectFunction(fn("graft_simhash_bands", args = 1,
+      es => SimHashBands(es.head)))
     ext.injectOptimizerRule(_ => GraftNopElimination)
     ext.injectOptimizerRule(_ => Base58LiteralRewrite)
   }
@@ -46,7 +56,14 @@ object GraftExtensions {
       fn("graft_le_bytes", 2, (es: Seq[Expression]) => LeBytes(es(0), es(1))),
       fn("graft_rolling_min", 2,
         (es: Seq[Expression]) => RollingHashMin(es(0), es(1))),
-      fn("graft_nop", 1, (es: Seq[Expression]) => GraftNop(es.head)))
+      fn("graft_nop", 1, (es: Seq[Expression]) => GraftNop(es.head)),
+      fn("graft_trigrams", 1, (es: Seq[Expression]) => Trigrams(es.head)),
+      fn("graft_vec_dot", 2, (es: Seq[Expression]) => VecDot(es(0), es(1))),
+      fn("graft_vec_norm2", 1, (es: Seq[Expression]) => VecNorm2(es.head)),
+      fn("graft_hyperplane_sig", 2,
+        (es: Seq[Expression]) => HyperplaneSig(es(0), es(1))),
+      fn("graft_simhash_bands", 1,
+        (es: Seq[Expression]) => SimHashBands(es.head)))
     fns.foreach { case (id, info, b) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, id.funcName, info, b)
     }

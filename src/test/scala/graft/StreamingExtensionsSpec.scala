@@ -38,6 +38,16 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(row.getAs[String]("b58").nonEmpty)
     assert(row.getAs[Long]("back") == -42L)
     assert(row.getAs[Long]("rmin") > 0L)
+    val row2 = spark.sql(
+      "SELECT graft_trigrams('a b c d') AS tg, " +
+        "graft_vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "              array(cast(3.0 as float), cast(4.0 as float))) AS dot, " +
+        "graft_vec_norm2(array(cast(3.0 as float), cast(4.0 as float))) AS n2, " +
+        "graft_simhash_bands('hello world') AS shb").collect()(0)
+    assert(row2.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(row2.getAs[Double]("dot") == 11.0)
+    assert(row2.getAs[Double]("n2") == 25.0)
+    assert(row2.getSeq[Int](3).length == 4)
   }
 
   test("optimizer rule eliminates graft_nop") {

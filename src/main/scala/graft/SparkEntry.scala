@@ -293,9 +293,29 @@ object SparkEntry {
           col("asof.base_reserve").as("base_reserve"),
           col("asof.quote_reserve").as("quote_reserve"))
     }),
+    "q_events_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"))
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(expr("unix_micros(ts)").as("start_us"),
+          expr("unix_micros(ts) + 600000000").as("end_us"))
+      RangeJoin.pointInInterval(points, intervals, "ts_us",
+        "start_us", "end_us")
+        .groupBy(col("event_id").as("purchase_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          min("start_us").as("first_start_us"))
+    }),
     // ---- C. LLM-pipeline surface ----
     "q_dedup_docs_exact" -> ((s, d) =>
       Dedup.exactDocs(Tables.documents(s, d))),
+    "q_docs_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedByHash(
+        Tables.documents(s, d),
+        col("doc_id"),
+        expr("case when cast(substring(source, 4) as int) % 2 = 0 " +
+          "then '40' else '80' end"))
+        .select(col("doc_id"), col("source"))),
     "q_dedup_docs_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(Tables.documents(s, d), 0.5)),
     "q_ann_ivf_full_probe" -> ((s, d) => {
@@ -784,6 +804,21 @@ object SparkEntry {
                 l_id AS snap_id, l_ts AS snap_ts_us, l_br AS base_reserve,
                 l_qr AS quote_reserve
          FROM w WHERE kind = 1""",
+    "q_events_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_windows,
+                min(i.start_us) AS first_start_us
+         FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT epoch_us(ts) AS start_us,
+                      epoch_us(ts) + 600000000 AS end_us FROM events
+               WHERE event_type = 'signup') i
+           ON p.ts_us >= i.start_us AND p.ts_us < i.end_us
+         GROUP BY 1""",
+    "q_docs_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substring(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                    THEN '40' ELSE '80' END""",
     "q_dedup_docs_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_dups,
                 min(doc_id) AS keep_id

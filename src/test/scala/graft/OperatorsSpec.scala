@@ -176,4 +176,48 @@ class OperatorsSpec extends TestSparkSession {
     // projection should not include unused columns like l_comment-ish ones
     assert(!scan.contains("l_partkey"))
   }
+
+  test("range join equals the naive non-equi join") {
+    val ev = Tables.events(spark, sfDir)
+    val points = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"))
+    val intervals = ev.filter(col("event_type") === "signup")
+      .select(expr("unix_micros(ts)").as("start_us"),
+        expr("unix_micros(ts) + 600000000").as("end_us"))
+    val bucketed = RangeJoin
+      .pointInInterval(points, intervals, "ts_us", "start_us", "end_us")
+      .select("event_id", "ts_us", "start_us", "end_us")
+    val naive = points.join(intervals,
+      col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .select("event_id", "ts_us", "start_us", "end_us")
+    assert(bucketed.count() == naive.count())
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    // intervals shorter/longer than the bucket width still match exactly
+    val odd = intervals.withColumn("end_us", col("start_us") + 1234567L)
+    val b2 = RangeJoin.pointInInterval(points, odd, "ts_us", "start_us", "end_us")
+    val n2 = points.join(odd,
+      col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+    assert(b2.count() == n2.count())
+  }
+
+  test("stratified hash sampling is deterministic and near the target rates") {
+    val docs = Tables.documents(spark, sfDir)
+    val sampled = Sampling.stratifiedByHash(docs, col("doc_id"),
+      expr("case when cast(substring(source, 4) as int) % 2 = 0 " +
+        "then '40' else '80' end"))
+    val again = Sampling.stratifiedByHash(docs, col("doc_id"),
+      expr("case when cast(substring(source, 4) as int) % 2 = 0 " +
+        "then '40' else '80' end"))
+    assert(sampled.count() == again.count()) // reproducible
+    val byParity = sampled
+      .groupBy(expr("cast(substring(source, 4) as int) % 2").as("parity"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totals = docs
+      .groupBy(expr("cast(substring(source, 4) as int) % 2").as("parity"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val evenRate = byParity(0).toDouble / totals(0)
+    val oddRate = byParity(1).toDouble / totals(1)
+    assert(math.abs(evenRate - 0.25) < 0.1, s"even rate $evenRate")
+    assert(math.abs(oddRate - 0.50) < 0.1, s"odd rate $oddRate")
+  }
 }

@@ -67,6 +67,18 @@ class PlanAuditSpec extends TestSparkSession {
       "expected per-partition top-K merge")
   }
 
+  test("range join is a bucketed equi-join, not a nested loop") {
+    import org.apache.spark.sql.functions.expr
+    val ev = Tables.events(spark, sfDir)
+    val points = ev.select(col("event_id"), expr("unix_micros(ts)").as("ts_us"))
+    val intervals = ev.select(expr("unix_micros(ts)").as("start_us"),
+      expr("unix_micros(ts) + 600000000").as("end_us"))
+    val plan = planOf(
+      RangeJoin.pointInInterval(points, intervals, "ts_us", "start_us", "end_us"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "expected bucketed equi-join")
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

@@ -316,6 +316,21 @@ object SparkEntry {
         expr("case when cast(substring(source, 4) as int) % 2 = 0 " +
           "then '40' else '80' end"))
         .select(col("doc_id"), col("source"))),
+    "q_docs_mixture" -> ((s, d) =>
+      Sampling.mixtureUpsample(
+        Tables.documents(s, d),
+        expr("case when cast(substring(source, 4) as int) % 4 = 0 " +
+          "then 2 else 1 end"))
+        .select(col("doc_id"), col("source"),
+          col("copy_idx").cast("bigint").as("copy_idx"))),
+    "q_docs_pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("cast(size(split(text, ' ')) as bigint)").as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), 2048)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("cum_tokens"), col("bin"))),
     "q_dedup_docs_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(Tables.documents(s, d), 0.5)),
     "q_ann_ivf_full_probe" -> ((s, d) => {
@@ -819,6 +834,24 @@ object SparkEntry {
          WHERE substring(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 2) <
                CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
                     THEN '40' ELSE '80' END""",
+    "q_docs_mixture" ->
+      """SELECT doc_id, source, unnest(generate_series(1, CASE
+                WHEN CAST(substring(source, 4) AS INT) % 4 = 0 THEN 2
+                ELSE 1 END)) AS copy_idx
+         FROM documents""",
+    "q_docs_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tok
+                    FROM documents)
+         SELECT doc_id, source, n_tok,
+                CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens,
+                (CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - n_tok) // 2048 AS bin
+         FROM t""",
     "q_dedup_docs_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_dups,
                 min(doc_id) AS keep_id

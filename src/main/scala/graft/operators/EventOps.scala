@@ -88,6 +88,18 @@ object EventOps {
         col("p50"), col("p95"))
   }
 
+  /** A5b: sketch-based percentile stats. [[valueStats]] computes exact
+    * order statistics (a per-type sort); this variant uses the
+    * approx_percentile sketch — constant memory per group and one pass,
+    * the right trade at 100 TB when a bounded rank error is acceptable.
+    * Error vs exact is spec-bounded (no SQL oracle: sketch internals are
+    * engine-specific). */
+  def approxValueStats(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50_approx"),
+      expr(s"approx_percentile(value, 0.95, $accuracy)").as("p95_approx"))
+
   /** A6: dedup (signature-dedup analog): collapse to the first event per
     * (user, type, minute) and count suppressed duplicates. Deterministic
     * keep rule: min event_id.

@@ -25,4 +25,33 @@ object Sampling {
   def stratifiedByHash(
       df: DataFrame, idCol: Column, thresholdHex: Column): DataFrame =
     df.filter(acceptanceHash(idCol) < thresholdHex)
+
+  /** Data-mixture construction: upsample each row by an integer repeat
+    * factor (training-data recipes weight sources, e.g. books x2 vs web
+    * x1). Pure generate — no shuffle; each copy is tagged so downstream
+    * shuffling/packing can keep copies apart. Fractional weights compose
+    * with [[stratifiedByHash]] (e.g. 1.25x = x1 + a 25% sampled extra). */
+  def mixtureUpsample(df: DataFrame, weight: Column): DataFrame =
+    df.withColumn("copy_idx",
+      explode(sequence(lit(1), weight.cast("int"))))
+
+  /** Greedy-by-order sequence packing: within each stratum, rows are
+    * packed in a deterministic order into fixed-budget bins (the
+    * "pack documents into 2k-token training sequences" step). The running
+    * total is a single window cumsum per stratum — one shuffle on the
+    * stratum key; bins are `(cumsum - tokens) div budget`, i.e. a row
+    * starts a new bin when its predecessor total crossed the budget.
+    * Rows longer than the budget still get a bin (alone, oversized),
+    * matching how packers truncate downstream. */
+  def packSequences(
+      df: DataFrame, stratumCol: Column, orderCol: Column,
+      tokensCol: Column, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokensCol).over(w))
+      .withColumn("bin",
+        ((col("cum_tokens") - tokensCol) / budget).cast("bigint"))
+  }
 }

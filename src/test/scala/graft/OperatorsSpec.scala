@@ -220,4 +220,19 @@ class OperatorsSpec extends TestSparkSession {
     assert(math.abs(evenRate - 0.25) < 0.1, s"even rate $evenRate")
     assert(math.abs(oddRate - 0.50) < 0.1, s"odd rate $oddRate")
   }
+
+  test("approx percentile sketch stays near the exact order statistics") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = EventOps.valueStats(ev)
+      .select("event_type", "p50", "p95").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = EventOps.approxValueStats(ev)
+      .select("event_type", "p50_approx", "p95_approx").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.foreach { case (t, (a50, a95)) =>
+      val (e50, e95) = exact(t)
+      assert(math.abs(a50 - e50) <= math.abs(e50) * 0.05 + 1e-9, s"$t p50")
+      assert(math.abs(a95 - e95) <= math.abs(e95) * 0.05 + 1e-9, s"$t p95")
+    }
+  }
 }

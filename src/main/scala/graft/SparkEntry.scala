@@ -363,6 +363,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    "q_ann_ivf_centroids" -> ((s, d) =>
+      Similarity.centroids(
+        Tables.embeddings(s, d).select(col("label"), col("embedding")),
+        "label")),
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) =>
@@ -784,6 +788,15 @@ object SparkEntry {
                         ORDER BY cos6 DESC, neighbor_id) AS rk
                FROM c)
          SELECT q_id, neighbor_id, cos6, rk FROM r WHERE rk <= 5""",
+    "q_ann_ivf_centroids" ->
+      """WITH x AS (SELECT label, unnest(generate_series(0, 63)) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings)
+         SELECT label, i, count(*) AS n,
+                (CAST(CAST(sum(CAST(round(v * 1000000, 0) AS BIGINT))
+                      AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) / 1000000.0 AS centroid
+         FROM x GROUP BY 1, 2""",
     "q_stream_dedup_counts" ->
       """SELECT event_type, count(*) AS n_distinct FROM (
            SELECT DISTINCT user_id, event_type,

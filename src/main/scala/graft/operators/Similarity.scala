@@ -100,6 +100,24 @@ object Similarity {
       .filter(col("cos6") >= tau)
   }
 
+  /** IVF training step: per-group component means (one k-means iteration
+    * over the current assignment). Components explode to (group, dim)
+    * rows — one shuffle with map-side partial sums; at 100 TB the
+    * shuffle carries |groups| x dims partials per map task, not vectors.
+    * Sums run over round(v * 1e6) integers so results are exact and
+    * engine-portable (same fixed-grid trick as the cosine rounding).
+    */
+  def centroids(emb: DataFrame, groupCol: String): DataFrame =
+    emb
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col(groupCol), col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+          .as("sum6"))
+      .select(col(groupCol), col("i").cast("bigint").as("i"), col("n"),
+        (col("sum6").cast("double") / col("n").cast("double") / 1e6)
+          .as("centroid"))
+
   /** C7: IVF-style ANN: deterministic coarse centroids (every 97th vector),
     * one-time nearest-cell assignment, queries probe `probes` cells.
     */

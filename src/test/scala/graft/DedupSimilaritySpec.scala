@@ -110,6 +110,26 @@ class DedupSimilaritySpec extends TestSparkSession {
     }
   }
 
+  test("centroids = exact per-label component means") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Similarity.centroids(emb, "label").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("i")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("centroid"))).toMap
+    // independent driver-side computation on one label
+    val lbl = emb.select("label").head().getInt(0)
+    val vecs = emb.filter(col("label") === lbl)
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    val dim = vecs.head.size
+    (0 until dim).foreach { i =>
+      val exact = vecs.map(v => math.round(v(i).toDouble * 1e6)).sum /
+        vecs.size.toDouble / 1e6
+      val (n, c) = got((lbl, i.toLong))
+      assert(n == vecs.size && math.abs(c - exact) < 1e-12,
+        s"dim $i: got $c expected $exact")
+    }
+  }
+
   test("IVF topk recall vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)

@@ -375,6 +375,12 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).drop("roll_min")),
+    "q_docs_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(Tables.documents(s, d))),
+    "q_docs_filter_chain" -> ((s, d) =>
+      TextAnalysis.filterChain(Tables.documents(s, d))),
+    "q_text_top_tokens" -> ((s, d) =>
+      TextAnalysis.topTokens(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"),
@@ -966,6 +972,58 @@ object SparkEntry {
                      ELSE 'unk' END AS pred_lang,
                 lang
          FROM documents""",
+    "q_docs_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+                count(DISTINCT md5(text)) AS n_unique_texts,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS total_ws_tokens,
+                CAST(min(length(text)) AS BIGINT) AS min_chars,
+                CAST(max(length(text)) AS BIGINT) AS max_chars,
+                CAST(count(*) - count(DISTINCT md5(text))
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
+         FROM documents GROUP BY 1""",
+    "q_docs_filter_chain" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n_chars_t,
+                           len(string_split(text, ' ')) AS n_tok,
+                           len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS n_stop,
+                           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                           len(regexp_extract_all(text, '\b(the|is|and)\b')) AS n_en,
+                           len(regexp_extract_all(text, '\b(der|und|die)\b')) AS n_de,
+                           len(regexp_extract_all(text, '\b(el|la|los)\b')) AS n_es,
+                           len(regexp_extract_all(text, '\b(le|les|des)\b')) AS n_fr
+                    FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                      least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) *
+                        (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_t AS DOUBLE)) *
+                        (0.5 + CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                        AS quality_score,
+                      CASE WHEN n_en >= greatest(n_de, n_es, n_fr) AND n_en > 0
+                             THEN 'en'
+                           WHEN n_de >= greatest(n_es, n_fr) AND n_de > 0
+                             THEN 'de'
+                           WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+                           WHEN n_fr > 0 THEN 'fr'
+                           ELSE 'unk' END AS pred_lang
+               FROM b)
+         SELECT doc_id, n_tok, quality_score, pred_lang,
+                CASE WHEN n_tok < 5 THEN 'too_short'
+                     WHEN n_tok > 5000 THEN 'too_long'
+                     WHEN pred_lang <> 'en' THEN 'lang'
+                     WHEN quality_score < 0.3 THEN 'low_quality'
+                     ELSE 'kept' END AS reject_reason,
+                (CASE WHEN n_tok < 5 THEN 'too_short'
+                      WHEN n_tok > 5000 THEN 'too_long'
+                      WHEN pred_lang <> 'en' THEN 'lang'
+                      WHEN quality_score < 0.3 THEN 'low_quality'
+                      ELSE 'kept' END) = 'kept' AS kept
+         FROM c""",
+    "q_text_top_tokens" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+               FROM documents)
+         WHERE token <> ''
+         GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
     "q_text_quality" ->
       """WITH b AS (SELECT doc_id, length(text) AS n_chars_t,
                            len(string_split(text, ' ')) AS n_tok,

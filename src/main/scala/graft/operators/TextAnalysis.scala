@@ -69,4 +69,75 @@ object TextAnalysis {
       md5(col("text").cast("binary")).as("content_md5"),
       length(col("text")).cast("bigint").as("n_chars_t"),
       rolling_min(col("text"), 16).as("roll_min"))
+
+  /** C18: per-source corpus statistics — the dashboard a data-curation run
+    * starts from. One partial-agg shuffle on `source`; the distinct-text
+    * count hashes to md5 first so the shuffle carries 16-byte digests, not
+    * document bodies (at 100 TB the texts never leave the map side).
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text").cast("binary")))
+      .withColumn("n_chars_t", length(col("text")).cast("bigint"))
+      .withColumn("ws_tok", size(split(col("text"), " ")).cast("bigint"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text_md5")).as("n_unique_texts"),
+        sum("n_chars_t").as("total_chars"),
+        sum("ws_tok").as("total_ws_tokens"),
+        min("n_chars_t").as("min_chars"),
+        max("n_chars_t").as("max_chars"))
+      .withColumn("dup_ratio",
+        (col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs").cast("double"))
+
+  /** C19: training-data filter chain — length, language, and quality gates
+    * composed in one codegen'd projection (single scan, no shuffle), with
+    * the first failing gate recorded as the reject reason so curation runs
+    * can report *why* documents drop, not just how many.
+    */
+  def filterChain(docs: DataFrame, minTok: Int = 5, maxTok: Int = 5000,
+      minQuality: Double = 0.3): DataFrame =
+    docs
+      .withColumn("n_chars_t", length(col("text")).cast("bigint"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("n_stop",
+        regexp_count(col("text"), lit("\\b(the|a|of|to|and)\\b")).cast("bigint"))
+      .withColumn("n_punct",
+        regexp_count(col("text"), lit("[.,!?;:]")).cast("bigint"))
+      .withColumn("quality_score", expr(
+        "least(cast(n_tok as double) / 100.0, 1.0) * " +
+          "(1.0 - cast(n_punct as double) / cast(n_chars_t as double)) * " +
+          "(0.5 + cast(n_stop as double) / cast(n_tok as double))"))
+      .withColumn("n_en", regexp_count(col("text"), lit("\\b(the|is|and)\\b")).cast("bigint"))
+      .withColumn("n_de", regexp_count(col("text"), lit("\\b(der|und|die)\\b")).cast("bigint"))
+      .withColumn("n_es", regexp_count(col("text"), lit("\\b(el|la|los)\\b")).cast("bigint"))
+      .withColumn("n_fr", regexp_count(col("text"), lit("\\b(le|les|des)\\b")).cast("bigint"))
+      .withColumn("pred_lang", expr(
+        """case when n_en >= greatest(n_de, n_es, n_fr) and n_en > 0 then 'en'
+          |     when n_de >= greatest(n_es, n_fr) and n_de > 0 then 'de'
+          |     when n_es >= n_fr and n_es > 0 then 'es'
+          |     when n_fr > 0 then 'fr'
+          |     else 'unk' end""".stripMargin))
+      .withColumn("reject_reason", expr(
+        s"""case when n_tok < $minTok then 'too_short'
+           |     when n_tok > $maxTok then 'too_long'
+           |     when pred_lang <> 'en' then 'lang'
+           |     when quality_score < $minQuality then 'low_quality'
+           |     else 'kept' end""".stripMargin))
+      .select(col("doc_id"), col("n_tok"), col("quality_score"),
+        col("pred_lang"), col("reject_reason"),
+        (col("reject_reason") === "kept").as("kept"))
+
+  /** C20: global top-k token histogram. explode → hash-aggregate (partial
+    * counts map-side, so the shuffle carries one row per distinct token per
+    * partition) → TakeOrderedAndProject top-k with a total tie-break order
+    * — no global sort, no single-partition window.
+    */
+  def topTokens(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
 }

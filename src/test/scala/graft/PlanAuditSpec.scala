@@ -79,6 +79,31 @@ class PlanAuditSpec extends TestSparkSession {
       !plan.contains("CartesianProduct"), "expected bucketed equi-join")
   }
 
+  test("top-token histogram is partial-agg + TakeOrdered, no global sort") {
+    val df = TextAnalysis.topTokens(Tables.documents(spark, sfDir))
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected distributed top-K merge")
+    assert(plan.contains("partial_count"),
+      "expected map-side partial counts")
+  }
+
+  test("corpus stats shuffles digests, not document bodies") {
+    val df = TextAnalysis.corpusStats(Tables.documents(spark, sfDir))
+    val plan = planOf(df)
+    // the exchange inputs must already be md5/length projections: no `text`
+    // column may survive past the first projection into an exchange
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx > 0, "expected a shuffle for the groupBy")
+    assert(plan.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("filter chain is a single scan with no shuffle") {
+    val df = TextAnalysis.filterChain(Tables.documents(spark, sfDir))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), "expected shuffle-free projection")
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

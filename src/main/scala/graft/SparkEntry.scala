@@ -306,6 +306,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_windows"),
           min("start_us").as("first_start_us"))
     }),
+    "q_events_merge_partials" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // two complementary partial decodes of every logical event
+      // (instruction decode carries identity; inner-CPI decode carries
+      // value/time — reference merger_event.rs fills one from the other)
+      val p1 = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("bigint").as("ts_us"))
+      val p2 = ev.select(col("event_id"),
+        lit(null).cast("bigint").as("user_id"),
+        lit(null).cast("string").as("event_type"),
+        col("value"), expr("unix_micros(ts)").as("ts_us"))
+      EventOps.mergePartials(p1.unionAll(p2), "event_id",
+        Seq("user_id", "event_type", "value", "ts_us"))
+    }),
+    "q_events_trade_price" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val snaps = ev.filter(col("event_type") === "signup").select(
+        col("event_id"), (col("user_id") % 100).as("pool"),
+        (col("event_id") * 3).as("base_reserve"),
+        (col("event_id") * 5).as("quote_reserve"),
+        expr("unix_micros(ts)").as("ts_us"))
+      val trades = ev.filter(col("event_type") === "purchase").select(
+        col("event_id"), (col("user_id") % 100).as("pool"),
+        col("value").as("amount"), expr("unix_micros(ts)").as("ts_us"))
+      AsOfJoin.asOf(trades, snaps, "pool", "ts_us", "event_id",
+        Seq("base_reserve", "quote_reserve"), leftValueCols = Seq("amount"))
+        .select(col("event_id").as("purchase_id"), col("pool"),
+          col("amount"),
+          expr("round(cast(asof.quote_reserve as double) / " +
+            "cast(nullif(asof.base_reserve, 0) as double), 6)").as("price6"))
+        .withColumn("notional6", round(col("amount") * col("price6"), 6))
+    }),
     // ---- C. LLM-pipeline surface ----
     "q_dedup_docs_exact" -> ((s, d) =>
       Dedup.exactDocs(Tables.documents(s, d))),
@@ -837,6 +870,43 @@ object SparkEntry {
          SELECT event_id AS purchase_id, pool, ts_us AS purchase_ts_us,
                 l_id AS snap_id, l_ts AS snap_ts_us, l_br AS base_reserve,
                 l_qr AS quote_reserve
+         FROM w WHERE kind = 1""",
+    "q_events_merge_partials" ->
+      """SELECT event_id, count(*) AS n_parts,
+                max(user_id) AS user_id, max(event_type) AS event_type,
+                max(value) AS value, max(ts_us) AS ts_us
+         FROM (SELECT event_id, user_id, event_type,
+                      CAST(NULL AS DOUBLE) AS value,
+                      CAST(NULL AS BIGINT) AS ts_us
+               FROM events
+               UNION ALL
+               SELECT event_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                      value, epoch_us(ts)
+               FROM events)
+         GROUP BY 1""",
+    "q_events_trade_price" ->
+      """WITH s AS (SELECT user_id % 100 AS pool, epoch_us(ts) AS ts_us,
+                           event_id, 0 AS kind,
+                           event_id * 3 AS base_reserve,
+                           event_id * 5 AS quote_reserve,
+                           CAST(NULL AS DOUBLE) AS amount
+                    FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id % 100 AS pool, epoch_us(ts) AS ts_us, event_id,
+                      1 AS kind, CAST(NULL AS BIGINT) AS base_reserve,
+                      CAST(NULL AS BIGINT) AS quote_reserve, value AS amount
+               FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT * FROM s UNION ALL SELECT * FROM p),
+         w AS (SELECT *,
+                      last_value(base_reserve IGNORE NULLS) OVER win AS l_br,
+                      last_value(quote_reserve IGNORE NULLS) OVER win AS l_qr
+               FROM u WINDOW win AS (PARTITION BY pool
+                 ORDER BY ts_us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS purchase_id, pool, amount,
+                round(CAST(l_qr AS DOUBLE)
+                      / CAST(nullif(l_br, 0) AS DOUBLE), 6) AS price6,
+                round(amount * round(CAST(l_qr AS DOUBLE)
+                      / CAST(nullif(l_br, 0) AS DOUBLE), 6), 6) AS notional6
          FROM w WHERE kind = 1""",
     "q_events_range_join" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_windows,

@@ -25,13 +25,17 @@ object AsOfJoin {
   def asOf(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, idCol: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String],
+      leftValueCols: Seq[String] = Seq()): DataFrame = {
     val rightTagged = right.select(
-      col(keyCol), col(tsCol), col(idCol), lit(0).as("kind"),
-      struct((tsCol +: idCol +: rightValueCols).map(col): _*).as("rval"))
+      col(keyCol) +: col(tsCol) +: col(idCol) +: lit(0).as("kind") +:
+        struct((tsCol +: idCol +: rightValueCols).map(col): _*).as("rval") +:
+        leftValueCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftTagged = left.select(
-      col(keyCol), col(tsCol), col(idCol), lit(1).as("kind"),
-      lit(null).cast(rightTagged.schema("rval").dataType).as("rval"))
+      col(keyCol) +: col(tsCol) +: col(idCol) +: lit(1).as("kind") +:
+        lit(null).cast(rightTagged.schema("rval").dataType).as("rval") +:
+        leftValueCols.map(col): _*)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("kind"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

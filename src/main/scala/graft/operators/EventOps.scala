@@ -280,6 +280,21 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** A31: partial-event merge (reference `core/merger_event.rs`): an
+    * instruction decode and its inner-CPI decode carry complementary
+    * fields of the same logical event; the reference mutates one struct
+    * in place, here merging is per-key max-ignore-nulls — associative and
+    * commutative, so it runs as map-side partial aggregation with one
+    * shuffle on the key, and is deterministic regardless of which partial
+    * arrives first. `n_parts` keeps the audit trail (reference counts
+    * merged events for its metrics).
+    */
+  def mergePartials(partials: DataFrame, key: String,
+      fields: Seq[String]): DataFrame =
+    partials.groupBy(col(key))
+      .agg(count(lit(1)).as("n_parts"),
+        fields.map(f => max(col(f)).as(f)): _*)
+
   /** A12: hourly OHLC candles per event type (DEX price analytics). */
   def ohlc1h(events: DataFrame): DataFrame = {
     val base = events.select(

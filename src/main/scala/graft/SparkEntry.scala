@@ -263,6 +263,45 @@ object SparkEntry {
           sum(coalesce(col("buy.base_amount"), col("sell.base_amount"),
             col("deposit.lp_amount"), col("withdraw.lp_amount"))).as("sum_amt"))
     }),
+    "q_events_launch_decode" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d).select(
+        col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("amt"),
+        (col("event_id") * 2 + 1).as("amt2"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      val create = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          col("event_id"), col("pool"), col("user_id"),
+          col("amt").as("base_supply"), col("amt2").as("quote_raised"),
+          col("ts_us")),
+        ProtocolRegistry.Launch.layouts(0)).select("payload")
+      val migrate = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "click").select(
+          col("event_id"), col("pool"), col("user_id"),
+          col("amt2").as("lp_minted"), col("ts_us")),
+        ProtocolRegistry.Launch.layouts(1)).select("payload")
+      ProtocolRegistry.dispatch(create.union(migrate))
+        .groupBy("protocol", "event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("pool_create.base_supply"),
+            col("migrate.lp_minted"))).as("sum_amt"))
+    }),
+    "q_events_clmm_decode" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val src = Tables.events(s, d)
+        .filter(col("event_type") === "purchase").select(
+          col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("amount_in"),
+          (col("event_id") * 2 + 1).as("amount_out"),
+          (col("event_id") * 7 + 1).as("sqrt_price"),
+          (col("user_id") % 1000).as("tick"),
+          expr("unix_micros(ts)").as("ts_us"))
+      ProtocolRegistry.decode(
+        ProtocolRegistry.encode(src, ProtocolRegistry.Clmm.layouts(0))
+          .select("payload"),
+        ProtocolRegistry.Clmm.layouts(0))
+    }),
     "q_events_json_ingest" -> ((s, d) =>
       graft.sources.JsonIngest.fromJsonLines(
         graft.sources.JsonIngest.toJsonLines(Tables.events(s, d)))
@@ -781,6 +820,23 @@ object SparkEntry {
                 CAST(sum(CASE WHEN protocol <> 'unknown' THEN amt END)
                   AS BIGINT) AS sum_amt
          FROM k GROUP BY 1, 2""",
+    "q_events_launch_decode" ->
+      """SELECT 'launch' AS protocol,
+                CASE event_type WHEN 'signup' THEN 'pool_create'
+                                ELSE 'migrate' END AS event_kind,
+                count(*) AS n,
+                CAST(sum(CASE WHEN event_type = 'signup'
+                              THEN CAST(round(value * 100, 0) AS BIGINT)
+                              ELSE event_id * 2 + 1 END) AS BIGINT) AS sum_amt
+         FROM events WHERE event_type IN ('signup', 'click')
+         GROUP BY 1, 2""",
+    "q_events_clmm_decode" ->
+      """SELECT event_id, user_id % 100 AS pool, user_id,
+                CAST(round(value * 100, 0) AS BIGINT) AS amount_in,
+                event_id * 2 + 1 AS amount_out,
+                event_id * 7 + 1 AS sqrt_price,
+                user_id % 1000 AS tick, epoch_us(ts) AS ts_us
+         FROM events WHERE event_type = 'purchase'""",
     "q_dedup_docs_corpus" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
                     FROM documents),

@@ -67,9 +67,29 @@ object ProtocolRegistry {
     LayoutSpec("pool_state", disc(0x53, 0x01),
       u64s("event_id", "pool", "base_reserve", "quote_reserve", "ts_us"))))
 
+  /** "launch" protocol: token-launch lifecycle (Bonk analog — the
+    * reference's `BonkPoolCreateEvent`/`BonkMigrateToAmmEvent`,
+    * bonk/events.rs:85-230: a launchpad pool is created, then migrated to
+    * an AMM once the curve completes). */
+  val Launch: ProtocolSpec = ProtocolSpec("launch", Seq(
+    LayoutSpec("pool_create", disc(0x54, 0x01),
+      u64s("event_id", "pool", "user_id", "base_supply", "quote_raised",
+        "ts_us")),
+    LayoutSpec("migrate", disc(0x54, 0x02),
+      u64s("event_id", "pool", "user_id", "lp_minted", "ts_us"))))
+
+  /** "clmm" protocol: concentrated-liquidity tick swap (RaydiumClmm /
+    * MeteoraDammV2 analog — the reference's CLMM swaps carry sqrt_price
+    * and tick state, raydium_clmm/events.rs + meteora_damm_v2/events.rs
+    * `next_sqrt_price`/`sqrt_price` fields). */
+  val Clmm: ProtocolSpec = ProtocolSpec("clmm", Seq(
+    LayoutSpec("tick_swap", disc(0x55, 0x01),
+      u64s("event_id", "pool", "user_id", "amount_in", "amount_out",
+        "sqrt_price", "tick", "ts_us"))))
+
   /** Default registry (the single-layout trade/create protocols live in
     * [[EventCodec]]; this registry carries the multi-layout protocols). */
-  val registry: Seq[ProtocolSpec] = Seq(Swap, Amm, Account)
+  val registry: Seq[ProtocolSpec] = Seq(Swap, Amm, Account, Launch, Clmm)
 
   /** Encode rows into a layout's wire format (round-trip/test path):
     * requires one long column per field name. */

@@ -23,7 +23,13 @@ object Bench {
     "q_dedup_docs_minhash_lsh",
     "q_ann_bruteforce_topk",
     "q_text_quality",
-    "q_multimodal_features")
+    "q_multimodal_features",
+    "q_events_range_join",
+    "q_events_registry_dispatch",
+    "q_events_trade_price",
+    "q_docs_filter_chain",
+    "q_docs_corpus_stats",
+    "q_ann_ivf_centroids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -118,6 +118,44 @@ object Similarity {
         (col("sum6").cast("double") / col("n").cast("double") / 1e6)
           .as("centroid"))
 
+  /** Full Lloyd-iteration k-means fit for the IVF coarse quantizer:
+    * seed deterministically (every `seedEvery`-th vector), then alternate
+    * assign (broadcast centroids, one codegen'd argmin pass) and update
+    * ([[centroids]] — one partial-agg shuffle) for `iters` rounds.
+    * Lineage is truncated per round (localCheckpoint) so the plan stays
+    * flat; at 100 TB each round is one scan + one |k|·dims-sized shuffle.
+    * Returns (cell, i, n, centroid) rows for the final assignment.
+    */
+  def kmeansFit(emb: DataFrame, iters: Int = 3,
+      seedEvery: Int = 97): DataFrame = {
+    var cents: DataFrame = centroids(
+      emb.filter(col("vec_id") % seedEvery === 0)
+        .withColumn("cell", col("vec_id")), "cell")
+    (1 to iters).foreach { _ =>
+      // reassemble centroid vectors distributed: a narrow groupBy over
+      // |k|·dims rows, then broadcast the |k| vectors for a codegen'd
+      // argmin pass (the interpreted transform lambda touches only the
+      // k broadcast rows, never the data side)
+      val cvecs = cents.groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("centroid"))))
+          .as("pairs"))
+        .select(col("cell"),
+          expr("transform(pairs, p -> cast(p.centroid as float))").as("cvec"))
+      val assignW = Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cell"))
+      val assigned = emb.crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          (vec_dot(col("embedding"), col("embedding"))
+            - vec_dot(col("embedding"), col("cvec")) * 2
+            + vec_dot(col("cvec"), col("cvec"))).as("d2"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      cents = centroids(assigned, "cell").localCheckpoint(eager = true)
+    }
+    cents
+  }
+
   /** C7: IVF-style ANN: deterministic coarse centroids (every 97th vector),
     * one-time nearest-cell assignment, queries probe `probes` cells.
     */

@@ -130,6 +130,21 @@ class DedupSimilaritySpec extends TestSparkSession {
     }
   }
 
+  test("kmeansFit partitions every vector and keeps full-dim centroids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val total = emb.count()
+    val cents = Similarity.kmeansFit(emb, iters = 2).collect()
+    val byCell = cents.groupBy(_.getAs[Long]("cell"))
+    // every cell carries all 64 dims with one row each
+    byCell.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("i")).sorted.toSeq == (0L until 64L))
+    }
+    // the assignment is a partition: per-dim counts sum to the corpus size
+    val nPerDim = cents.filter(_.getAs[Long]("i") == 0L)
+      .map(_.getAs[Long]("n")).sum
+    assert(nPerDim == total, s"assigned $nPerDim of $total vectors")
+  }
+
   test("IVF topk recall vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)

@@ -135,6 +135,45 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A17b: closed-session emission with flatMapGroupsWithState — a wallet
+    * closes zero or more sessions per trigger (mapGroupsWithState must
+    * emit exactly one row; session *closures* are naturally 0..n, which is
+    * exactly what flatMap-style state transitions express). The open tail
+    * session survives in state across triggers; only completed sessions
+    * are emitted downstream.
+    */
+  def sessionClosuresStream(
+      events: DataFrame, gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id").cast("long"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionUpdate, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionUpdate]) =>
+          val times = rows.map(_._2).toArray.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          var open = state.getOption
+          times.foreach { t =>
+            open = open match {
+              case Some(s) if t - s.end_us <= gapUs =>
+                Some(SessionUpdate(user, s.start_us,
+                  math.max(s.end_us, t), s.n_events + 1))
+              case Some(s) =>
+                closed += s
+                Some(SessionUpdate(user, t, t, 1))
+              case None => Some(SessionUpdate(user, t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** A17: stateful sessionization with mapGroupsWithState (processing-time
     * timeout flushes idle wallets). Emits one running session summary per
     * wallet per trigger. */

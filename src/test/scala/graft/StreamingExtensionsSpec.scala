@@ -155,6 +155,33 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(out.exists(r => r.getAs[Long]("user_id") == 2L))
   }
 
+  test("A17b: flatMapGroupsWithState emits only closed sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val closures = EventStreamPipelines
+      .sessionClosuresStream(events, gapMinutes = 30)
+    val q = closures.writeStream.format("memory")
+      .queryName("graft_closures_test").outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    input.addData((1L, ts(0)), (1L, ts(10)), (2L, ts(5)))
+    q.processAllAvailable()
+    // nothing closed yet: both wallets still have an open session
+    assert(spark.table("graft_closures_test").isEmpty)
+    input.addData((1L, ts(100))) // 90-min gap closes session [0, 10]
+    q.processAllAvailable()
+    val out = spark.table("graft_closures_test").collect()
+    q.stop()
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.getAs[Long]("user_id") == 1L &&
+      s.getAs[Long]("start_us") == 0L &&
+      s.getAs[Long]("end_us") == 10L * 60000000L &&
+      s.getAs[Int]("n_events") == 2)
+  }
+
   test("partitioned sink: date layout, read-back equality, partition pruning") {
     import graft.sources.EventSink
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString

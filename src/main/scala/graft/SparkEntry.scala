@@ -111,6 +111,17 @@ object SparkEntry {
     "q_events_decode_roundtrip" -> ((s, d) =>
       graft.sources.EventCodec.decodeTrade(
         graft.sources.EventCodec.encodeTrade(Tables.events(s, d)))),
+    "q_events_wire_source" -> ((s, d) => {
+      // capture-side write (one frame file per partition) → DSv2 read →
+      // columnar decode: the full wire path the reference implements with
+      // gRPC connections + per-event parser callbacks
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_wire_q_" +
+        Integer.toHexString(d.hashCode)
+      graft.sources.wire.GraftWireWriter.writeFrames(
+        graft.sources.EventCodec.encodeTrade(Tables.events(s, d)), dir)
+      graft.sources.EventCodec.decodeTrade(
+        s.read.format("graft-wire").load(dir))
+    }),
     "q_stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.windowedCountsAvailableNow(
         s, d, Seq("purchase"))),
@@ -678,6 +689,11 @@ object SparkEntry {
                   AS total_qty
          FROM lineitem GROUP BY 1, 2""",
     "q_events_decode_roundtrip" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+                CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
+         FROM events""",
+    "q_events_wire_source" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
                 CAST(round(value * 100, 0) AS BIGINT) AS amount_cents

@@ -1,0 +1,195 @@
+package graft.sources.wire
+
+import java.io.{DataInputStream, EOFException}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 batch source for the graft wire format (SURVEY §2 A33).
+  *
+  * The reference consumes framed event bytes off a wire (Yellowstone gRPC
+  * / ShredStream connections, each connection an independent byte
+  * sequence — `src/grpc/`, `src/shred/`). The Spark-native re-expression
+  * is a DSv2 table: a directory of frame files, each file a concatenation
+  * of `[u32 LE length][payload]` frames, surfaced as rows
+  * `(file, frame_idx, payload)` ready for the columnar decoders
+  * ([[graft.sources.EventCodec]] / [[graft.sources.ProtocolRegistry]]).
+  *
+  * Scale design: one [[InputPartition]] per frame file — files are the
+  * unit of parallelism exactly as connections are in the reference; a
+  * 1000-executor cluster reading a day of capture spreads files across
+  * executors with no coordination. Variable-length frames make byte-range
+  * splits unsafe (a split could land mid-frame), so parallelism comes
+  * from many files, the way the capture layer naturally produces them.
+  * Column pruning is pushed into the reader: a `count(*)` or
+  * metadata-only query skips payload materialization per frame.
+  */
+class GraftWireSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-wire"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftWireTable.Schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftWireTable(properties.get("path"))
+}
+
+object GraftWireTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Frame files under `path` (a directory or a single file). */
+  def listFrameFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+        .filter(_.endsWith(".bin")).sorted.toSeq
+    else Seq(p.toString)
+  }
+}
+
+class GraftWireTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-wire requires .load(path)")
+  override def name(): String = s"graft-wire:$path"
+  override def schema(): StructType = GraftWireTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftWireScanBuilder(path)
+}
+
+class GraftWireScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftWireTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftWireScan(path, required)
+}
+
+class GraftWireScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftWireScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftWireTable.listFrameFiles(path)
+      .map(f => GraftWirePartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftWireReaderFactory(required)
+}
+
+case class GraftWirePartition(file: String) extends InputPartition
+
+class GraftWireReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftWireFrameReader(
+      partition.asInstanceOf[GraftWirePartition].file, required)
+}
+
+/** Sequential frame reader: `[u32 LE length][payload]`*; a trailing
+  * truncated frame ends the file early instead of failing the task
+  * (untrusted capture data must never fail the job — the reference
+  * length-checks every wire read the same way). */
+class GraftWireFrameReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val needPayload = required.fieldNames.contains("payload")
+  private val fileUtf8 = UTF8String.fromString(file)
+  private val path = new Path(file)
+  private val in: DataInputStream = {
+    val fs = path.getFileSystem(new Configuration())
+    // frames carry their own length guards; hadoop checksum sidecars would
+    // make out-of-band capture appends unreadable
+    fs.setVerifyChecksum(false)
+    new DataInputStream(new java.io.BufferedInputStream(fs.open(path)))
+  }
+  private var idx = -1L
+  private var current: Array[Byte] = _
+  private var done = false
+
+  private def readLenLE(): Int = {
+    val b0 = in.read(); val b1 = in.read(); val b2 = in.read()
+    val b3 = in.read()
+    if (b0 < 0) throw new EOFException() // clean end between frames
+    if (b3 < 0) { done = true; -1 } // truncated header: stop early
+    else b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    try {
+      val len = readLenLE()
+      if (len < 0) return false
+      val buf = new Array[Byte](len)
+      try in.readFully(buf)
+      catch { case _: EOFException => done = true; return false }
+      current = buf
+      idx += 1
+      true
+    } catch { case _: EOFException => done = true; false }
+  }
+
+  override def get(): InternalRow = {
+    val values = required.fieldNames.map {
+      case "file" => fileUtf8
+      case "frame_idx" => java.lang.Long.valueOf(idx)
+      case "payload" => if (needPayload) current else null
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = in.close()
+}
+
+/** Distributed writer for the wire format (the capture-side analog): each
+  * partition of `payloads` becomes one frame file — the same
+  * files-as-parallelism layout the source reads back. */
+object GraftWireWriter {
+  def writeFrames(payloads: org.apache.spark.sql.DataFrame,
+      dir: String): Unit = {
+    // replace semantics: a previous capture with more partitions must not
+    // leave stale frame files behind
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(new Configuration())
+    if (dfs.exists(dirPath)) dfs.delete(dirPath, true)
+    dfs.mkdirs(dirPath)
+    payloads.select("payload").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new Path(s"$dir/part-$pid.bin")
+        val fs = p.getFileSystem(new Configuration())
+        fs.setWriteChecksum(false)
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(fs.create(p, true)))
+        try rows.foreach { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          out.write(bytes.length & 0xff)
+          out.write((bytes.length >> 8) & 0xff)
+          out.write((bytes.length >> 16) & 0xff)
+          out.write((bytes.length >> 24) & 0xff)
+          out.write(bytes)
+        } finally out.close()
+    }
+  }
+}

@@ -8,6 +8,36 @@ import graft.sources.EventCodec
 
 class CodecSpec extends TestSparkSession {
 
+  test("graft-wire DSv2 source: frame round trip, pruning, truncation") {
+    import graft.sources.wire.{GraftWireWriter, GraftWireTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire").toString
+    val ev = Tables.events(spark, sfDir)
+    GraftWireWriter.writeFrames(EventCodec.encodeTrade(ev), dir)
+    val back = spark.read.format("graft-wire").load(dir)
+    // decoded frames ≡ original events
+    val dec = EventCodec.decodeTrade(back)
+    assert(dec.count() == ev.count())
+    assert(dec.select(sum("event_id")).head.getLong(0) ==
+      ev.select(sum("event_id")).head.getLong(0))
+    // frame_idx is dense per file
+    val perFile = back.groupBy("file")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("mx")).collect()
+    perFile.foreach(r =>
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("n") - 1))
+    // column pruning reaches the scan
+    val pruned = back.select("frame_idx")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("columns=frame_idx"), "expected pruned scan description")
+    // a truncated trailing frame ends the file early, never fails the task
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).head
+    val out = new java.io.FileOutputStream(f, true)
+    out.write(Array[Byte](50, 0, 0, 0, 1, 2, 3)) // header says 50, 3 bytes
+    out.close()
+    val total = spark.read.format("graft-wire").load(dir).count()
+    assert(total == ev.count(), "truncated tail frame must be skipped")
+  }
+
   test("base58 known vectors") {
     assert(Base58.encode(Array.emptyByteArray) == "")
     assert(Base58.encode(Array[Byte](0)) == "1")

@@ -67,7 +67,8 @@ class GraftWireTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-wire:$path"
   override def schema(): StructType = GraftWireTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftWireScanBuilder(path)
@@ -93,6 +94,61 @@ class GraftWireScan(path: String, required: StructType)
   override def planInputPartitions(): Array[InputPartition] =
     GraftWireTable.listFrameFiles(path)
       .map(f => GraftWirePartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftWireReaderFactory(required)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new GraftWireMicroBatchStream(path, required)
+}
+
+/** Streaming offset: the sorted set of frame files fully ingested so far.
+  * Capture files are append-per-file but arrive whole (the capture layer
+  * rotates files), so file granularity is the natural commit unit — the
+  * analog of the reference's per-connection stream positions. */
+case class GraftWireOffset(files: Seq[String])
+    extends streaming.Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object GraftWireOffset {
+  def fromJson(s: String): GraftWireOffset = {
+    // minimal JSON string-array parse (no external deps)
+    val items = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(s).map(_.group(1).replace("\\\"", "\"")).toSeq
+    GraftWireOffset(items)
+  }
+}
+
+/** Micro-batch stream over a growing directory of frame files: each
+  * trigger ingests the files that appeared since the last committed
+  * offset, one [[InputPartition]] per new file (same partition/reader as
+  * the batch path — identical decode semantics, proven by the
+  * availableNow parity spec). */
+class GraftWireMicroBatchStream(path: String, required: StructType)
+    extends streaming.MicroBatchStream {
+  override def latestOffset(): streaming.Offset =
+    GraftWireOffset(GraftWireTable.listFrameFiles(path))
+
+  override def initialOffset(): streaming.Offset = GraftWireOffset(Seq())
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    GraftWireOffset.fromJson(json)
+
+  override def commit(end: streaming.Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftWireOffset].files.toSet
+    end.asInstanceOf[GraftWireOffset].files
+      .filterNot(seen)
+      .map(f => GraftWirePartition(f): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftWireReaderFactory(required)

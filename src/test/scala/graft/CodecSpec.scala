@@ -38,6 +38,33 @@ class CodecSpec extends TestSparkSession {
     assert(total == ev.count(), "truncated tail frame must be skipped")
   }
 
+  test("graft-wire micro-batch stream ingests files incrementally") {
+    import graft.functions.CodecOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire_s")
+    def frame(id: Long): Array[Byte] = {
+      val p = EventCodec.Discriminator ++ CodecOps.leBytes(id, 8) ++
+        CodecOps.leBytes(id % 7, 8) ++ CodecOps.leBytes(id * 1000L, 8) ++
+        Array[Byte](1) ++ CodecOps.leBytes(id * 3, 8)
+      CodecOps.leBytes(p.length.toLong, 4) ++ p
+    }
+    def writeFile(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        ids.flatMap(frame).toArray)
+    writeFile("a.bin", Seq(1L, 2L, 3L))
+    val stream = spark.readStream.format("graft-wire").load(dir.toString)
+    val decoded = EventCodec.decodeTrade(stream)
+    val q = decoded.writeStream.format("memory")
+      .queryName("graft_wire_stream").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("graft_wire_stream").count() == 3)
+    writeFile("b.bin", Seq(10L, 11L)) // capture layer rotates in a new file
+    q.processAllAvailable()
+    val ids = spark.table("graft_wire_stream").collect()
+      .map(_.getAs[Long]("event_id")).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L, 10L, 11L))
+  }
+
   test("base58 known vectors") {
     assert(Base58.encode(Array.emptyByteArray) == "")
     assert(Base58.encode(Array[Byte](0)) == "1")

@@ -31,4 +31,43 @@ object EventSink {
   def readPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a date-partitioned layout in place: streaming ingest lands
+    * one small file per trigger per partition, and at 100 TB the
+    * accumulated small files dominate scan cost (footer reads + task
+    * scheduling, not bytes). Rewrite each partition into
+    * `ceil(bytes / targetBytes)` time-sorted files, then atomically swap
+    * directories. Partitions already at or under one target file are
+    * skipped (`maxFiles` guard) so routine compaction touches only the
+    * partitions that need it.
+    */
+  def compactPartitions(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024, maxFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("event_date="))
+    parts.foreach { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (files.length > math.max(want, maxFiles)) {
+        val tmp = new Path(p.getPath.getParent,
+          s".compact_${p.getPath.getName}")
+        spark.read.parquet(p.getPath.toString)
+          .repartition(want)
+          .sortWithinPartitions("ts", "event_id")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val bak = new Path(p.getPath.getParent,
+          s".old_${p.getPath.getName}")
+        fs.rename(p.getPath, bak)
+        fs.rename(tmp, p.getPath)
+        fs.delete(bak, true)
+      }
+    }
+  }
 }

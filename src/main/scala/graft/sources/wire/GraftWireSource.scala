@@ -85,9 +85,25 @@ class GraftWireScanBuilder(path: String)
 }
 
 class GraftWireScan(path: String, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size from the file listing (frame payloads dominate the bytes), so
+    * Catalyst can cost joins against wire tables — e.g. auto-broadcast a
+    * small capture against a large history table. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val files = GraftWireTable.listFrameFiles(path)
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   override def description(): String =
     s"GraftWireScan(path=$path, columns=${required.fieldNames.mkString(",")})"
 

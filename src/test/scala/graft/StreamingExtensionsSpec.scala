@@ -182,6 +182,26 @@ class StreamingExtensionsSpec extends TestSparkSession {
       s.getAs[Int]("n_events") == 2)
   }
 
+  test("sink compaction: one file per partition after, data unchanged") {
+    import graft.sources.EventSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, sfDir)
+    EventSink.writePartitionedByDay(ev, dir, buckets = 8)
+    def partDirs = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("event_date="))
+    def fileCounts = partDirs.map(d =>
+      d.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).toSeq
+    assert(fileCounts.exists(_ > 1), "precondition: small files exist")
+    val before = (ev.count(), ev.select(sum("event_id")).head.getLong(0))
+    EventSink.compactPartitions(spark, dir)
+    assert(fileCounts.forall(_ == 1), s"expected 1 file/partition: $fileCounts")
+    val back = EventSink.readPartitioned(spark, dir)
+    assert((back.count(), back.select(sum("event_id")).head.getLong(0))
+      == before)
+  }
+
   test("partitioned sink: date layout, read-back equality, partition pruning") {
     import graft.sources.EventSink
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString

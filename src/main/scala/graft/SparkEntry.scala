@@ -111,6 +111,19 @@ object SparkEntry {
     "q_events_decode_roundtrip" -> ((s, d) =>
       graft.sources.EventCodec.decodeTrade(
         graft.sources.EventCodec.encodeTrade(Tables.events(s, d)))),
+    "q_events_log_extract" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // payloads ride base64-encoded in "Program data:" log lines among
+      // noise lines, exactly as Solana tx logs deliver them
+      val logs = graft.sources.EventCodec.encodeTrade(ev)
+        .select(concat(lit("Program data: "), base64(col("payload")))
+          .as("log"))
+        .unionAll(ev.select(
+          concat(lit("Program log: instruction "), col("event_type"))
+            .as("log")))
+      graft.sources.EventCodec.decodeTrade(
+        graft.sources.EventCodec.extractProgramData(logs))
+    }),
     "q_events_wire_source" -> ((s, d) => {
       // capture-side write (one frame file per partition) → DSv2 read →
       // columnar decode: the full wire path the reference implements with
@@ -689,6 +702,11 @@ object SparkEntry {
                   AS total_qty
          FROM lineitem GROUP BY 1, 2""",
     "q_events_decode_roundtrip" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+                CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
+         FROM events""",
+    "q_events_log_extract" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
                 CAST(round(value * 100, 0) AS BIGINT) AS amount_cents

@@ -27,6 +27,25 @@ object CodecOps {
       ((bytes(offset + 3) & 0xff) << 24)
   }
 
+  /** Unsigned little-endian 128-bit read at byte offset, widened to
+    * Decimal(38,0) (reference `utils.rs:44` `read_u128_le` — CLMM
+    * sqrt_price/liquidity fields are u128 on the wire). */
+  def leU128(bytes: Array[Byte], offset: Int): org.apache.spark.sql.types.Decimal = {
+    // big-endian magnitude with a leading zero byte keeps the sign positive
+    val be = new Array[Byte](17)
+    var i = 0
+    while (i < 16) {
+      be(16 - i) = bytes(offset + i)
+      i += 1
+    }
+    val v = new java.math.BigInteger(be)
+    // max u128 is 39 digits; Spark decimals cap at precision 38. Values
+    // ≥ 10^38 (top ~1.5 bits of the range, far beyond any real
+    // sqrt_price/liquidity) decode to null rather than failing the task.
+    if (v.bitLength > 126 && v.toString.length > 38) null
+    else org.apache.spark.sql.types.Decimal(BigDecimal(v), 38, 0)
+  }
+
   /** Little-endian encode of the low `width` bytes of a long. */
   def leBytes(value: Long, width: Int): Array[Byte] = {
     val out = new Array[Byte](width)

@@ -42,6 +42,28 @@ case class LeInt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** u128 little-endian read as Decimal(38,0) — the reference's
+  * `read_u128_le` (`event_parser/common/utils.rs:44`); real CLMM layouts
+  * carry sqrt_price/liquidity as u128. Caller length-guards, like the
+  * other LE reads. */
+case class LeU128(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def prettyName: String = "graft_le_u128"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(bytes: Any, off: Any): Any =
+    CodecOps.leU128(bytes.asInstanceOf[Array[Byte]], off.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, o) => s"""
+      ${ev.value} = graft.functions.CodecOps.leU128($b, $o);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LeU128 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Little-endian encode of the low `width` bytes of a long (borsh-style). */
 case class LeBytes(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -247,6 +269,8 @@ object exprs {
     col(LeInt(ex(bin), Literal(offset)))
   def le_bytes(value: Column, width: Int): Column =
     col(LeBytes(ex(value), Literal(width)))
+  def le_u128(bin: Column, offset: Int): Column =
+    col(LeU128(ex(bin), Literal(offset)))
   def base58(bin: Column): Column = col(Base58Encode(ex(bin)))
   def decode_create_token(bin: Column): Column =
     col(DecodeCreateToken(ex(bin)))

@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => LeInt(es(0), es(1))))
     ext.injectFunction(fn("graft_le_bytes", args = 2,
       es => LeBytes(es(0), es(1))))
+    ext.injectFunction(fn("graft_le_u128", args = 2,
+      es => LeU128(es(0), es(1))))
     ext.injectFunction(fn("graft_rolling_min", args = 2,
       es => RollingHashMin(es(0), es(1))))
     ext.injectFunction(fn("graft_nop", args = 1, es => GraftNop(es.head)))
@@ -54,6 +56,7 @@ object GraftExtensions {
       fn("graft_le_long", 2, (es: Seq[Expression]) => LeLong(es(0), es(1))),
       fn("graft_le_int", 2, (es: Seq[Expression]) => LeInt(es(0), es(1))),
       fn("graft_le_bytes", 2, (es: Seq[Expression]) => LeBytes(es(0), es(1))),
+      fn("graft_le_u128", 2, (es: Seq[Expression]) => LeU128(es(0), es(1))),
       fn("graft_rolling_min", 2,
         (es: Seq[Expression]) => RollingHashMin(es(0), es(1))),
       fn("graft_nop", 1, (es: Seq[Expression]) => GraftNop(es.head)),

@@ -66,6 +66,21 @@ object EventCodec {
       .withColumn("ev", decode_create_token(col(payload)))
       .filter(col("ev").isNotNull)
 
+  /** Program-log payload extraction (reference
+    * `event_parser/common/utils.rs:17-26` `extract_program_data` /
+    * `extract_program_log`): event payloads arrive base64-wrapped in
+    * `"Program data: <b64>"` transaction log lines; other log lines are
+    * noise. One codegen'd projection: prefix test + substring + unbase64 —
+    * rows without the prefix drop out before any decode runs.
+    */
+  def extractProgramData(
+      df: DataFrame, logCol: String = "log"): DataFrame = {
+    val prefix = "Program data: "
+    df.filter(col(logCol).startsWith(prefix))
+      .withColumn("payload",
+        unbase64(expr(s"substring($logCol, ${prefix.length + 1})")))
+  }
+
   /** Multi-protocol dispatch (reference: per-protocol parser registry
     * keyed on the instruction discriminator,
     * `event_parser/protocols/pumpfun/parser.rs:25-35`): tag each payload

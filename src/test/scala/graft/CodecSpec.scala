@@ -82,6 +82,24 @@ class CodecSpec extends TestSparkSession {
     assert(CodecOps.leInt(Array[Byte](0x78, 0x56, 0x34, 0x12), 0) == 0x12345678)
   }
 
+  test("le u128 read: known vectors, beyond-long range, codegen path") {
+    import spark.implicits._
+    // 2^64 + 5 little-endian: low 8 bytes = 5, high 8 bytes = 1
+    val big = Array[Byte](5, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    val max = Array.fill[Byte](16)(-1) // 2^128 - 1: 39 digits, > Decimal(38)
+    val small = CodecOps.leBytes(123456789L, 8) ++ Array.fill[Byte](8)(0)
+    assert(CodecOps.leU128(big, 0).toBigDecimal ==
+      BigDecimal(2).pow(64) + 5)
+    assert(CodecOps.leU128(max, 0) == null, "39-digit u128 → overflow null")
+    // through the expression with codegen (dataframe path)
+    val df = Seq(big, max, small).toDF("b")
+      .select(le_u128(col("b"), 0).as("v"))
+    val got = df.collect().map(r =>
+      if (r.isNullAt(0)) "null" else r.getDecimal(0).toBigInteger.toString)
+    assert(got.sorted.toSeq ==
+      Seq((BigInt(2).pow(64) + 5).toString, "null", "123456789").sorted)
+  }
+
   test("rolling hash min matches brute force") {
     val s = "the quick brown fox jumps over the lazy dog"
     val w = 8

@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // whole-stage codegen emits one compiled class per query stage; the
+  // JDK default 240 MB code cache fills after ~15 heavy queries in one
+  // JVM, silently disabling the JIT — late queries then run generated
+  // code in the interpreter at ~10x cost
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_JVM_LOG").map(f =>
+  s"-Xlog:gc,codecache=info:file=$f").toSeq

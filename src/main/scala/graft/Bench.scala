@@ -58,20 +58,27 @@ object Bench {
     // pure JIT noise
     operators.Dedup.minhashLsh(Tables.documents(spark, sfDir).limit(100), 0.5)
       .write.format("noop").mode("overwrite").save()
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // a failed query must be unmistakable in the JSON (sentinel -1),
-      // never a small elapsed-until-crash number that looks like a pass
-      val elapsed =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      name -> elapsed
+    // a failed query must be unmistakable in the JSON (sentinel -1),
+    // never a small elapsed-until-crash number that looks like a pass.
+    def once(name: String): Double =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+    // Two full sweeps, best per query. The host VM suffers bursty
+    // 30-90 s starvation windows (observed: identical queries 0.8 s vs
+    // 33 s run-to-run with zero GC/JIT activity; all task threads parked;
+    // standalone reruns always fast). Back-to-back repeats can both land
+    // inside one window — a full sweep apart they cannot, so min(sweep1,
+    // sweep2) measures the engine rather than the noisy neighbor.
+    val sweep1 = headline.map(n => n -> once(n))
+    val results = sweep1.map { case (name, a) =>
+      name -> (if (a < 0) a else math.min(a, once(name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -402,6 +402,26 @@ object SparkEntry {
             "cast(nullif(asof.base_reserve, 0) as double), 6)").as("price6"))
         .withColumn("notional6", round(col("amount") * col("price6"), 6))
     }),
+    "q_events_range_join_auto" -> ((s, d) => {
+      // the DECLARATIVE range join: no explicit bucketing — the injected
+      // RangeJoinRewrite optimizer rule turns the nested-loop sandwich
+      // into the bucketed equi-join at plan time
+      s.experimental.extraOptimizations =
+        (s.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RangeJoinRewrite) :+
+          graft.plans.RangeJoinRewrite)
+      val ev = Tables.events(s, d)
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"))
+      val ivals = ev.filter(col("event_type") === "signup")
+        .select(expr("unix_micros(ts)").as("start_us"),
+          expr("unix_micros(ts) + 600000000").as("end_us"))
+      points.join(ivals,
+          col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+        .groupBy(col("event_id").as("purchase_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          min("start_us").as("first_start_us"))
+    }),
     // ---- C. LLM-pipeline surface ----
     "q_dedup_docs_exact" -> ((s, d) =>
       Dedup.exactDocs(Tables.documents(s, d))),
@@ -999,6 +1019,16 @@ object SparkEntry {
                       / CAST(nullif(l_br, 0) AS DOUBLE), 6), 6) AS notional6
          FROM w WHERE kind = 1""",
     "q_events_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_windows,
+                min(i.start_us) AS first_start_us
+         FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT epoch_us(ts) AS start_us,
+                      epoch_us(ts) + 600000000 AS end_us FROM events
+               WHERE event_type = 'signup') i
+           ON p.ts_us >= i.start_us AND p.ts_us < i.end_us
+         GROUP BY 1""",
+    "q_events_range_join_auto" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_windows,
                 min(i.start_us) AS first_start_us
          FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events

@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SimHashBands(es.head)))
     ext.injectOptimizerRule(_ => GraftNopElimination)
     ext.injectOptimizerRule(_ => Base58LiteralRewrite)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
 

@@ -155,6 +155,38 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(out.exists(r => r.getAs[Long]("user_id") == 2L))
   }
 
+  test("range-join rewrite: declarative sandwich join loses its nested loop") {
+    import graft.plans.RangeJoinRewrite
+    val ev = Tables.events(spark, sfDir)
+    val points = ev.select(col("event_id"),
+      expr("unix_micros(ts)").as("ts_us"))
+    val ivals = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("ival_id"),
+        expr("unix_micros(ts)").as("start_us"),
+        expr("unix_micros(ts) + 600000000").as("end_us"))
+    def naive = points.join(ivals,
+      col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+    // without the rule: nested loop
+    spark.experimental.extraOptimizations = Seq()
+    val before = naive.queryExecution.executedPlan.toString
+    assert(before.contains("NestedLoopJoin") || before.contains("CartesianProduct"),
+      "precondition: naive plan is a nested loop")
+    val expected = naive.collect().map(_.toSeq).toSet
+    // with the rule: bucketed equi-join, same rows
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      val after = naive.queryExecution.executedPlan.toString
+      assert(!after.contains("NestedLoopJoin") && !after.contains("CartesianProduct"),
+        s"rule must remove the nested loop:\n${after.take(600)}")
+      assert(naive.collect().map(_.toSeq).toSet == expected)
+      // inclusive upper bound and flipped operand order rewrite too
+      val flipped = points.join(ivals,
+        col("start_us") <= col("ts_us") && col("ts_us") <= col("end_us"))
+      assert(!flipped.queryExecution.executedPlan.toString
+        .contains("NestedLoopJoin"))
+    } finally spark.experimental.extraOptimizations = Seq()
+  }
+
   test("A17b: flatMapGroupsWithState emits only closed sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -104,6 +104,14 @@ class PlanAuditSpec extends TestSparkSession {
     assert(!plan.contains("Exchange"), "expected shuffle-free projection")
   }
 
+  test("per-key top-N uses WindowGroupLimit (partial top-k before shuffle)") {
+    val df = Relational.topOrdersPerCustomer(Tables.orders(spark, sfDir))
+    val plan = planOf(df)
+    // Spark's rank-limit pushdown keeps only k rows per key on the map
+    // side — the reason a custom top-k SparkPlan isn't needed here
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

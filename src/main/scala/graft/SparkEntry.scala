@@ -497,6 +497,8 @@ object SparkEntry {
       TextAnalysis.filterChain(Tables.documents(s, d))),
     "q_text_top_tokens" -> ((s, d) =>
       TextAnalysis.topTokens(Tables.documents(s, d))),
+    "q_docs_scrub_pii" -> ((s, d) =>
+      TextAnalysis.scrubPii(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"),
@@ -1208,6 +1210,21 @@ object SparkEntry {
                       WHEN quality_score < 0.3 THEN 'low_quality'
                       ELSE 'kept' END) = 'kept' AS kept
          FROM c""",
+    "q_docs_scrub_pii" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS n_emails,
+                len(regexp_extract_all(text, '[0-9]{9,}')) AS n_digit_runs,
+                md5(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'), '[0-9]{9,}', '<NUM>', 'g'))
+                  AS scrubbed_md5,
+                length(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'), '[0-9]{9,}', '<NUM>', 'g'))
+                  AS scrubbed_len
+         FROM documents""",
     "q_text_top_tokens" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(lower(text), ' ')) AS token

@@ -129,6 +129,26 @@ object TextAnalysis {
         col("pred_lang"), col("reject_reason"),
         (col("reject_reason") === "kept").as("kept"))
 
+  /** C21: PII scrubbing — mask e-mail addresses and long digit runs
+    * before a corpus ships to training. Pure codegen'd projection (single
+    * scan, no shuffle). Patterns stick to character classes + bounded
+    * quantifiers so Java regex and RE2-family engines agree byte-for-byte;
+    * counts are emitted alongside so curation can report scrub rates.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{9,}"
+    docs
+      .withColumn("n_emails", regexp_count(col("text"), lit(email)).cast("bigint"))
+      .withColumn("n_digit_runs", regexp_count(col("text"), lit(digits)).cast("bigint"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          digits, "<NUM>"))
+      .select(col("doc_id"), col("n_emails"), col("n_digit_runs"),
+        md5(col("scrubbed").cast("binary")).as("scrubbed_md5"),
+        length(col("scrubbed")).cast("bigint").as("scrubbed_len"))
+  }
+
   /** C20: global top-k token histogram. explode → hash-aggregate (partial
     * counts map-side, so the shuffle carries one row per distinct token per
     * partition) → TakeOrderedAndProject top-k with a total tie-break order

@@ -499,6 +499,8 @@ object SparkEntry {
       TextAnalysis.topTokens(Tables.documents(s, d))),
     "q_docs_scrub_pii" -> ((s, d) =>
       TextAnalysis.scrubPii(Tables.documents(s, d))),
+    "q_docs_vocab_stats" -> ((s, d) =>
+      TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"),
@@ -1210,6 +1212,18 @@ object SparkEntry {
                       WHEN quality_score < 0.3 THEN 'low_quality'
                       ELSE 'kept' END) = 'kept' AS kept
          FROM c""",
+    "q_docs_vocab_stats" ->
+      """WITH t AS (SELECT source,
+                           unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents),
+         g AS (SELECT source, token, count(*) AS n FROM t
+               WHERE token <> '' GROUP BY 1, 2)
+         SELECT source, count(*) AS n_types,
+                CAST(sum(n) AS BIGINT) AS n_tokens,
+                CAST(max(n) AS BIGINT) AS max_token_freq,
+                CAST(count(*) AS DOUBLE) / CAST(CAST(sum(n) AS BIGINT)
+                  AS DOUBLE) AS type_token_ratio
+         FROM g GROUP BY 1""",
     "q_docs_scrub_pii" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text,

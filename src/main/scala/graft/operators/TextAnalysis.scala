@@ -129,6 +129,25 @@ object TextAnalysis {
         col("pred_lang"), col("reject_reason"),
         (col("reject_reason") === "kept").as("kept"))
 
+  /** C22: per-source vocabulary statistics — distinct tokens, token
+    * volume, and type-token ratio (lexical-diversity signal for corpus
+    * curation). explode → two-level aggregation, both with map-side
+    * partials; the shuffle carries (source, token) pairs once, not
+    * documents.
+    */
+  def vocabStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum("n").as("n_tokens"),
+        max("n").as("max_token_freq"))
+      .withColumn("type_token_ratio",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+
   /** C21: PII scrubbing — mask e-mail addresses and long digit runs
     * before a corpus ships to training. Pure codegen'd projection (single
     * scan, no shuffle). Patterns stick to character classes + bounded

@@ -29,7 +29,9 @@ object Bench {
     "q_events_trade_price",
     "q_docs_filter_chain",
     "q_docs_corpus_stats",
-    "q_ann_ivf_centroids")
+    "q_ann_ivf_centroids",
+    "q_docs_vocab_stats",
+    "q_docs_scrub_pii")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

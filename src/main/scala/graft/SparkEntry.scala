@@ -456,6 +456,8 @@ object SparkEntry {
     }),
     "q_stream_dedup_counts" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.dedupCountsAvailableNow(s, d)),
+    "q_stream_wire_decoded" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.wireDecodedCountsAvailableNow(s, d)),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
@@ -950,6 +952,13 @@ object SparkEntry {
                       AS BIGINT) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE)) / 1000000.0 AS centroid
          FROM x GROUP BY 1, 2""",
+    "q_stream_wire_decoded" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM events GROUP BY 1, 2""",
     "q_stream_dedup_counts" ->
       """SELECT event_type, count(*) AS n_distinct FROM (
            SELECT DISTINCT user_id, event_type,

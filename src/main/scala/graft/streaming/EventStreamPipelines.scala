@@ -135,6 +135,37 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A35 (north-star composite): the reference's whole pipeline as one
+    * streaming query — framed wire bytes in (custom DSv2 micro-batch
+    * source), discriminator-dispatch columnar decode, windowed buy/sell
+    * metrics out — run to completion with availableNow and oracle-checked
+    * against plain SQL over the events table. Wire capture happens with
+    * the distributed frame writer first (one file per partition: the
+    * files-as-connections layout the source parallelizes over).
+    */
+  def wireDecodedCountsAvailableNow(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{EventCodec, wire}
+    val name = s"graft_wire_wc_${memCounter.incrementAndGet()}"
+    val wireDir = s"${System.getProperty("java.io.tmpdir")}/graft_wire_s_" +
+      Integer.toHexString(sfDir.hashCode)
+    wire.GraftWireWriter.writeFrames(
+      EventCodec.encodeTrade(graft.Tables.events(spark, sfDir)), wireDir)
+    val decoded = EventCodec.decodeTrade(
+      spark.readStream.format("graft-wire").load(wireDir))
+    val agg = decoded
+      .withColumn("ws", expr("(ts_us div 3600000000) * 3600"))
+      .groupBy(col("ws"), col("is_buy"))
+      .agg(count(lit(1)).as("n"), sum("amount_cents").as("cents"))
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** A17b: closed-session emission with flatMapGroupsWithState — a wallet
     * closes zero or more sessions per trigger (mapGroupsWithState must
     * emit exactly one row; session *closures* are naturally 0..n, which is

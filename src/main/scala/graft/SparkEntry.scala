@@ -449,6 +449,10 @@ object SparkEntry {
           col("cum_tokens"), col("bin"))),
     "q_dedup_docs_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(Tables.documents(s, d), 0.5)),
+    "q_docs_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
     "q_ann_ivf_full_probe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
@@ -897,6 +901,23 @@ object SparkEntry {
                 event_id * 7 + 1 AS sqrt_price,
                 user_id % 1000 AS tick, epoch_us(ts) AS ts_us
          FROM events WHERE event_type = 'purchase'""",
+    "q_docs_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         hits AS (SELECT g.doc_id, count(*) AS n_hits
+                  FROM g JOIN bg ON g.g = bg.g GROUP BY 1)
+         SELECT h.doc_id, sz.n_grams, h.n_hits,
+                CAST(h.n_hits AS DOUBLE) / CAST(sz.n_grams AS DOUBLE)
+                  AS contam_frac,
+                (CAST(h.n_hits AS DOUBLE) / CAST(sz.n_grams AS DOUBLE)) >= 0.5
+                  AS contaminated
+         FROM hits h JOIN sz ON h.doc_id = sz.doc_id""",
     "q_dedup_docs_corpus" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
                     FROM documents),

@@ -170,6 +170,28 @@ object Dedup {
     keepExact.join(nonKeepers, Seq("doc_id"), "left_anti")
   }
 
+  /** C23: benchmark decontamination — flag training documents that share
+    * word trigrams with a benchmark/eval set (the pre-training hygiene
+    * check that keeps eval data out of the corpus). The benchmark gram
+    * set is tiny relative to the corpus → broadcast inverted index; the
+    * corpus side explodes its grams exactly once and aggregates with
+    * map-side partials, so the only wide shuffle is the per-doc count.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame,
+      tau: Double = 0.5): DataFrame = {
+    val corpusG = withTrigrams(docs)
+      .select(col("doc_id"), size(col("grams")).cast("bigint").as("n_grams"),
+        explode(col("grams")).as("g"))
+    val benchG = withTrigrams(bench)
+      .select(explode(col("grams")).as("g")).distinct()
+    corpusG.join(broadcast(benchG), "g")
+      .groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
+      .withColumn("contam_frac",
+        col("n_hits").cast("double") / col("n_grams").cast("double"))
+      .withColumn("contaminated", col("contam_frac") >= tau)
+  }
+
   /** C3: 64-bit SimHash near-dup detection. The fingerprint is built
     * per-row from token hashes; candidate pairs collide on one of four
     * 16-bit bands, then are kept if total Hamming distance <= maxHamming.

@@ -462,6 +462,10 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.dedupCountsAvailableNow(s, d)),
     "q_stream_wire_decoded" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.wireDecodedCountsAvailableNow(s, d)),
+    "q_stream_ss_attribution" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.streamStreamAttribution(s, d)),
+    "q_events_retention" -> ((s, d) =>
+      EventOps.retention(Tables.events(s, d))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
@@ -973,6 +977,29 @@ object SparkEntry {
                       AS BIGINT) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE)) / 1000000.0 AS centroid
          FROM x GROUP BY 1, 2""",
+    "q_stream_ss_attribution" ->
+      """SELECT p.user_id, count(*) AS n_attributed
+         FROM (SELECT user_id, epoch_us(ts) AS pts FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, epoch_us(ts) AS sts FROM events
+               WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.pts >= s.sts
+              AND p.pts <= s.sts + 3600000000
+         GROUP BY 1""",
+    "q_events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+         actives AS (SELECT day, count(*) AS actives FROM days GROUP BY 1),
+         ret AS (SELECT a.day, count(*) AS retained
+                 FROM days a JOIN days b
+                   ON a.user_id = b.user_id AND b.day = a.day + 1
+                 GROUP BY 1)
+         SELECT a.day, a.actives,
+                coalesce(r.retained, 0) AS retained,
+                CAST(coalesce(r.retained, 0) AS DOUBLE)
+                  / CAST(a.actives AS DOUBLE) AS retention_rate
+         FROM actives a LEFT JOIN ret r ON a.day = r.day""",
     "q_stream_wire_decoded" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,

@@ -295,6 +295,29 @@ object EventOps {
       .agg(count(lit(1)).as("n_parts"),
         fields.map(f => max(col(f)).as(f)): _*)
 
+  /** A36: day-over-day wallet retention — of the wallets active on day d,
+    * how many return on d+1. Two shuffles total: one distinct on
+    * (user, day), one self-join on user+day (both map-side combined);
+    * the cohort sizes aggregate from the same distinct set.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val actives = days.groupBy("day")
+      .agg(count(lit(1)).as("actives"))
+    val retained = days.as("a")
+      .join(days.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === col("a.day") + 1)
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("retained"))
+    actives.join(retained, Seq("day"), "left")
+      .withColumn("retained", coalesce(col("retained"), lit(0L)))
+      .withColumn("retention_rate",
+        col("retained").cast("double") / col("actives").cast("double"))
+  }
+
   /** A12: hourly OHLC candles per event type (DEX price analytics). */
   def ohlc1h(events: DataFrame): DataFrame = {
     val base = events.select(

@@ -166,6 +166,38 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A37: watermarked stream-stream join — purchases attributed to the
+    * signup they followed within one hour, both sides streams (the join
+    * state is bounded by the watermark + time-range condition, which is
+    * what makes it run at 100 TB: per-key state evicts as event time
+    * advances). availableNow runs it to completion; the memory table is
+    * then aggregated in batch so the result is deterministic and
+    * oracle-checkable.
+    */
+  def streamStreamAttribution(
+      spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_ss_join_${memCounter.incrementAndGet()}"
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id"))
+      .withWatermark("pts", "1 hour")
+    val signups = eventsStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("sts"))
+      .withWatermark("sts", "1 hour")
+    val joined = purchases.join(signups,
+      expr("user_id = s_user AND pts >= sts AND pts <= sts + interval 1 hour"))
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attributed"))
+  }
+
   /** A17b: closed-session emission with flatMapGroupsWithState — a wallet
     * closes zero or more sessions per trigger (mapGroupsWithState must
     * emit exactly one row; session *closures* are naturally 0..n, which is

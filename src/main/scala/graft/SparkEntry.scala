@@ -466,6 +466,10 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.streamStreamAttribution(s, d)),
     "q_events_retention" -> ((s, d) =>
       EventOps.retention(Tables.events(s, d))),
+    "q_events_funnel" -> ((s, d) =>
+      EventOps.funnel(Tables.events(s, d))),
+    "q_events_value_histogram" -> ((s, d) =>
+      EventOps.valueHistogram(Tables.events(s, d))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
@@ -986,6 +990,27 @@ object SparkEntry {
            ON p.user_id = s.user_id AND p.pts >= s.sts
               AND p.pts <= s.sts + 3600000000
          GROUP BY 1""",
+    "q_events_funnel" ->
+      """WITH f AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup'
+                           THEN epoch_us(ts) END) AS t1,
+                  min(CASE WHEN event_type = 'view'
+                           THEN epoch_us(ts) END) AS t2,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END) AS t3
+           FROM events GROUP BY 1)
+         SELECT count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n_stage1,
+                count(CASE WHEN t1 IS NOT NULL AND t2 >= t1 THEN 1 END)
+                  AS n_stage2,
+                count(CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2
+                      THEN 1 END) AS n_stage3
+         FROM f""",
+    "q_events_value_histogram" ->
+      """SELECT event_type,
+                CAST(least(greatest(floor((value - 0.0) / 10.0), 0.0), 9.0)
+                  AS BIGINT) AS bin,
+                count(*) AS n
+         FROM events GROUP BY 1, 2""",
     "q_events_retention" ->
       """WITH days AS (SELECT DISTINCT user_id,
                               epoch_us(ts) // 86400000000 AS day

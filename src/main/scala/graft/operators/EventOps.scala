@@ -318,6 +318,35 @@ object EventOps {
         col("retained").cast("double") / col("actives").cast("double"))
   }
 
+  /** A38: ordered funnel — wallets progressing signup → view → purchase,
+    * each stage timed by its FIRST occurrence and required to happen
+    * at-or-after the previous stage's first occurrence. One groupBy
+    * shuffle builds per-wallet stage times; the funnel counts reduce to a
+    * single row with map-side partials.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val f = events.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", tsUs)).as("t1"),
+      min(when(col("event_type") === "view", tsUs)).as("t2"),
+      min(when(col("event_type") === "purchase", tsUs)).as("t3"))
+    f.agg(
+      count(when(col("t1").isNotNull, 1)).as("n_stage1"),
+      count(when(col("t1").isNotNull && col("t2") >= col("t1"), 1))
+        .as("n_stage2"),
+      count(when(col("t1").isNotNull && col("t2") >= col("t1") &&
+        col("t3") >= col("t2"), 1)).as("n_stage3"))
+  }
+
+  /** A39: fixed-width value histogram per event type (clamped to
+    * [0, nBins)): the constant-memory distribution summary the
+    * reference's metrics layer prints as processing-time stats. */
+  def valueHistogram(events: DataFrame, lo: Double = 0.0,
+      width: Double = 10.0, nBins: Int = 10): DataFrame =
+    events.groupBy(col("event_type"),
+      least(greatest(floor((col("value") - lo) / width), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** A12: hourly OHLC candles per event type (DEX price analytics). */
   def ohlc1h(events: DataFrame): DataFrame = {
     val base = events.select(

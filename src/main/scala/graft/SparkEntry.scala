@@ -468,6 +468,9 @@ object SparkEntry {
       EventOps.retention(Tables.events(s, d))),
     "q_events_funnel" -> ((s, d) =>
       EventOps.funnel(Tables.events(s, d))),
+    "q_tpch_q3_shipping" -> ((s, d) =>
+      Relational.shippingPriority(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d))),
     "q_events_value_histogram" -> ((s, d) =>
       EventOps.valueHistogram(Tables.events(s, d))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
@@ -990,6 +993,21 @@ object SparkEntry {
            ON p.user_id = s.user_id AND p.pts >= s.sts
               AND p.pts <= s.sts + 3600000000
          GROUP BY 1""",
+    "q_tpch_q3_shipping" ->
+      """SELECT l.l_orderkey,
+                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l.l_discount AS DECIMAL(4,2))
+                              AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+                epoch_us(o.o_orderdate) AS o_orderdate_us
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1995-03-15'
+           AND l.l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY 1, 3
+         ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+         LIMIT 10""",
     "q_events_funnel" ->
       """WITH f AS (SELECT user_id,
                   min(CASE WHEN event_type = 'signup'

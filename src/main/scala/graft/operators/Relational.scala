@@ -26,6 +26,35 @@ object Relational {
   private def onePlus(c: String) =
     (lit(1).cast("decimal(4,2)") + rate2(c)).cast("decimal(4,2)")
 
+  /** B12: shipping priority (TPC-H Q3 shape): two fact joins with
+    * date-band filters pushed to the scans, decimal revenue aggregation,
+    * and a distributed top-10 (TakeOrdered, not a global sort). At scale
+    * the segment-filtered customer side is still large, so the joins
+    * shuffle on their keys and AQE picks broadcast only when the filtered
+    * side fits.
+    */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, segment: String = "BUILDING",
+      asOf: String = "1995-03-15"): DataFrame = {
+    val cutoff = lit(asOf).cast("timestamp")
+    val l = lineitem.filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (dec2("l_extendedprice") * oneMinus("l_discount")).as("rev"))
+    val o = orders.filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))")
+          .as("o_orderdate_us"))
+    val c = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate_us"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate_us"))
+      .orderBy(col("revenue").desc, col("o_orderdate_us"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** B1: pricing summary (TPC-H Q1 shape): scan + filter + wide agg. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem

@@ -473,6 +473,8 @@ object SparkEntry {
         Tables.orders(s, d), Tables.customer(s, d))),
     "q_events_value_histogram" -> ((s, d) =>
       EventOps.valueHistogram(Tables.events(s, d))),
+    "q_events_wash_trades" -> ((s, d) =>
+      EventOps.washTrades(Tables.events(s, d))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
@@ -1023,6 +1025,19 @@ object SparkEntry {
                 count(CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2
                       THEN 1 END) AS n_stage3
          FROM f""",
+    "q_events_wash_trades" ->
+      """WITH m AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+                           count(CASE WHEN event_type = 'purchase'
+                                 THEN 1 END) AS n_buys,
+                           count(CASE WHEN event_type = 'view'
+                                 THEN 1 END) AS n_sells
+                    FROM events
+                    WHERE event_type IN ('purchase', 'view')
+                    GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_wash_minutes,
+                CAST(sum(n_buys + n_sells) AS BIGINT) AS n_wash_events
+         FROM m WHERE n_buys >= 1 AND n_sells >= 1
+         GROUP BY 1""",
     "q_events_value_histogram" ->
       """SELECT event_type,
                 CAST(least(greatest(floor((value - 0.0) / 10.0), 0.0), 9.0)

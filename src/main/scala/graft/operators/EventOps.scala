@@ -318,6 +318,25 @@ object EventOps {
         col("retained").cast("double") / col("actives").cast("double"))
   }
 
+  /** A40: wash-trade heuristic — wallets appearing on both sides of the
+    * market (buy ≙ purchase, sell ≙ view) inside the same minute; the
+    * self-churn pattern the reference's bot-wallet tagging exists to
+    * catch. One aggregation keyed on (wallet, minute) with two
+    * conditional partial counts — no self-join.
+    */
+  def washTrades(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("n_buys"),
+        count(when(col("event_type") === "view", 1)).as("n_sells"))
+      .filter(col("n_buys") >= 1 && col("n_sells") >= 1)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_wash_minutes"),
+        sum(col("n_buys") + col("n_sells")).as("n_wash_events"))
+
   /** A38: ordered funnel — wallets progressing signup → view → purchase,
     * each stage timed by its FIRST occurrence and required to happen
     * at-or-after the previous stage's first occurrence. One groupBy

@@ -475,6 +475,8 @@ object SparkEntry {
       EventOps.valueHistogram(Tables.events(s, d))),
     "q_events_wash_trades" -> ((s, d) =>
       EventOps.washTrades(Tables.events(s, d))),
+    "q_events_conversion_time" -> ((s, d) =>
+      EventOps.conversionTime(Tables.events(s, d))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
@@ -1025,6 +1027,26 @@ object SparkEntry {
                 count(CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2
                       THEN 1 END) AS n_stage3
          FROM f""",
+    "q_events_conversion_time" ->
+      """WITH f AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup'
+                           THEN epoch_us(ts) END) AS t_signup,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END) AS t_purchase
+           FROM events GROUP BY 1),
+         d AS (SELECT user_id, t_purchase - t_signup AS delta_us FROM f
+               WHERE t_signup IS NOT NULL AND t_purchase >= t_signup),
+         r AS (SELECT delta_us,
+                      row_number() OVER (ORDER BY delta_us, user_id) AS rn,
+                      count(*) OVER () AS cnt
+               FROM d)
+         SELECT count(*) AS n_converted,
+                min(delta_us) AS min_us, max(delta_us) AS max_us,
+                max(CASE WHEN rn = (cnt + 1) // 2 THEN delta_us END)
+                  AS p50_us,
+                max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN delta_us END)
+                  AS p90_us
+         FROM r""",
     "q_events_wash_trades" ->
       """WITH m AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
                            count(CASE WHEN event_type = 'purchase'

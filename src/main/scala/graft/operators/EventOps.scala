@@ -318,6 +318,35 @@ object EventOps {
         col("retained").cast("double") / col("actives").cast("double"))
   }
 
+  /** A41: conversion-time distribution — first signup → first purchase
+    * latency per wallet, summarized with exact integer-rank percentiles
+    * (global: one narrow single-key window over |converted wallets| rows,
+    * which is already reduced data — at 100 TB the per-wallet firsts
+    * aggregation did the heavy lifting with map-side partials).
+    */
+  def conversionTime(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", tsUs)).as("t_signup"),
+      min(when(col("event_type") === "purchase", tsUs)).as("t_purchase"))
+    val deltas = firsts
+      .filter(col("t_signup").isNotNull &&
+        col("t_purchase") >= col("t_signup"))
+      .select(col("user_id"),
+        (col("t_purchase") - col("t_signup")).as("delta_us"))
+    val w = Window.orderBy("delta_us", "user_id")
+    deltas
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over())
+      .agg(
+        count(lit(1)).as("n_converted"),
+        min("delta_us").as("min_us"),
+        max("delta_us").as("max_us"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("delta_us")))
+          .as("p50_us"),
+        max(when(col("rn") === expr("(cnt * 90 + 99) div 100"),
+          col("delta_us"))).as("p90_us"))
+  }
+
   /** A40: wash-trade heuristic — wallets appearing on both sides of the
     * market (buy ≙ purchase, sell ≙ view) inside the same minute; the
     * self-churn pattern the reference's bot-wallet tagging exists to

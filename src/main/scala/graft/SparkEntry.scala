@@ -477,6 +477,8 @@ object SparkEntry {
       EventOps.washTrades(Tables.events(s, d))),
     "q_events_conversion_time" -> ((s, d) =>
       EventOps.conversionTime(Tables.events(s, d))),
+    "q_events_ordering_audit" -> ((s, d) =>
+      EventOps.orderingAudit(Tables.events(s, d))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
@@ -1027,6 +1029,15 @@ object SparkEntry {
                 count(CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2
                       THEN 1 END) AS n_stage3
          FROM f""",
+    "q_events_ordering_audit" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY event_id) AS prev_ts
+                    FROM events)
+         SELECT user_id, count(*) AS n_events,
+                count(CASE WHEN ts_us < prev_ts THEN 1 END) AS n_inversions
+         FROM x GROUP BY 1
+         HAVING count(CASE WHEN ts_us < prev_ts THEN 1 END) > 0""",
     "q_events_conversion_time" ->
       """WITH f AS (SELECT user_id,
                   min(CASE WHEN event_type = 'signup'

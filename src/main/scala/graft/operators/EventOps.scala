@@ -318,6 +318,23 @@ object EventOps {
         col("retained").cast("double") / col("actives").cast("double"))
   }
 
+  /** A42: ingest-order audit — per wallet, how often the event-id order
+    * disagrees with event-time order (the reference validates slot/
+    * tx-index ordering on ingest; out-of-order deliveries feed its
+    * dropped/reordered accounting). One window pass per wallet, then a
+    * partial-agg rollup of inversion counts.
+    */
+  def orderingAudit(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("ts_us") < col("prev_ts"), 1)).as("n_inversions"))
+      .filter(col("n_inversions") > 0)
+  }
+
   /** A41: conversion-time distribution — first signup → first purchase
     * latency per wallet, summarized with exact integer-rank percentiles
     * (global: one narrow single-key window over |converted wallets| rows,

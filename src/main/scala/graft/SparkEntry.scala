@@ -449,6 +449,20 @@ object SparkEntry {
           col("cum_tokens"), col("bin"))),
     "q_dedup_docs_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(Tables.documents(s, d), 0.5)),
+    "q_docs_pack_efficiency" -> ((s, d) =>
+      // per-stratum fill report over the packing plan: bins opened, token
+      // volume, and achieved fill ratio vs the 2048-token budget
+      Sampling.packSequences(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("cast(size(split(text, ' ')) as bigint)").as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), 2048)
+        .groupBy("source")
+        .agg(countDistinct(col("bin")).as("n_bins"),
+          sum("n_tok").as("total_tokens"))
+        .withColumn("fill_ratio",
+          col("total_tokens").cast("double") /
+            (col("n_bins") * 2048L).cast("double"))),
     "q_docs_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.contamination(docs, docs.filter(col("doc_id") % 97 === 0))
@@ -1213,6 +1227,21 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) - n_tok) // 2048 AS bin
          FROM t""",
+    "q_docs_pack_efficiency" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tok
+                    FROM documents),
+         p AS (SELECT source, n_tok,
+                      (CAST(sum(n_tok) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) - n_tok) // 2048 AS bin
+               FROM t)
+         SELECT source, count(DISTINCT bin) AS n_bins,
+                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) /
+                  CAST(count(DISTINCT bin) * 2048 AS DOUBLE) AS fill_ratio
+         FROM p GROUP BY 1""",
     "q_dedup_docs_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_dups,
                 min(doc_id) AS keep_id

@@ -287,6 +287,34 @@ object SparkEntry {
           sum(coalesce(col("buy.base_amount"), col("sell.base_amount"),
             col("deposit.lp_amount"), col("withdraw.lp_amount"))).as("sum_amt"))
     }),
+    "q_events_pool_stats" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      // wire-encoded buy/sell fills → registry decode → per-pool market
+      // stats straight off the decoded structs (volume, sides, traders)
+      val ev = Tables.events(s, d).select(
+        col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("base_amount"),
+        (col("event_id") * 2 + 1).as("quote_amount"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      def enc(t: String, l: ProtocolRegistry.LayoutSpec) =
+        ProtocolRegistry.encode(
+          ev.filter(col("event_type") === t).select(
+            col("event_id"), col("pool"), col("user_id"),
+            col("base_amount"), col("quote_amount"), col("ts_us")),
+          l).select("payload")
+      val fills = enc("purchase", ProtocolRegistry.Swap.layouts(0))
+        .union(enc("view", ProtocolRegistry.Swap.layouts(1)))
+      ProtocolRegistry.dispatch(fills)
+        .filter(col("event_kind").isin("buy", "sell"))
+        .groupBy(expr("coalesce(buy.pool, sell.pool)").as("pool"))
+        .agg(
+          count(when(col("event_kind") === "buy", 1)).as("n_buys"),
+          count(when(col("event_kind") === "sell", 1)).as("n_sells"),
+          sum(coalesce(col("buy.base_amount"), col("sell.base_amount")))
+            .as("base_volume"),
+          countDistinct(coalesce(col("buy.user_id"), col("sell.user_id")))
+            .as("n_traders"))
+    }),
     "q_events_launch_decode" -> ((s, d) => {
       import graft.sources.ProtocolRegistry
       val ev = Tables.events(s, d).select(
@@ -915,6 +943,15 @@ object SparkEntry {
                 CAST(sum(CASE WHEN protocol <> 'unknown' THEN amt END)
                   AS BIGINT) AS sum_amt
          FROM k GROUP BY 1, 2""",
+    "q_events_pool_stats" ->
+      """SELECT user_id % 100 AS pool,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buys,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS n_sells,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS base_volume,
+                count(DISTINCT user_id) AS n_traders
+         FROM events WHERE event_type IN ('purchase', 'view')
+         GROUP BY 1""",
     "q_events_launch_decode" ->
       """SELECT 'launch' AS protocol,
                 CASE event_type WHEN 'signup' THEN 'pool_create'

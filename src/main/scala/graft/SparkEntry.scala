@@ -315,6 +315,23 @@ object SparkEntry {
           countDistinct(coalesce(col("buy.user_id"), col("sell.user_id")))
             .as("n_traders"))
     }),
+    "q_events_decode_mixed" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val src = Tables.events(s, d).select(
+        col("event_id"),
+        (col("user_id") % 100).as("pool"),
+        (col("event_id") % 3).as("flags"),
+        expr("unhex(concat(md5(cast(cast(user_id as string) as binary)), " +
+          "md5(cast(cast(user_id + 1 as string) as binary))))").as("trader"),
+        expr("cast(round(value * 100, 0) as bigint)").as("base_amount"),
+        expr("unix_micros(ts)").as("ts_us"))
+      val l = ProtocolRegistry.Perp.layouts(0)
+      ProtocolRegistry.decode(
+        ProtocolRegistry.encode(src, l).select("payload"), l)
+        .select(col("event_id"), col("pool"), col("flags"),
+          expr("lower(hex(trader))").as("trader_hex"),
+          col("base_amount"), col("ts_us"))
+    }),
     "q_events_launch_decode" -> ((s, d) => {
       import graft.sources.ProtocolRegistry
       val ev = Tables.events(s, d).select(
@@ -943,6 +960,14 @@ object SparkEntry {
                 CAST(sum(CASE WHEN protocol <> 'unknown' THEN amt END)
                   AS BIGINT) AS sum_amt
          FROM k GROUP BY 1, 2""",
+    "q_events_decode_mixed" ->
+      """SELECT event_id, CAST(user_id % 100 AS INTEGER) AS pool,
+                CAST(event_id % 3 AS INTEGER) AS flags,
+                md5(CAST(user_id AS VARCHAR)) ||
+                  md5(CAST(user_id + 1 AS VARCHAR)) AS trader_hex,
+                CAST(round(value * 100, 0) AS BIGINT) AS base_amount,
+                epoch_us(ts) AS ts_us
+         FROM events""",
     "q_events_pool_stats" ->
       """SELECT user_id % 100 AS pool,
                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buys,

@@ -24,13 +24,24 @@ import graft.functions.exprs._
   */
 object ProtocolRegistry {
 
-  /** A fixed-offset little-endian u64/i64 field. */
-  final case class FieldSpec(name: String, offset: Int)
+  /** A fixed-offset field. `kind`: u64 (LE i64/u64), u32 (LE), u8, or
+    * b32 (32-byte pubkey) — the widths the reference's borsh layouts mix
+    * (`pumpswap/events.rs` carries u8 flags and 32-byte pubkeys between
+    * the u64 amounts). */
+  final case class FieldSpec(name: String, offset: Int,
+      kind: String = "u64") {
+    def width: Int = kind match {
+      case "u64" => 8
+      case "u32" => 4
+      case "u8" => 1
+      case "b32" => 32
+    }
+  }
 
   /** One event layout: discriminator + fixed LE fields after it. */
   final case class LayoutSpec(
       kind: String, discriminator: Array[Byte], fields: Seq[FieldSpec]) {
-    def minLen: Int = fields.map(_.offset + 8).max
+    def minLen: Int = fields.map(f => f.offset + f.width).max
   }
 
   final case class ProtocolSpec(protocol: String, layouts: Seq[LayoutSpec])
@@ -87,16 +98,48 @@ object ProtocolRegistry {
       u64s("event_id", "pool", "user_id", "amount_in", "amount_out",
         "sqrt_price", "tick", "ts_us"))))
 
+  /** "perp" protocol: a mixed-width fill layout — u32 pool index, u8
+    * flags, 32-byte trader pubkey between the u64 amounts — the width mix
+    * real borsh layouts use (`pumpswap/events.rs` interleaves u8 flags and
+    * pubkeys with u64 amounts). */
+  val Perp: ProtocolSpec = ProtocolSpec("perp", Seq(
+    LayoutSpec("fill_v2", disc(0x56, 0x01), Seq(
+      FieldSpec("event_id", 8),
+      FieldSpec("pool", 16, "u32"),
+      FieldSpec("flags", 20, "u8"),
+      FieldSpec("trader", 21, "b32"),
+      FieldSpec("base_amount", 53),
+      FieldSpec("ts_us", 61)))))
+
   /** Default registry (the single-layout trade/create protocols live in
     * [[EventCodec]]; this registry carries the multi-layout protocols). */
-  val registry: Seq[ProtocolSpec] = Seq(Swap, Amm, Account, Launch, Clmm)
+  val registry: Seq[ProtocolSpec] =
+    Seq(Swap, Amm, Account, Launch, Clmm, Perp)
+
+  /** Per-field decode expression (all codegen'd builtins / graft exprs). */
+  private def fieldCol(payload: String, f: FieldSpec): Column = f.kind match {
+    case "u64" => le_long(col(payload), f.offset)
+    case "u32" => le_int(col(payload), f.offset).cast("int")
+    case "u8" => expr(
+      s"cast(conv(hex(substring($payload, ${f.offset + 1}, 1)), 16, 10) as int)")
+    case "b32" => expr(s"substring($payload, ${f.offset + 1}, 32)")
+  }
+
+  /** Per-field encode expression from a source column of the field name:
+    * long for u64/u32/u8, binary(32) for b32. */
+  private def fieldBytes(f: FieldSpec): Column = f.kind match {
+    case "u64" => le_bytes(col(f.name), 8)
+    case "u32" => le_bytes(col(f.name), 4)
+    case "u8" => le_bytes(col(f.name), 1)
+    case "b32" => col(f.name)
+  }
 
   /** Encode rows into a layout's wire format (round-trip/test path):
-    * requires one long column per field name. */
+    * requires one column per field name (long, or binary for b32). */
   def encode(df: DataFrame, layout: LayoutSpec): DataFrame =
     df.withColumn("payload",
       concat(lit(layout.discriminator) +:
-        layout.fields.map(f => le_bytes(col(f.name), 8)): _*))
+        layout.fields.map(fieldBytes): _*))
 
   private def discMatches(payload: String, l: LayoutSpec): Column =
     expr(s"substring($payload, 1, 8)") === lit(l.discriminator) &&
@@ -106,8 +149,7 @@ object ProtocolRegistry {
   def decode(df: DataFrame, layout: LayoutSpec,
       payload: String = "payload"): DataFrame =
     df.filter(discMatches(payload, layout))
-      .select(layout.fields.map(f =>
-        le_long(col(payload), f.offset).as(f.name)): _*)
+      .select(layout.fields.map(f => fieldCol(payload, f).as(f.name)): _*)
 
   /** Registry-wide dispatch: tag (protocol, event_kind) and decode every
     * layout into its own struct column in ONE projection pass. */
@@ -125,7 +167,7 @@ object ProtocolRegistry {
       case (acc, (_, l)) =>
         acc.withColumn(l.kind,
           when(discMatches(payload, l), struct(l.fields.map(f =>
-            le_long(col(payload), f.offset).as(f.name)): _*)))
+            fieldCol(payload, f).as(f.name)): _*)))
     }
   }
 }

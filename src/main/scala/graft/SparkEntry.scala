@@ -961,7 +961,7 @@ object SparkEntry {
                   AS BIGINT) AS sum_amt
          FROM k GROUP BY 1, 2""",
     "q_events_decode_mixed" ->
-      """SELECT event_id, CAST(user_id % 100 AS INTEGER) AS pool,
+      """SELECT event_id, user_id % 100 AS pool,
                 CAST(event_id % 3 AS INTEGER) AS flags,
                 md5(CAST(user_id AS VARCHAR)) ||
                   md5(CAST(user_id + 1 AS VARCHAR)) AS trader_hex,

@@ -119,7 +119,11 @@ object ProtocolRegistry {
   /** Per-field decode expression (all codegen'd builtins / graft exprs). */
   private def fieldCol(payload: String, f: FieldSpec): Column = f.kind match {
     case "u64" => le_long(col(payload), f.offset)
-    case "u32" => le_int(col(payload), f.offset).cast("int")
+    // widen through a mask: a signed 32-bit read of a u32 ≥ 2^31 would
+    // otherwise come back negative
+    case "u32" =>
+      (le_int(col(payload), f.offset).cast("bigint") bitwiseAND
+        lit(0xFFFFFFFFL)).cast("bigint")
     case "u8" => expr(
       s"cast(conv(hex(substring($payload, ${f.offset + 1}, 1)), 16, 10) as int)")
     case "b32" => expr(s"substring($payload, ${f.offset + 1}, 32)")

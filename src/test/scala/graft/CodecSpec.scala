@@ -209,6 +209,25 @@ class CodecSpec extends TestSparkSession {
     assert(tagged.getString(0) == "unknown" && tagged.getString(1) == "unknown")
   }
 
+  test("typed-width fields round-trip at their edges (u32 sign bit, u8 max)") {
+    import spark.implicits._
+    import graft.sources.ProtocolRegistry
+    val l = ProtocolRegistry.Perp.layouts(0)
+    val pk = (0 until 32).map(i => (i * 7 % 251).toByte).toArray
+    val src = Seq(
+      (1L, 4294967295L, 255L, pk, Long.MaxValue, 0L), // u32/u8 at max
+      (2L, 2147483648L, 0L, pk.reverse, 5L, 6L)) // u32 sign bit set
+      .toDF("event_id", "pool", "flags", "trader", "base_amount", "ts_us")
+    val back = ProtocolRegistry.decode(
+      ProtocolRegistry.encode(src, l).select("payload"), l)
+      .orderBy("event_id").collect()
+    assert(back(0).getAs[Long]("pool") == 4294967295L)
+    assert(back(0).getAs[Int]("flags") == 255)
+    assert(back(0).getAs[Long]("base_amount") == Long.MaxValue)
+    assert(back(1).getAs[Long]("pool") == 2147483648L)
+    assert(back(1).getAs[Array[Byte]]("trader").toSeq == pk.reverse.toSeq)
+  }
+
   test("registry dispatch separates protocols and decodes in one pass") {
     import spark.implicits._
     import graft.sources.ProtocolRegistry

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Base58, CodecOps}
+
+/** Property-based checks for the byte-level kernels: these run without a
+  * SparkSession (the expressions delegate to these same static helpers
+  * from generated code, so the properties transfer). */
+class CodecPropsSpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("le bytes/long round-trip for all longs") {
+    check(Prop.forAll { (v: Long) =>
+      CodecOps.leLong(CodecOps.leBytes(v, 8), 0) == v
+    })
+  }
+
+  test("le u128 equals BigInt little-endian reconstruction") {
+    val bytes16 = Gen.containerOfN[Array, Byte](16, Gen.choose(
+      Byte.MinValue, Byte.MaxValue))
+    check(Prop.forAll(bytes16) { b =>
+      val expected = (0 until 16).map(i =>
+        BigInt(b(i) & 0xff) << (8 * i)).sum
+      val got = CodecOps.leU128(b, 0)
+      if (expected.toString.length > 38) got == null
+      else got.toBigDecimal == BigDecimal(expected)
+    })
+  }
+
+  test("base58 round-trips arbitrary byte strings") {
+    val bytes = Gen.choose(0, 64).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    check(Prop.forAll(bytes) { b =>
+      Base58.decode(Base58.encode(b)).toSeq == b.toSeq
+    })
+  }
+
+  test("wire frame files round-trip arbitrary payload lists") {
+    import graft.sources.wire.{GraftWireFrameReader, GraftWireTable}
+    val payloads = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 200).flatMap(m =>
+        Gen.containerOfN[Array, Byte](m, Gen.choose(
+          Byte.MinValue, Byte.MaxValue)))))
+    check(Prop.forAll(payloads) { ps =>
+      val f = java.io.File.createTempFile("graft_prop", ".bin")
+      try {
+        val out = new java.io.FileOutputStream(f)
+        ps.foreach { p =>
+          out.write(Array[Byte](
+            (p.length & 0xff).toByte, ((p.length >> 8) & 0xff).toByte,
+            ((p.length >> 16) & 0xff).toByte,
+            ((p.length >> 24) & 0xff).toByte))
+          out.write(p)
+        }
+        out.close()
+        val r = new GraftWireFrameReader(
+          f.getAbsolutePath, GraftWireTable.Schema)
+        val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Byte]]
+        while (r.next()) got += r.get().getBinary(2).toSeq
+        r.close()
+        got.toSeq == ps.map(_.toSeq)
+      } finally f.delete()
+    }, n = 100)
+  }
+}

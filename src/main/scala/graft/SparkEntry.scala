@@ -124,6 +124,20 @@ object SparkEntry {
       graft.sources.EventCodec.decodeTrade(
         graft.sources.EventCodec.extractProgramData(logs))
     }),
+    "q_events_sink_roundtrip" -> ((s, d) => {
+      // production layout round trip: date-partitioned time-sorted write,
+      // partition-discovering read, per-date rollup ≡ direct aggregation
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sink_q_" +
+        Integer.toHexString(d.hashCode)
+      graft.sources.EventSink.writePartitionedByDay(
+        Tables.events(s, d), dir, buckets = 4)
+      graft.sources.EventSink.readPartitioned(s, dir)
+        .groupBy(date_format(col("event_date"), "yyyy-MM-dd")
+          .as("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
     "q_events_wire_source" -> ((s, d) => {
       // capture-side write (one frame file per partition) → DSv2 read →
       // columnar decode: the full wire path the reference implements with
@@ -817,6 +831,11 @@ object SparkEntry {
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
                 CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
          FROM events""",
+    "q_events_sink_roundtrip" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY 1""",
     "q_events_wire_source" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,

@@ -79,8 +79,23 @@ object Bench {
     // inside one window — a full sweep apart they cannot, so min(sweep1,
     // sweep2) measures the engine rather than the noisy neighbor.
     val sweep1 = headline.map(n => n -> once(n))
-    val results = sweep1.map { case (name, a) =>
+    var results = sweep1.map { case (name, a) =>
       name -> (if (a < 0) a else math.min(a, once(name)))
+    }
+    // Outlier-retry: a starvation window can outlast both sweeps, leaving
+    // a block of consecutive queries 10-40x their real time. Re-time any
+    // query sitting far above the run median (bounded to 2 extra rounds)
+    // — by then the window has passed and the min reflects the engine.
+    (1 to 2).foreach { _ =>
+      val ok = results.collect { case (_, v) if v >= 0 => v }.sorted
+      if (ok.nonEmpty) {
+        val med = ok(ok.size / 2)
+        results = results.map { case (n, v) =>
+          if (v >= 0 && v > math.max(5 * med, 2.0))
+            n -> math.min(v, once(n))
+          else n -> v
+        }
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

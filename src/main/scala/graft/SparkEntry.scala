@@ -537,6 +537,8 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.wireDecodedCountsAvailableNow(s, d)),
     "q_stream_ss_attribution" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.streamStreamAttribution(s, d)),
+    "q_stream_static_enrich" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.streamStaticEnrichment(s, d)),
     "q_events_retention" -> ((s, d) =>
       EventOps.retention(Tables.events(s, d))),
     "q_events_funnel" -> ((s, d) =>
@@ -597,6 +599,8 @@ object SparkEntry {
       TextAnalysis.scrubPii(Tables.documents(s, d))),
     "q_docs_vocab_stats" -> ((s, d) =>
       TextAnalysis.vocabStats(Tables.documents(s, d))),
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"),
@@ -1199,6 +1203,15 @@ object SparkEntry {
                   epoch_us(ts) // 60000000 AS minute_bucket
            FROM events)
          GROUP BY event_type""",
+    "q_stream_static_enrich" ->
+      """WITH dim AS (SELECT user_id, strftime(min(ts), '%Y-%m-%d')
+                        AS cohort_date
+                      FROM events GROUP BY 1)
+         SELECT d.cohort_date, e.event_type, count(*) AS n,
+                CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value
+         FROM events e JOIN dim d ON e.user_id = d.user_id
+         GROUP BY 1, 2""",
     "q_events_json_ingest" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
          FROM events""",
@@ -1482,6 +1495,38 @@ object SparkEntry {
                 CAST(count(*) AS DOUBLE) / CAST(CAST(sum(n) AS BIGINT)
                   AS DOUBLE) AS type_token_ratio
          FROM g GROUP BY 1""",
+    "q_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+             SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+                      (x, i) -> struct_pack(tok := x, pos := i))) AS u
+             FROM documents)
+           WHERE u.tok <> ''),
+         bgr AS (
+           SELECT doc_id,
+                  tok || ' ' ||
+                    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS bigram
+           FROM toks),
+         bg AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                  CAST(max(n) AS BIGINT) AS top_bigram_cnt
+           FROM (SELECT doc_id, bigram, count(*) AS n FROM bgr
+                 WHERE bigram IS NOT NULL GROUP BY 1, 2)
+           GROUP BY 1),
+         tk AS (
+           SELECT doc_id, count(*) AS n_tok,
+                  count(DISTINCT tok) AS n_distinct_tok
+           FROM toks GROUP BY 1)
+         SELECT tk.doc_id, tk.n_tok, tk.n_distinct_tok,
+                CAST(1 AS DOUBLE) - CAST(n_distinct_tok AS DOUBLE) /
+                  CAST(n_tok AS DOUBLE) AS dup_word_frac,
+                COALESCE(bg.n_bigrams, 0) AS n_bigrams,
+                COALESCE(bg.top_bigram_cnt, 0) AS top_bigram_cnt,
+                CAST(COALESCE(bg.top_bigram_cnt, 0) AS DOUBLE) /
+                  CAST(GREATEST(COALESCE(bg.n_bigrams, 0), 1) AS DOUBLE)
+                  AS top_bigram_frac
+         FROM tk LEFT JOIN bg ON tk.doc_id = bg.doc_id""",
     "q_docs_scrub_pii" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.exprs.rolling_min
@@ -166,6 +167,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_emails"), col("n_digit_runs"),
         md5(col("scrubbed").cast("binary")).as("scrubbed_md5"),
         length(col("scrubbed")).cast("bigint").as("scrubbed_len"))
+  }
+
+  /** C24: repetition signals (Gopher-style quality filters): per-document
+    * duplicate-word fraction and top-bigram fraction — the standard "is
+    * this document degenerate/boilerplate" gates a curation run applies
+    * before training. Tokens shuffle once on `doc_id` (the bigram window
+    * and both per-doc aggregations reuse that partitioning); documents
+    * never shuffle whole, so the plan holds at 100 TB where per-doc token
+    * lists are small but the corpus is not.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks
+      .withColumn("nxt", lead(col("token"), 1).over(byPos))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("token"), col("nxt")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), max("n").as("top_bigram_cnt"))
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("token")).as("n_distinct_tok"))
+      .join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_distinct_tok"),
+        (lit(1.0) - col("n_distinct_tok").cast("double") /
+          col("n_tok").cast("double")).as("dup_word_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        (coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L))
+            .cast("double")).as("top_bigram_frac"))
   }
 
   /** C20: global top-k token histogram. explode → hash-aggregate (partial

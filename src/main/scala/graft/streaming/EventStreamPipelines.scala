@@ -166,6 +166,37 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A43: stream-static broadcast enrichment — the live event feed joined
+    * per micro-batch against a static dimension, the way the reference
+    * enriches events from its account-state cache / bot-wallet list
+    * (`common/event_processor.rs` consults static lookups per event). The
+    * dim side (per-wallet first-seen cohort, computed in batch) is
+    * `broadcast()`, so every micro-batch joins map-side — the stream never
+    * shuffles on the join key, which is what keeps this cheap when the
+    * stream is the 100 TB side. availableNow run-to-completion proves
+    * parity with the equivalent batch join (driver oracle-checks vs SQL).
+    */
+  def streamStaticEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_se_${memCounter.incrementAndGet()}"
+    val dim = graft.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("cohort_date"))
+    val agg = eventsStream(spark, dir)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("cohort_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** A37: watermarked stream-stream join — purchases attributed to the
     * signup they followed within one hour, both sides streams (the join
     * state is bounded by the watermark + time-range condition, which is

@@ -56,6 +56,23 @@ object SparkEntry {
         col("asof.event_id").as("view_id"),
         col("asof.ts_us").as("view_ts_us"))
     }),
+    "q_events_session_native" -> ((s, d) =>
+      EventOps.sessionizeNative(Tables.events(s, d))),
+    "q_events_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val joined = AsOfJoin.asOf(
+        ev.filter(col("event_type") === "purchase").drop("event_type"),
+        ev.filter(col("event_type") === "view").drop("event_type"),
+        "user_id", "ts_us", "event_id", Seq(),
+        toleranceUs = Some(600000000L))
+      joined.select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("asof.event_id").as("view_id"),
+        col("asof.ts_us").as("view_ts_us"))
+    }),
     "q_events_cumulative_user" -> ((s, d) =>
       EventOps.cumulativeByUser(Tables.events(s, d))),
     "q_events_latency_calibration" -> ((s, d) =>
@@ -539,6 +556,37 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.streamStreamAttribution(s, d)),
     "q_stream_static_enrich" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.streamStaticEnrichment(s, d)),
+    "q_events_twap_1h" -> ((s, d) =>
+      EventOps.twap1h(Tables.events(s, d))),
+    "q_events_liquidity_depth" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view")).select(
+          col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("lp_amount"),
+          (col("event_id") * 3).as("base_in"),
+          (col("event_id") * 5).as("quote_in"),
+          (col("event_id") * 3).as("base_out"),
+          (col("event_id") * 5).as("quote_out"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      val dep = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "click"),
+        ProtocolRegistry.Amm.layouts(0))
+      val wdr = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view"),
+        ProtocolRegistry.Amm.layouts(1))
+      val flows = ProtocolRegistry.dispatch(
+        dep.select("payload").union(wdr.select("payload")),
+        Seq(ProtocolRegistry.Amm))
+        .select(col("event_kind"),
+          coalesce(col("deposit.pool"), col("withdraw.pool")).as("pool"),
+          coalesce(col("deposit.event_id"), col("withdraw.event_id"))
+            .as("event_id"),
+          coalesce(col("deposit.lp_amount"), col("withdraw.lp_amount"))
+            .as("lp_amount"),
+          coalesce(col("deposit.ts_us"), col("withdraw.ts_us")).as("ts_us"))
+      EventOps.liquidityDepth(flows)
+    }),
     "q_events_retention" -> ((s, d) =>
       EventOps.retention(Tables.events(s, d))),
     "q_events_funnel" -> ((s, d) =>
@@ -718,6 +766,41 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
                 lv AS view_id, lvts AS view_ts_us
+         FROM w WHERE kind = 1""",
+    "q_events_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                           CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         s AS (SELECT user_id, ts_us, v,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w >= 1800000000
+                           THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         c AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s)
+         SELECT user_id, min(ts_us) AS start_us,
+                max(ts_us) + 1800000000 AS end_us,
+                count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
+         FROM c GROUP BY user_id, sid""",
+    "q_events_asof_tolerance" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           0 AS kind, event_id AS view_id,
+                           epoch_us(ts) AS view_ts_us
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, 1 AS kind,
+                      CAST(NULL AS BIGINT) AS view_id,
+                      CAST(NULL AS BIGINT) AS view_ts_us
+               FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT * FROM v UNION ALL SELECT * FROM p),
+         w AS (SELECT *, last_value(view_id IGNORE NULLS) OVER win AS lv,
+                      last_value(view_ts_us IGNORE NULLS) OVER win AS lvts
+               FROM u WINDOW win AS (PARTITION BY user_id
+                 ORDER BY ts_us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+                CASE WHEN ts_us - lvts <= 600000000 THEN lv END AS view_id,
+                CASE WHEN ts_us - lvts <= 600000000 THEN lvts END
+                  AS view_ts_us
          FROM w WHERE kind = 1""",
     "q_events_cumulative_user" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -1203,6 +1286,48 @@ object SparkEntry {
                   epoch_us(ts) // 60000000 AS minute_bucket
            FROM events)
          GROUP BY event_type""",
+    "q_events_twap_1h" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+                           CAST(floor(value * 100) AS BIGINT) AS price_cents
+                    FROM events),
+         w AS (SELECT event_type, ts_us, price_cents,
+                      (ts_us // 3600000000) * 3600000000 AS hs_us,
+                      lead(ts_us) OVER (
+                        PARTITION BY event_type, ts_us // 3600000000
+                        ORDER BY ts_us, event_id) AS nxt
+               FROM e),
+         d AS (SELECT event_type, hs_us, price_cents,
+                      (COALESCE(nxt, hs_us + 3600000000) - ts_us) // 1000
+                        AS dt_ms
+               FROM w),
+         g AS (SELECT event_type, hs_us, count(*) AS n,
+                      CAST(sum(price_cents * dt_ms) AS BIGINT) AS wp_ms,
+                      CAST(sum(dt_ms) AS BIGINT) AS held_ms
+               FROM d GROUP BY 1, 2)
+         SELECT event_type, hs_us // 1000000 AS ws, n, wp_ms, held_ms,
+                CAST(wp_ms AS DOUBLE) / CAST(held_ms AS DOUBLE) / 100.0
+                  AS twap
+         FROM g""",
+    "q_events_liquidity_depth" ->
+      """WITH f AS (SELECT event_id, user_id % 100 AS pool,
+                           epoch_us(ts) AS ts_us, event_type,
+                           CASE WHEN event_type = 'click'
+                                THEN CAST(round(value * 100, 0) AS BIGINT)
+                                ELSE -CAST(round(value * 100, 0) AS BIGINT)
+                           END AS delta
+                    FROM events WHERE event_type IN ('click', 'view')),
+         r AS (SELECT pool, delta, event_type,
+                      sum(delta) OVER (PARTITION BY pool
+                        ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_lp
+               FROM f)
+         SELECT pool,
+                count(*) FILTER (event_type = 'click') AS n_deposits,
+                count(*) FILTER (event_type = 'view') AS n_withdrawals,
+                CAST(sum(delta) AS BIGINT) AS net_lp,
+                CAST(max(running_lp) AS BIGINT) AS peak_lp,
+                CAST(min(running_lp) AS BIGINT) AS trough_lp
+         FROM r GROUP BY 1""",
     "q_stream_static_enrich" ->
       """WITH dim AS (SELECT user_id, strftime(min(ts), '%Y-%m-%d')
                         AS cohort_date

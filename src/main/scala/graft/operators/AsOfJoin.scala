@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   *
   * Tie rule: right rows at the same timestamp as a left row ARE visible to
   * it (kind 0 sorts before kind 1); remaining ties break by `idCol`.
+  *
+  * `toleranceUs` bounds staleness: a matched right row older than the
+  * tolerance is dropped (asof → null), the way a state cache treats an
+  * entry past its TTL — the match still costs nothing extra, the bound is
+  * a post-projection on the already-joined row.
   */
 object AsOfJoin {
   def asOf(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, idCol: String,
       rightValueCols: Seq[String],
-      leftValueCols: Seq[String] = Seq()): DataFrame = {
+      leftValueCols: Seq[String] = Seq(),
+      toleranceUs: Option[Long] = None): DataFrame = {
     val rightTagged = right.select(
       col(keyCol) +: col(tsCol) +: col(idCol) +: lit(0).as("kind") +:
         struct((tsCol +: idCol +: rightValueCols).map(col): _*).as("rval") +:
@@ -39,9 +45,12 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("kind"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightTagged.unionByName(leftTagged)
+    val joined = rightTagged.unionByName(leftTagged)
       .withColumn("asof", last("rval", ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
-      .drop("kind", "rval")
+    toleranceUs.fold(joined) { tol =>
+      joined.withColumn("asof",
+        when(col(tsCol) - col("asof")(tsCol) <= tol, col("asof")))
+    }.drop("kind", "rval")
   }
 }

@@ -135,6 +135,24 @@ object EventOps {
         sum("v").cast("double").as("total_value"))
   }
 
+  /** A8b: sessionization via Spark's native `session_window` — the same
+    * gap semantics as [[sessionize]] expressed as a session-window
+    * aggregate (Spark merges windows server-side; a gap exactly equal to
+    * `gapMinutes` starts a new session, `end = last event + gap`). The
+    * oracle cross-checks the native operator against plain SQL islands
+    * logic, proving the two formulations agree.
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), valDec.as("v"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("v").cast("double").as("total_value"))
+      .select(col("user_id"), expr("unix_micros(sw.start)").as("start_us"),
+        expr("unix_micros(sw.end)").as("end_us"), col("n_events"),
+        col("total_value"))
+
   /** A9: top-K wallets by purchase volume, deterministic tiebreak.
     * The global sort+limit compiles to TakeOrderedAndProject (per-partition
     * top-K merged on the driver) — a billion per-wallet totals never pass
@@ -232,6 +250,60 @@ object EventOps {
     * (~0.5M rows/year) regardless of input volume — the 100 TB shuffle
     * happened in the groupBy above it.
     */
+  /** A44: hourly TWAP (time-weighted average price) per event type — the
+    * DEX price metric OHLC can't give you: each observation is weighted by
+    * how long it stood as the latest price within the hour (the last one
+    * runs to the hour boundary). All weighting is exact integer arithmetic
+    * — price in floored cents, holding time in integer milliseconds — so
+    * the per-group sums are order-independent and reproducible on any
+    * engine; the only float op is the final single division. One window +
+    * one aggregation, both keyed on (event_type, hour): a single shuffle,
+    * partition-local sort bounded by events-per-type-per-hour.
+    */
+  def twap1h(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    events
+      .select(col("event_type"), tsUs.as("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("bigint").as("price_cents"))
+      .withColumn("hs_us", expr(s"(ts_us div $hourUs) * $hourUs"))
+      .withColumn("dt_ms",
+        expr(s"(coalesce(lead(ts_us) over (partition by event_type, hs_us " +
+          s"order by ts_us, event_id), hs_us + $hourUs) - ts_us) div 1000"))
+      .groupBy("event_type", "hs_us")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents") * col("dt_ms")).as("wp_ms"),
+        sum(col("dt_ms")).as("held_ms"))
+      .select(col("event_type"), expr("hs_us div 1000000").as("ws"),
+        col("n"), col("wp_ms"), col("held_ms"),
+        (col("wp_ms").cast("double") / col("held_ms").cast("double") / 100.0)
+          .as("twap"))
+  }
+
+  /** A45: per-pool liquidity depth from decoded deposit/withdraw flows
+    * (the LP-side state the reference's AMM account cache tracks):
+    * signed running balance per pool plus its peak/trough. Input is the
+    * registry-decoded flow table (`event_kind`, `pool`, `lp_amount`,
+    * `ts_us`, `event_id`) — wire bytes in, depth analytics out, one plan.
+    * One shuffle on `pool`; the running sum is a partition-local sort, and
+    * the per-pool aggregate reuses the same partitioning.
+    */
+  def liquidityDepth(flows: DataFrame): DataFrame = {
+    val run = Window.partitionBy("pool").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flows
+      .withColumn("delta",
+        when(col("event_kind") === "deposit", col("lp_amount"))
+          .otherwise(-col("lp_amount")))
+      .withColumn("running_lp", sum("delta").over(run))
+      .groupBy("pool")
+      .agg(
+        count(when(col("event_kind") === "deposit", 1)).as("n_deposits"),
+        count(when(col("event_kind") === "withdraw", 1)).as("n_withdrawals"),
+        sum("delta").as("net_lp"),
+        max("running_lp").as("peak_lp"),
+        min("running_lp").as("trough_lp"))
+  }
+
   def ratePerMinute(events: DataFrame): DataFrame = {
     val perMin = events
       .groupBy(expr("unix_micros(ts) div 60000000").as("mb"))

@@ -162,6 +162,41 @@ class OperatorsSpec extends TestSparkSession {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("twap: constant price gives that price; weights cover the hour") {
+    import spark.implicits._
+    val base = 3600L * 1000000L * 500000 // an exact hour boundary
+    val d = Seq(
+      (1L, base, "purchase", 2.0),            // held 10 min
+      (2L, base + 600L * 1000000, "purchase", 2.0), // held 50 min
+      (3L, base, "view", 1.0))                // held the whole hour
+      .toDF("event_id", "ts_us", "event_type", "value")
+      .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("event_type"), col("value"))
+    val r = EventOps.twap1h(d).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("purchase").getAs[Double]("twap") == 2.0)
+    assert(r("purchase").getAs[Long]("held_ms") == 3600L * 1000)
+    assert(r("view").getAs[Long]("held_ms") == 3600L * 1000)
+    assert(r("view").getAs[Double]("twap") == 1.0)
+  }
+
+  test("liquidity depth: running balance peaks and nets correctly") {
+    import spark.implicits._
+    val d = Seq(
+      ("deposit", 1L, 100L, 1000L, 1L),
+      ("deposit", 1L, 50L, 2000L, 2L),
+      ("withdraw", 1L, 120L, 3000L, 3L),
+      ("deposit", 2L, 10L, 1000L, 4L))
+      .toDF("event_kind", "pool", "lp_amount", "ts_us", "event_id")
+    val r = EventOps.liquidityDepth(d).collect()
+      .map(x => x.getAs[Long]("pool") -> x).toMap
+    assert(r(1L).getAs[Long]("net_lp") == 30L)
+    assert(r(1L).getAs[Long]("peak_lp") == 150L)
+    assert(r(1L).getAs[Long]("n_deposits") == 2L)
+    assert(r(1L).getAs[Long]("n_withdrawals") == 1L)
+    assert(r(2L).getAs[Long]("trough_lp") == 10L)
+  }
+
   test("per-minute rate moving average stays within observed bounds") {
     val r = EventOps.ratePerMinute(events)
     val row = r.agg(min("ma5"), max("ma5"), max("n")).collect()(0)

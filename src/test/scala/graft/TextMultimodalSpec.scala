@@ -39,6 +39,22 @@ class TextMultimodalSpec extends TestSparkSession {
     assert(fp(1L) != fp(3L))
   }
 
+  test("repetition: degenerate doc maxes out, all-distinct doc zeroes") {
+    import spark.implicits._
+    val d = Seq((1L, "spam spam spam spam"),
+      (2L, "one two three four"),
+      (3L, "a b a b a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(r(1L).getAs[Double]("dup_word_frac") == 0.75)
+    assert(r(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(r(2L).getAs[Long]("top_bigram_cnt") == 1L)
+    // "a b" appears 3 times of 5 bigrams
+    assert(r(3L).getAs[Long]("top_bigram_cnt") == 3L)
+    assert(r(3L).getAs[Long]("n_bigrams") == 5L)
+  }
+
   test("multimodal: payload plumbing and batched stub decode") {
     val feats = Multimodal.extractFeatures(Multimodal.withPayload(docs))
     val rows = feats.collect()

@@ -31,7 +31,9 @@ object Bench {
     "q_docs_corpus_stats",
     "q_ann_ivf_centroids",
     "q_docs_vocab_stats",
-    "q_docs_scrub_pii")
+    "q_docs_scrub_pii",
+    "q_events_twap_1h",
+    "q_text_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -501,6 +501,17 @@ object SparkEntry {
     // ---- C. LLM-pipeline surface ----
     "q_dedup_docs_exact" -> ((s, d) =>
       Dedup.exactDocs(Tables.documents(s, d))),
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
+    "q_docs_cube" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
     "q_docs_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedByHash(
         Tables.documents(s, d),
@@ -1465,6 +1476,15 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, count(*) AS n_dups,
                 min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "q_docs_cube" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY CUBE (source, lang)""",
+    "q_dedup_incremental" ->
+      """SELECT n.doc_id, n.source FROM documents n
+         WHERE n.doc_id % 2 = 1 AND NOT EXISTS (
+           SELECT 1 FROM documents c
+           WHERE c.doc_id % 2 = 0 AND c.text = n.text)""",
     "q_dedup_docs_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
                     FROM documents),

@@ -33,6 +33,34 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("content_md5"))
       .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
 
+  /** C25: incremental ingest dedup — a new batch against an existing
+    * corpus. A Bloom filter over the corpus's content hashes
+    * (`bloom_filter_agg`, shipped to executors as a scalar subquery)
+    * pre-filters the batch: rows the filter has never seen are provably
+    * new and skip the join entirely; only maybe-dups (true dups + rare
+    * false positives) anti-join the corpus for exact confirmation. At
+    * 100 TB the filter is a few MB broadcast while the join side shrinks
+    * from the whole batch to the near-duplicate sliver — the standard
+    * "don't re-shuffle the corpus every ingest" pattern.
+    */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1000000L, numBits: Long = 8000000L): DataFrame = {
+    graft.plans.GraftExtensions.register(newBatch.sparkSession)
+    val view = s"graft_incr_corpus_${viewCounter.incrementAndGet()}"
+    corpus.select(col("text")).createOrReplaceTempView(view)
+    val seen = expr(
+      s"graft_might_contain((SELECT graft_bloom_agg(xxhash64(text), " +
+        s"CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT)) " +
+        s"FROM $view), xxhash64(text))")
+    val definitelyNew = newBatch.filter(!seen)
+    val confirmed = newBatch.filter(seen)
+      .join(corpus.select(col("text")).distinct(), Seq("text"), "left_anti")
+    definitelyNew.unionByName(confirmed)
+      .select(col("doc_id"), col("source"))
+  }
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** C4: exact n-gram Jaccard near-dup pairs (gram-explode self-join).
     * The inverted-index join keys on the gram, so common grams fan out —
     * at scale cap gram document-frequency (stop-gram removal) or use

@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => HyperplaneSig(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash_bands", args = 1,
       es => SimHashBands(es.head)))
+    ext.injectFunction(fn("graft_bloom_agg", args = 3,
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2))
+        .toAggregateExpression()))
+    ext.injectFunction(fn("graft_might_contain", args = 2,
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
     ext.injectOptimizerRule(_ => GraftNopElimination)
     ext.injectOptimizerRule(_ => Base58LiteralRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
@@ -67,7 +74,14 @@ object GraftExtensions {
       fn("graft_hyperplane_sig", 2,
         (es: Seq[Expression]) => HyperplaneSig(es(0), es(1))),
       fn("graft_simhash_bands", 1,
-        (es: Seq[Expression]) => SimHashBands(es.head)))
+        (es: Seq[Expression]) => SimHashBands(es.head)),
+      fn("graft_bloom_agg", 3,
+        (es: Seq[Expression]) => new org.apache.spark.sql.catalyst
+          .expressions.aggregate.BloomFilterAggregate(es(0), es(1), es(2))
+          .toAggregateExpression()),
+      fn("graft_might_contain", 2,
+        (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es(0), es(1))))
     fns.foreach { case (id, info, b) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, id.funcName, info, b)
     }

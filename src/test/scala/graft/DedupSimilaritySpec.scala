@@ -54,6 +54,18 @@ class DedupSimilaritySpec extends TestSparkSession {
     }
   }
 
+  test("incremental dedup equals the plain anti-join") {
+    val newBatch = docs.filter(col("doc_id") % 2 === 1)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val got = Dedup.incrementalDedup(newBatch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = newBatch.join(corpus.select("text").distinct(),
+        Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val res = Dedup.simhash(planted, maxHamming = 3).collect()
     val pairs = res.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet

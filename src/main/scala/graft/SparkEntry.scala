@@ -501,6 +501,17 @@ object SparkEntry {
     // ---- C. LLM-pipeline surface ----
     "q_dedup_docs_exact" -> ((s, d) =>
       Dedup.exactDocs(Tables.documents(s, d))),
+    "q_events_latest_state" -> ((s, d) =>
+      EventOps.latestState(Tables.events(s, d))),
+    "q_docs_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldV = docs.filter(col("doc_id") % 3 =!= 0)
+      val newV = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(oldV, newV)
+    }),
     "q_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalDedup(
@@ -1480,6 +1491,30 @@ object SparkEntry {
       """SELECT source, lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY CUBE (source, lang)""",
+    "q_events_latest_state" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type, value,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts) DESC, event_id DESC)
+                             AS rn,
+                           count(*) OVER (PARTITION BY user_id)
+                             AS n_updates
+                    FROM events)
+         SELECT user_id, ts_us, event_id, event_type, value, n_updates
+         FROM r WHERE rn = 1""",
+    "q_docs_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+                    WHERE doc_id % 3 <> 0),
+         n AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                               ELSE text END) AS new_md5
+               FROM documents WHERE doc_id % 5 <> 0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.old_md5 IS NULL THEN 'added'
+                     WHEN n.new_md5 IS NULL THEN 'removed'
+                     WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
     "q_dedup_incremental" ->
       """SELECT n.doc_id, n.source FROM documents n
          WHERE n.doc_id % 2 = 1 AND NOT EXISTS (

@@ -61,6 +61,24 @@ object Dedup {
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** C26: corpus snapshot diff — added/removed/changed/unchanged between
+    * two versions of a document set (dataset-versioning audit before a
+    * training run ships). Bodies never shuffle: each side reduces to
+    * (doc_id, md5) map-side, the full-outer join moves 16-byte digests.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("old_md5"))
+    val n = newDocs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** C4: exact n-gram Jaccard near-dup pairs (gram-explode self-join).
     * The inverted-index join keys on the gram, so common grams fan out —
     * at scale cap gram document-frequency (stop-gram removal) or use

@@ -135,6 +135,28 @@ object EventOps {
         sum("v").cast("double").as("total_value"))
   }
 
+  /** A46: latest-state-per-key materialization — the batch equivalent of
+    * the reference's dashmap account cache (every key holds only its most
+    * recent update; `account_event_parser` overwrites on arrival). One
+    * hash aggregation with `max_by` on a totally-ordered (ts, id) struct:
+    * a single shuffle on the key, map-side partials keep only one row per
+    * key per partition, so the shuffle volume is bounded by distinct keys
+    * — the merge-on-read compaction pattern at 100 TB.
+    */
+  def latestState(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        max(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value"))).as("latest"),
+        count(lit(1)).as("n_updates"))
+      .select(col("user_id"), col("latest.ts_us").as("ts_us"),
+        col("latest.event_id").as("event_id"),
+        col("latest.event_type").as("event_type"),
+        col("latest.value").as("value"), col("n_updates"))
+
   /** A8b: sessionization via Spark's native `session_window` — the same
     * gap semantics as [[sessionize]] expressed as a session-window
     * aggregate (Spark merges windows server-side; a gap exactly equal to

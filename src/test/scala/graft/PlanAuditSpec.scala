@@ -112,6 +112,36 @@ class PlanAuditSpec extends TestSparkSession {
     assert(plan.contains("WindowGroupLimit"), plan.take(400))
   }
 
+  test("date-dim join dynamically prunes sink partitions (DPP)") {
+    import graft.sources.EventSink
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    EventSink.writePartitionedByDay(Tables.events(spark, sfDir), dir,
+      buckets = 2)
+    val back = EventSink.readPartitioned(spark, dir)
+    val dates = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("event_date=")).map(_.stripPrefix("event_date="))
+      .sorted
+    // dim with a selective filter on a non-partition column: the classic
+    // "dates dim filtered to the reporting window" shape — at 100 TB the
+    // fact side must prune to the dim's surviving dates at runtime, not
+    // scan every partition. (Built on range, not a local Seq: a
+    // LocalRelation would constant-fold the filter away and DPP requires
+    // a surviving selective predicate on the build side.)
+    val dim = spark.range(dates.length)
+      .select(element_at(array(dates.map(lit): _*),
+        (col("id") + 1).cast("int")).cast("date").as("event_date"),
+        col("id"))
+      .filter(col("id") === 0)
+    val joined = back.join(dim, Seq("event_date"))
+      .groupBy("event_date").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

@@ -503,6 +503,19 @@ object SparkEntry {
       Dedup.exactDocs(Tables.documents(s, d))),
     "q_events_latest_state" -> ((s, d) =>
       EventOps.latestState(Tables.events(s, d))),
+    "q_events_decode_strfield" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d).select(
+        col("event_id"), (col("user_id") % 100).as("pool"),
+        concat_ws("-", col("event_type"), col("user_id")).as("name"))
+      val decoded = ProtocolRegistry.dispatch(
+        ProtocolRegistry.encode(ev, ProtocolRegistry.Meta.layouts(0))
+          .select("payload"),
+        Seq(ProtocolRegistry.Meta))
+      decoded.select(col("token_meta.event_id").as("event_id"),
+        col("token_meta.pool").as("pool"),
+        col("token_meta.name").as("name"))
+    }),
     "q_docs_corpus_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val oldV = docs.filter(col("doc_id") % 3 =!= 0)
@@ -523,6 +536,9 @@ object SparkEntry {
         .cube(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))),
+    "q_docs_sample_fixed_k" -> ((s, d) =>
+      Sampling.sampleKPerStratum(Tables.documents(s, d),
+        "source", "doc_id", 5)),
     "q_docs_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedByHash(
         Tables.documents(s, d),
@@ -1487,10 +1503,21 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, count(*) AS n_dups,
                 min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "q_docs_sample_fixed_k" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 5""",
     "q_docs_cube" ->
       """SELECT source, lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY CUBE (source, lang)""",
+    "q_events_decode_strfield" ->
+      """SELECT event_id, user_id % 100 AS pool,
+                event_type || '-' || CAST(user_id AS VARCHAR) AS name
+         FROM events""",
     "q_events_latest_state" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                            event_type, value,

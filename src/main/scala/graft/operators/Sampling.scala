@@ -26,6 +26,23 @@ object Sampling {
       df: DataFrame, idCol: Column, thresholdHex: Column): DataFrame =
     df.filter(acceptanceHash(idCol) < thresholdHex)
 
+  /** C15b: fixed-count per-stratum sample — exactly `k` rows per group
+    * (rate-based [[stratifiedByHash]] can't promise a count), chosen by a
+    * portable hash order (md5, so any engine reproduces the same sample).
+    * One shuffle on the stratum key; the per-group top-k sorts are
+    * partition-local (WindowGroupLimit pushes the rank bound before the
+    * final sort at scale).
+    */
+  def sampleKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(stratumCol), col(idCol))
+  }
+
   /** Data-mixture construction: upsample each row by an integer repeat
     * factor (training-data recipes weight sources, e.g. books x2 vs web
     * x1). Pure generate — no shuffle; each copy is tagged so downstream

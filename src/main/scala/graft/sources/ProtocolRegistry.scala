@@ -24,10 +24,12 @@ import graft.functions.exprs._
   */
 object ProtocolRegistry {
 
-  /** A fixed-offset field. `kind`: u64 (LE i64/u64), u32 (LE), u8, or
-    * b32 (32-byte pubkey) — the widths the reference's borsh layouts mix
+  /** A fixed-offset field. `kind`: u64 (LE i64/u64), u32 (LE), u8,
+    * b32 (32-byte pubkey), or str (u32-LE length prefix + UTF-8 bytes,
+    * trailing only) — the widths the reference's borsh layouts mix
     * (`pumpswap/events.rs` carries u8 flags and 32-byte pubkeys between
-    * the u64 amounts). */
+    * the u64 amounts; `pumpfun/events.rs:57-180` carries len-prefixed
+    * name/symbol/uri strings). */
   final case class FieldSpec(name: String, offset: Int,
       kind: String = "u64") {
     def width: Int = kind match {
@@ -35,12 +37,17 @@ object ProtocolRegistry {
       case "u32" => 4
       case "u8" => 1
       case "b32" => 32
+      case "str" => 4 // length prefix; content length is dynamic
     }
   }
 
-  /** One event layout: discriminator + fixed LE fields after it. */
+  /** One event layout: discriminator + fixed LE fields after it. A
+    * var-length `str` field may only appear last — everything after it
+    * would have a dynamic offset. */
   final case class LayoutSpec(
       kind: String, discriminator: Array[Byte], fields: Seq[FieldSpec]) {
+    require(fields.dropRight(1).forall(_.kind != "str"),
+      s"$kind: a str field must be the last field of a layout")
     def minLen: Int = fields.map(f => f.offset + f.width).max
   }
 
@@ -111,10 +118,20 @@ object ProtocolRegistry {
       FieldSpec("base_amount", 53),
       FieldSpec("ts_us", 61)))))
 
+  /** "meta" protocol: token metadata with a trailing len-prefixed string
+    * (the reference's create-token events carry name/symbol/uri as
+    * borsh-prefixed strings, `pumpfun/events.rs:57-180`; here the
+    * declarative-registry path decodes the same shape). */
+  val Meta: ProtocolSpec = ProtocolSpec("meta", Seq(
+    LayoutSpec("token_meta", disc(0x57, 0x01), Seq(
+      FieldSpec("event_id", 8),
+      FieldSpec("pool", 16),
+      FieldSpec("name", 24, "str")))))
+
   /** Default registry (the single-layout trade/create protocols live in
     * [[EventCodec]]; this registry carries the multi-layout protocols). */
   val registry: Seq[ProtocolSpec] =
-    Seq(Swap, Amm, Account, Launch, Clmm, Perp)
+    Seq(Swap, Amm, Account, Launch, Clmm, Perp, Meta)
 
   /** Per-field decode expression (all codegen'd builtins / graft exprs). */
   private def fieldCol(payload: String, f: FieldSpec): Column = f.kind match {
@@ -127,6 +144,13 @@ object ProtocolRegistry {
     case "u8" => expr(
       s"cast(conv(hex(substring($payload, ${f.offset + 1}, 1)), 16, 10) as int)")
     case "b32" => expr(s"substring($payload, ${f.offset + 1}, 32)")
+    // trailing len-prefixed string: null (not truncated garbage) when the
+    // declared length overruns the actual payload
+    case "str" =>
+      val len = le_int(col(payload), f.offset)
+      when(len >= 0 &&
+        expr(s"octet_length($payload)") >= lit(f.offset + 4) + len,
+        col(payload).substr(lit(f.offset + 5), len).cast("string"))
   }
 
   /** Per-field encode expression from a source column of the field name:
@@ -136,6 +160,11 @@ object ProtocolRegistry {
     case "u32" => le_bytes(col(f.name), 4)
     case "u8" => le_bytes(col(f.name), 1)
     case "b32" => col(f.name)
+    // byte length, not char length: a non-ASCII name encodes to more
+    // UTF-8 bytes than characters
+    case "str" => concat(
+      le_bytes(length(col(f.name).cast("binary")).cast("bigint"), 4),
+      col(f.name).cast("binary"))
   }
 
   /** Encode rows into a layout's wire format (round-trip/test path):

@@ -167,6 +167,25 @@ class CodecSpec extends TestSparkSession {
     assert(byName("").getAs[Long]("token_total_supply") == 14L)
   }
 
+  test("registry str field: unicode round trip, overrun length nulls") {
+    import spark.implicits._
+    import graft.sources.ProtocolRegistry
+    val meta = ProtocolRegistry.Meta.layouts(0)
+    val src = Seq((1L, 7L, "solami 🚀"), (2L, 8L, ""))
+      .toDF("event_id", "pool", "name")
+    val ok = ProtocolRegistry.decode(
+      ProtocolRegistry.encode(src, meta).select("payload"), meta)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[String]("name")).toMap
+    assert(ok(1L) == "solami 🚀" && ok(2L) == "")
+    // declared string length overruns the payload → name null, row kept
+    val overrun = ProtocolRegistry.encode(src.limit(1), meta)
+      .select(expr("substring(payload, 1, octet_length(payload) - 2)")
+        .as("payload"))
+    val bad = ProtocolRegistry.decode(overrun, meta).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("name") == null)
+  }
+
   test("malformed create-token payloads decode to null and are dropped") {
     import spark.implicits._
     // valid discriminator but truncated body

@@ -594,6 +594,8 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.streamStreamAttribution(s, d)),
     "q_stream_static_enrich" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.streamStaticEnrichment(s, d)),
+    "q_stream_ohlc_1h" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.ohlcAvailableNow(s, d)),
     "q_events_twap_1h" -> ((s, d) =>
       EventOps.twap1h(Tables.events(s, d))),
     "q_events_liquidity_depth" -> ((s, d) => {
@@ -1514,6 +1516,23 @@ object SparkEntry {
       """SELECT source, lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY CUBE (source, lang)""",
+    "q_stream_ohlc_1h" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                           event_type, CAST(value AS DECIMAL(18,2)) AS v,
+                           epoch_us(ts) AS tu, event_id
+                    FROM events),
+         w AS (SELECT *,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu, event_id) AS rna,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu DESC, event_id DESC) AS rnd
+               FROM b)
+         SELECT hb, event_type,
+                CAST(max(CASE WHEN rna = 1 THEN v END) AS DOUBLE) AS open,
+                CAST(max(CASE WHEN rnd = 1 THEN v END) AS DOUBLE) AS close,
+                CAST(max(v) AS DOUBLE) AS high, CAST(min(v) AS DOUBLE) AS low,
+                count(*) AS n, CAST(sum(v) AS DOUBLE) AS volume
+         FROM w GROUP BY hb, event_type""",
     "q_events_decode_strfield" ->
       """SELECT event_id, user_id % 100 AS pool,
                 event_type || '-' || CAST(user_id AS VARCHAR) AS name

@@ -197,6 +197,40 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A12b: streaming OHLC — the reference's per-window price metrics as a
+    * live windowed aggregate. open/close are `min_by`/`max_by` over the
+    * total (ts, event_id) order, so the streaming aggregation state is one
+    * row per (window, type) — no per-event buffering — and the availableNow
+    * run proves exact parity with the batch OHLC oracle.
+    */
+  def ohlcAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_ohlc_${memCounter.incrementAndGet()}"
+    val agg = eventsStream(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("v"), struct(col("ts"), col("event_id"))).as("open_d"),
+        max_by(col("v"), struct(col("ts"), col("event_id"))).as("close_d"),
+        max("v").as("high_d"), min("v").as("low_d"),
+        count(lit(1)).as("n"), sum("v").as("volume_d"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(expr("unix_timestamp(window.start)").as("hb"),
+        col("event_type"),
+        col("open_d").cast("double").as("open"),
+        col("close_d").cast("double").as("close"),
+        col("high_d").cast("double").as("high"),
+        col("low_d").cast("double").as("low"),
+        col("n"), col("volume_d").cast("double").as("volume"))
+  }
+
   /** A37: watermarked stream-stream join — purchases attributed to the
     * signup they followed within one hour, both sides streams (the join
     * state is bounded by the watermark + time-range condition, which is

@@ -29,6 +29,31 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(deduped.count() == ev.count())
   }
 
+  test("A16c: dropDuplicatesWithinWatermark bounds dedup state by time") {
+    // the TTL'd signature cache: duplicates arriving within the watermark
+    // window are dropped, and state for expired windows is evicted (the
+    // unbounded-set problem A16's exact dedup would have at 100 TB)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = events.writeStream.format("memory")
+      .queryName("graft_ddww_test").outputMode("append").start()
+    // keep all event times above the query's initial watermark (epoch 0):
+    // rows at-or-below the watermark are dropped as late, not deduped
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    input.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(0)))
+    q.processAllAvailable()
+    input.addData((1L, ts(2))) // still within the watermark: dropped
+    q.processAllAvailable()
+    val out = spark.table("graft_ddww_test").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("graft SQL functions register and evaluate") {
     GraftExtensions.register(spark)
     val row = spark.sql(

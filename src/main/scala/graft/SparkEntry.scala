@@ -689,6 +689,8 @@ object SparkEntry {
       TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d))),
+    "q_text_boilerplate" -> ((s, d) =>
+      TextAnalysis.boilerplateChunks(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"),
@@ -1512,6 +1514,23 @@ object SparkEntry {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
          WHERE rn <= 5""",
+    "q_text_boilerplate" ->
+      """WITH c0 AS (SELECT doc_id, text,
+                            unnest(range(0, CAST(ceil(length(text) / 50.0)
+                              AS BIGINT))) AS idx
+                     FROM documents),
+         chunks AS (SELECT doc_id,
+                           md5(substring(text, CAST(idx * 50 + 1 AS INT),
+                             50)) AS h
+                    FROM c0),
+         shared AS (SELECT h, count(DISTINCT doc_id) AS nd FROM chunks
+                    GROUP BY 1)
+         SELECT doc_id, count(*) AS n_chunks,
+                count(*) FILTER (nd > 1) AS n_shared_chunks,
+                CAST(count(*) FILTER (nd > 1) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS shared_ratio
+         FROM chunks JOIN shared USING (h)
+         GROUP BY 1""",
     "q_docs_cube" ->
       """SELECT source, lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars

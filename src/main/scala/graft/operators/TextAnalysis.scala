@@ -205,6 +205,33 @@ object TextAnalysis {
             .cast("double")).as("top_bigram_frac"))
   }
 
+  /** C27: cross-document boilerplate detection — fixed-width character
+    * chunks hashed and counted across the corpus; a chunk seen in more
+    * than one document is boilerplate (headers, licenses, templates), and
+    * each document reports what fraction of it is shared text (the
+    * CCNet-style "remove repeated paragraphs" signal). The chunk table
+    * carries (doc_id, 16-byte digest) — bodies never shuffle — and both
+    * aggregations are map-side partial.
+    */
+  def boilerplateChunks(docs: DataFrame, chunkChars: Int = 50): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          (ceil(length(col("text")) / lit(chunkChars.toDouble)) - 1)
+            .cast("int"))).as("idx"))
+      .select(col("doc_id"),
+        md5(col("text").substr(col("idx") * chunkChars + 1,
+          lit(chunkChars)).cast("binary")).as("h"))
+    val shared = chunks.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+    chunks.join(shared, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("nd") > 1, 1)).as("n_shared_chunks"))
+      .withColumn("shared_ratio",
+        col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** C20: global top-k token histogram. explode → hash-aggregate (partial
     * counts map-side, so the shuffle carries one row per distinct token per
     * partition) → TakeOrderedAndProject top-k with a total tie-break order

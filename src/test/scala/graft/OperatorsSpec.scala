@@ -256,6 +256,25 @@ class OperatorsSpec extends TestSparkSession {
     assert(math.abs(oddRate - 0.50) < 0.1, s"odd rate $oddRate")
   }
 
+  test("count-min sketch bounds per-type counts (never under, eps over)") {
+    // A26b: constant-memory frequency sketch — the per-type counters the
+    // reference keeps exactly, sketchable when the key space explodes
+    val bin = events.select(expr(
+      "count_min_sketch(event_type, cast(0.001 as double), " +
+        "cast(0.99 as double), 42)").as("sk")).head().getAs[Array[Byte]]("sk")
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bin))
+    val exact = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    exact.foreach { case (k, n) =>
+      val est = sketch.estimateCount(k)
+      assert(est >= n, s"CMS underestimated $k")
+      assert(est <= n + (0.001 * total).ceil.toLong + 1,
+        s"CMS over eps bound for $k: $est vs $n")
+    }
+  }
+
   test("approx percentile sketch stays near the exact order statistics") {
     val ev = Tables.events(spark, sfDir)
     val exact = EventOps.valueStats(ev)

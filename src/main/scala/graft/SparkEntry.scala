@@ -503,6 +503,8 @@ object SparkEntry {
       Dedup.exactDocs(Tables.documents(s, d))),
     "q_events_latest_state" -> ((s, d) =>
       EventOps.latestState(Tables.events(s, d))),
+    "q_events_type_transitions" -> ((s, d) =>
+      EventOps.typeTransitions(Tables.events(s, d))),
     "q_events_decode_strfield" -> ((s, d) => {
       import graft.sources.ProtocolRegistry
       val ev = Tables.events(s, d).select(
@@ -1556,6 +1558,15 @@ object SparkEntry {
       """SELECT event_id, user_id % 100 AS pool,
                 event_type || '-' || CAST(user_id AS VARCHAR) AS name
          FROM events""",
+    "q_events_type_transitions" ->
+      """WITH w AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                           lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS next_type
+                    FROM events)
+         SELECT event_type, next_type, count(*) AS n,
+                count(DISTINCT user_id) AS n_users
+         FROM w WHERE next_type IS NOT NULL
+         GROUP BY 1, 2""",
     "q_events_latest_state" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                            event_type, value,

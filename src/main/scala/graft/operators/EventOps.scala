@@ -135,6 +135,24 @@ object EventOps {
         sum("v").cast("double").as("total_value"))
   }
 
+  /** A47: event-type transition matrix — per-wallet consecutive
+    * (type → next type) counts, the behavior-flow view of the stream
+    * (which actions follow which). One shuffle on `user_id` for the lead
+    * window; the pair aggregation is map-side partial over a tiny key
+    * space (|types|²).
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** A46: latest-state-per-key materialization — the batch equivalent of
     * the reference's dashmap account cache (every key holds only its most
     * recent update; `account_event_parser` overwrites on arrival). One

@@ -142,6 +142,23 @@ class PlanAuditSpec extends TestSparkSession {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("repetition reuses the doc_id partitioning across window and aggs") {
+    // one exchange on doc_id feeds the bigram window, both per-doc
+    // aggregations, and the join — token rows shuffle once, not four times
+    val plan = planOf(TextAnalysis.repetition(Tables.documents(spark, sfDir)))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("boilerplate chunks shuffle digests, not document bodies") {
+    val plan = planOf(
+      TextAnalysis.boilerplateChunks(Tables.documents(spark, sfDir)))
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("text#")),
+      s"document bodies crossed a shuffle:\n${exchangeLines.mkString("\n")}")
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

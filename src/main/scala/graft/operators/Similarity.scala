@@ -156,6 +156,122 @@ object Similarity {
     cents
   }
 
+  /** C7f: per-subspace PQ codebook, Lloyd-refined. The embedding space
+    * splits into `m` subspaces of `dims/m` components; each starts from
+    * deterministic seed codewords (every `seedEvery`-th vector's slice)
+    * and runs `iters` assign/update rounds — the same broadcast-argmin +
+    * partial-agg-update shape as [[kmeansFit]], with all m subspaces
+    * trained in ONE plan (subspace id is just another key column, so one
+    * shuffle trains every codebook). Returns (sub, code, cw).
+    */
+  def pqCodebook(emb: DataFrame, dims: Int, m: Int = 8,
+      seedEvery: Int = 13, iters: Int = 2): DataFrame = {
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val w = dims / m
+    val subs = (0 until m).map { sub =>
+      emb.select(col("vec_id"), lit(sub).as("sub"),
+        slice(col("embedding"), sub * w + 1, w).as("sv"))
+    }.reduce(_ unionByName _)
+    var cb = subs.filter(col("vec_id") % seedEvery === 0)
+      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
+    val assignW = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2"), col("code"))
+    (1 to iters).foreach { _ =>
+      val assigned = subs.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"), col("sv"),
+          (vec_dot(col("sv"), col("sv"))
+            - vec_dot(col("sv"), col("cw")) * 2
+            + vec_dot(col("cw"), col("cw"))).as("d2"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+      // update step: exact fixed-grid means per (sub, code, component),
+      // reassembled to float codeword vectors (same trick as kmeansFit)
+      cb = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
+        .groupBy("sub", "code", "i")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+            .as("sum6"))
+        .select(col("sub"), col("code"), col("i"),
+          (col("sum6").cast("double") / col("n").cast("double") / 1e6)
+            .as("c"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+        .select(col("sub"), col("code"),
+          expr("transform(pairs, p -> cast(p.c as float))").as("cw"))
+        .localCheckpoint(eager = true)
+    }
+    cb
+  }
+
+  /** C7f: product-quantization codes — the memory side of the ANN scale
+    * path. Each subvector maps to its nearest codeword from the trained
+    * [[pqCodebook]]; a vector compresses from dims×4 bytes to m small
+    * ints, so at 100 TB the code table fits where raw vectors cannot.
+    * Assignment is broadcast-argmin: data never shuffles on the codebook.
+    * Returns (vec_id, codes array<int>) with `codes[sub]` the codeword
+    * index in subspace `sub`.
+    */
+  def pqEncode(emb: DataFrame, dims: Int, m: Int = 8,
+      seedEvery: Int = 13): DataFrame =
+    pqAssign(emb, pqCodebook(emb, dims, m, seedEvery), dims, m)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("pairs"))
+      .select(col("vec_id"),
+        expr("transform(pairs, p -> cast(p.code as int))").as("codes"))
+
+  /** Nearest-codeword assignment per (vector, subspace). */
+  private def pqAssign(emb: DataFrame, codebook: DataFrame,
+      dims: Int, m: Int): DataFrame = {
+    val w = dims / m
+    val subs = (0 until m).map { sub =>
+      emb.select(col("vec_id"), lit(sub).as("sub"),
+        slice(col("embedding"), sub * w + 1, w).as("sv"))
+    }.reduce(_ unionByName _)
+    val assignW = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2"), col("code"))
+    subs.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        (vec_dot(col("sv"), col("sv"))
+          - vec_dot(col("sv"), col("cw")) * 2
+          + vec_dot(col("cw"), col("cw"))).as("d2"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** C7f query side: asymmetric-distance (ADC) top-k over PQ codes. The
+    * query builds an (m × |codebook|) distance lookup table against the
+    * broadcast codebook; candidate distance is the sum of m table
+    * lookups — codes join the table on (sub, code), one shuffle keyed on
+    * the code pair, never on raw vectors.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, dims: Int, k: Int,
+      m: Int = 8, seedEvery: Int = 13): DataFrame = {
+    val w = dims / m
+    val codebook = pqCodebook(emb, dims, m, seedEvery)
+      .localCheckpoint(eager = true)
+    val codes = pqAssign(emb, codebook, dims, m)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val qTable = queries
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .crossJoin(broadcast(codebook))
+      .select(col("q_id"), col("sub"), col("code"), {
+        val qs = slice(col("embedding"), col("sub") * w + 1, lit(w))
+        (vec_dot(qs, qs) - vec_dot(qs, col("cw")) * 2
+          + vec_dot(col("cw"), col("cw"))).as("d2")
+      })
+    val rankW = Window.partitionBy("q_id")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    codes.join(qTable, Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("neighbor_id"))
+      .agg(sum("d2").as("adc_d2"))
+      .withColumn("rk", row_number().over(rankW).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
+
   /** C7: IVF-style ANN: deterministic coarse centroids (every 97th vector),
     * one-time nearest-cell assignment, queries probe `probes` cells.
     */

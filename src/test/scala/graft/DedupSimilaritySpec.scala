@@ -167,4 +167,34 @@ class DedupSimilaritySpec extends TestSparkSession {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF recall was $recall")
   }
+
+  test("PQ codes are complete and ADC topk beats random recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val codes = Similarity.pqEncode(emb, dims = 64).collect()
+    assert(codes.length == n, "every vector gets a code")
+    assert(codes.forall(_.getSeq[Int](1).length == 8), "m codes per vector")
+    val queries = emb.filter(col("vec_id") < 10)
+    // exact L2 top-5 (same metric ADC approximates)
+    val exact = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("q_id").orderBy(col("d2"), col("neighbor_id"))
+      val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        .crossJoin(q).filter(col("neighbor_id") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          (graft.functions.exprs.vec_dot(col("ne"), col("ne"))
+            - graft.functions.exprs.vec_dot(col("ne"), col("qe")) * 2
+            + graft.functions.exprs.vec_dot(col("qe"), col("qe"))).as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    }
+    val pq = Similarity.pqTopK(emb, queries, dims = 64, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // random top-5 of ~500 would land ~1%; quantized distance must do
+    // far better even with the coarse deterministic codebook
+    assert(recall >= 0.2, s"PQ ADC recall was $recall")
+  }
 }

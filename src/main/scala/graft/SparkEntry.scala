@@ -636,6 +636,9 @@ object SparkEntry {
     "q_tpch_q3_shipping" -> ((s, d) =>
       Relational.shippingPriority(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.customer(s, d))),
+    "q_tpch_q18_bigorders" -> ((s, d) =>
+      Relational.bigQuantityOrders(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d))),
     "q_events_value_histogram" -> ((s, d) =>
       EventOps.valueHistogram(Tables.events(s, d))),
     "q_events_wash_trades" -> ((s, d) =>
@@ -1229,6 +1232,19 @@ object SparkEntry {
            ON p.user_id = s.user_id AND p.pts >= s.sts
               AND p.pts <= s.sts + 3600000000
          GROUP BY 1""",
+    "q_tpch_q18_bigorders" ->
+      """WITH big AS (SELECT l_orderkey,
+                             sum(CAST(l_quantity AS DECIMAL(18,2)))
+                               AS total_qty
+                      FROM lineitem GROUP BY 1
+                      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                epoch_us(o.o_orderdate) AS o_orderdate_us,
+                o.o_totalprice,
+                CAST(big.total_qty AS DOUBLE) AS total_qty
+         FROM orders o
+         JOIN big ON o.o_orderkey = big.l_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey""",
     "q_tpch_q3_shipping" ->
       """SELECT l.l_orderkey,
                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *

@@ -33,6 +33,27 @@ object Relational {
     * shuffle on their keys and AQE picks broadcast only when the filtered
     * side fits.
     */
+  /** B13 (TPC-H Q18 shape): large-quantity orders — the HAVING-subquery
+    * semi-join. The per-order quantity aggregate is computed once (one
+    * shuffle on orderkey, map-side partials), filtered, and joined back;
+    * at scale the filtered key set is tiny, so AQE turns the join back
+    * into a broadcast. Exact decimal quantities end to end.
+    */
+  def bigQuantityOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Int = 300): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))")
+          .as("o_orderdate_us"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+  }
+
   def shippingPriority(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, segment: String = "BUILDING",
       asOf: String = "1995-03-15"): DataFrame = {

@@ -41,6 +41,38 @@ object EventSink {
     * skipped (`maxFiles` guard) so routine compaction touches only the
     * partitions that need it.
     */
+  /** A29d: idempotent backfill — rewrite ONLY the partitions present in
+    * the corrected batch (dynamic partition overwrite), leaving every
+    * other date untouched. This is how late/corrected event data
+    * reprocesses at 100 TB: the job is repeatable (same input → same
+    * layout) and never truncates the rest of the table the way a static
+    * overwrite would.
+    */
+  def backfillDates(events: DataFrame, path: String,
+      buckets: Int = 8): Unit = {
+    val spark = events.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      events
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(buckets, col("event_date"),
+          pmod(col("event_id"), lit(buckets)))
+        .sortWithinPartitions("event_date", "ts", "event_id")
+        .write
+        .partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   def compactPartitions(
       spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024, maxFiles: Int = 1): Unit = {

@@ -239,6 +239,36 @@ class StreamingExtensionsSpec extends TestSparkSession {
       s.getAs[Int]("n_events") == 2)
   }
 
+  test("A29d: backfill overwrites only the corrected date partitions") {
+    import graft.sources.EventSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val ev = Tables.events(spark, sfDir)
+    EventSink.writePartitionedByDay(ev, dir, buckets = 2)
+    val dates = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("event_date=")).map(_.stripPrefix("event_date="))
+      .sorted
+    assert(dates.length >= 2, "need at least two date partitions")
+    val target = dates.head
+    val before = EventSink.readPartitioned(spark, dir)
+      .filter(col("event_date") =!= lit(target))
+      .agg(count(lit(1)), sum("event_id")).head()
+    // corrected batch: only the target date, values doubled
+    val corrected = ev.filter(to_date(col("ts")) === lit(target))
+      .withColumn("value", col("value") * 2)
+    EventSink.backfillDates(corrected, dir, buckets = 2)
+    val after = EventSink.readPartitioned(spark, dir)
+    // untouched dates identical
+    assert(after.filter(col("event_date") =!= lit(target))
+      .agg(count(lit(1)), sum("event_id")).head() == before)
+    // target date rewritten with the corrected values
+    val gotV = after.filter(col("event_date") === lit(target))
+      .agg(sum("value")).head().getDouble(0)
+    val wantV = corrected.agg(sum("value")).head().getDouble(0)
+    assert(math.abs(gotV - wantV) < 1e-6)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("sink compaction: one file per partition after, data unchanged") {
     import graft.sources.EventSink
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString

@@ -598,6 +598,8 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.streamStaticEnrichment(s, d)),
     "q_stream_ohlc_1h" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.ohlcAvailableNow(s, d)),
+    "q_stream_wallet_volume" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.walletVolumeAvailableNow(s, d)),
     "q_events_twap_1h" -> ((s, d) =>
       EventOps.twap1h(Tables.events(s, d))),
     "q_events_liquidity_depth" -> ((s, d) => {
@@ -1557,6 +1559,11 @@ object SparkEntry {
       """SELECT source, lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY CUBE (source, lang)""",
+    "q_stream_wallet_volume" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM events GROUP BY 1""",
     "q_stream_ohlc_1h" ->
       """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
                            event_type, CAST(value AS DECIMAL(18,2)) AS v,

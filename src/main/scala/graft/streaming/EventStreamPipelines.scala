@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming re-expression of the reference's subscription
@@ -300,6 +300,81 @@ object EventStreamPipelines {
           open.foreach(state.update)
           closed.iterator
       }
+  }
+
+  /** A17c: the reference's `track_volume` per-wallet accumulator on the
+    * NEW arbitrary-state API (`transformWithState`, Spark 4): explicit
+    * `ValueState` per key, processor-scoped lifecycle, RocksDB-backed at
+    * scale — the forward path off `mapGroupsWithState`. TimeMode.None:
+    * no timers, state lives until the stream ends (bound it with
+    * `TTLConfig` in production).
+    */
+  class WalletVolumeProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var vol: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      vol = getHandle.getValueState[(Long, Long)]("vol",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val (n0, c0) = if (vol.exists()) vol.get() else (0L, 0L)
+      var n = n0
+      var c = c0
+      rows.foreach { r => n += 1; c += r._2 }
+      vol.update((n, c))
+      Iterator.single((key, n, c))
+    }
+  }
+
+  /** A17c driver: per-wallet running (count, cents) updates. Volume
+    * accumulates in integer cents so state and output are exact and
+    * order-independent regardless of shuffle arrival order. */
+  def walletVolumeStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new WalletVolumeProcessor, TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+      .toDF("user_id", "n_events", "cents")
+  }
+
+  /** A17c end-to-end: run the volume tracker over the events file stream
+    * to completion (RocksDB state store — required by transformWithState)
+    * and keep each wallet's final state, which must equal the batch
+    * count/sum — the driver oracle-checks it against plain SQL. */
+  def walletVolumeAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_tws_${memCounter.incrementAndGet()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = walletVolumeStream(eventsStream(spark, dir)).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("cents"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        col("fin.cents").as("cents"))
   }
 
   /** A17: stateful sessionization with mapGroupsWithState (processing-time

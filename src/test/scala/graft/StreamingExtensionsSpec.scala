@@ -158,6 +158,42 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(progress.exists(_.getAs[Long]("n_events") == 2L))
   }
 
+  test("A17c: transformWithState accumulates per-wallet volume (RocksDB)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Double)]
+      val events = input.toDF().toDF("user_id", "value")
+      val out = EventStreamPipelines.walletVolumeStream(events)
+      val q = out.writeStream.format("memory")
+        .queryName("graft_tws_test").outputMode("update").start()
+      input.addData((1L, 10.0), (1L, 5.0), (2L, 7.0))
+      q.processAllAvailable()
+      input.addData((1L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_tws_test").collect()
+      q.stop()
+      val lastU1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(lastU1.getAs[Long]("n_events") == 3L)
+      assert(lastU1.getAs[Long]("cents") == 1600L)
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 2L &&
+        r.getAs[Long]("cents") == 700L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A17: stateful session stream over a memory source") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -505,6 +505,40 @@ object SparkEntry {
       EventOps.latestState(Tables.events(s, d))),
     "q_events_type_transitions" -> ((s, d) =>
       EventOps.typeTransitions(Tables.events(s, d))),
+    "q_events_sequence_gaps" -> ((s, d) =>
+      EventOps.sequenceGaps(
+        Tables.events(s, d).filter(col("event_id") % 97 =!= 0))),
+    "q_events_cpmm_decode" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click")).select(
+          col("event_id"), (col("user_id") % 50).as("pool"), col("user_id"),
+          (col("event_id") * 2).as("base_in"),
+          (col("event_id") * 3).as("quote_out"),
+          (col("event_id") * 3).as("quote_in"),
+          (col("event_id") * 2).as("base_out"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      val bi = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase"),
+        ProtocolRegistry.Cpmm.layouts(0))
+      val bo = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "click"),
+        ProtocolRegistry.Cpmm.layouts(1))
+      ProtocolRegistry.dispatch(
+        bi.select("payload").union(bo.select("payload")),
+        Seq(ProtocolRegistry.Cpmm))
+        .select(col("event_kind"),
+          coalesce(col("base_in.event_id"), col("base_out.event_id"))
+            .as("event_id"),
+          coalesce(col("base_in.pool"), col("base_out.pool")).as("pool"),
+          coalesce(col("base_in.user_id"), col("base_out.user_id"))
+            .as("user_id"),
+          coalesce(col("base_in.base_in"), col("base_out.quote_in"))
+            .as("amount_in"),
+          coalesce(col("base_in.quote_out"), col("base_out.base_out"))
+            .as("amount_out"),
+          coalesce(col("base_in.ts_us"), col("base_out.ts_us")).as("ts_us"))
+    }),
     "q_events_decode_strfield" -> ((s, d) => {
       import graft.sources.ProtocolRegistry
       val ev = Tables.events(s, d).select(
@@ -1581,10 +1615,26 @@ object SparkEntry {
                 CAST(max(v) AS DOUBLE) AS high, CAST(min(v) AS DOUBLE) AS low,
                 count(*) AS n, CAST(sum(v) AS DOUBLE) AS volume
          FROM w GROUP BY hb, event_type""",
+    "q_events_cpmm_decode" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'base_in'
+                     ELSE 'base_out' END AS event_kind,
+                event_id, user_id % 50 AS pool, user_id,
+                CASE WHEN event_type = 'purchase' THEN event_id * 2
+                     ELSE event_id * 3 END AS amount_in,
+                CASE WHEN event_type = 'purchase' THEN event_id * 3
+                     ELSE event_id * 2 END AS amount_out,
+                epoch_us(ts) AS ts_us
+         FROM events WHERE event_type IN ('purchase', 'click')""",
     "q_events_decode_strfield" ->
       """SELECT event_id, user_id % 100 AS pool,
                 event_type || '-' || CAST(user_id AS VARCHAR) AS name
          FROM events""",
+    "q_events_sequence_gaps" ->
+      """SELECT event_id // 256 AS bucket, min(event_id) AS lo,
+                max(event_id) AS hi, count(*) AS n_present,
+                max(event_id) - min(event_id) + 1 - count(*) AS missing
+         FROM events WHERE event_id % 97 <> 0
+         GROUP BY 1""",
     "q_events_type_transitions" ->
       """WITH w AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
                            lead(event_type) OVER (PARTITION BY user_id

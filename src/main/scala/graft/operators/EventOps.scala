@@ -135,6 +135,23 @@ object EventOps {
         sum("v").cast("double").as("total_value"))
   }
 
+  /** A48: sequence-gap audit — holes in a monotonically-assigned id/slot
+    * range (the reference's shred-stream concern: missed slots between
+    * received ones). Distributed without a global sort: ids bucket by
+    * range, each bucket reports (min, max, count, missing) from one
+    * map-side-partial aggregation; a bucket's `missing` is exact within
+    * its range, and bucket boundaries are gap-free by construction
+    * (buckets partition the id space).
+    */
+  def sequenceGaps(events: DataFrame, bucketSize: Int = 256): DataFrame =
+    events
+      .select(col("event_id"),
+        expr(s"event_id div $bucketSize").as("bucket"))
+      .groupBy("bucket")
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"),
+        count(lit(1)).as("n_present"))
+      .withColumn("missing", col("hi") - col("lo") + 1 - col("n_present"))
+
   /** A47: event-type transition matrix — per-wallet consecutive
     * (type → next type) counts, the behavior-flow view of the stream
     * (which actions follow which). One shuffle on `user_id` for the lead

@@ -118,6 +118,17 @@ object ProtocolRegistry {
       FieldSpec("base_amount", 53),
       FieldSpec("ts_us", 61)))))
 
+  /** "cpmm" protocol: constant-product swaps quoted from either side —
+    * the reference's RaydiumCpmm splits SwapBaseInput / SwapBaseOutput
+    * into distinct layouts (`raydium_cpmm` events; same split in
+    * `bonk/events.rs` BuyExactIn/BuyExactOut). Two discriminators, two
+    * field layouts, one dispatch. */
+  val Cpmm: ProtocolSpec = ProtocolSpec("cpmm", Seq(
+    LayoutSpec("base_in", disc(0x58, 0x01),
+      u64s("event_id", "pool", "user_id", "base_in", "quote_out", "ts_us")),
+    LayoutSpec("base_out", disc(0x58, 0x02),
+      u64s("event_id", "pool", "user_id", "quote_in", "base_out", "ts_us"))))
+
   /** "meta" protocol: token metadata with a trailing len-prefixed string
     * (the reference's create-token events carry name/symbol/uri as
     * borsh-prefixed strings, `pumpfun/events.rs:57-180`; here the
@@ -131,7 +142,7 @@ object ProtocolRegistry {
   /** Default registry (the single-layout trade/create protocols live in
     * [[EventCodec]]; this registry carries the multi-layout protocols). */
   val registry: Seq[ProtocolSpec] =
-    Seq(Swap, Amm, Account, Launch, Clmm, Perp, Meta)
+    Seq(Swap, Amm, Account, Launch, Clmm, Perp, Meta, Cpmm)
 
   /** Per-field decode expression (all codegen'd builtins / graft exprs). */
   private def fieldCol(payload: String, f: FieldSpec): Column = f.kind match {

@@ -634,6 +634,8 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.ohlcAvailableNow(s, d)),
     "q_stream_wallet_volume" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.walletVolumeAvailableNow(s, d)),
+    "q_stream_wire_egress" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.wireEgressAvailableNow(s, d)),
     "q_events_twap_1h" -> ((s, d) =>
       EventOps.twap1h(Tables.events(s, d))),
     "q_events_liquidity_depth" -> ((s, d) => {
@@ -1593,6 +1595,11 @@ object SparkEntry {
       """SELECT source, lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY CUBE (source, lang)""",
+    "q_stream_wire_egress" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+                CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
+         FROM events""",
     "q_stream_wallet_volume" ->
       """SELECT user_id, count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)

@@ -51,14 +51,22 @@ object GraftWireTable {
     StructField("frame_idx", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** Frame files under `path` (a directory or a single file). */
+  /** Frame files under `path` — a directory, a single file, or a glob
+    * (e.g. `out/batch_*`, the per-micro-batch egress layout). */
   def listFrameFiles(path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-        .filter(_.endsWith(".bin")).sorted.toSeq
-    else Seq(p.toString)
+    val roots: Seq[Path] =
+      if (path.exists(c => "*?[{".contains(c)))
+        Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath))
+          .getOrElse(Seq.empty)
+      else Seq(p)
+    roots.flatMap { r =>
+      if (fs.getFileStatus(r).isDirectory)
+        fs.listStatus(r).filter(_.isFile).map(_.getPath.toString)
+          .filter(_.endsWith(".bin")).toSeq
+      else Seq(r.toString)
+    }.sorted
   }
 }
 

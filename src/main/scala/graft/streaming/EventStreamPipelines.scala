@@ -104,6 +104,32 @@ object EventStreamPipelines {
         expr("unix_micros(timestamp)").as("graft_ts_us"))
   }
 
+  /** A33c: streaming wire EGRESS — the publish side of the reference's
+    * pipeline (decoded events re-encoded and shipped downstream). The
+    * event stream encodes to the borsh wire format and lands as framed
+    * files via `foreachBatch` + the distributed frame writer, one
+    * directory per micro-batch id: re-running a batch overwrites its own
+    * directory and nothing else, which is the idempotent-sink contract
+    * exactly-once delivery needs. Returns the decoded read-back of
+    * everything written (≡ the events table; driver oracle-checks it).
+    */
+  def wireEgressAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{EventCodec, wire}
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_wire_egress_" +
+      Integer.toHexString(dir.hashCode) + "_" + memCounter.incrementAndGet()
+    val q = EventCodec.encodeTrade(eventsStream(spark, dir))
+      .select("payload")
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        wire.GraftWireWriter.writeFrames(batch, s"$outDir/batch_$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    EventCodec.decodeTrade(
+      spark.read.format("graft-wire").load(s"$outDir/batch_*"))
+  }
+
   /** A16: watermarked streaming dedup on the event signature — the
     * streaming analog of the reference's signature cache. State is bounded
     * by the watermark horizon. */

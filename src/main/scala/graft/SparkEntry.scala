@@ -677,6 +677,9 @@ object SparkEntry {
     "q_tpch_q18_bigorders" -> ((s, d) =>
       Relational.bigQuantityOrders(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.customer(s, d))),
+    "q_tpch_q4_priority" -> ((s, d) =>
+      Relational.orderPriorityCheck(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
     "q_events_value_histogram" -> ((s, d) =>
       EventOps.valueHistogram(Tables.events(s, d))),
     "q_events_wash_trades" -> ((s, d) =>
@@ -738,6 +741,9 @@ object SparkEntry {
       TextAnalysis.repetition(Tables.documents(s, d))),
     "q_text_boilerplate" -> ((s, d) =>
       TextAnalysis.boilerplateChunks(Tables.documents(s, d))),
+    "q_events_profile" -> ((s, d) =>
+      TextAnalysis.profile(Tables.events(s, d),
+        Seq("event_id", "user_id", "event_type", "value"))),
     "q_multimodal_features" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         expr("cast(octet_length(cast(text as binary)) as bigint)").as("byte_len"),
@@ -1270,6 +1276,16 @@ object SparkEntry {
            ON p.user_id = s.user_id AND p.pts >= s.sts
               AND p.pts <= s.sts + 3600000000
          GROUP BY 1""",
+    "q_tpch_q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate >
+                             o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
     "q_tpch_q18_bigorders" ->
       """WITH big AS (SELECT l_orderkey,
                              sum(CAST(l_quantity AS DECIMAL(18,2)))
@@ -1574,6 +1590,31 @@ object SparkEntry {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
          WHERE rn <= 5""",
+    "q_events_profile" ->
+      """SELECT 'event_id' AS "column", count(*) AS n_rows,
+                count(*) - count(event_id) AS n_nulls,
+                count(DISTINCT event_id) AS n_distinct,
+                CAST(min(event_id) AS VARCHAR) AS min_value,
+                CAST(max(event_id) AS VARCHAR) AS max_value
+         FROM events
+         UNION ALL
+         SELECT 'user_id', count(*), count(*) - count(user_id),
+                count(DISTINCT user_id),
+                CAST(min(user_id) AS VARCHAR),
+                CAST(max(user_id) AS VARCHAR)
+         FROM events
+         UNION ALL
+         SELECT 'event_type', count(*), count(*) - count(event_type),
+                count(DISTINCT event_type),
+                CAST(min(event_type) AS VARCHAR),
+                CAST(max(event_type) AS VARCHAR)
+         FROM events
+         UNION ALL
+         SELECT 'value', count(*), count(*) - count(value),
+                count(DISTINCT value),
+                CAST(min(value) AS VARCHAR),
+                CAST(max(value) AS VARCHAR)
+         FROM events""",
     "q_text_boilerplate" ->
       """WITH c0 AS (SELECT doc_id, text,
                             unnest(range(0, CAST(ceil(length(text) / 50.0)

@@ -26,13 +26,24 @@ object Relational {
   private def onePlus(c: String) =
     (lit(1).cast("decimal(4,2)") + rate2(c)).cast("decimal(4,2)")
 
-  /** B12: shipping priority (TPC-H Q3 shape): two fact joins with
-    * date-band filters pushed to the scans, decimal revenue aggregation,
-    * and a distributed top-10 (TakeOrdered, not a global sort). At scale
-    * the segment-filtered customer side is still large, so the joins
-    * shuffle on their keys and AQE picks broadcast only when the filtered
-    * side fits.
+  /** B14 (TPC-H Q4 shape): order-priority check — orders in a date band
+    * with at least one LATE lineitem (shipped > 60 days after the order
+    * date). The correlated EXISTS becomes a left-semi join whose
+    * condition spans both sides — no row duplication, and the semi-join
+    * shuffles only order keys + two pruned lineitem columns.
     */
+  def orderPriorityCheck(lineitem: DataFrame, orders: DataFrame,
+      from: String = "1995-01-01", until: String = "1996-01-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
   /** B13 (TPC-H Q18 shape): large-quantity orders — the HAVING-subquery
     * semi-join. The per-order quantity aggregate is computed once (one
     * shuffle on orderkey, map-side partials), filtered, and joined back;
@@ -54,6 +65,13 @@ object Relational {
         col("total_qty").cast("double").as("total_qty"))
   }
 
+  /** B12: shipping priority (TPC-H Q3 shape): two fact joins with
+    * date-band filters pushed to the scans, decimal revenue aggregation,
+    * and a distributed top-10 (TakeOrdered, not a global sort). At scale
+    * the segment-filtered customer side is still large, so the joins
+    * shuffle on their keys and AQE picks broadcast only when the filtered
+    * side fits.
+    */
   def shippingPriority(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, segment: String = "BUILDING",
       asOf: String = "1995-03-15"): DataFrame = {

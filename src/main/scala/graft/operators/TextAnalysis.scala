@@ -205,6 +205,32 @@ object TextAnalysis {
             .cast("double")).as("top_bigram_frac"))
   }
 
+  /** C28: one-pass data profile — per column: nulls, distinct-ish
+    * signal, and value range, the first audit a dataset gets before
+    * curation or training. One aggregation (single scan, map-side
+    * partials); emitted long-form (one row per column) so the schema is
+    * stable regardless of the profiled table's width. Distinct counts are
+    * exact per column but share the same scan via `count(DISTINCT ...)`
+    * expand.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__nn")).as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"))
+    }
+    total.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** C27: cross-document boilerplate detection — fixed-width character
     * chunks hashed and counted across the corpus; a chunk seen in more
     * than one document is boilerplate (headers, licenses, templates), and

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming re-expression of the reference's subscription
@@ -350,6 +350,27 @@ object EventStreamPipelines {
       rows.foreach { r => n += 1; c += r._2 }
       vol.update((n, c))
       Iterator.single((key, n, c))
+    }
+  }
+
+  /** A17d: bounded per-wallet trade history with `ListState` — the
+    * reference keeps a recent-trades ring per wallet for its bot/burst
+    * heuristics; here the list state holds the last `keep` amounts and
+    * each update emits (wallet, n_recent, recent_cents_sum). `put`
+    * rewrites the bounded list so state size is capped per key. */
+  class RecentTradesProcessor(keep: Int)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Int, Long)] {
+    @transient private var recent: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long)] = {
+      val prev = if (recent.exists()) recent.get().toArray else Array.empty[Long]
+      val all = prev ++ rows.map(_._2)
+      val bounded = all.takeRight(keep)
+      recent.put(bounded)
+      Iterator.single((key, bounded.length, bounded.sum))
     }
   }
 

@@ -194,6 +194,46 @@ class StreamingExtensionsSpec extends TestSparkSession {
     }
   }
 
+  test("A17d: ListState keeps a bounded recent-trades ring per wallet") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new EventStreamPipelines.RecentTradesProcessor(keep = 3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[(Long, Int, Long)])
+        .toDF("user_id", "n_recent", "recent_cents")
+      val q = out.writeStream.format("memory")
+        .queryName("graft_ls_test").outputMode("update").start()
+      input.addData((1L, 10L), (1L, 20L))
+      q.processAllAvailable()
+      input.addData((1L, 30L), (1L, 40L)) // ring: 20,30,40
+      q.processAllAvailable()
+      val rows = spark.table("graft_ls_test").collect()
+      q.stop()
+      val last = rows.filter(_.getAs[Long]("user_id") == 1L)
+        .maxBy(_.getAs[Long]("recent_cents"))
+      assert(last.getAs[Int]("n_recent") == 3)
+      assert(last.getAs[Long]("recent_cents") == 90L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A17: stateful session stream over a memory source") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -505,6 +505,8 @@ object SparkEntry {
       EventOps.latestState(Tables.events(s, d))),
     "q_events_type_transitions" -> ((s, d) =>
       EventOps.typeTransitions(Tables.events(s, d))),
+    "q_events_ewma_rate" -> ((s, d) =>
+      EventOps.ewmaRatePerMinute(Tables.events(s, d))),
     "q_events_sequence_gaps" -> ((s, d) =>
       EventOps.sequenceGaps(
         Tables.events(s, d).filter(col("event_id") % 97 =!= 0))),
@@ -690,6 +692,8 @@ object SparkEntry {
       EventOps.orderingAudit(Tables.events(s, d))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
+    "q_dedup_docs_containment" -> ((s, d) =>
+      Dedup.ngramContainment(Tables.documents(s, d), 0.6)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_simhash" -> ((s, d) =>
@@ -1677,6 +1681,22 @@ object SparkEntry {
       """SELECT event_id, user_id % 100 AS pool,
                 event_type || '-' || CAST(user_id AS VARCHAR) AS name
          FROM events""",
+    "q_events_ewma_rate" ->
+      """WITH r AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         p AS (SELECT a.event_type, a.minute, b.n AS b_n,
+                      a.minute - b.minute AS d
+               FROM r a JOIN r b ON a.event_type = b.event_type
+                 AND b.minute >= a.minute - 9 AND b.minute <= a.minute),
+         w AS (SELECT event_type, minute, b_n,
+                      CAST(power(8, d) AS BIGINT) *
+                        CAST(power(10, 9 - d) AS BIGINT) AS w
+               FROM p)
+         SELECT event_type, minute,
+                CAST(CAST(sum(b_n * w) AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS ewma_rate
+         FROM w GROUP BY 1, 2""",
     "q_events_sequence_gaps" ->
       """SELECT event_id // 256 AS bucket, min(event_id) AS lo,
                 max(event_id) AS hi, count(*) AS n_present,
@@ -1721,6 +1741,23 @@ object SparkEntry {
          WHERE n.doc_id % 2 = 1 AND NOT EXISTS (
            SELECT 1 FROM documents c
            WHERE c.doc_id % 2 = 0 AND c.text = n.text)""",
+    "q_dedup_docs_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+                CAST(inter AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE)
+                  AS containment
+         FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         WHERE CAST(inter AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE)
+               >= 0.6""",
     "q_dedup_docs_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
                     FROM documents),

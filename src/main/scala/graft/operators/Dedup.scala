@@ -33,6 +33,41 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("content_md5"))
       .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
 
+  /** C29: n-gram containment near-dup — |A∩B| / min(|A|,|B|). Jaccard
+    * misses subset duplication (a paragraph quoted inside a much longer
+    * document scores low because the union is big); containment scores
+    * the overlap against the SMALLER gram set, which is exactly the
+    * excerpt/quote case a curation run needs to catch. Same inverted-index
+    * join shape (and stop-gram cap) as [[ngramJaccard]].
+    */
+  def ngramContainment(docs: DataFrame, tau: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val grams = withTrigrams(docs)
+    val gAll = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val g = maxDocFreq.fold(gAll) { cap =>
+      val hot = gAll.groupBy("g").count().filter(col("count") > cap)
+        .select("g")
+      gAll.join(broadcast(hot), Seq("g"), "left_anti")
+    }
+    val sizes =
+      grams.select(col("doc_id"), size(col("grams")).cast("bigint").as("n"))
+    g.as("a")
+      .join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n", "n2"), "d2")
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        col("containment"))
+  }
+
   /** C25: incremental ingest dedup — a new batch against an existing
     * corpus. A Bloom filter over the corpus's content hashes
     * (`bloom_filter_agg`, shipped to executors as a scalar subquery)

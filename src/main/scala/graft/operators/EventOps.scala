@@ -135,6 +135,35 @@ object EventOps {
         sum("v").cast("double").as("total_value"))
   }
 
+  /** A49: EWMA-smoothed per-minute rate — the reference's throughput
+    * smoothing (metrics EWMA) with a bounded 10-minute memory. Weights
+    * are exact rationals on a common 10^9 denominator (0.8^d =
+    * 8^d·10^(9−d)/10^9), so the weighted sums are integer arithmetic —
+    * order-independent and engine-reproducible — and the only float op
+    * is the final division. The trailing-window pairing is a small
+    * self-join on the (type, minute) rate table, not on raw events.
+    */
+  def ewmaRatePerMinute(events: DataFrame): DataFrame = {
+    val rates = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val a = rates.select(col("event_type"), col("minute"))
+    val b = rates.select(col("event_type").as("b_type"),
+      col("minute").as("b_minute"), col("n").as("b_n"))
+    a.join(b, col("event_type") === col("b_type") &&
+        col("b_minute") >= col("minute") - 9 &&
+        col("b_minute") <= col("minute"))
+      .withColumn("d", col("minute") - col("b_minute"))
+      .withColumn("w",
+        expr("cast(power(8, d) as bigint) * cast(power(10, 9 - d) as bigint)"))
+      .groupBy("event_type", "minute")
+      .agg(sum(col("b_n") * col("w")).as("num"), sum(col("w")).as("den"))
+      .select(col("event_type"), col("minute"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("ewma_rate"))
+  }
+
   /** A48: sequence-gap audit — holes in a monotonically-assigned id/slot
     * range (the reference's shred-stream concern: missed slots between
     * received ones). Distributed without a global sort: ids bucket by

@@ -505,6 +505,8 @@ object SparkEntry {
       EventOps.latestState(Tables.events(s, d))),
     "q_events_type_transitions" -> ((s, d) =>
       EventOps.typeTransitions(Tables.events(s, d))),
+    "q_events_cohort_retention" -> ((s, d) =>
+      EventOps.cohortRetention(Tables.events(s, d))),
     "q_events_ewma_rate" -> ((s, d) =>
       EventOps.ewmaRatePerMinute(Tables.events(s, d))),
     "q_events_sequence_gaps" -> ((s, d) =>
@@ -1681,6 +1683,16 @@ object SparkEntry {
       """SELECT event_id, user_id % 100 AS pool,
                 event_type || '-' || CAST(user_id AS VARCHAR) AS name
          FROM events""",
+    "q_events_cohort_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+         fd AS (SELECT user_id, min(day) AS cohort_day FROM days
+                GROUP BY 1)
+         SELECT fd.cohort_day, d.day - fd.cohort_day AS day_offset,
+                count(DISTINCT d.user_id) AS n_active
+         FROM days d JOIN fd ON d.user_id = fd.user_id
+         GROUP BY 1, 2""",
     "q_events_ewma_rate" ->
       """WITH r AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
                            count(*) AS n

@@ -135,6 +135,22 @@ object EventOps {
         sum("v").cast("double").as("total_value"))
   }
 
+  /** A50: cohort retention matrix — wallets grouped by first-seen day,
+    * activity counted per (cohort, day-offset): the full curve A36's
+    * single day-over-day number is one diagonal of. Two shuffles (per-day
+    * distinct + the cohort join on user_id) regardless of matrix size;
+    * the output is |days|² small.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val firstDay = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** A49: EWMA-smoothed per-minute rate — the reference's throughput
     * smoothing (metrics EWMA) with a bounded 10-minute memory. Weights
     * are exact rationals on a common 10^9 denominator (0.8^d =

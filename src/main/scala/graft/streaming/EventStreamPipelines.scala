@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming re-expression of the reference's subscription
@@ -371,6 +371,31 @@ object EventStreamPipelines {
       val bounded = all.takeRight(keep)
       recent.put(bounded)
       Iterator.single((key, bounded.length, bounded.sum))
+    }
+  }
+
+  /** A17e: per-wallet per-event-type counters with `MapState` — the
+    * reference's per-type metrics map keyed inside each wallet's state
+    * (`metrics.rs` keeps a counter per EventType). Each update emits the
+    * wallet's current (type → count) entries; only touched keys are
+    * read/written, so state IO is O(types-in-batch), not O(state). */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val t = r._2
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1)
+        touched += t
+      }
+      touched.iterator.map(t => (key, t, counts.getValue(t)))
     }
   }
 

@@ -234,6 +234,49 @@ class StreamingExtensionsSpec extends TestSparkSession {
     }
   }
 
+  test("A17e: MapState keeps per-wallet per-type counters") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new EventStreamPipelines.TypeCountsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[(Long, String, Long)])
+        .toDF("user_id", "event_type", "n")
+      val q = out.writeStream.format("memory")
+        .queryName("graft_ms_test").outputMode("update").start()
+      input.addData((1L, "buy"), (1L, "buy"), (1L, "sell"), (2L, "buy"))
+      q.processAllAvailable()
+      input.addData((1L, "buy"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_ms_test").collect()
+      q.stop()
+      val u1buy = rows.filter(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[String]("event_type") == "buy").map(_.getAs[Long]("n"))
+      assert(u1buy.max == 3L)
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[String]("event_type") == "sell" && r.getAs[Long]("n") == 1L))
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 2L &&
+        r.getAs[Long]("n") == 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A17: stateful session stream over a memory source") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

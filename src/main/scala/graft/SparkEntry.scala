@@ -505,6 +505,10 @@ object SparkEntry {
       EventOps.latestState(Tables.events(s, d))),
     "q_events_type_transitions" -> ((s, d) =>
       EventOps.typeTransitions(Tables.events(s, d))),
+    "q_events_equidepth_hist" -> ((s, d) =>
+      EventOps.equiDepthHistogram(Tables.events(s, d))),
+    "q_events_session_funnel" -> ((s, d) =>
+      EventOps.sessionFunnel(Tables.events(s, d))),
     "q_events_cohort_retention" -> ((s, d) =>
       EventOps.cohortRetention(Tables.events(s, d))),
     "q_events_ewma_rate" -> ((s, d) =>
@@ -1683,6 +1687,40 @@ object SparkEntry {
       """SELECT event_id, user_id % 100 AS pool,
                 event_type || '-' || CAST(user_id AS VARCHAR) AS name
          FROM events""",
+    "q_events_equidepth_hist" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS r,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM events)
+         SELECT event_type, ((r - 1) * 4) // n AS bucket,
+                count(*) AS n_rows, min(value) AS lo, max(value) AS hi
+         FROM r GROUP BY 1, 2""",
+    "q_events_session_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type FROM events),
+         f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                              WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us, event_id)),
+         g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+               FROM f),
+         sess AS (SELECT user_id, session_id,
+                         min(CASE WHEN event_type = 'view' THEN ts_us END)
+                           AS first_view,
+                         min(CASE WHEN event_type = 'purchase' THEN ts_us
+                             END) AS first_purchase
+                  FROM g GROUP BY 1, 2)
+         SELECT count(*) AS n_sessions,
+                count(first_view) AS n_with_view,
+                count(first_purchase) AS n_with_purchase,
+                count(CASE WHEN first_view < first_purchase THEN 1 END)
+                  AS n_converted
+         FROM sess""",
     "q_events_cohort_retention" ->
       """WITH days AS (SELECT DISTINCT user_id,
                               epoch_us(ts) // 86400000000 AS day

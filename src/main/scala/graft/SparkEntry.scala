@@ -625,6 +625,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.contamination(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
+    "q_docs_decontaminated" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminatedCorpus(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
+    "q_docs_chunk_windows" -> ((s, d) =>
+      Sampling.chunkDocuments(Tables.documents(s, d))),
     "q_ann_ivf_full_probe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
@@ -1212,6 +1218,38 @@ object SparkEntry {
                 event_id * 7 + 1 AS sqrt_price,
                 user_id % 1000 AS tick, epoch_us(ts) AS ts_us
          FROM events WHERE event_type = 'purchase'""",
+    "q_docs_decontaminated" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         hits AS (SELECT g.doc_id, count(*) AS n_hits
+                  FROM g JOIN bg ON g.g = bg.g GROUP BY 1),
+         contaminated AS (SELECT h.doc_id FROM hits h
+                          JOIN sz ON h.doc_id = sz.doc_id
+                          WHERE CAST(h.n_hits AS DOUBLE) /
+                                CAST(sz.n_grams AS DOUBLE) >= 0.5)
+         SELECT doc_id, source, lang, md5(text) AS text_md5
+         FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    "q_docs_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                    FROM documents),
+         c AS (SELECT doc_id, ws, n,
+                      unnest(range(0, greatest((n - 64 + 47) // 48, 0) + 1))
+                        AS chunk_idx
+               FROM t)
+         SELECT doc_id, chunk_idx,
+                least(64, n - chunk_idx * 48) AS chunk_tokens,
+                md5(array_to_string(
+                  ws[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+                  AS chunk_md5
+         FROM c""",
     "q_docs_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
                     FROM documents),

@@ -251,6 +251,22 @@ object Dedup {
     keepExact.join(nonKeepers, Seq("doc_id"), "left_anti")
   }
 
+  /** C31: decontaminated corpus materialization — C23's flags applied:
+    * documents whose benchmark trigram overlap reaches `tau` are removed
+    * and the survivors flow on (the filter step a training pipeline
+    * actually ships, not just the report). The hit list is doc ids only,
+    * so the anti-join shuffles keys — document bodies stay put and the
+    * output carries a digest, not the text.
+    */
+  def decontaminatedCorpus(docs: DataFrame, bench: DataFrame,
+      tau: Double = 0.5): DataFrame =
+    docs.join(
+      contamination(docs, bench, tau)
+        .filter(col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("text_md5"))
+
   /** C23: benchmark decontamination — flag training documents that share
     * word trigrams with a benchmark/eval set (the pre-training hygiene
     * check that keeps eval data out of the corpus). The benchmark gram

@@ -52,6 +52,35 @@ object Sampling {
     df.withColumn("copy_idx",
       explode(sequence(lit(1), weight.cast("int"))))
 
+  /** C32: fixed-token chunking with stride — each document becomes
+    * context-window-sized token chunks, overlapping when
+    * `strideTokens < chunkTokens` (the "split long docs into training
+    * windows" step; C17 packs whole docs into bins, this splits single
+    * docs). Chunk starts run at the stride until one chunk reaches the
+    * document end — no redundant fully-contained tail chunk. The token
+    * array is built once per document and chunks are codegen'd
+    * slice/array_join over an exploded index sequence: no per-token
+    * lambda, no token-level explode, and the output carries a digest per
+    * chunk rather than the chunk text.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+      strideTokens: Int = 48): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(expr(
+          s"sequence(0L, greatest((n_tok - $chunkTokens + " +
+            s"${strideTokens - 1}) div $strideTokens, 0))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkTokens.toLong),
+          col("n_tok").cast("bigint") -
+            col("chunk_idx") * strideTokens).as("chunk_tokens"),
+        md5(expr(s"array_join(slice(toks, " +
+          s"cast(chunk_idx * $strideTokens + 1 as int), $chunkTokens), ' ')"))
+          .as("chunk_md5"))
+
   /** Greedy-by-order sequence packing: within each stratum, rows are
     * packed in a deterministic order into fixed-budget bins (the
     * "pack documents into 2k-token training sequences" step). The running

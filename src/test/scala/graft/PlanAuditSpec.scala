@@ -184,6 +184,39 @@ class PlanAuditSpec extends TestSparkSession {
     assert(joinIdx >= 0 && aggIdx >= 0, "expected join + aggregate")
   }
 
+  test("bucketed layout: join and aggregation on the bucket key are " +
+      "shuffle-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
+      .toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sources.BucketedLayout.writeBucketed(
+      ev, "graft_ev_bucketed", dir, "user_id", 8)
+    try {
+      val t = spark.table("graft_ev_bucketed")
+      val joined = t.as("a").join(t.as("b"), "user_id")
+        .groupBy("user_id").count()
+      // make sure the no-exchange plan isn't just a broadcast artifact
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        joined.collect()
+        val plan = planOf(joined)
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join still shuffles:\n${plan.take(3000)}")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      val agg = spark.table("graft_ev_bucketed")
+        .groupBy("user_id").agg(sum("value"))
+      agg.collect()
+      assert(!planOf(agg).contains("Exchange hashpartitioning"),
+        "bucketed aggregation still shuffles")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ev_bucketed")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

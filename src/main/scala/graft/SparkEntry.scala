@@ -697,6 +697,21 @@ object SparkEntry {
     "q_tpch_q13_custdist" -> ((s, d) =>
       Relational.custOrderDistribution(Tables.customer(s, d),
         Tables.orders(s, d))),
+    // SQL-text front-end: the same engine driven through spark.sql over a
+    // registered view — busiest 3 minutes per event type (agg + window +
+    // rank filter in one ANSI statement)
+    "q_sql_busiest_minutes" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_type, minute, n FROM (
+                 SELECT event_type, minute, count(*) AS n,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY count(*) DESC, minute) AS rn
+                 FROM (SELECT event_type,
+                              unix_micros(ts) div 60000000 AS minute
+                       FROM events_v)
+                 GROUP BY 1, 2)
+               WHERE rn <= 3""")
+    }),
     "q_events_gap_dist" -> ((s, d) =>
       EventOps.interEventGaps(Tables.events(s, d))),
     "q_events_value_histogram" -> ((s, d) =>
@@ -1341,6 +1356,14 @@ object SparkEntry {
                          AND l.l_shipdate >
                              o.o_orderdate + INTERVAL 60 DAY)
          GROUP BY 1""",
+    "q_sql_busiest_minutes" ->
+      """SELECT event_type, minute, n FROM (
+           SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+                  count(*) AS n,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY count(*) DESC, minute) AS rn
+           FROM events GROUP BY 1, 2)
+         WHERE rn <= 3""",
     "q_tpch_q13_custdist" ->
       """WITH oc AS (SELECT o_custkey, count(*) AS cnt
                      FROM orders

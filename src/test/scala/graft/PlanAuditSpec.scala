@@ -217,6 +217,36 @@ class PlanAuditSpec extends TestSparkSession {
     }
   }
 
+  test("AQE splits skewed join partitions at runtime (salting's sibling)") {
+    // one hot key carrying most rows — the wallet-skew shape A21 salts by
+    // hand; here the runtime re-plan must handle it unaided
+    import spark.implicits._
+    val left = spark.range(0, 200000)
+      .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id"))
+        .as("k"), col("id").as("payload"))
+    val right = spark.range(0, 2000).select(col("id").as("k"))
+    val old = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = old.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    old.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // a global reduce, not a groupBy(k): re-splitting the hot partition
+      // must not have to preserve a downstream hash distribution on k
+      val joined = left.join(right, "k").select(sum("payload").as("s"))
+      joined.collect()
+      val plan = planOf(joined)
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

@@ -346,6 +346,12 @@ object SparkEntry {
           countDistinct(coalesce(col("buy.user_id"), col("sell.user_id")))
             .as("n_traders"))
     }),
+    // instruction-level decode (amm_v4 analog): nested tx rows with an
+    // account-key table, posexplode + LE reads + positional key resolution
+    "q_events_instr_decode" -> ((s, d) =>
+      graft.sources.InstructionCodec.flattenDecode(
+        graft.sources.InstructionCodec.packTransactions(
+          Tables.events(s, d)))),
     "q_events_decode_mixed" -> ((s, d) => {
       import graft.sources.ProtocolRegistry
       val src = Tables.events(s, d).select(
@@ -1199,6 +1205,19 @@ object SparkEntry {
                 CAST(sum(CASE WHEN protocol <> 'unknown' THEN amt END)
                   AS BIGINT) AS sum_amt
          FROM k GROUP BY 1, 2""",
+    "q_events_instr_decode" ->
+      """SELECT event_id // 8 AS tx_id,
+                CAST(row_number() OVER (PARTITION BY event_id // 8
+                       ORDER BY event_id) - 1 AS INTEGER) AS instr_idx,
+                event_id,
+                md5(CAST(user_id AS VARCHAR)) ||
+                  md5(CAST(user_id + 1 AS VARCHAR)) AS user_hex,
+                md5(CAST(mu AS VARCHAR)) ||
+                  md5(CAST(mu + 1 AS VARCHAR)) AS authority_hex,
+                CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+                epoch_us(ts) AS ts_us
+         FROM (SELECT *, min(user_id) OVER (PARTITION BY event_id // 8)
+                 AS mu FROM events)""",
     "q_events_decode_mixed" ->
       """SELECT event_id, user_id % 100 AS pool,
                 CAST(event_id % 3 AS INTEGER) AS flags,

@@ -268,6 +268,35 @@ class CodecSpec extends TestSparkSession {
       Seq("amm", "deposit", null, 6L)))
   }
 
+  test("instruction decode: account resolution, malformed rows dropped") {
+    import graft.sources.InstructionCodec
+    val ev = Tables.events(spark, sfDir)
+    val txs = InstructionCodec.packTransactions(ev)
+    val ok = InstructionCodec.flattenDecode(txs)
+    assert(ok.count() == ev.count(), "well-formed instructions all decode")
+    // resolved user key must be the md5-derived pubkey of the original row
+    val joined = ok.join(ev.select(col("event_id"),
+        expr("concat(md5(cast(cast(user_id as string) as binary)), " +
+          "md5(cast(cast(user_id + 1 as string) as binary)))").as("want")),
+      "event_id")
+    assert(joined.filter(col("user_hex") =!= col("want")).isEmpty)
+    // corrupt the nested rows: truncated data, foreign disc, bad index —
+    // each must drop out without failing the job
+    val bad = txs.select(col("tx_id"), col("account_keys"),
+      expr("""transform(instructions, x -> named_struct(
+                'event_id', x.event_id,
+                'data', case when x.event_id % 3 = 0
+                             then substring(x.data, 1, 16)
+                        when x.event_id % 3 = 1
+                             then concat(x'ffff', substring(x.data, 3))
+                        else x.data end,
+                'accounts', case when x.event_id % 3 = 2
+                                 then array(999, 0)
+                            else x.accounts end))""").as("instructions"))
+    assert(InstructionCodec.flattenDecode(bad).isEmpty,
+      "truncated/foreign/out-of-range instructions must be dropped")
+  }
+
   test("json ingest captures corrupt lines without failing the job") {
     import spark.implicits._
     import graft.sources.JsonIngest

@@ -166,6 +166,41 @@ object SparkEntry {
       graft.sources.EventCodec.decodeTrade(
         s.read.format("graft-wire").load(dir))
     }),
+    // wire-frame integrity: byte-sum checksum trailer (fast_checksum
+    // analog) — every 37th frame deterministically corrupted, the
+    // validator must report exactly those as 'corrupt'
+    "q_events_wire_checksum" -> ((s, d) => {
+      import graft.sources.EventCodec
+      val framed = EventCodec.frameWithChecksum(
+        EventCodec.encodeTrade(Tables.events(s, d)))
+        .select(col("event_id"), col("frame"))
+      // XOR-255 the first body byte: changes the byte sum by 255-2b ≠ 0,
+      // so detection is guaranteed, not probabilistic
+      val flipped = expr("unhex(lpad(hex(255 - cast(conv(hex(" +
+        "substring(frame, 1, 1)), 16, 10) as int)), 2, '0'))")
+      val wire = framed.withColumn("frame",
+        when(col("event_id") % 37 === 0,
+          concat(flipped, expr("substring(frame, 2)")))
+          .otherwise(col("frame")))
+      EventCodec.validateChecksum(wire)
+        .groupBy("status").agg(count(lit(1)).as("n"))
+    }),
+    // resync scan: find_pattern locates the discriminator behind a
+    // variable-length junk prefix and decode recovers every event
+    "q_events_wire_resync" -> ((s, d) => {
+      import graft.sources.EventCodec
+      import graft.functions.exprs._
+      val wire = EventCodec.encodeTrade(Tables.events(s, d)).select(
+        col("event_id"),
+        concat(expr("unhex(repeat('aa', cast(event_id % 7 + 3 as int)))"),
+          col("payload")).as("stream"))
+      EventCodec.resyncTrade(wire)
+        .select(col("sync_offset"),
+          le_long(col("payload"), 8).as("recovered_id"), col("event_id"))
+        .groupBy("sync_offset").agg(count(lit(1)).as("n"),
+          sum(when(col("recovered_id") === col("event_id"), 1L)
+            .otherwise(0L)).as("n_recovered"))
+    }),
     "q_stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.windowedCountsAvailableNow(
         s, d, Seq("purchase"))),
@@ -1067,6 +1102,15 @@ object SparkEntry {
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
                 CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
          FROM events""",
+    "q_events_wire_checksum" ->
+      """SELECT CASE WHEN event_id % 37 = 0 THEN 'corrupt' ELSE 'ok' END
+                  AS status,
+                count(*) AS n
+         FROM events GROUP BY 1""",
+    "q_events_wire_resync" ->
+      """SELECT CAST(event_id % 7 + 3 AS INTEGER) AS sync_offset,
+                count(*) AS n, CAST(count(*) AS BIGINT) AS n_recovered
+         FROM events GROUP BY 1""",
     "q_stream_windowed_counts" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
                 count(*) AS n

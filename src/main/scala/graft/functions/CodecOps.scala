@@ -128,6 +128,34 @@ object CodecOps {
     min
   }
 
+  /** Wrapping u32 byte-sum checksum, returned as its non-negative long
+    * value (reference `streaming/common/simd_utils.rs:183` `fast_checksum`
+    * sums all bytes as u32 — used here for wire-frame integrity). */
+  def checksum(bytes: Array[Byte]): Long = {
+    var s = 0 // wraps like the reference's u32 accumulator
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    s & 0xFFFFFFFFL
+  }
+
+  /** First 0-based offset of `needle` within `haystack`, null when absent
+    * or the needle is empty (reference `simd_utils.rs:105`
+    * `find_pattern_simd` returns `Option<usize>` — its stream-resync
+    * pattern scan). */
+  def findPattern(hay: Array[Byte], needle: Array[Byte]): java.lang.Integer = {
+    val n = needle.length
+    if (n == 0 || hay.length < n) return null
+    var i = 0
+    val last = hay.length - n
+    while (i <= last) {
+      var j = 0
+      while (j < n && hay(i + j) == needle(j)) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    null
+  }
+
   /** (a*b) mod (2^61-1) for a,b < 2^61, branch-light Mersenne reduction:
     * with m = 2^61-1, 2^61 ≡ 1 and 2^64 ≡ 8, so the 128-bit product
     * hi·2^64 + lo folds to hi·8 + (lo >>> 61) + (lo & m).

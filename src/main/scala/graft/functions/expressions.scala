@@ -246,6 +246,45 @@ case class SimHashBands(child: Expression)
     copy(child = newChild)
 }
 
+/** Wrapping u32 byte-sum checksum of a binary payload (the reference's
+  * `fast_checksum`, `simd_utils.rs:183`) — wire-frame integrity at ingest. */
+case class ByteChecksum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_checksum"
+  override protected def nullSafeEval(bytes: Any): Any =
+    CodecOps.checksum(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.CodecOps.checksum($b)")
+  override protected def withNewChildInternal(newChild: Expression): ByteChecksum =
+    copy(child = newChild)
+}
+
+/** First 0-based offset of a byte pattern within a binary payload, null
+  * when absent (the reference's `find_pattern_simd`, `simd_utils.rs:105`)
+  * — resynchronization scan over unframed/garbled byte streams. */
+case class FindPattern(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_find_pattern"
+  override protected def nullSafeEval(hay: Any, needle: Any): Any =
+    CodecOps.findPattern(hay.asInstanceOf[Array[Byte]],
+      needle.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, n) => {
+      val tmp = ctx.freshName("pos")
+      s"""java.lang.Integer $tmp = graft.functions.CodecOps.findPattern($h, $n);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.intValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FindPattern =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Identity marker used to demonstrate the injected optimizer rule (D1):
   * `GraftNopElimination` strips it from plans. */
 case class GraftNop(child: Expression) extends UnaryExpression {
@@ -283,4 +322,7 @@ object exprs {
     col(HyperplaneSig(ex(v), Literal(bits)))
   def simhash_bands(s: Column): Column = col(SimHashBands(ex(s)))
   def graft_nop(c: Column): Column = col(GraftNop(ex(c)))
+  def byte_checksum(c: Column): Column = col(ByteChecksum(ex(c)))
+  def find_pattern(hay: Column, needle: Column): Column =
+    col(FindPattern(ex(hay), ex(needle)))
 }

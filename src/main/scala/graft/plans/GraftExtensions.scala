@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => HyperplaneSig(es(0), es(1))))
     ext.injectFunction(fn("graft_simhash_bands", args = 1,
       es => SimHashBands(es.head)))
+    ext.injectFunction(fn("graft_checksum", args = 1,
+      es => ByteChecksum(es.head)))
+    ext.injectFunction(fn("graft_find_pattern", args = 2,
+      es => FindPattern(es(0), es(1))))
     ext.injectFunction(fn("graft_bloom_agg", args = 3,
       es => new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(es(0), es(1), es(2))

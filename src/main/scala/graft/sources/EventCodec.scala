@@ -66,6 +66,40 @@ object EventCodec {
       .withColumn("ev", decode_create_token(col(payload)))
       .filter(col("ev").isNotNull)
 
+  /** Append an 8-byte LE byte-sum checksum to each payload — the wire
+    * framing side of the reference's `fast_checksum` integrity check
+    * (`streaming/common/simd_utils.rs:183`). */
+  def frameWithChecksum(
+      df: DataFrame, payload: String = "payload"): DataFrame =
+    df.withColumn("frame",
+      concat(col(payload), le_bytes(byte_checksum(col(payload)), 8)))
+
+  /** Validate checksummed frames: recompute the byte sum over the body
+    * and compare with the stored trailer. Emits `status` ('ok'/'corrupt')
+    * and the body payload — corrupt frames are reported, not thrown, like
+    * every other malformed-input path in this codec. */
+  def validateChecksum(df: DataFrame, frame: String = "frame"): DataFrame = {
+    val body = expr(s"substring($frame, 1, octet_length($frame) - 8)")
+    val stored = col(frame).substr(
+      expr(s"octet_length($frame) - 7"), lit(8))
+    df.withColumn("status",
+        when(expr(s"octet_length($frame)") >= 9 &&
+          le_long(stored, 0) === byte_checksum(body), "ok")
+          .otherwise("corrupt"))
+      .withColumn("payload", body)
+  }
+
+  /** Resynchronization scan (reference `simd_utils.rs:105`
+    * `find_pattern_simd`): locate the trade discriminator inside an
+    * unframed byte stream and slice the payload from there; rows with no
+    * match resolve to null offset / null payload. */
+  def resyncTrade(df: DataFrame, stream: String = "stream"): DataFrame = {
+    val off = find_pattern(col(stream), lit(Discriminator))
+    df.withColumn("sync_offset", off)
+      .withColumn("payload",
+        expr(s"substring($stream, sync_offset + 1)"))
+  }
+
   /** Program-log payload extraction (reference
     * `event_parser/common/utils.rs:17-26` `extract_program_data` /
     * `extract_program_log`): event payloads arrive base64-wrapped in

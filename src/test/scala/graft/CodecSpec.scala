@@ -268,6 +268,35 @@ class CodecSpec extends TestSparkSession {
       Seq("amm", "deposit", null, 6L)))
   }
 
+  test("checksum and find-pattern: known vectors, frame validation, SQL") {
+    // fast_checksum semantics: plain byte sum (simd_utils.rs:183)
+    assert(CodecOps.checksum(Array[Byte](1, 2, -1)) == 258L)
+    assert(CodecOps.checksum(Array.emptyByteArray) == 0L)
+    // find_pattern semantics: first offset or None (simd_utils.rs:105)
+    val hay = Array[Byte](9, 8, 7, 6, 7, 6)
+    assert(CodecOps.findPattern(hay, Array[Byte](7, 6)) == 2)
+    assert(CodecOps.findPattern(hay, Array[Byte](6, 9)) == null)
+    assert(CodecOps.findPattern(hay, Array.emptyByteArray) == null)
+    assert(CodecOps.findPattern(Array[Byte](1), Array[Byte](1, 2)) == null)
+    // SQL-registered names work and run codegen'd on non-literal input
+    val df = spark.range(50).toDF("id")
+      .selectExpr("id", "graft_le_bytes(id * 2654435761, 8) AS bin")
+      .selectExpr("id", "graft_checksum(bin) AS ck",
+        "graft_find_pattern(bin, graft_le_bytes(id * 2654435761, 2)) AS p")
+    assert(df.collect().forall(r => r.getAs[Long]("ck") >= 0 &&
+      r.getAs[Int]("p") == 0))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    // frame round trip: intact frames validate, a flipped byte is caught
+    val ev = Tables.events(spark, sfDir)
+    val framed = EventCodec.frameWithChecksum(EventCodec.encodeTrade(ev))
+    val ok = EventCodec.validateChecksum(framed)
+    assert(ok.filter(col("status") =!= "ok").isEmpty)
+    val bad = framed.withColumn("frame",
+      concat(lit(Array[Byte](0)), expr("substring(frame, 2)")))
+    assert(EventCodec.validateChecksum(bad)
+      .filter(col("status") === "ok").isEmpty)
+  }
+
   test("instruction decode: account resolution, malformed rows dropped") {
     import graft.sources.InstructionCodec
     val ev = Tables.events(spark, sfDir)

@@ -79,6 +79,9 @@ object GraftExtensions {
         (es: Seq[Expression]) => HyperplaneSig(es(0), es(1))),
       fn("graft_simhash_bands", 1,
         (es: Seq[Expression]) => SimHashBands(es.head)),
+      fn("graft_checksum", 1, (es: Seq[Expression]) => ByteChecksum(es.head)),
+      fn("graft_find_pattern", 2,
+        (es: Seq[Expression]) => FindPattern(es(0), es(1))),
       fn("graft_bloom_agg", 3,
         (es: Seq[Expression]) => new org.apache.spark.sql.catalyst
           .expressions.aggregate.BloomFilterAggregate(es(0), es(1), es(2))

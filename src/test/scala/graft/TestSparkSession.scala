@@ -21,6 +21,8 @@ object TestSparkSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // SQL-name registration must not depend on which suite runs first
+    graft.plans.GraftExtensions.register(s)
     s
   }
 }

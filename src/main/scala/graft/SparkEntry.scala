@@ -738,6 +738,21 @@ object SparkEntry {
     "q_tpch_q13_custdist" -> ((s, d) =>
       Relational.custOrderDistribution(Tables.customer(s, d),
         Tables.orders(s, d))),
+    "q_tpch_q7_volume" -> ((s, d) =>
+      Relational.volumeShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q_tpch_q10_returns" -> ((s, d) =>
+      Relational.returnedItems(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
+    "q_tpch_q17_smallqty" -> ((s, d) =>
+      Relational.smallQtyRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_tpch_q22_opportunity" -> ((s, d) =>
+      Relational.salesOpportunity(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.nation(s, d))),
+    "q_events_concentration" -> ((s, d) =>
+      EventOps.walletConcentration(Tables.events(s, d))),
+    "q_docs_distinctive_terms" -> ((s, d) =>
+      TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     // SQL-text front-end: the same engine driven through spark.sql over a
     // registered view — busiest 3 minutes per event type (agg + window +
     // rank filter in one ANSI statement)
@@ -1435,6 +1450,93 @@ object SparkEntry {
          SELECT coalesce(cnt, 0) AS n_orders, count(*) AS n_customers
          FROM customer LEFT JOIN oc ON c_custkey = o_custkey
          GROUP BY 1""",
+    "q_tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                              AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3""",
+    "q_tpch_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+         FROM (SELECT c_custkey, c_name, n_name,
+                      sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                               AS DECIMAL(4,2))) AS rev
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               WHERE l_returnflag = 'R'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1996-04-01'
+               GROUP BY 1, 2, 3)
+         ORDER BY rev DESC, c_custkey LIMIT 20""",
+    "q_tpch_q17_smallqty" ->
+      """WITH li AS (SELECT l_partkey, l_extendedprice,
+                CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS qty_c FROM lineitem),
+         pp AS (SELECT l_partkey AS pk, count(*) AS cnt,
+                       CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+                FROM li GROUP BY 1)
+         SELECT p_brand, count(*) AS n_small,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DOUBLE) AS revenue
+         FROM li JOIN pp ON l_partkey = pk
+         JOIN part ON l_partkey = p_partkey
+         WHERE qty_c * 5 * cnt < sum_qty_c
+         GROUP BY 1""",
+    "q_tpch_q22_opportunity" ->
+      """WITH pos AS (SELECT count(*) AS cnt,
+                CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS sum_c
+                FROM customer WHERE c_acctbal > 0)
+         SELECT n_name, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                     AS DOUBLE) AS totacctbal
+         FROM customer
+         CROSS JOIN pos
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 * cnt > sum_c
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1""",
+    "q_events_concentration" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type,
+                count(*) AS n_wallets,
+                CAST(sum(cnt) AS BIGINT) AS n_events,
+                CAST(sum(cnt * cnt) AS BIGINT) * 1.0 /
+                  (CAST(sum(cnt) AS BIGINT) *
+                   CAST(sum(cnt) AS BIGINT)) AS hhi,
+                max(cnt) * 1.0 / CAST(sum(cnt) AS BIGINT) AS top_share
+         FROM c GROUP BY 1""",
+    "q_docs_distinctive_terms" ->
+      """WITH t AS (SELECT source,
+                           unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents),
+         tf AS (SELECT source, token, count(*) AS tf FROM t
+                WHERE token <> '' GROUP BY 1, 2),
+         sp AS (SELECT token, count(*) AS n_sources FROM tf GROUP BY 1)
+         SELECT source, token, tf, n_sources,
+                tf * 1.0 / n_sources AS score, rk
+         FROM (SELECT source, token, tf, n_sources,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY tf * 1.0 / n_sources DESC, token) AS rk
+               FROM tf JOIN sp USING (token))
+         WHERE rk <= 10""",
     "q_events_gap_dist" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
                            event_id FROM events),

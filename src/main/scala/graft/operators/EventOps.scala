@@ -678,6 +678,29 @@ object EventOps {
         lit((nBins - 1).toDouble)).cast("bigint").as("bin"))
       .agg(count(lit(1)).as("n"))
 
+  /** A53: per-type wallet concentration — HHI and top-wallet share of
+    * event count (whale/market-concentration signal; the flip side of the
+    * reference's bot-wallet tagging: instead of flagging one configured
+    * wallet, measure how dominated each event type is). Two keyed
+    * aggregations, both with map-side partials; all sums are integer
+    * (counts and squared counts), so cross-engine results are bit-exact
+    * up to the single final double divisions: HHI = Σcnt² / total²,
+    * top_share = max(cnt) / total.
+    */
+  def walletConcentration(events: DataFrame): DataFrame =
+    events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_wallets"),
+        sum("cnt").as("n_events"),
+        sum(col("cnt") * col("cnt")).as("sq"),
+        max("cnt").as("max_cnt"))
+      .select(col("event_type"), col("n_wallets"), col("n_events"),
+        (col("sq").cast("double") /
+          (col("n_events") * col("n_events")).cast("double")).as("hhi"),
+        (col("max_cnt").cast("double") / col("n_events").cast("double"))
+          .as("top_share"))
+
   /** A12: hourly OHLC candles per event type (DEX price analytics). */
   def ohlc1h(events: DataFrame): DataFrame = {
     val base = events.select(

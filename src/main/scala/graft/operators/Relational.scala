@@ -231,6 +231,105 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sum(dec2("o_totalprice")).cast("double").as("revenue"))
 
+  /** B17 (TPC-H Q7 shape): volume shipping — revenue flowing between
+    * (supplier nation, customer nation) pairs per ship year. The two
+    * nation legs are the same tiny dim broadcast twice under different
+    * aliases; supplier broadcasts as well; the only wide shuffles are the
+    * two fact joins (lineitem⋈orders on orderkey, ⋈customer on custkey),
+    * both on their natural keys so AQE can coalesce/skew-split them.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        .cast("double").as("revenue"))
+  }
+
+  /** B18 (TPC-H Q10 shape): returned-item reporting — customers ranked by
+    * revenue lost to returns in one quarter. Orders are date-band pruned
+    * at the scan, lineitem is flag-pruned, nation broadcasts; the top-20
+    * is a TakeOrdered over the per-customer aggregate (revenue ties broken
+    * by custkey so the limit is deterministic), never a global sort.
+    */
+  def returnedItems(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(
+          col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount")).as("rev"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"))
+
+  /** B19 (TPC-H Q17 shape): small-quantity-order revenue — lineitems whose
+    * quantity is below 20% of their part's average. The correlated AVG
+    * subquery is computed once per part (one shuffle with map-side
+    * partials) and joined back key-aligned; the avg comparison
+    * `qty < 0.2 * avg(qty)` is evaluated as `5 * qty_cents * cnt <
+    * sum_qty_cents` — pure integer math, so both engines agree bit-exactly
+    * with no float-threshold edge cases.
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"), col("l_extendedprice"),
+      (dec2("l_quantity") * 100).cast("bigint").as("qty_c"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum("qty_c").as("sum_qty_c"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("qty_c") * 5 * col("cnt") < col("sum_qty_c"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        sum(dec2("l_extendedprice")).cast("double").as("revenue"))
+  }
+
+  /** B20 (TPC-H Q22 shape): sales opportunity — lapsed customers (no
+    * order since `lapsedSince`) with above-average positive balance,
+    * grouped by nation. The scalar AVG subquery becomes a 1-row broadcast
+    * cross join; the threshold `acctbal > avg(positive acctbal)` compares
+    * `acctbal_cents * cnt > sum_cents` in exact integers. The NOT EXISTS
+    * becomes an anti-join that ships only custkeys of the date-pruned
+    * order slice.
+    */
+  def salesOpportunity(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, lapsedSince: String = "2000-01-01"): DataFrame = {
+    val bal = (dec2("c_acctbal") * 100).cast("bigint")
+    val pos = customer.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("cnt"), sum(bal).as("sum_c"))
+    customer.withColumn("bal_c", bal)
+      .join(broadcast(pos))
+      .filter(col("bal_c") * col("cnt") > col("sum_c"))
+      .join(orders
+          .filter(col("o_orderdate") >= lit(lapsedSince).cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2("c_acctbal")).cast("double").as("totacctbal"))
+  }
+
   /** B8: VWAP per ship month: exact decimal numerator/denominator, single
     * double division at the boundary. */
   def vwapByMonth(lineitem: DataFrame): DataFrame =

@@ -149,6 +149,34 @@ object TextAnalysis {
       .withColumn("type_token_ratio",
         col("n_types").cast("double") / col("n_tokens").cast("double"))
 
+  /** C33: per-source distinctive terms (tf-idf shape) — the tokens most
+    * characteristic of each source: high in-source frequency, low spread
+    * across other sources. Inverse document frequency is kept rational
+    * (score = tf / n_sources_with_token — integer inputs, one double
+    * division) so both engines agree bit-exactly with no log() in the
+    * compare path. The (source, token) agg carries map-side partials; the
+    * tiny source-spread table joins back key-aligned on token; top-k per
+    * source is a WindowGroupLimit, not a global sort.
+    */
+  def distinctiveTerms(docs: DataFrame, k: Int = 10): DataFrame = {
+    val toks = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val spread = tf.groupBy("token")
+      .agg(count(lit(1)).as("n_sources"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(spread, "token")
+      .withColumn("score",
+        col("tf").cast("double") / col("n_sources").cast("double"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("token"), col("tf"), col("n_sources"),
+        col("score"), col("rk"))
+  }
+
   /** C21: PII scrubbing — mask e-mail addresses and long digit runs
     * before a corpus ships to training. Pure codegen'd projection (single
     * scan, no shuffle). Patterns stick to character classes + bounded

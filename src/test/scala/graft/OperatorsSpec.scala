@@ -275,6 +275,36 @@ class OperatorsSpec extends TestSparkSession {
     }
   }
 
+  test("wallet concentration: HHI within [1/n, 1], shares consistent") {
+    val rows = EventOps.walletConcentration(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_wallets")
+      val hhi = r.getAs[Double]("hhi")
+      val top = r.getAs[Double]("top_share")
+      // HHI is bounded below by perfect evenness, above by monopoly
+      assert(hhi >= 1.0 / n - 1e-12 && hhi <= 1.0, s"hhi $hhi n=$n")
+      // the max wallet share can never be below the average share
+      assert(top >= 1.0 / n - 1e-12 && top <= 1.0)
+      // HHI >= top_share^2 (one term of the sum)
+      assert(hhi >= top * top - 1e-12)
+    }
+  }
+
+  test("distinctive terms: k per source, scores ranked, spread sane") {
+    val docs = Tables.documents(spark, sfDir)
+    val nSources = docs.select("source").distinct().count()
+    val rows = TextAnalysis.distinctiveTerms(docs, k = 5).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.values.foreach { g =>
+      assert(g.length == 5)
+      val scores = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    assert(rows.forall(r => r.getAs[Long]("n_sources") >= 1 &&
+      r.getAs[Long]("n_sources") <= nSources))
+  }
+
   test("approx percentile sketch stays near the exact order statistics") {
     val ev = Tables.events(spark, sfDir)
     val exact = EventOps.valueStats(ev)

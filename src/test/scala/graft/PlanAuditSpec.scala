@@ -40,6 +40,27 @@ class PlanAuditSpec extends TestSparkSession {
       "expected map-side partial aggregation")
   }
 
+  test("Q7 volume shipping broadcasts both nation legs and supplier") {
+    val df = Relational.volumeShipping(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir))
+    val plan = planOf(df)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "expected supplier + two nation broadcasts")
+    // the ship-date band must reach the lineitem scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_shipdate"), "expected date pushdown")
+  }
+
+  test("Q17 shape aggregates per part once and joins back key-aligned") {
+    val df = Relational.smallQtyRevenue(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir))
+    val plan = planOf(df)
+    // per-part avg is a partial-agg shuffle, part dim is broadcast
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"))
+    assert(plan.contains("BroadcastHashJoin"), "expected part broadcast")
+  }
+
   test("as-of join shuffles exactly once on the key") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),

@@ -753,6 +753,13 @@ object SparkEntry {
       EventOps.walletConcentration(Tables.events(s, d))),
     "q_docs_distinctive_terms" -> ((s, d) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
+    "q_events_decode_health" -> ((s, d) => {
+      import graft.sources.EventCodec
+      EventCodec.decodeHealth(
+        EventCodec.corrupt(EventCodec.encodeTrade(Tables.events(s, d))))
+    }),
+    "q_docs_repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(Tables.documents(s, d))),
     // SQL-text front-end: the same engine driven through spark.sql over a
     // registered view — busiest 3 minutes per event type (agg + window +
     // rank filter in one ANSI statement)
@@ -1537,6 +1544,32 @@ object SparkEntry {
                         ORDER BY tf * 1.0 / n_sources DESC, token) AS rk
                FROM tf JOIN sp USING (token))
          WHERE rk <= 10""",
+    "q_events_decode_health" ->
+      """WITH k AS (SELECT CASE WHEN event_id % 101 = 0 THEN 'unknown'
+                               ELSE 'trade' END AS event_kind,
+                          CASE WHEN event_id % 101 = 0 THEN 1
+                               WHEN event_id % 97 = 0 THEN 1
+                               ELSE 0 END AS bad
+                   FROM events)
+         SELECT event_kind, count(*) AS n,
+                CAST(sum(bad) AS BIGINT) AS n_undecodable
+         FROM k GROUP BY 1""",
+    "q_docs_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         w AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+               FROM toks WHERE len(t) >= 8),
+         d AS (SELECT doc_id,
+                      md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                        AS dig FROM w),
+         hot AS (SELECT dig, count(DISTINCT doc_id) AS n_docs
+                 FROM d GROUP BY 1)
+         SELECT doc_id, count(*) AS n_windows,
+                count(CASE WHEN n_docs > 1 THEN 1 END) AS n_shared,
+                count(CASE WHEN n_docs > 1 THEN 1 END) * 1.0 / count(*)
+                  AS shared_frac
+         FROM d JOIN hot USING (dig)
+         GROUP BY 1""",
     "q_events_gap_dist" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
                            event_id FROM events),

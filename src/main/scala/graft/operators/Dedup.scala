@@ -197,6 +197,35 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** C34: repeated-span detection — overlapping w-token shingle digests
+    * counted corpus-wide, reported as a per-doc shared-span fraction.
+    * Where [[graft.operators.TextAnalysis.boilerplateChunks]] hashes
+    * FIXED, non-overlapping chunks (cheap, alignment-sensitive), this
+    * slides a window at every token offset, so a duplicated span is
+    * caught at ANY alignment — the exact-substring-dedup signal (suffix-
+    * array style results, hash-join cost model). Row blowup is |tokens|
+    * per doc; only (doc_id, digest) pairs shuffle, never text.
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        (size(col("toks")) - (w - 1)).as("nw"))
+      .filter(col("nw") >= 1)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, nw)")).as("i"), col("toks"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", expr(s"slice(toks, i, $w)"))).as("dig"))
+    val spanDocs = wins.groupBy("dig")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    wins.join(spanDocs, "dig")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("n_docs") > 1, 1)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_windows").cast("double"))
+  }
+
   /** Canonicalization: collapse near-dup pairs into clusters and pick one
     * keeper per cluster (min doc_id). Iterative min-label propagation to a
     * FIXED POINT — each round is one shuffle join; iteration stops when a

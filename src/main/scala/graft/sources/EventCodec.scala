@@ -142,6 +142,34 @@ object EventCodec {
         when(col("event_kind") === "create_token",
           decode_create_token(col(payload))))
 
+  /** A54: decode-health accounting — the parse-failure counters the
+    * reference's metrics layer keeps next to its per-type event counts
+    * (malformed events are skipped, not fatal; `metrics.rs` +
+    * `parser.rs` length guards). Counts per dispatched kind: rows seen
+    * and rows whose body failed to decode (foreign discriminator or
+    * truncated layout). One projection + one tiny-key aggregate; the
+    * wire payloads never shuffle.
+    */
+  def decodeHealth(framed: DataFrame, payload: String = "payload")
+      : DataFrame =
+    dispatch(framed, payload)
+      .groupBy("event_kind")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("trade").isNull && col("create_token").isNull, 1))
+          .as("n_undecodable"))
+
+  /** Deterministic corruption for the decode-health path (tests/oracles):
+    * every 101st event's discriminator is zeroed (→ unknown), every 97th
+    * surviving event is truncated to 20 bytes (→ trade kind, null body —
+    * the length-guard path). */
+  def corrupt(framed: DataFrame, payload: String = "payload"): DataFrame =
+    framed.withColumn(payload,
+      when(col("event_id") % 101 === 0,
+        concat(lit(Array[Byte](0)), expr(s"substring($payload, 2)")))
+        .when(col("event_id") % 97 === 0,
+          expr(s"substring($payload, 1, 20)"))
+        .otherwise(col(payload)))
+
   /** Typed view over decoded trades (Dataset[Trade] with a case-class
     * Encoder) for type-safe downstream logic. */
   def trades(df: DataFrame, payload: String = "payload")

@@ -163,6 +163,38 @@ class PlanAuditSpec extends TestSparkSession {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("z-order layout bounds every file on BOTH clustered dimensions") {
+    import graft.sources.EventSink
+    val ev = Tables.events(spark, sfDir)
+    val dirZ = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val dirT = java.nio.file.Files.createTempDirectory("graft_t").toString
+    EventSink.writeZOrdered(ev, dirZ, files = 16)
+    // control: single-column sort — perfect on the leader, hopeless on
+    // the second dimension
+    ev.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(dirT)
+    def coverage(dir: String, c: String): Double = {
+      val span = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))).cast("double")).as("w"))
+      val g = ev.agg((max(col(c)) - min(col(c))).cast("double")).head.getDouble(0)
+      span.agg(avg("w")).head.getDouble(0) / g
+    }
+    // the z-layout keeps each file to a fraction of both value ranges;
+    // the time-sorted control covers ~the full user range per file
+    assert(coverage(dirZ, "user_id") < 0.6,
+      s"z user coverage ${coverage(dirZ, "user_id")}")
+    assert(coverage(dirZ, "event_id") < 0.6,
+      s"z event coverage ${coverage(dirZ, "event_id")}")
+    assert(coverage(dirT, "user_id") > 0.9,
+      s"control should span users ${coverage(dirT, "user_id")}")
+    // data survives the clustering byte-for-byte
+    assert(spark.read.parquet(dirZ).count() == ev.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirZ))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirT))
+  }
+
   test("repetition reuses the doc_id partitioning across window and aggs") {
     // one exchange on doc_id feeds the bigram window, both per-doc
     // aggregations, and the join — token rows shuffle once, not four times

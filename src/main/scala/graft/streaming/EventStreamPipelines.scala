@@ -70,7 +70,11 @@ object EventStreamPipelines {
   def decodedTradeMetrics(payloads: DataFrame): DataFrame = {
     import graft.sources.EventCodec
     payloads
-      .filter(expr("substring(payload, 1, 8)") === lit(EventCodec.Discriminator))
+      // discriminator AND length guard: truncated frames on untrusted
+      // wire data must be skipped, never fail the stream (reference
+      // length-checks every read, pumpfun/parser.rs:120-154)
+      .filter(expr("substring(payload, 1, 8)") === lit(EventCodec.Discriminator) &&
+        expr("octet_length(payload)") >= 41)
       .select(
         graft.functions.exprs.le_long(col("payload"), 8).as("event_id"),
         graft.functions.exprs.le_long(col("payload"), 16).as("user_id"),

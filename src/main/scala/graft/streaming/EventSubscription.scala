@@ -22,7 +22,33 @@ final case class SubscriptionConfig(
     includeUsers: Seq[Long] = Nil,
     watermark: String = "1 hour",
     enableMetrics: Boolean = false,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    /** Trigger cadence; 0 = re-trigger as soon as the last batch ends. */
+    triggerIntervalMs: Long = 0L,
+    /** Per-trigger ingest bound for file sources (`maxFilesPerTrigger`) —
+      * the bounded-queue `permits` analog; None = unbounded batches. */
+    maxFilesPerTrigger: Option[Int] = None)
+
+object SubscriptionConfig {
+  /** Reference `config.rs:151` `high_throughput()`: favor volume over
+    * latency — big batches (no per-trigger bound), a coarser trigger so
+    * each micro-batch amortizes scheduling, and a short watermark (the
+    * Drop backpressure strategy: late stragglers are shed rather than
+    * held for). */
+  def highThroughput: SubscriptionConfig = SubscriptionConfig(
+    triggerIntervalMs = 1000L,
+    maxFilesPerTrigger = None,
+    watermark = "10 minutes")
+
+  /** Reference `config.rs:174` `low_latency()`: favor freshness and
+    * losslessness — immediate re-trigger, small bounded batches so one
+    * burst cannot delay the next result, and a long watermark (the Block
+    * strategy: nothing is shed). */
+  def lowLatency: SubscriptionConfig = SubscriptionConfig(
+    triggerIntervalMs = 0L,
+    maxFilesPerTrigger = Some(1),
+    watermark = "24 hours")
+}
 
 object EventSubscription {
   val MetricName = "graft_subscription"
@@ -42,16 +68,31 @@ object EventSubscription {
     else scoped
   }
 
-  /** Start the subscription: filters → watermark → foreachBatch callback. */
+  /** Start the subscription: filters → watermark → foreachBatch callback.
+    * `maxFilesPerTrigger` must be set where the source is read (it is a
+    * read option); [[readEvents]] wires it for file sources. */
   def subscribe(events: DataFrame, config: SubscriptionConfig)(
       onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val src = filtered(events, config).withWatermark("ts", config.watermark)
     val writer = src.writeStream
-      .trigger(Trigger.ProcessingTime(0))
+      .trigger(Trigger.ProcessingTime(config.triggerIntervalMs))
       .foreachBatch(onBatch)
     config.checkpointDir
       .map(writer.option("checkpointLocation", _))
       .getOrElse(writer)
       .start()
+  }
+
+  /** Open a parquet event directory as the subscription's source with the
+    * config's ingest bound applied — the file-source analog of the
+    * reference's per-connection bounded queue. */
+  def readEvents(spark: org.apache.spark.sql.SparkSession, dir: String,
+      config: SubscriptionConfig,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    config.maxFilesPerTrigger
+      .map(n => r.option("maxFilesPerTrigger", n))
+      .getOrElse(r)
+      .parquet(dir)
   }
 }

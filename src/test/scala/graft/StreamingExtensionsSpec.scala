@@ -158,6 +158,58 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(progress.exists(_.getAs[Long]("n_events") == 2L))
   }
 
+  test("config presets: lowLatency bounds ingest per trigger, " +
+    "highThroughput does not") {
+    // reference config.rs:151/174 — permits/backpressure presets mapped to
+    // Spark's per-trigger ingest bound
+    val dir = java.nio.file.Files.createTempDirectory("graft_preset").toString
+    val ev = Tables.events(spark, sfDir).limit(300)
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    def runWith(cfg: SubscriptionConfig): Long = {
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val src = EventSubscription.readEvents(spark, dir, cfg,
+        spark.read.parquet(dir).schema)
+      val q = EventSubscription.subscribe(src, cfg) { (b, _) =>
+        if (b.count() > 0) batches.incrementAndGet(): Unit
+      }
+      q.processAllAvailable(); q.stop()
+      batches.get()
+    }
+    // 3 data files: one-file-per-trigger => at least 3 non-empty batches
+    assert(runWith(SubscriptionConfig.lowLatency) >= 3)
+    // unbounded batches: everything arrives in the first micro-batch
+    assert(runWith(SubscriptionConfig.highThroughput) == 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("A22b: corrupted wire frames are skipped, never fail the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sfDir).limit(500)
+    val good = graft.sources.EventCodec.encodeTrade(ev)
+      .select("payload").as[Array[Byte]].collect()
+    // corrupt deterministically: truncations (valid discriminator, short
+    // body) and foreign discriminators mixed into the stream
+    val bad = good.zipWithIndex.map { case (p, i) =>
+      if (i % 7 == 0) p.take(20)
+      else if (i % 11 == 0) { val q = p.clone(); q(0) = 0; q }
+      else p
+    }
+    val input = MemoryStream[Array[Byte]]
+    val out = EventStreamPipelines.decodedTradeMetrics(
+      input.toDF().toDF("payload"))
+    val q = out.writeStream.format("memory").queryName("graft_resilience")
+      .outputMode("update").start()
+    input.addData(bad.toIndexedSeq)
+    q.processAllAvailable() // must not throw on malformed frames
+    q.stop()
+    val expectGood = bad.count(p => p.length >= 41 && p(0) == 0x67)
+    val got = spark.table("graft_resilience")
+      .agg(sum("n")).head.getLong(0)
+    assert(got == expectGood, s"decoded $got of $expectGood intact frames")
+  }
+
   test("A17c: transformWithState accumulates per-wallet volume (RocksDB)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

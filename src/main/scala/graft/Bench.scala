@@ -36,7 +36,13 @@ object Bench {
     "q_text_repetition",
     "q_tpch_q13_custdist",
     "q_events_gap_dist",
-    "q_text_rare_tokens")
+    "q_text_rare_tokens",
+    "q_tpch_q7_volume",
+    "q_tpch_q17_smallqty",
+    "q_events_concentration",
+    "q_docs_distinctive_terms",
+    "q_docs_repeated_spans",
+    "q_events_decode_health")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -760,6 +760,10 @@ object SparkEntry {
     }),
     "q_docs_repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(Tables.documents(s, d))),
+    "q_docs_shuffle_order" -> ((s, d) =>
+      Sampling.shuffleOrder(Tables.documents(s, d), "doc_id", "ep1")),
+    "q_docs_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id", "source")),
     // SQL-text front-end: the same engine driven through spark.sql over a
     // registered view — busiest 3 minutes per event type (agg + window +
     // rank filter in one ANSI statement)
@@ -1570,6 +1574,28 @@ object SparkEntry {
                   AS shared_frac
          FROM d JOIN hot USING (dig)
          GROUP BY 1""",
+    "q_docs_shuffle_order" ->
+      """SELECT doc_id,
+                md5('ep1' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                CAST(row_number() OVER (
+                  ORDER BY md5('ep1' || CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS shuffle_rank
+         FROM documents""",
+    "q_docs_split" ->
+      """WITH b AS (SELECT source,
+                CAST(strpos('0123456789abcdef',
+                  substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 1))
+                  - 1 AS INT) * 16 +
+                CAST(strpos('0123456789abcdef',
+                  substring(md5('split' || CAST(doc_id AS VARCHAR)), 2, 1))
+                  - 1 AS INT) AS bucket
+              FROM documents)
+         SELECT source,
+                CASE WHEN bucket < 204 THEN 'train'
+                     WHEN bucket < 230 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs
+         FROM b GROUP BY 1, 2""",
     "q_events_gap_dist" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
                            event_id FROM events),

@@ -81,6 +81,44 @@ object Sampling {
           s"cast(chunk_idx * $strideTokens + 1 as int), $chunkTokens), ' ')"))
           .as("chunk_md5"))
 
+  /** C35: deterministic global shuffle order — the "shuffle the corpus
+    * before training" step, reproducibly: rank documents by a salted
+    * content-stable hash (md5, portable across engines) rather than an
+    * RNG. Same seed → same permutation on any cluster layout or retry;
+    * different seed → an independent permutation per epoch. One global
+    * sort expressed as a rank so downstream writers can range-partition
+    * on `shuffle_rank` (at 100 TB the sort is the usual terasort shape —
+    * range exchange + local sort, no single-point bottleneck).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(concat(lit(seed), col(idCol).cast("string"))
+        .cast("binary")), col(idCol))
+    df.select(col(idCol),
+      md5(concat(lit(seed), col(idCol).cast("string")).cast("binary"))
+        .as("shuffle_key"))
+      .withColumn("shuffle_rank", row_number().over(w).cast("bigint"))
+  }
+
+  /** C36: deterministic train/val/test split — hash-bucket assignment
+    * (md5 first two hex digits → 256 buckets) so membership is a pure
+    * function of the id: stable across re-runs, engines, and table
+    * layouts, and never leaks a row into two splits. Reported as
+    * per-(stratum, split) counts; thresholds are bucket counts out of
+    * 256 (204 ≈ 80% train, 230 ≈ 90% cumulative val).
+    */
+  def hashSplit(df: DataFrame, idCol: String, stratumCol: String,
+      trainBuckets: Int = 204, valBuckets: Int = 26): DataFrame =
+    df.withColumn("bucket",
+      conv(substring(md5(concat(lit("split"), col(idCol).cast("string"))
+        .cast("binary")), 1, 2), 16, 10).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainBuckets, "train")
+          .when(col("bucket") < trainBuckets + valBuckets, "val")
+          .otherwise("test"))
+      .groupBy(col(stratumCol), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Greedy-by-order sequence packing: within each stratum, rows are
     * packed in a deterministic order into fixed-budget bins (the
     * "pack documents into 2k-token training sequences" step). The running

@@ -1,0 +1,38 @@
+package graft
+
+/** Cross-layout determinism: every float-emitting query must produce
+  * IDENTICAL bits regardless of partition count or task interleaving —
+  * the property the whole DuckDB-oracle strategy rests on (SURVEY §6:
+  * exact decimal/integer aggregation, single final division). A query
+  * whose double output depends on partitioning would pass the oracle at
+  * one shuffle setting and flake at another — or on a 1000-executor
+  * cluster.
+  */
+class DeterminismSpec extends TestSparkSession {
+
+  /** Queries with double outputs reached through divisions/casts of
+    * exactly-aggregated integers or decimals. */
+  private val floatQueries = Seq(
+    "q_vwap_lineitem", "q_events_ewma_rate", "q_events_concentration",
+    "q_docs_distinctive_terms", "q_tpch_q1_pricing", "q_events_twap_1h",
+    "q_docs_repeated_spans", "q_text_quality")
+
+  private def runAt(name: String, partitions: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val cols = df.columns.sorted.toIndexedSeq
+      df.selectExpr(cols.map(c => s"`$c`"): _*)
+        .collect()
+        // java.lang.Double.toString is bit-faithful for distinct doubles
+        .map(_.toSeq.map(String.valueOf).mkString(""))
+        .sorted.toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  floatQueries.foreach { name =>
+    test(s"$name: identical bits at 3 vs 13 shuffle partitions") {
+      assert(runAt(name, 3) == runAt(name, 13), s"$name diverged")
+    }
+  }
+}

@@ -762,6 +762,14 @@ object SparkEntry {
       Dedup.repeatedSpans(Tables.documents(s, d))),
     "q_docs_shuffle_order" -> ((s, d) =>
       Sampling.shuffleOrder(Tables.documents(s, d), "doc_id", "ep1")),
+    "q_events_rate_spikes" -> ((s, d) =>
+      EventOps.rateSpikes(Tables.events(s, d))),
+    "q_tpch_q14_promo" -> ((s, d) =>
+      Relational.promoShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_tpch_q19_brackets" -> ((s, d) =>
+      Relational.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_docs_commonness" -> ((s, d) =>
+      TextAnalysis.lexicalCommonness(Tables.documents(s, d))),
     "q_docs_split" -> ((s, d) =>
       Sampling.hashSplit(Tables.documents(s, d), "doc_id", "source")),
     // SQL-text front-end: the same engine driven through spark.sql over a
@@ -1596,6 +1604,63 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS n_docs
          FROM b GROUP BY 1, 2""",
+    "q_events_rate_spikes" ->
+      """WITH pm AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+                            count(*) AS c
+                     FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, count(*) AS m,
+                       CAST(sum(c) AS BIGINT) AS t,
+                       CAST(sum(c * c) AS BIGINT) AS s
+                FROM pm GROUP BY 1)
+         SELECT event_type, minute, c AS n
+         FROM pm JOIN st USING (event_type)
+         WHERE c * m - t > 0
+           AND (c * m - t) * (c * m - t) > (s * m - t * t) * 9""",
+    "q_tpch_q14_promo" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+                CAST(month(l_shipdate) AS BIGINT) AS mon,
+                CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                  CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                       AS DECIMAL(4,2)) END) AS DOUBLE) AS promo_rev,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                       AS DECIMAL(4,2))) AS DOUBLE) AS total_rev,
+                coalesce(CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                  CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                       AS DECIMAL(4,2)) END) AS DOUBLE), 0.0) /
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                       AS DECIMAL(4,2))) AS DOUBLE) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2""",
+    "q_tpch_q19_brackets" ->
+      """WITH li AS (SELECT l_partkey, l_extendedprice, l_discount,
+                CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS qty_c FROM lineitem)
+         SELECT count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                       AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM li JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND qty_c BETWEEN 100 AND 1500)
+            OR (p_brand = 'Brand#11' AND p_size BETWEEN 10 AND 30
+                AND qty_c BETWEEN 1000 AND 2500)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50
+                AND qty_c BETWEEN 2000 AND 4000)""",
+    "q_docs_commonness" ->
+      """WITH t AS (SELECT doc_id,
+                          unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents),
+         tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+         f AS (SELECT token, count(*) AS cf FROM tk GROUP BY 1)
+         SELECT doc_id, count(*) AS n_tok,
+                CAST(sum(cf) AS BIGINT) AS total_cf,
+                CAST(sum(cf) AS BIGINT) * 1.0 / count(*) AS avg_cf
+         FROM tk JOIN f USING (token)
+         GROUP BY 1""",
     "q_events_gap_dist" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
                            event_id FROM events),

@@ -417,6 +417,30 @@ object EventOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_bursts"), max("n").as("max_burst"))
 
+  /** A56: adaptive rate-spike detection — minutes whose event count sits
+    * more than 3σ above the type's per-minute mean ([[burstWallets]]'s
+    * fixed threshold, made self-calibrating). The z-score compare is kept
+    * fully rational: with per-minute counts c over m minutes, total T and
+    * Σc² = S, `c > mean + 3σ` ⟺ `c·m > T ∧ (c·m − T)² > 9·(S·m − T²)` —
+    * pure integer arithmetic, so results are bit-identical on any engine
+    * or layout (no float mean/variance accumulation order to disagree
+    * on). Two keyed aggregations with map-side partials; the per-type
+    * stats row set is tiny and broadcasts back.
+    */
+  def rateSpikes(events: DataFrame): DataFrame = {
+    val perMin = events.groupBy(col("event_type"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perMin.groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("c").as("t"),
+        sum(col("c") * col("c")).as("s"))
+    val dev = col("c") * col("m") - col("t")
+    perMin.join(broadcast(stats), "event_type")
+      .filter(dev > 0 && dev * dev >
+        (col("s") * col("m") - col("t") * col("t")) * 9)
+      .select(col("event_type"), col("minute"), col("c").as("n"))
+  }
+
   /** Skew-hardened variant of [[countsByType]]: two-stage aggregation
     * over a salted key so one hot event type cannot bottleneck a single
     * reducer at 100 TB. Semantics identical to countsByType (the oracle

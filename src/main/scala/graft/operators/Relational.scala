@@ -330,6 +330,49 @@ object Relational {
         sum(dec2("c_acctbal")).cast("double").as("totacctbal"))
   }
 
+  /** B21 (TPC-H Q14 shape): promotion revenue share per ship month —
+    * conditional aggregation over a broadcast dim join. Numerator and
+    * denominator are exact decimal sums; the share is one double
+    * division at the boundary.
+    */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("bigint").as("yr"),
+        month(col("l_shipdate")).cast("bigint").as("mon"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          dec2("l_extendedprice") * oneMinus("l_discount")))
+          .cast("double").as("promo_rev"),
+        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+          .cast("double").as("total_rev"))
+      .withColumn("promo_share",
+        coalesce(col("promo_rev"), lit(0.0)) / col("total_rev"))
+
+  /** B22 (TPC-H Q19 shape): bracketed discounted revenue — an OR of
+    * (brand, size-band, quantity-band) conjunctions spanning the join.
+    * The whole disjunction stays inside one broadcast hash join
+    * condition + filter (no union of three scans); quantity bands
+    * compare in cents so the predicate is integer-exact.
+    */
+  def bracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val qtyC = (dec2("l_quantity") * 100).cast("bigint")
+    val bracket =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        qtyC.between(100L, 1500L)) ||
+      (col("p_brand") === "Brand#11" && col("p_size").between(10, 30) &&
+        qtyC.between(1000L, 2500L)) ||
+      (col("p_brand") === "Brand#21" && col("p_size").between(20, 50) &&
+        qtyC.between(2000L, 4000L))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+          .cast("double").as("revenue"))
+  }
+
   /** B8: VWAP per ship month: exact decimal numerator/denominator, single
     * double division at the boundary. */
   def vwapByMonth(lineitem: DataFrame): DataFrame =

@@ -149,6 +149,27 @@ object TextAnalysis {
       .withColumn("type_token_ratio",
         col("n_types").cast("double") / col("n_tokens").cast("double"))
 
+  /** C37: per-document lexical commonness — the mean corpus frequency of
+    * a document's tokens (documents full of rare tokens are the OCR-
+    * noise/gibberish tail; [[rareTokenRate]] reports the same signal per
+    * source, this scores each document for filtering). Corpus
+    * frequencies are integers, the per-doc sum is an integer, and the
+    * mean is one double division — bit-stable across engines. Tokens
+    * shuffle once for the frequency table and once for the key-aligned
+    * join-back.
+    */
+  def lexicalCommonness(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("cf"))
+    toks.join(freq, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("cf").as("total_cf"))
+      .withColumn("avg_cf",
+        col("total_cf").cast("double") / col("n_tok").cast("double"))
+  }
+
   /** C33: per-source distinctive terms (tf-idf shape) — the tokens most
     * characteristic of each source: high in-source frequency, low spread
     * across other sources. Inverse document frequency is kept rational

@@ -275,6 +275,24 @@ class OperatorsSpec extends TestSparkSession {
     }
   }
 
+  test("rate spikes: planted burst minute detected, uniform background quiet") {
+    import spark.implicits._
+    // 120 uniform minutes at 1 event/min, plus a 40-event burst in minute 60
+    val uniform = (0L until 120L).map(m => (m * 60000000L, "t"))
+    val burst = Seq.fill(40)((60L * 60000000L + 1L, "t"))
+    val ev = (uniform ++ burst)
+      .toDF("us", "event_type")
+      .select(expr("timestamp_micros(us)").as("ts"), col("event_type"))
+    val spikes = EventOps.rateSpikes(ev).collect()
+    assert(spikes.map(_.getAs[Long]("minute")).toSet == Set(60L))
+    assert(spikes.head.getAs[Long]("n") == 41L)
+    // a perfectly uniform stream has zero variance and zero spikes
+    val flat = EventOps.rateSpikes(
+      uniform.toDF("us", "event_type")
+        .select(expr("timestamp_micros(us)").as("ts"), col("event_type")))
+    assert(flat.isEmpty)
+  }
+
   test("wallet concentration: HHI within [1/n, 1], shares consistent") {
     val rows = EventOps.walletConcentration(events).collect()
     assert(rows.nonEmpty)

@@ -770,6 +770,10 @@ object SparkEntry {
       Relational.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "q_docs_commonness" -> ((s, d) =>
       TextAnalysis.lexicalCommonness(Tables.documents(s, d))),
+    "q_events_metrics_snapshot" -> ((s, d) =>
+      EventOps.metricsSnapshot(Tables.events(s, d))),
+    "q_docs_dup_provenance" -> ((s, d) =>
+      Dedup.dupProvenance(Tables.documents(s, d))),
     "q_docs_split" -> ((s, d) =>
       Sampling.hashSplit(Tables.documents(s, d), "doc_id", "source")),
     // SQL-text front-end: the same engine driven through spark.sql over a
@@ -1660,6 +1664,35 @@ object SparkEntry {
                 CAST(sum(cf) AS BIGINT) AS total_cf,
                 CAST(sum(cf) AS BIGINT) * 1.0 / count(*) AS avg_cf
          FROM tk JOIN f USING (token)
+         GROUP BY 1""",
+    "q_events_metrics_snapshot" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_wallets,
+                min(epoch_us(ts)) AS first_us,
+                max(epoch_us(ts)) AS last_us,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value,
+                (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+                  AS span_seconds,
+                count(*) * 1.0 /
+                  greatest((max(epoch_us(ts)) - min(epoch_us(ts)))
+                           // 1000000, 1) AS events_per_sec
+         FROM events GROUP BY 1""",
+    "q_docs_dup_provenance" ->
+      """WITH d AS (SELECT doc_id, source,
+                      md5(array_to_string(
+                        list_slice(string_split(text, ' '), 1, 16), ' '))
+                        AS dig
+                    FROM documents),
+         g AS (SELECT dig, count(*) AS copies,
+                      count(DISTINCT source) AS n_sources
+               FROM d GROUP BY 1 HAVING count(*) > 1)
+         SELECT source, count(*) AS n_dup_docs,
+                count(CASE WHEN n_sources = 1 THEN 1 END)
+                  AS n_within_source,
+                count(CASE WHEN n_sources > 1 THEN 1 END)
+                  AS n_cross_source
+         FROM d JOIN g USING (dig)
          GROUP BY 1""",
     "q_events_gap_dist" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,

@@ -197,6 +197,31 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** C38: duplicate provenance — where a corpus's duplicated content
+    * comes from: per source, how many of its documents share a head
+    * digest (first `headTokens` tokens — the "same article, different
+    * boilerplate tail" crawler signature) with a document in the SAME
+    * source vs across sources. Within-source dups point at a re-fetch
+    * bug; cross-source dups at mirror sites — different remediations.
+    * Digests shuffle, not bodies; the duplicate-group table is tiny
+    * (only content with >1 copy) and re-joins key-aligned.
+    */
+  def dupProvenance(docs: DataFrame, headTokens: Int = 16): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      md5(concat_ws(" ",
+        expr(s"slice(split(text, ' '), 1, $headTokens)"))).as("dig"))
+    val groups = d.groupBy("dig")
+      .agg(count(lit(1)).as("copies"),
+        countDistinct("source").as("n_sources"))
+      .filter(col("copies") > 1)
+    d.join(groups, "dig")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_dup_docs"),
+        count(when(col("n_sources") === 1, 1)).as("n_within_source"),
+        count(when(col("n_sources") > 1, 1)).as("n_cross_source"))
+  }
+
   /** C34: repeated-span detection — overlapping w-token shingle digests
     * counted corpus-wide, reported as a per-doc shared-span fraction.
     * Where [[graft.operators.TextAnalysis.boilerplateChunks]] hashes

@@ -417,6 +417,27 @@ object EventOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_bursts"), max("n").as("max_burst"))
 
+  /** A57: metrics snapshot composite — the one-scan analog of the
+    * reference's `print_metrics()` (`metrics.rs:412`): per event type,
+    * counts, distinct wallets, observed span, throughput, and value
+    * totals in a single aggregation pass. Rates are integer/(integer
+    * span) single divisions; the span derives from min/max event time so
+    * re-running over history reproduces the live counters exactly.
+    */
+  def metricsSnapshot(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_wallets"),
+        min(tsUs).as("first_us"),
+        max(tsUs).as("last_us"),
+        sum(valDec).cast("double").as("total_value"))
+      .withColumn("span_seconds",
+        expr("(last_us - first_us) div 1000000"))
+      .withColumn("events_per_sec",
+        col("n_events").cast("double") /
+          greatest(col("span_seconds"), lit(1L)).cast("double"))
+
   /** A56: adaptive rate-spike detection — minutes whose event count sits
     * more than 3σ above the type's per-minute mean ([[burstWallets]]'s
     * fixed threshold, made self-calibrating). The z-score compare is kept

@@ -210,6 +210,38 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(got == expectGood, s"decoded $got of $expectGood intact frames")
   }
 
+  test("A18b: checkpointed subscription resumes without reprocessing") {
+    // production restart semantics: a subscription killed mid-stream and
+    // restarted from its checkpoint must process each file exactly once
+    // (the reference's per-connection stream positions, durably)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_ckpt_data")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val ev = Tables.events(spark, sfDir).limit(200)
+    def addFile(tag: Int): Unit =
+      ev.coalesce(1).write.mode("append").parquet(dataDir.toString)
+    addFile(1); addFile(2)
+    val schema = spark.read.parquet(dataDir.toString).schema
+    val cfg = SubscriptionConfig(checkpointDir = Some(ckpt.toString))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def runOnce(): Unit = {
+      val src = EventSubscription.readEvents(spark, dataDir.toString, cfg,
+        schema)
+      val q = EventSubscription.subscribe(src, cfg) { (b, _) =>
+        seen.addAndGet(b.count()): Unit
+      }
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(seen.get() == 400L, s"first run saw ${seen.get()}")
+    // two more files land while the subscription is down
+    addFile(3); addFile(4)
+    runOnce()
+    // the restart processed ONLY the new files — 800 total, not 1200
+    assert(seen.get() == 800L, s"after restart saw ${seen.get()}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dataDir.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+  }
+
   test("A17c: transformWithState accumulates per-wallet volume (RocksDB)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -56,6 +56,23 @@ object SparkEntry {
         col("asof.event_id").as("view_id"),
         col("asof.ts_us").as("view_ts_us"))
     }),
+    // same semantics through the custom whole-operator physical plan
+    // (AsOfMergeExec: streaming merge, O(1) state per key)
+    "q_events_asof_merge" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val joined = AsOfJoin.asOfMerge(
+        ev.filter(col("event_type") === "purchase").drop("event_type"),
+        ev.filter(col("event_type") === "view").drop("event_type"),
+        "user_id", "ts_us", "event_id", Seq())
+      joined.select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("asof.event_id").as("view_id"),
+        col("asof.ts_us").as("view_ts_us"))
+    }),
     "q_events_session_native" -> ((s, d) =>
       EventOps.sessionizeNative(Tables.events(s, d))),
     "q_events_asof_tolerance" -> ((s, d) => {
@@ -962,6 +979,24 @@ object SparkEntry {
                 np AS n_purchases
          FROM r WHERE rk <= 10""",
     "q_events_asof_attribution" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           0 AS kind, event_id AS view_id,
+                           epoch_us(ts) AS view_ts_us
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, 1 AS kind,
+                      CAST(NULL AS BIGINT) AS view_id,
+                      CAST(NULL AS BIGINT) AS view_ts_us
+               FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT * FROM v UNION ALL SELECT * FROM p),
+         w AS (SELECT *, last_value(view_id IGNORE NULLS) OVER win AS lv,
+                      last_value(view_ts_us IGNORE NULLS) OVER win AS lvts
+               FROM u WINDOW win AS (PARTITION BY user_id
+                 ORDER BY ts_us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+                lv AS view_id, lvts AS view_ts_us
+         FROM w WHERE kind = 1""",
+    "q_events_asof_merge" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                            0 AS kind, event_id AS view_id,
                            epoch_us(ts) AS view_ts_us

@@ -53,4 +53,40 @@ object AsOfJoin {
         when(col(tsCol) - col("asof")(tsCol) <= tol, col("asof")))
     }.drop("kind", "rval")
   }
+
+  /** The same as-of semantics through the custom whole-operator plan
+    * ([[graft.plans.AsOfMergePlan]] → `AsOfMergeExec`): one planner-
+    * inserted shuffle+sort, then a streaming merge with O(1) state per
+    * key — no WindowExec group buffering, so a pathologically hot key
+    * (the reference's busiest account) costs memory O(1) instead of
+    * O(rows-per-key). Requires [[graft.plans.GraftExtensions]] (or
+    * `register`) so the strategy is installed.
+    */
+  def asOfMerge(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      rightValueCols: Seq[String],
+      leftValueCols: Seq[String] = Seq(),
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val rightTagged = right.select(
+      col(keyCol) +: col(tsCol) +: col(idCol) +: lit(0).as("kind") +:
+        struct((tsCol +: idCol +: rightValueCols).map(col): _*).as("rval") +:
+        leftValueCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftTagged = left.select(
+      col(keyCol) +: col(tsCol) +: col(idCol) +: lit(1).as("kind") +:
+        lit(null).cast(rightTagged.schema("rval").dataType).as("rval") +:
+        leftValueCols.map(col): _*)
+    val union = rightTagged.unionByName(leftTagged)
+    val asofAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("asof", union.schema("rval").dataType,
+        nullable = true)()
+    val merged = org.apache.spark.sql.GraftBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfMergePlan(keyCol, tsCol, idCol, asofAttr,
+        union.queryExecution.analyzed))
+    toleranceUs.fold(merged) { tol =>
+      merged.withColumn("asof",
+        when(col(tsCol) - col("asof")(tsCol) <= tol, col("asof")))
+    }.drop("kind", "rval")
+  }
 }

@@ -56,6 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => GraftNopElimination)
     ext.injectOptimizerRule(_ => Base58LiteralRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => AsOfMergeStrategy)
   }
 }
 
@@ -92,6 +93,7 @@ object GraftExtensions {
     fns.foreach { case (id, info, b) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, id.funcName, info, b)
     }
+    org.apache.spark.sql.GraftBridge.addStrategy(spark, AsOfMergeStrategy)
   }
 
   private def fn(name: String, args: Int, build: Seq[Expression] => Expression)

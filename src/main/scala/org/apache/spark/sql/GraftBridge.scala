@@ -10,6 +10,21 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
+    * private[sql]). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Post-hoc strategy registration for sessions created without
+    * `spark.sql.extensions` (the public experimental-methods hook). */
+  def addStrategy(spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit =
+    if (!spark.experimental.extraStrategies.contains(s))
+      spark.experimental.extraStrategies =
+        s +: spark.experimental.extraStrategies
+
   /** Post-hoc function registration for sessions created without
     * `spark.sql.extensions` (same builders as GraftExtensions). */
   def registerFunction(

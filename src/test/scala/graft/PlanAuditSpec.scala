@@ -75,6 +75,30 @@ class PlanAuditSpec extends TestSparkSession {
     assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges")
   }
 
+  test("custom as-of merge exec: parity with window formulation, one " +
+    "shuffle, no WindowExec buffering") {
+    graft.plans.GraftExtensions.register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), col("event_type"))
+    val l = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val r = ev.filter(col("event_type") === "view").drop("event_type")
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      col("asof.event_id").as("vid"), col("asof.ts_us").as("vts"))
+    val win = proj(AsOfJoin.asOf(l, r, "user_id", "ts_us", "event_id", Seq()))
+    val merge = proj(
+      AsOfJoin.asOfMerge(l, r, "user_id", "ts_us", "event_id", Seq()))
+    assert(merge.exceptAll(win).isEmpty && win.exceptAll(merge).isEmpty,
+      "custom exec must reproduce the window formulation exactly")
+    val plan = planOf(merge)
+    assert(plan.contains("AsOfMerge"), "expected the custom physical op")
+    assert(!plan.contains("Window"), "the merge replaces WindowExec")
+    val exchanges = "Exchange hashpartitioning\\(user_id"
+      .r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges")
+  }
+
   test("minhash signature aggregation is map-side partial") {
     val plan = planOf(Dedup.minhashLsh(Tables.documents(spark, sfDir), 0.5))
     assert(plan.contains("partial_graft_minhash"),

@@ -42,7 +42,8 @@ object Bench {
     "q_events_concentration",
     "q_docs_distinctive_terms",
     "q_docs_repeated_spans",
-    "q_events_decode_health")
+    "q_events_decode_health",
+    "q_events_asof_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

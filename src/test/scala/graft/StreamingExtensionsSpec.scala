@@ -210,6 +210,38 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(got == expectGood, s"decoded $got of $expectGood intact frames")
   }
 
+  test("C25b: streaming curation ingest dedups across micro-batches") {
+    import graft.streaming.CurationIngest
+    val base = java.nio.file.Files.createTempDirectory("graft_cur")
+    val incoming = base.resolve("in").toString
+    val corpus = base.resolve("corpus").toString
+    val digests = base.resolve("digests").toString
+    val ckpt = base.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // file 1: docs 0-99; file 2: 50-149 (half repeats); file 3: 100-199
+    // re-keyed so the same text arrives under new doc_ids
+    docs.filter(col("doc_id") < 100)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id").between(50, 149))
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id").between(100, 199))
+      .withColumn("doc_id", col("doc_id") + 20000)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    val q = CurationIngest.start(spark, incoming, corpus, digests, ckpt,
+      spark.read.parquet(incoming).schema)
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(corpus)
+    // every distinct text admitted exactly once, none lost
+    assert(out.count() == 200, s"got ${out.count()}")
+    assert(out.select(md5(col("text").cast("binary"))).distinct()
+      .count() == 200)
+    // first arrival wins: the re-keyed copies were rejected
+    assert(out.filter(col("doc_id") >= 10000 && col("doc_id") < 20100)
+      .count() == 50)
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("A18b: checkpointed subscription resumes without reprocessing") {
     // production restart semantics: a subscription killed mid-stream and
     // restarted from its checkpoint must process each file exactly once

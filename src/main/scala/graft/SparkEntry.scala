@@ -534,7 +534,12 @@ object SparkEntry {
           col("amount"),
           expr("round(cast(asof.quote_reserve as double) / " +
             "cast(nullif(asof.base_reserve, 0) as double), 6)").as("price6"))
-        .withColumn("notional6", round(col("amount") * col("price6"), 6))
+        // notional through exact decimals: double*double + round(…, 6)
+        // straddles half-way products differently per engine (BigDecimal
+        // HALF_UP vs libm) — caught by the sf0.1 audit at row scale
+        .withColumn("notional6",
+          round(col("amount").cast("decimal(12,2)") *
+            col("price6").cast("decimal(10,6)"), 6).cast("double"))
     }),
     "q_events_range_join_auto" -> ((s, d) => {
       // the DECLARATIVE range join: no explicit bucketing — the injected
@@ -1992,8 +1997,10 @@ object SparkEntry {
          SELECT event_id AS purchase_id, pool, amount,
                 round(CAST(l_qr AS DOUBLE)
                       / CAST(nullif(l_br, 0) AS DOUBLE), 6) AS price6,
-                round(amount * round(CAST(l_qr AS DOUBLE)
-                      / CAST(nullif(l_br, 0) AS DOUBLE), 6), 6) AS notional6
+                CAST(round(CAST(amount AS DECIMAL(12,2)) *
+                      CAST(round(CAST(l_qr AS DOUBLE)
+                        / CAST(nullif(l_br, 0) AS DOUBLE), 6)
+                        AS DECIMAL(10,6)), 6) AS DOUBLE) AS notional6
          FROM w WHERE kind = 1""",
     "q_events_range_join" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_windows,

@@ -91,13 +91,32 @@ object Sampling {
     * range exchange + local sort, no single-point bottleneck).
     */
   def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(md5(concat(lit(seed), col(idCol).cast("string"))
-        .cast("binary")), col(idCol))
-    df.select(col(idCol),
-      md5(concat(lit(seed), col(idCol).cast("string")).cast("binary"))
-        .as("shuffle_key"))
-      .withColumn("shuffle_rank", row_number().over(w).cast("bigint"))
+    import org.apache.spark.sql.expressions.Window
+    // terasort shape, not a global window (an empty-partition window
+    // would drag every row through ONE task): range-exchange on the
+    // shuffle key, rank within each range, then add per-range offsets.
+    // The range partitioning is frozen (localCheckpoint) so the offset
+    // and rank passes see identical boundaries; the offsets table is one
+    // row per partition — metadata-sized. Ranks are positions in the
+    // (shuffle_key, id) total order, so the output is independent of
+    // where the sampled range boundaries land.
+    val parted = df
+      .select(col(idCol),
+        md5(concat(lit(seed), col(idCol).cast("string")).cast("binary"))
+          .as("shuffle_key"))
+      .repartitionByRange(col("shuffle_key"), col(idCol))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint()
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val w = Window.partitionBy("pid").orderBy(col("shuffle_key"), col(idCol))
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("shuffle_rank",
+        (row_number().over(w) + col("off")).cast("bigint"))
+      .select(col(idCol), col("shuffle_key"), col("shuffle_rank"))
   }
 
   /** C36: deterministic train/val/test split — hash-bucket assignment

@@ -187,6 +187,32 @@ class PlanAuditSpec extends TestSparkSession {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("shuffle order ranks via range exchange, not a one-task window") {
+    val docs = Tables.documents(spark, sfDir)
+    // the range exchange runs inside the frozen (localCheckpoint) stage;
+    // audit the same prefix un-frozen
+    val prefix = docs.select(col("doc_id"),
+        md5(concat(lit("ep1"), col("doc_id").cast("string")).cast("binary"))
+          .as("shuffle_key"))
+      .repartitionByRange(col("shuffle_key"), col("doc_id"))
+    assert(planOf(prefix).contains("rangepartitioning(shuffle_key"),
+      "expected terasort-shape range exchange")
+    val so = Sampling.shuffleOrder(docs, "doc_id", "ep1")
+    val plan = planOf(so)
+    // the data-path rank must be partitioned (pid), never a global
+    // window; the only single-partition work allowed is the offsets
+    // table (one row per partition)
+    assert(plan.contains("windowspecdefinition(pid"),
+      "expected the rank window keyed by partition id")
+    // ranks are a dense permutation following the (key, id) total order
+    val rows = so.orderBy("shuffle_rank").collect()
+    assert(rows.map(_.getAs[Long]("shuffle_rank")).toSeq ==
+      (1L to rows.length.toLong))
+    val keys = rows.map(r => (r.getAs[String]("shuffle_key"),
+      r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted), "rank order must follow the key")
+  }
+
   test("z-order layout bounds every file on BOTH clustered dimensions") {
     import graft.sources.EventSink
     val ev = Tables.events(spark, sfDir)

@@ -823,6 +823,12 @@ object SparkEntry {
       EventOps.conversionTime(Tables.events(s, d))),
     "q_events_ordering_audit" -> ((s, d) =>
       EventOps.orderingAudit(Tables.events(s, d))),
+    // the audit exercised on a deliberately disordered replay (xor-1 id
+    // perturbation ≙ neighbor-swapped ingest) — the clean-data variant
+    // above proves the absence of inversions, this one proves detection
+    "q_events_ordering_audit_perturbed" -> ((s, d) =>
+      EventOps.orderingAudit(Tables.events(s, d)
+        .withColumn("event_id", expr("event_id ^ 1")))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_docs_containment" -> ((s, d) =>
@@ -1263,7 +1269,7 @@ object SparkEntry {
     "q_events_burst_wallets" ->
       """WITH m AS (SELECT user_id, epoch_us(ts) // 60000000 AS mb,
                            count(*) AS n
-                    FROM events GROUP BY 1, 2 HAVING count(*) >= 3)
+                    FROM events GROUP BY 1, 2 HAVING count(*) >= 2)
          SELECT user_id, count(*) AS n_bursts, max(n) AS max_burst
          FROM m GROUP BY user_id""",
     "q_events_counts_salted" ->
@@ -1816,6 +1822,18 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_events,
                 count(CASE WHEN ts_us < prev_ts THEN 1 END) AS n_inversions
          FROM x GROUP BY 1
+         HAVING count(CASE WHEN ts_us < prev_ts THEN 1 END) > 0""",
+    "q_events_ordering_audit_perturbed" ->
+      """WITH x AS (SELECT user_id, xor(event_id, 1) AS event_id,
+                           epoch_us(ts) AS ts_us
+                    FROM events),
+         g AS (SELECT user_id, ts_us,
+                      lag(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY event_id) AS prev_ts
+               FROM x)
+         SELECT user_id, count(*) AS n_events,
+                count(CASE WHEN ts_us < prev_ts THEN 1 END) AS n_inversions
+         FROM g GROUP BY 1
          HAVING count(CASE WHEN ts_us < prev_ts THEN 1 END) > 0""",
     "q_events_conversion_time" ->
       """WITH f AS (SELECT user_id,

@@ -408,7 +408,7 @@ object EventOps {
     * events inside one tumbling minute. Single shuffle on
     * (user, minute) with partial counts, then a per-user rollup.
     */
-  def burstWallets(events: DataFrame, minBurst: Int = 3): DataFrame =
+  def burstWallets(events: DataFrame, minBurst: Int = 2): DataFrame =
     events
       .groupBy(col("user_id"),
         expr("unix_micros(ts) div 60000000").as("minute_bucket"))

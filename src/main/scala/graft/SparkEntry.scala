@@ -771,6 +771,12 @@ object SparkEntry {
     "q_tpch_q22_opportunity" -> ((s, d) =>
       Relational.salesOpportunity(Tables.customer(s, d),
         Tables.orders(s, d), Tables.nation(s, d))),
+    "q_tpch_q6_forecast" -> ((s, d) =>
+      Relational.forecastRevenue(Tables.lineitem(s, d))),
+    "q_tpch_q5_local" -> ((s, d) =>
+      Relational.localSupplierVolume(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
     "q_events_concentration" -> ((s, d) =>
       EventOps.walletConcentration(Tables.events(s, d))),
     "q_docs_distinctive_terms" -> ((s, d) =>
@@ -1518,6 +1524,33 @@ object SparkEntry {
                      GROUP BY 1)
          SELECT coalesce(cnt, 0) AS n_orders, count(*) AS n_customers
          FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "q_tpch_q6_forecast" ->
+      """SELECT count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+               BETWEEN 5 AND 7
+           AND l_quantity < 24""",
+    "q_tpch_q5_local" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                              AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+              AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY 1""",
     "q_tpch_q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -330,6 +330,49 @@ object Relational {
         sum(dec2("c_acctbal")).cast("double").as("totacctbal"))
   }
 
+  /** B23 (TPC-H Q6 shape): forecast revenue change — one scan, every
+    * predicate (date band, discount band in exact cents, quantity cap)
+    * pushed to the parquet reader, one partial-agg reduce to a single
+    * row. The discount band compares scaled integers so the boundary
+    * rows are engine-exact.
+    */
+  def forecastRevenue(lineitem: DataFrame,
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    val discC = (rate2("l_discount") * 100).cast("bigint")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .filter(discC.between(5L, 7L))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2("l_extendedprice") * rate2("l_discount"))
+          .cast("double").as("revenue"))
+  }
+
+  /** B24 (TPC-H Q5 shape): local-supplier volume — revenue where the
+    * supplier and the customer share a nation, per nation. The
+    * nation-locality predicate rides the supplier join condition;
+    * supplier + nation broadcast, the fact joins shuffle on their keys.
+    */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame =
+    lineitem
+      .join(orders.filter(
+          col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** B21 (TPC-H Q14 shape): promotion revenue share per ship month —
     * conditional aggregation over a broadcast dim join. Numerator and
     * denominator are exact decimal sums; the share is one double

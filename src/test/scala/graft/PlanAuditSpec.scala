@@ -99,6 +99,31 @@ class PlanAuditSpec extends TestSparkSession {
     assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges")
   }
 
+  test("as-of merge under key skew: one hot key with 100k updates") {
+    // the motivating workload for the custom exec: a single hot account
+    // receiving a torrent of state updates (dashmap-cache hot row). The
+    // window formulation buffers the whole group; the merge must stream
+    // it and still produce exact results.
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    val right = spark.range(100000).select(
+      lit(7L).as("k"), (col("id") * 10).as("ts_us"), col("id").as("rid"),
+      (col("id") * 3).as("state"))
+    val left = spark.range(1000).select(
+      lit(7L).as("k"), (col("id") * 1000 + 5).as("ts_us"),
+      (col("id") + 1000000).as("rid"))
+    val j = AsOfJoin.asOfMerge(left, right, "k", "ts_us", "rid",
+      Seq("state"))
+    // every left row at ts 1000i+5 must see the right row at ts 1000i
+    // (id 100i, state 300i) — the latest at-or-before update
+    val rows = j.select(col("ts_us"), col("asof.state").as("s")).collect()
+    assert(rows.length == 1000)
+    rows.foreach { r =>
+      val i = (r.getAs[Long]("ts_us") - 5) / 1000
+      assert(r.getAs[Long]("s") == 300 * i, s"wrong state at i=$i")
+    }
+  }
+
   test("minhash signature aggregation is map-side partial") {
     val plan = planOf(Dedup.minhashLsh(Tables.documents(spark, sfDir), 0.5))
     assert(plan.contains("partial_graft_minhash"),

@@ -75,6 +75,8 @@ object SparkEntry {
     }),
     "q_events_session_native" -> ((s, d) =>
       EventOps.sessionizeNative(Tables.events(s, d))),
+    "q_stream_session_native" -> ((s, d) =>
+      streaming.EventStreamPipelines.sessionNativeAvailableNow(s, d)),
     "q_events_asof_tolerance" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
@@ -1032,6 +1034,21 @@ object SparkEntry {
                 lv AS view_id, lvts AS view_ts_us
          FROM w WHERE kind = 1""",
     "q_events_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                           CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         s AS (SELECT user_id, ts_us, v,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w >= 1800000000
+                           THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         c AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s)
+         SELECT user_id, min(ts_us) AS start_us,
+                max(ts_us) + 1800000000 AS end_us,
+                count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
+         FROM c GROUP BY user_id, sid""",
+    "q_stream_session_native" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
                            CAST(value AS DECIMAL(18,2)) AS v FROM events),
          s AS (SELECT user_id, ts_us, v,

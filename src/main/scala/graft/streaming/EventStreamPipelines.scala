@@ -261,6 +261,37 @@ object EventStreamPipelines {
         col("n"), col("volume_d").cast("double").as("volume"))
   }
 
+  /** A8c: STREAMING native session windows — `session_window` under a
+    * watermark, run to completion with availableNow: per-wallet gap
+    * sessions maintained as merging streaming state (Spark merges
+    * overlapping session fragments across micro-batches), proven
+    * against the same SQL-islands oracle as the batch formulations.
+    * Completes the sessionization triangle: A8 batch islands ≡ A8b
+    * batch session_window ≡ this, live.
+    */
+  def sessionNativeAvailableNow(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val name = s"graft_stream_sess_${memCounter.incrementAndGet()}"
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("v").as("tv"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), expr("unix_micros(sw.start)").as("start_us"),
+        expr("unix_micros(sw.end)").as("end_us"), col("n_events"),
+        col("tv").cast("double").as("total_value"))
+  }
+
   /** A37: watermarked stream-stream join — purchases attributed to the
     * signup they followed within one hour, both sides streams (the join
     * state is bounded by the watermark + time-range condition, which is

@@ -15,7 +15,9 @@ class DeterminismSpec extends TestSparkSession {
   private val floatQueries = Seq(
     "q_vwap_lineitem", "q_events_ewma_rate", "q_events_concentration",
     "q_docs_distinctive_terms", "q_tpch_q1_pricing", "q_events_twap_1h",
-    "q_docs_repeated_spans", "q_text_quality")
+    "q_docs_repeated_spans", "q_text_quality", "q_tpch_q14_promo",
+    "q_docs_commonness", "q_events_metrics_snapshot",
+    "q_events_trade_price")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -462,6 +462,28 @@ object SparkEntry {
           .select("payload"),
         ProtocolRegistry.Clmm.layouts(0))
     }),
+    // u128 fields at the REAL reference width, registry-wide: encode two
+    // long halves, decode one Decimal(38,0) per field
+    "q_events_clmm_u128" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val src = Tables.events(s, d)
+        .filter(col("event_type") === "purchase").select(
+          col("event_id"), (col("user_id") % 100).as("pool"),
+          (col("event_id") * 7 + 1).as("sqrt_price_x64_lo"),
+          (col("user_id") % 1000).as("sqrt_price_x64_hi"),
+          (col("event_id") * 3).as("liquidity_lo"),
+          lit(0L).as("liquidity_hi"),
+          expr("unix_micros(ts)").as("ts_us"))
+      ProtocolRegistry.decode(
+        ProtocolRegistry.encode(src, ProtocolRegistry.Clmm.layouts(1))
+          .select("payload"),
+        ProtocolRegistry.Clmm.layouts(1))
+        // u128 decimals travel as strings for the compare: pandas maps
+        // DuckDB DECIMAL(38,0) to float64 (lossy >2^53) but Spark's to
+        // Decimal objects — strings are exact on both sides
+        .withColumn("sqrt_price_x64", col("sqrt_price_x64").cast("string"))
+        .withColumn("liquidity", col("liquidity").cast("string"))
+    }),
     "q_events_json_ingest" -> ((s, d) =>
       graft.sources.JsonIngest.fromJsonLines(
         graft.sources.JsonIngest.toJsonLines(Tables.events(s, d)))
@@ -1402,6 +1424,14 @@ object SparkEntry {
                 event_id * 2 + 1 AS amount_out,
                 event_id * 7 + 1 AS sqrt_price,
                 user_id % 1000 AS tick, epoch_us(ts) AS ts_us
+         FROM events WHERE event_type = 'purchase'""",
+    "q_events_clmm_u128" ->
+      """SELECT event_id, user_id % 100 AS pool,
+                CAST(CAST(user_id % 1000 AS HUGEINT)
+                     * 18446744073709551616 + (event_id * 7 + 1)
+                     AS VARCHAR) AS sqrt_price_x64,
+                CAST(event_id * 3 AS VARCHAR) AS liquidity,
+                epoch_us(ts) AS ts_us
          FROM events WHERE event_type = 'purchase'""",
     "q_docs_decontaminated" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws

@@ -34,6 +34,7 @@ object ProtocolRegistry {
       kind: String = "u64") {
     def width: Int = kind match {
       case "u64" => 8
+      case "u128" => 16
       case "u32" => 4
       case "u8" => 1
       case "b32" => 32
@@ -103,7 +104,17 @@ object ProtocolRegistry {
   val Clmm: ProtocolSpec = ProtocolSpec("clmm", Seq(
     LayoutSpec("tick_swap", disc(0x55, 0x01),
       u64s("event_id", "pool", "user_id", "amount_in", "amount_out",
-        "sqrt_price", "tick", "ts_us"))))
+        "sqrt_price", "tick", "ts_us")),
+    // v2 carries the price at its REAL reference width: u128 LE
+    // (`raydium_clmm` sqrt_price_x64 / `meteora_damm_v2` sqrt_price are
+    // 16-byte values; `common/utils.rs:44` read_u128_le) — decoded
+    // registry-wide as Decimal(38,0)
+    LayoutSpec("tick_swap_v2", disc(0x55, 0x02), Seq(
+      FieldSpec("event_id", 8),
+      FieldSpec("pool", 16),
+      FieldSpec("sqrt_price_x64", 24, "u128"),
+      FieldSpec("liquidity", 40, "u128"),
+      FieldSpec("ts_us", 56)))))
 
   /** "perp" protocol: a mixed-width fill layout — u32 pool index, u8
     * flags, 32-byte trader pubkey between the u64 amounts — the width mix
@@ -147,6 +158,8 @@ object ProtocolRegistry {
   /** Per-field decode expression (all codegen'd builtins / graft exprs). */
   private def fieldCol(payload: String, f: FieldSpec): Column = f.kind match {
     case "u64" => le_long(col(payload), f.offset)
+    // full borsh u128 as Decimal(38,0) (CLMM sqrt_price/liquidity widths)
+    case "u128" => le_u128(col(payload), f.offset)
     // widen through a mask: a signed 32-bit read of a u32 ≥ 2^31 would
     // otherwise come back negative
     case "u32" =>
@@ -168,6 +181,10 @@ object ProtocolRegistry {
     * long for u64/u32/u8, binary(32) for b32. */
   private def fieldBytes(f: FieldSpec): Column = f.kind match {
     case "u64" => le_bytes(col(f.name), 8)
+    // u128 encodes from two long halves `<name>_lo`/`<name>_hi`
+    // (LE: low quad first) — the test/round-trip path
+    case "u128" => concat(le_bytes(col(s"${f.name}_lo"), 8),
+      le_bytes(col(s"${f.name}_hi"), 8))
     case "u32" => le_bytes(col(f.name), 4)
     case "u8" => le_bytes(col(f.name), 1)
     case "b32" => col(f.name)

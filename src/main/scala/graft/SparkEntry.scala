@@ -824,6 +824,15 @@ object SparkEntry {
       TextAnalysis.lexicalCommonness(Tables.documents(s, d))),
     "q_events_metrics_snapshot" -> ((s, d) =>
       EventOps.metricsSnapshot(Tables.events(s, d))),
+    "q_events_state_history" -> ((s, d) =>
+      EventOps.stateHistory(Tables.events(s, d))),
+    // rewind the account cache to 2024-01-15T00:00:00Z
+    "q_events_state_at" -> ((s, d) =>
+      EventOps.stateAt(Tables.events(s, d), 1705276800000000L)),
+    "q_docs_vocab_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.vocabDrift(docs, docs.filter(col("doc_id") % 10 =!= 0))
+    }),
     "q_docs_dup_provenance" -> ((s, d) =>
       Dedup.dupProvenance(Tables.documents(s, d))),
     "q_docs_split" -> ((s, d) =>
@@ -1804,6 +1813,43 @@ object SparkEntry {
                   greatest((max(epoch_us(ts)) - min(epoch_us(ts)))
                            // 1000000, 1) AS events_per_sec
          FROM events GROUP BY 1""",
+    "q_events_state_history" ->
+      """SELECT user_id, event_id, event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS state_value,
+                epoch_us(ts) AS valid_from_us,
+                lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS valid_to_us
+         FROM events""",
+    "q_events_state_at" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                           CAST(value AS DECIMAL(18,2)) AS v
+                    FROM events WHERE epoch_us(ts) <= 1705276800000000),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+         SELECT user_id, event_id, CAST(v AS DOUBLE) AS state_value
+         FROM r WHERE rn = 1""",
+    "q_docs_vocab_drift" ->
+      """WITH t1 AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                     FROM documents),
+         c1 AS (SELECT token, count(*) AS n1 FROM t1
+                WHERE token <> '' GROUP BY 1),
+         t2 AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents WHERE doc_id % 10 <> 0),
+         c2 AS (SELECT token, count(*) AS n2 FROM t2
+                WHERE token <> '' GROUP BY 1),
+         j AS (SELECT coalesce(c1.token, c2.token) AS token,
+                      coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+               FROM c1 FULL OUTER JOIN c2 ON c1.token = c2.token),
+         tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                        CAST(sum(n2) AS BIGINT) AS t2 FROM j),
+         d AS (SELECT token, n1, n2,
+                      abs(n1 * t2 - n2 * t1) AS drift_num, t1, t2
+               FROM j CROSS JOIN tot)
+         SELECT token, n1, n2, drift_num,
+                drift_num * 1.0 / (t1 * t2) AS drift,
+                CAST(row_number() OVER (ORDER BY drift_num DESC, token)
+                     AS BIGINT) AS rk
+         FROM d ORDER BY drift_num DESC, token LIMIT 20""",
     "q_docs_dup_provenance" ->
       """WITH d AS (SELECT doc_id, source,
                       md5(array_to_string(

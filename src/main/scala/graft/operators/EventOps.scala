@@ -417,6 +417,42 @@ object EventOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_bursts"), max("n").as("max_burst"))
 
+  /** A58: state history (SCD2) — the account-state cache materialized as
+    * a temporal table: every event opens a state version for its wallet,
+    * closed by the next event ([valid_from, valid_to) intervals,
+    * open-ended NULL for the current version). The dashmap cache holds
+    * only the LAST row of this table ([[latestState]]); keeping the full
+    * history makes any past state queryable. One window pass per key —
+    * the same single shuffle as sessionization.
+    */
+  def stateHistory(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        col("event_type"), valDec.as("v"))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("v").cast("double").as("state_value"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+  }
+
+  /** A58b: point-in-time snapshot — the state of every wallet AT `tUs`,
+    * answered from the temporal table semantics without materializing it:
+    * latest event at-or-before the instant, one partial-agg shuffle
+    * (max_by), no window. This is "rewind the account cache to T".
+    */
+  def stateAt(events: DataFrame, tUs: Long): DataFrame =
+    events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        valDec.as("v"))
+      .filter(col("ts_us") <= tUs)
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("v"), col("event_id")),
+          struct(col("ts_us"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        col("last.v").cast("double").as("state_value"))
+
   /** A57: metrics snapshot composite — the one-scan analog of the
     * reference's `print_metrics()` (`metrics.rs:412`): per event type,
     * counts, distinct wallets, observed span, throughput, and value

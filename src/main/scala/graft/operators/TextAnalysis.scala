@@ -149,6 +149,42 @@ object TextAnalysis {
       .withColumn("type_token_ratio",
         col("n_types").cast("double") / col("n_tokens").cast("double"))
 
+  /** C39: vocabulary drift between corpus versions — the token-level
+    * sibling of [[graft.operators.Dedup.corpusDiff]]: how far the token
+    * distribution moved between two snapshots (data-mix regression check
+    * before a training run). The per-token drift term is kept integer —
+    * |n1·T2 − n2·T1| with T1/T2 the version totals — so the sum is exact
+    * and engine-independent; the scaled L1 distance divides once at the
+    * end. Token counts shuffle; documents never do.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, topK: Int = 20)
+      : DataFrame = {
+    def counts(docs: DataFrame) = docs
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val a = counts(oldDocs).withColumnRenamed("n", "n1")
+    val b = counts(newDocs).withColumnRenamed("n", "n2")
+    val joined = a.join(b, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val tot = joined.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+    // top-k via orderBy+limit (TakeOrdered merge), then rank only the k
+    // survivors — the vocab table never funnels through one window task
+    val top = joined.join(broadcast(tot))
+      .withColumn("drift_num",
+        abs(col("n1") * col("t2") - col("n2") * col("t1")))
+      .orderBy(col("drift_num").desc, col("token"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("drift_num").desc, col("token"))
+    top.withColumn("rk", row_number().over(w).cast("bigint"))
+      .select(col("token"), col("n1"), col("n2"), col("drift_num"),
+        (col("drift_num").cast("double") /
+          (col("t1") * col("t2")).cast("double")).as("drift"), col("rk"))
+  }
+
   /** C37: per-document lexical commonness — the mean corpus frequency of
     * a document's tokens (documents full of rare tokens are the OCR-
     * noise/gibberish tail; [[rareTokenRate]] reports the same signal per

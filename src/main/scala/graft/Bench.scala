@@ -43,7 +43,10 @@ object Bench {
     "q_docs_distinctive_terms",
     "q_docs_repeated_spans",
     "q_events_decode_health",
-    "q_events_asof_merge")
+    "q_events_asof_merge",
+    "q_events_state_history",
+    "q_tpch_q5_local",
+    "q_docs_vocab_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * account-include filter + EventTypeFilter + event callback):
   *
   *   - `includeEventTypes` ≙ `EventTypeFilter { include }`
+  *   - `includeProtocols` ≙ the example's protocols list
   *   - `includeUsers` ≙ `account_include` wallet filter
   *   - `onBatch` callback ≙ `create_event_callback()` (batch-at-a-time
   *     instead of event-at-a-time — the set-oriented equivalent)
@@ -20,6 +21,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 final case class SubscriptionConfig(
     includeEventTypes: Seq[String] = Nil,
     includeUsers: Seq[Long] = Nil,
+    /** Protocol include-list (the example's `vec![Protocol::PumpFun]`);
+      * applied when the frame carries a `protocol` column (registry
+      * dispatch output), ignored otherwise. */
+    includeProtocols: Seq[String] = Nil,
     watermark: String = "1 hour",
     enableMetrics: Boolean = false,
     checkpointDir: Option[String] = None,
@@ -59,9 +64,13 @@ object EventSubscription {
     val typed =
       if (config.includeEventTypes.isEmpty) events
       else events.filter(col("event_type").isin(config.includeEventTypes: _*))
-    val scoped =
+    val scoped0 =
       if (config.includeUsers.isEmpty) typed
       else typed.filter(col("user_id").isin(config.includeUsers: _*))
+    val scoped =
+      if (config.includeProtocols.isEmpty ||
+        !scoped0.columns.contains("protocol")) scoped0
+      else scoped0.filter(col("protocol").isin(config.includeProtocols: _*))
     if (config.enableMetrics)
       scoped.observe(MetricName, count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))

@@ -156,6 +156,14 @@ class StreamingExtensionsSpec extends TestSparkSession {
     q.stop()
     assert(seen.get() == 2)
     assert(progress.exists(_.getAs[Long]("n_events") == 2L))
+    // protocol include-list applies when the frame carries `protocol`
+    val framed = Tables.events(spark, sfDir).limit(10)
+      .withColumn("protocol",
+        when(col("event_id") % 2 === 0, "pumpfun").otherwise("bonk"))
+    val only = EventSubscription.filtered(framed,
+      SubscriptionConfig(includeProtocols = Seq("pumpfun")))
+    assert(only.select("protocol").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("pumpfun"))
   }
 
   test("config presets: lowLatency bounds ingest per trigger, " +

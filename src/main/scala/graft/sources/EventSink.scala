@@ -73,6 +73,52 @@ object EventSink {
     }
   }
 
+  /** A29e: row-level MERGE (upsert) — corrected or late rows replace the
+    * stored rows with the same event_id, new ids append, and ONLY the
+    * date partitions the update batch touches are rewritten (dynamic
+    * partition overwrite); every other partition stays byte-identical.
+    * The read side is pruned to affected dates with a broadcast semi-join
+    * before the merge, so the rewrite cost scales with the update's date
+    * span, not the table. Updates win deterministically (source rank,
+    * then the merge dedups on event_id).
+    */
+  def upsertEvents(updates: DataFrame, path: String,
+      buckets: Int = 8): Unit = {
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val dated = updates.withColumn("event_date", to_date(col("ts")))
+    val dates = dated.select("event_date").distinct()
+    val existing = spark.read.parquet(path)
+      .join(broadcast(dates), Seq("event_date"), "left_semi")
+    val w = Window.partitionBy("event_id").orderBy(col("_src").desc)
+    val merged = dated.withColumn("_src", lit(1))
+      .unionByName(existing.withColumn("_src", lit(0)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_src")
+      // materialize before the write: the rewrite reads the same path it
+      // overwrites, so the plan must not still reference the source files
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      merged
+        .repartition(buckets, col("event_date"),
+          pmod(col("event_id"), lit(buckets)))
+        .sortWithinPartitions("event_date", "ts", "event_id")
+        .write
+        .partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** D9: Z-order clustered layout — multi-dimensional file clustering so
     * parquet min/max statistics prune on BOTH keys, not just the sort
     * leader. A date+time sort gives perfect `ts` pruning but every file

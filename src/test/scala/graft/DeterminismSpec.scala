@@ -17,7 +17,8 @@ class DeterminismSpec extends TestSparkSession {
     "q_docs_distinctive_terms", "q_tpch_q1_pricing", "q_events_twap_1h",
     "q_docs_repeated_spans", "q_text_quality", "q_tpch_q14_promo",
     "q_docs_commonness", "q_events_metrics_snapshot",
-    "q_events_trade_price")
+    "q_events_trade_price", "q_events_state_history",
+    "q_docs_vocab_drift", "q_events_rate_spikes")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -218,6 +218,42 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(got == expectGood, s"decoded $got of $expectGood intact frames")
   }
 
+  test("A29e: row-level upsert rewrites only the touched date partitions") {
+    import graft.sources.EventSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ev = Tables.events(spark, sfDir)
+    EventSink.writePartitionedByDay(ev, dir, buckets = 2)
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_date="))
+      .sorted
+    assert(partDirs.length >= 3)
+    val touchedDate = partDirs.head.stripPrefix("event_date=")
+    val untouched = partDirs.last
+    def files(p: String) = new java.io.File(s"$dir/$p").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = files(untouched)
+    // corrections: double the value of 5 existing rows on the first date,
+    // plus 3 brand-new rows on that date
+    val day = ev.filter(to_date(col("ts")) === lit(touchedDate).cast("date"))
+    val corrections = day.orderBy("event_id").limit(5)
+      .withColumn("value", col("value") * 2)
+    val additions = day.orderBy(col("event_id").desc).limit(3)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    EventSink.upsertEvents(corrections.unionByName(additions), dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == ev.count() + 3, "3 new rows appended")
+    // corrected ids carry the doubled values
+    val fixedIds = corrections.select("event_id").collect().map(_.getLong(0))
+    val got = after.filter(col("event_id").isin(fixedIds: _*))
+      .select(sum(col("value").cast("decimal(18,2)"))).head.getDecimal(0)
+    val want = corrections
+      .select(sum(col("value").cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(got.compareTo(want) == 0, s"$got != $want")
+    // the untouched partition's files were not rewritten
+    assert(files(untouched) == before, "untouched partition must be intact")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("C25b: streaming curation ingest dedups across micro-batches") {
     import graft.streaming.CurationIngest
     val base = java.nio.file.Files.createTempDirectory("graft_cur")

@@ -133,6 +133,17 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(bad.count() == 0)
   }
 
+  test("Graft.attach upgrades a session in place, idempotently") {
+    Graft.attach(spark)
+    Graft.attach(spark)
+    // SQL names resolve
+    assert(spark.sql("SELECT graft_checksum(X'0102') AS c").head.getLong(0)
+      == 3L)
+    // the planner strategy is installed exactly once
+    assert(spark.experimental.extraStrategies
+      .count(_ == graft.plans.AsOfMergeStrategy) == 1)
+  }
+
   test("subscription facade filters, observes metrics, and calls back") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

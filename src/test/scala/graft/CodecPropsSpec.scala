@@ -34,6 +34,19 @@ class CodecPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("registry u128 halves reconstruct the unsigned 128-bit value") {
+    // the ProtocolRegistry u128 encode path: two LE long halves, low
+    // quad first — decode must read them as one unsigned 128-bit value
+    val mask = (BigInt(1) << 64) - 1
+    check(Prop.forAll { (lo: Long, hi: Long) =>
+      val b = CodecOps.leBytes(lo, 8) ++ CodecOps.leBytes(hi, 8)
+      val expected = ((BigInt(hi) & mask) << 64) | (BigInt(lo) & mask)
+      val got = CodecOps.leU128(b, 0)
+      if (expected.toString.length > 38) got == null
+      else got.toBigDecimal == BigDecimal(expected)
+    })
+  }
+
   test("base58 round-trips arbitrary byte strings") {
     val bytes = Gen.choose(0, 64).flatMap(n =>
       Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))

@@ -13,13 +13,38 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship: hourly OHLC candles joined with per-type counters on
-    * sf0.001 (driver smoke-checks rows>0). */
+  /** Flagship composite on sf0.001 (driver smoke-checks rows>0): the
+    * whole pipeline in one plan — events encoded to the borsh wire
+    * format, decoded back through the columnar codec (the
+    * untrusted-ingest path, length-guarded), enriched with the latest
+    * prior view per wallet through the custom as-of merge operator
+    * (planner strategy, O(1) state per key), then rolled into hourly
+    * OHLC candles joined map-side with per-type counters.
+    */
   def entry(spark: SparkSession): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir)
-    EventOps.ohlc1h(ev)
-      .join(broadcast(EventOps.countsByType(ev)), Seq("event_type"))
+    // wire round trip: encode -> raw payloads -> columnar decode
+    val decoded = graft.sources.EventCodec
+      .decodeTrade(graft.sources.EventCodec.encodeTrade(ev)
+        .select("payload"))
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withColumn("event_type",
+        when(col("is_buy") === 1, "purchase").otherwise("view"))
+      .withColumn("value", col("amount_cents").cast("double") / 100.0)
+    // enrich purchases with the latest prior view via the custom exec
+    val sides = decoded.select(col("user_id"), col("ts_us"),
+      col("event_id"), col("event_type"))
+    val attributed = AsOfJoin.asOfMerge(
+      sides.filter(col("event_type") === "purchase").drop("event_type"),
+      sides.filter(col("event_type") === "view").drop("event_type"),
+      "user_id", "ts_us", "event_id", Seq())
+      .groupBy("user_id").agg(count(col("asof")).as("n_attributed"))
+    EventOps.ohlc1h(decoded)
+      .join(broadcast(EventOps.countsByType(decoded)), Seq("event_type"))
+      .join(broadcast(attributed.agg(
+        sum("n_attributed").as("total_attributed"))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,28 +1,42 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Streaming curation ingest (C25 made continuous): micro-batches of
   * incoming documents are exact-deduped within the batch, then against
-  * the STANDING corpus via its digest table, and only the survivors are
-  * appended — corpus bodies are never re-read, only 16-byte digests.
-  * This is the always-on form of [[graft.operators.Dedup.incrementalDedup]]:
-  * the reference keeps a signature cache in front of its callbacks
-  * (`event_processor.rs` dedup); a training-data pipeline keeps the same
-  * cache as a digest table in front of its corpus.
+  * the STANDING corpus, and only the survivors are appended.
   *
-  * foreachBatch supplies the read-check-append transaction per trigger;
-  * the checkpoint makes ingest restartable (each incoming file processed
-  * exactly once — see the A18b spec).
+  * Scale design — per trigger the standing corpus must cost O(batch),
+  * not O(corpus):
+  *   1. a merged Bloom filter over all admitted digests is kept as one
+  *      sidecar file; membership is tested map-side against the
+  *      broadcast filter bytes — rows the filter has never seen are
+  *      DEFINITELY new and skip everything else;
+  *   2. only probable hits (true dups + false positives) are confirmed
+  *      exactly: the digest table is scanned once with the tiny suspect
+  *      set broadcast into a semi-join — no shuffle of the corpus, and
+  *      the scan is skipped entirely when no row hits the filter;
+  *   3. the filter for the admitted rows is aggregated in one SQL pass,
+  *      merged into the standing filter driver-side (sketch union), and
+  *      swapped atomically.
+  * This is the reference's in-memory signature cache
+  * (`event_processor.rs` dedup) rebuilt as mergeable-sketch state.
+  * foreachBatch + checkpoint make ingest restartable (each incoming
+  * file processed exactly once); the Bloom sidecar is a pure
+  * accelerator — losing it costs one full confirm scan, never
+  * correctness.
   */
 object CurationIngest {
 
   def start(spark: SparkSession, incomingDir: String, corpusDir: String,
       digestDir: String, checkpointDir: String, schema: StructType,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      expectedItems: Long = 10000000L, fpp: Double = 0.01): StreamingQuery = {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(incomingDir)
@@ -37,26 +51,94 @@ object CurationIngest {
           .withColumn("dig", md5(col("text").cast("binary")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-        // standing-corpus check: anti-join the digest table only
-        val standing = existingDigests(s, digestDir)
-        val fresh = (standing match {
-          case Some(d) => batchUnique.join(d, Seq("dig"), "left_anti")
-          case None => batchUnique
-        }).localCheckpoint() // freeze before the two writes below
+          .localCheckpoint()
+        val fresh = (standingBloom(s, digestDir) match {
+          case None => batchUnique // empty corpus: everything is new
+          case Some(bloomBytes) =>
+            val suspects = batchUnique.filter(
+              mightContainCol(bloomBytes, xxhash64(col("dig"))))
+              .select("dig").localCheckpoint()
+            if (suspects.isEmpty) batchUnique
+            else {
+              // exact confirm: one pruned scan of the digest table with
+              // the tiny suspect set broadcast — no corpus shuffle
+              val confirmed = s.read.parquet(digestDir)
+                .join(broadcast(suspects), Seq("dig"), "left_semi")
+              batchUnique.join(broadcast(confirmed), Seq("dig"), "left_anti")
+            }
+        }).localCheckpoint() // freeze before the writes below
         fresh.drop("dig").write.mode("append").parquet(corpusDir)
         fresh.select("dig").write.mode("append").parquet(digestDir)
+        mergeBloom(s, digestDir, fresh, expectedItems, fpp)
         ()
       }
       .start()
   }
 
-  private def existingDigests(
-      spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
+  /** The Bloom sidecar lives next to the digest parquet; the underscore
+    * name keeps the parquet reader from picking it up. */
+  private def bloomPath(dir: String) = new Path(dir, "_bloom.bin")
+
+  private def mightContainCol(bloomBytes: Array[Byte],
+      hashed: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(hashed)))
+  }
+
+  private def bloomAggCol(expectedItems: Long, numBits: Long,
+      hashed: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .aggregate.BloomFilterAggregate(GraftBridge.expression(hashed),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  private def standingBloom(
+      spark: SparkSession, dir: String): Option[Array[Byte]] = {
+    val p = bloomPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(
-        ".parquet")))
-      Some(spark.read.parquet(dir))
-    else None
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        Some(buf)
+      } finally in.close()
+    }
+  }
+
+  private def mergeBloom(spark: SparkSession, dir: String,
+      fresh: DataFrame, expectedItems: Long, fpp: Double): Unit = {
+    if (fresh.isEmpty) return
+    // one SQL aggregation pass builds the batch's filter distributed;
+    // the union with the standing filter is a driver-side sketch merge
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val batchBytes = fresh.select(
+      bloomAggCol(expectedItems, numBits, xxhash64(col("dig"))))
+      .head.getAs[Array[Byte]](0)
+    val batchBloom = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(batchBytes))
+    val merged = standingBloom(spark, dir) match {
+      case None => batchBloom
+      case Some(prev) =>
+        val pb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(prev))
+        pb.mergeInPlace(batchBloom)
+        pb
+    }
+    val p = bloomPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s"._bloom_tmp_${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try merged.writeTo(out) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 }

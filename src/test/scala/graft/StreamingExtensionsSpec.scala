@@ -294,6 +294,18 @@ class StreamingExtensionsSpec extends TestSparkSession {
     // first arrival wins: the re-keyed copies were rejected
     assert(out.filter(col("doc_id") >= 10000 && col("doc_id") < 20100)
       .count() == 50)
+    // the standing Bloom sidecar was maintained
+    assert(new java.io.File(s"$digests/_bloom.bin").exists(),
+      "expected the merged Bloom sidecar")
+    // a restart fed ONLY duplicates admits nothing (the all-suspects path)
+    docs.filter(col("doc_id") < 200)
+      .withColumn("doc_id", col("doc_id") + 30000)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    val q2 = CurationIngest.start(spark, incoming, corpus, digests, ckpt,
+      spark.read.parquet(incoming).schema)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(corpus).count() == 200,
+      "pure-duplicate batch must admit nothing")
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 

@@ -68,6 +68,19 @@ object AsOfJoin {
       rightValueCols: Seq[String],
       leftValueCols: Seq[String] = Seq(),
       toleranceUs: Option[Long] = None): DataFrame = {
+    // the exec detects group changes with JVM equality — exact for
+    // numeric/string/UTF8 keys, wrong for array-backed types (binary
+    // keys compare by reference); render such keys (base58/hex) first
+    left.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType |
+          _: org.apache.spark.sql.types.ArrayType |
+          _: org.apache.spark.sql.types.StructType |
+          _: org.apache.spark.sql.types.MapType =>
+        throw new IllegalArgumentException(
+          s"asOfMerge key '$keyCol' must be an atomic comparable type; " +
+            "encode binary keys (e.g. graft_base58) before joining")
+      case _ =>
+    }
     val rightTagged = right.select(
       col(keyCol) +: col(tsCol) +: col(idCol) +: lit(0).as("kind") +:
         struct((tsCol +: idCol +: rightValueCols).map(col): _*).as("rval") +:

@@ -895,6 +895,8 @@ object SparkEntry {
         .withColumn("event_id", expr("event_id ^ 1")))),
     "q_dedup_docs_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5)),
+    "q_dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizes(Tables.documents(s, d))),
     "q_dedup_docs_containment" -> ((s, d) =>
       Dedup.ngramContainment(Tables.documents(s, d), 0.6)),
     "q_dedup_docs_minhash_lsh" -> ((s, d) =>
@@ -2487,6 +2489,34 @@ object SparkEntry {
              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            SELECT a, b FROM reach)
          GROUP BY a""",
+    "q_dedup_cluster_sizes" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM p
+                   JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE) /
+                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         labels AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM (
+           WITH RECURSIVE reach(a, b) AS (
+             SELECT a, b FROM edges
+             UNION
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           SELECT a, b FROM reach)
+         GROUP BY a),
+         cl AS (SELECT keep_id, count(*) AS cluster_size FROM labels
+                GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM cl GROUP BY 1""",
     "q_dedup_docs_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
                     WHERE label = 3 AND vec_id % 5 = 0),

@@ -291,6 +291,18 @@ object Dedup {
     labels.withColumnRenamed("label", "keep_id")
   }
 
+  /** C13c: near-dup cluster-size distribution — how much of the corpus
+    * sits in duplicate clusters of each size (the audit that decides
+    * whether near-dup removal is worth its cost, and catches pathological
+    * mega-clusters from boilerplate before they eat the keeper pass).
+    * Composes the canonicalization labels; singletons (docs in no pair)
+    * are excluded — they never entered the pair graph.
+    */
+  def clusterSizes(docs: DataFrame, tau: Double = 0.5): DataFrame =
+    canonicalize(ngramJaccard(docs, tau))
+      .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   /** C13b: the end-to-end dedup pipeline a training-data run would ship —
     * the corpus surviving BOTH exact dedup (one keeper per
     * identical-content group) and near-dup canonicalization (one keeper

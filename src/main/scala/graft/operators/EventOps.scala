@@ -683,24 +683,37 @@ object EventOps {
   }
 
   /** A41: conversion-time distribution — first signup → first purchase
-    * latency per wallet, summarized with exact integer-rank percentiles
-    * (global: one narrow single-key window over |converted wallets| rows,
-    * which is already reduced data — at 100 TB the per-wallet firsts
-    * aggregation did the heavy lifting with map-side partials).
+    * latency per wallet, summarized with exact integer-rank percentiles.
+    * The global rank runs terasort-shaped (range exchange + per-range
+    * row_number + metadata-sized offsets, same as
+    * [[graft.operators.Sampling.shuffleOrder]]) — an empty-partition
+    * window would drag every converted wallet through ONE task, and with
+    * microsecond deltas the distinct-value trick doesn't reduce
+    * anything. Ranks are positions in the (delta, wallet) total order,
+    * so results are independent of sampled range boundaries.
     */
   def conversionTime(events: DataFrame): DataFrame = {
     val firsts = events.groupBy("user_id").agg(
       min(when(col("event_type") === "signup", tsUs)).as("t_signup"),
       min(when(col("event_type") === "purchase", tsUs)).as("t_purchase"))
-    val deltas = firsts
+    val parted = firsts
       .filter(col("t_signup").isNotNull &&
         col("t_purchase") >= col("t_signup"))
       .select(col("user_id"),
         (col("t_purchase") - col("t_signup")).as("delta_us"))
-    val w = Window.orderBy("delta_us", "user_id")
-    deltas
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over())
+      .repartitionByRange(col("delta_us"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val tot = parted.agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("pid").orderBy("delta_us", "user_id")
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("rn", row_number().over(w) + col("off"))
+      .join(broadcast(tot))
       .agg(
         count(lit(1)).as("n_converted"),
         min("delta_us").as("min_us"),

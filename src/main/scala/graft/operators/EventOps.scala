@@ -65,21 +65,33 @@ object EventOps {
     * are engine-independent.
     */
   def valueStats(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    val ranked = events
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy("event_type")))
-    ranked.groupBy("event_type").agg(
+    val base = events.select(col("event_type"), col("value"))
+    // moments from one partial-agg pass (exact decimal sums, no window)
+    val moments = base.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       min("value").as("min_v"),
       max("value").as("max_v"),
       sum(valDec).cast("double").as("sum_v"),
-      sum(valDec.multiply(valDec)).cast("double").as("sumsq_v"),
-      max(when(col("rn") === expr("(cnt + 1) div 2"), col("value"))).as("p50"),
-      max(when(col("rn") === expr("(cnt * 95 + 99) div 100"), col("value")))
-        .as("p95"))
+      sum(valDec.multiply(valDec)).cast("double").as("sumsq_v"))
+    // exact rank percentiles over DISTINCT values with counts: rank k is
+    // the smallest value whose cumulative count reaches k, so the sort
+    // walks the (type, value) domain (2-decimal values repeat heavily),
+    // never the raw rows — a per-type row_number would drag the hottest
+    // type through one task at 100 TB
+    val byVal = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part = Window.partitionBy("event_type")
+    val pct = base.groupBy("event_type", "value")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(byVal))
+      .withColumn("cnt", sum("c").over(part))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") >= expr("(cnt + 1) div 2"), col("value")))
+          .as("p50"),
+        min(when(col("cum") >= expr("(cnt * 95 + 99) div 100"),
+          col("value"))).as("p95"))
+    moments.join(pct, "event_type")
       .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
         (col("sum_v") / col("n").cast("double")).as("avg_v"),
         sqrt((col("sumsq_v") - col("sum_v") * col("sum_v") /

@@ -807,24 +807,24 @@ object EventOps {
         (col("max_cnt").cast("double") / col("n_events").cast("double"))
           .as("top_share"))
 
-  /** A12: hourly OHLC candles per event type (DEX price analytics). */
-  def ohlc1h(events: DataFrame): DataFrame = {
-    val base = events.select(
+  /** A12: hourly OHLC candles per event type (DEX price analytics).
+    * Open/close are `min_by`/`max_by` over the (ts, event_id) total
+    * order — one hash aggregate with map-side partials, no per-candle
+    * window sort (the same shape the streaming OHLC keeps one state row
+    * per candle with; a hot hour costs O(1) aggregate state, not a
+    * row_number over its rows). */
+  def ohlc1h(events: DataFrame): DataFrame =
+    events.select(
       expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"),
       col("event_type"), valDec.as("v"), tsUs.as("tu"), col("event_id"))
-    val part = Window.partitionBy("hb", "event_type")
-    val wAsc = part.orderBy(col("tu"), col("event_id"))
-    val wDesc = part.orderBy(col("tu").desc, col("event_id").desc)
-    base
-      .withColumn("rna", row_number().over(wAsc))
-      .withColumn("rnd", row_number().over(wDesc))
       .groupBy("hb", "event_type")
       .agg(
-        max(when(col("rna") === 1, col("v"))).cast("double").as("open"),
-        max(when(col("rnd") === 1, col("v"))).cast("double").as("close"),
+        min_by(col("v"), struct(col("tu"), col("event_id")))
+          .cast("double").as("open"),
+        max_by(col("v"), struct(col("tu"), col("event_id")))
+          .cast("double").as("close"),
         max("v").cast("double").as("high"),
         min("v").cast("double").as("low"),
         count(lit(1)).as("n"),
         sum("v").cast("double").as("volume"))
-  }
 }

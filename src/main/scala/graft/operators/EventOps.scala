@@ -186,18 +186,34 @@ object EventOps {
     * sort, exact and deterministic — no quantile interpolation.
     */
   def equiDepthHistogram(events: DataFrame, buckets: Int = 4): DataFrame = {
-    val byVal = Window.partitionBy("event_type")
-      .orderBy("value", "event_id")
+    // Bucket boundaries are pure rank arithmetic (bucket k spans ranks
+    // (k·n/B, (k+1)·n/B]), and a rank's value is the smallest distinct
+    // value whose cumulative count reaches it — so the whole histogram
+    // derives from the DISTINCT-value cumulative table (same technique
+    // as A5/A51): no row_number over raw rows, no one-task-per-type sort.
+    val byVal = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val part = Window.partitionBy("event_type")
-    events
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("r", row_number().over(byVal))
-      .withColumn("n", count(lit(1)).over(part))
+    val counts = events
+      .select(col("event_type"), col("value"))
+      .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(byVal))
+      .withColumn("n", sum("c").over(part))
+    counts
       .withColumn("bucket",
-        expr(s"((r - 1) * $buckets) div n").cast("bigint"))
+        explode(expr(s"sequence(0L, ${buckets - 1}L)")))
+      // rank span of bucket k under `((r-1)·B) div n = k`: r-1 lives in
+      // [ceil(k·n/B), ceil((k+1)·n/B) - 1] — CEILING boundaries
+      .withColumn("lo_rank",
+        expr(s"(bucket * n + ${buckets - 1}) div $buckets + 1"))
+      .withColumn("hi_rank",
+        expr(s"((bucket + 1) * n + ${buckets - 1}) div $buckets"))
+      .filter(col("hi_rank") >= col("lo_rank"))
       .groupBy("event_type", "bucket")
-      .agg(count(lit(1)).as("n_rows"),
-        min("value").as("lo"), max("value").as("hi"))
+      .agg(
+        max(col("hi_rank") - col("lo_rank") + 1).as("n_rows"),
+        min(when(col("cum") >= col("lo_rank"), col("value"))).as("lo"),
+        min(when(col("cum") >= col("hi_rank"), col("value"))).as("hi"))
   }
 
   /** A51: inter-event gap distribution — per event type, the distribution

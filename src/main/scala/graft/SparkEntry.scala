@@ -67,6 +67,8 @@ object SparkEntry {
       EventOps.sessionize(Tables.events(s, d))),
     "q_events_topk_users" -> ((s, d) =>
       EventOps.topKUsers(Tables.events(s, d))),
+    "q_events_trending" -> ((s, d) =>
+      EventOps.trendingUsers(Tables.events(s, d))),
     "q_events_asof_attribution" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
@@ -1893,6 +1895,15 @@ object SparkEntry {
                   AS n_cross_source
          FROM d JOIN g USING (dig)
          GROUP BY 1""",
+    "q_events_trending" ->
+      """SELECT hb, user_id, n, rk FROM (
+           SELECT hb, user_id, n,
+                  CAST(row_number() OVER (PARTITION BY hb
+                    ORDER BY n DESC, user_id) AS BIGINT) AS rk
+           FROM (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                        user_id, count(*) AS n
+                 FROM events GROUP BY 1, 2))
+         WHERE rk <= 3""",
     "q_events_gap_dist" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
                            event_id FROM events),

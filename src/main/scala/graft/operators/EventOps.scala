@@ -445,6 +445,24 @@ object EventOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_bursts"), max("n").as("max_burst"))
 
+  /** A59: trending actors — the top-k most active wallets per hour (the
+    * "trending mints/wallets" board every DEX dashboard ships). Counts
+    * reduce with map-side partials; the per-window rank runs under
+    * WindowGroupLimit, so only k rows per window survive the map side of
+    * the rank shuffle — never a full per-window sort at 100 TB.
+    */
+  def trendingUsers(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window
+      .partitionBy("hb")
+      .orderBy(col("n").desc, col("user_id"))
+    events
+      .groupBy(expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
+
   /** A58: state history (SCD2) — the account-state cache materialized as
     * a temporal table: every event opens a state version for its wallet,
     * closed by the next event ([valid_from, valid_to) intervals,

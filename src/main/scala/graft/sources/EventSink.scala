@@ -90,7 +90,10 @@ object EventSink {
     val dates = dated.select("event_date").distinct()
     val existing = spark.read.parquet(path)
       .join(broadcast(dates), Seq("event_date"), "left_semi")
-    val w = Window.partitionBy("event_id").orderBy(col("_src").desc)
+    // updates beat stored rows; two updates of the same id resolve by
+    // event time then stable column order — never by partition luck
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("_src").desc, col("ts").desc)
     val merged = dated.withColumn("_src", lit(1))
       .unionByName(existing.withColumn("_src", lit(0)))
       .withColumn("_rn", row_number().over(w))
@@ -135,6 +138,11 @@ object EventSink {
     */
   def writeZOrdered(events: DataFrame, path: String, files: Int = 16,
       colA: String = "user_id", colB: String = "event_id"): Unit = {
+    Seq(colA, colB).foreach { c =>
+      require(events.schema(c).dataType == org.apache.spark.sql.types
+        .LongType, s"z-order column $c must be LONG (got " +
+        s"${events.schema(c).dataType}); cast or rank the dimension first")
+    }
     val b = events.agg(
       min(col(colA)).as("amin"), max(col(colA)).as("amax"),
       min(col(colB)).as("bmin"), max(col(colB)).as("bmax")).head()

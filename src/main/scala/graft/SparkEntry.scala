@@ -837,6 +837,21 @@ object SparkEntry {
       EventCodec.decodeHealth(
         EventCodec.corrupt(EventCodec.encodeTrade(Tables.events(s, d))))
     }),
+    // resynchronization sweep (find_pattern/simd analog): every frame
+    // arrives behind a deterministic garbage prefix; the scan locates the
+    // discriminator, decode recovers every event — identity counts
+    "q_events_resync" -> ((s, d) => {
+      import graft.sources.EventCodec
+      val framed = EventCodec.encodeTrade(Tables.events(s, d))
+        .withColumn("stream", concat(
+          expr("substring(X'EEEEEEEEEEEEEE', 1, cast(event_id % 7 as int))"),
+          col("payload")))
+      EventCodec.decodeTrade(
+        EventCodec.resyncTrade(framed.select("stream"))
+          .filter(col("sync_offset").isNotNull))
+        .groupBy("is_buy")
+        .agg(count(lit(1)).as("n"), sum("amount_cents").as("cents"))
+    }),
     "q_docs_repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(Tables.documents(s, d))),
     "q_docs_shuffle_order" -> ((s, d) =>
@@ -1724,6 +1739,13 @@ object SparkEntry {
                         ORDER BY tf * 1.0 / n_sources DESC, token) AS rk
                FROM tf JOIN sp USING (token))
          WHERE rk <= 10""",
+    "q_events_resync" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  AS is_buy,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1""",
     "q_events_decode_health" ->
       """WITH k AS (SELECT CASE WHEN event_id % 101 = 0 THEN 'unknown'
                                ELSE 'trade' END AS event_kind,

@@ -69,6 +69,8 @@ object SparkEntry {
       EventOps.topKUsers(Tables.events(s, d))),
     "q_events_trending" -> ((s, d) =>
       EventOps.trendingUsers(Tables.events(s, d))),
+    "q_events_wallet_lifetimes" -> ((s, d) =>
+      EventOps.walletLifetimes(Tables.events(s, d))),
     "q_events_asof_attribution" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
@@ -1739,6 +1741,17 @@ object SparkEntry {
                         ORDER BY tf * 1.0 / n_sources DESC, token) AS rk
                FROM tf JOIN sp USING (token))
          WHERE rk <= 10""",
+    "q_events_wallet_lifetimes" ->
+      """SELECT user_id, min(epoch_us(ts)) AS first_us,
+                max(epoch_us(ts)) AS last_us,
+                count(DISTINCT epoch_us(ts) // 86400000000)
+                  AS n_active_days,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value,
+                (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
+                  AS lifetime_days
+         FROM events GROUP BY 1""",
     "q_events_resync" ->
       """SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                   AS is_buy,

@@ -445,6 +445,26 @@ object EventOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_bursts"), max("n").as("max_burst"))
 
+  /** A60: wallet lifecycle table — per wallet: first/last activity,
+    * active-day count, events, and value volume (the per-account summary
+    * the reference's volume tracker accumulates, materialized for the
+    * whole population). One keyed aggregation; distinct days via an
+    * exact count over day buckets inside the same shuffle.
+    */
+  def walletLifetimes(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), tsUs.as("ts_us"), valDec.as("v"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("user_id")
+      .agg(
+        min("ts_us").as("first_us"),
+        max("ts_us").as("last_us"),
+        countDistinct("day").as("n_active_days"),
+        count(lit(1)).as("n_events"),
+        sum("v").cast("double").as("total_value"))
+      .withColumn("lifetime_days",
+        expr("(last_us - first_us) div 86400000000"))
+
   /** A59: trending actors — the top-k most active wallets per hour (the
     * "trending mints/wallets" board every DEX dashboard ships). Counts
     * reduce with map-side partials; the per-window rank runs under

@@ -401,6 +401,32 @@ object SparkEntry {
           sum(coalesce(col("buy.base_amount"), col("sell.base_amount"),
             col("deposit.lp_amount"), col("withdraw.lp_amount"))).as("sum_amt"))
     }),
+    // class-level include filter: mixed transaction + account frames,
+    // only the transaction class survives (filter.rs category checks)
+    "q_events_class_filter" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d).select(
+        col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("amt"),
+        (col("event_id") * 2 + 1).as("amt2"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      val buy = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(
+          col("event_id"), col("pool"), col("user_id"),
+          col("amt").as("base_amount"), col("amt2").as("quote_amount"),
+          col("ts_us")),
+        ProtocolRegistry.Swap.layouts(0)).select("payload")
+      val snap = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          col("event_id"), col("pool"),
+          col("amt").as("base_reserve"), col("amt2").as("quote_reserve"),
+          col("ts_us")),
+        ProtocolRegistry.Account.layouts(0)).select("payload")
+      ProtocolRegistry.filterClasses(
+        ProtocolRegistry.dispatch(buy.union(snap)), Seq("transaction"))
+        .groupBy("protocol", "event_kind")
+        .agg(count(lit(1)).as("n"))
+    }),
     "q_events_pool_stats" -> ((s, d) => {
       import graft.sources.ProtocolRegistry
       // wire-encoded buy/sell fills → registry decode → per-pool market
@@ -1752,6 +1778,9 @@ object SparkEntry {
                 (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
                   AS lifetime_days
          FROM events GROUP BY 1""",
+    "q_events_class_filter" ->
+      """SELECT 'swap' AS protocol, 'buy' AS event_kind, count(*) AS n
+         FROM events WHERE event_type = 'purchase'""",
     "q_events_resync" ->
       """SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                   AS is_buy,

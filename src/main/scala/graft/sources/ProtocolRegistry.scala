@@ -86,6 +86,20 @@ object ProtocolRegistry {
     LayoutSpec("pool_state", disc(0x53, 0x01),
       u64s("event_id", "pool", "base_reserve", "quote_reserve", "ts_us"))))
 
+  /** Event class of a dispatched row — the reference's filter classes
+    * (`filter.rs` `include_transaction_event` / `include_account_event`;
+    * block events live outside the registry, on the block-meta path):
+    * account snapshots vs everything transaction-borne. */
+  def eventClass: org.apache.spark.sql.Column =
+    when(col("protocol") === "account", "account").otherwise("transaction")
+
+  /** Class-level include filter over dispatched frames (A1's type-level
+    * include-list, one level up — the `EventTypeFilter` category
+    * checks). */
+  def filterClasses(dispatched: DataFrame,
+      include: Seq[String]): DataFrame =
+    dispatched.filter(eventClass.isin(include: _*))
+
   /** "launch" protocol: token-launch lifecycle (Bonk analog — the
     * reference's `BonkPoolCreateEvent`/`BonkMigrateToAmmEvent`,
     * bonk/events.rs:85-230: a launchpad pool is created, then migrated to

@@ -616,9 +616,11 @@ object SparkEntry {
         // notional through exact decimals: double*double + round(…, 6)
         // straddles half-way products differently per engine (BigDecimal
         // HALF_UP vs libm) — caught by the sf0.1 audit at row scale
+        // decimal(18,6), not (10,6): Spark nulls a decimal overflow while
+        // DuckDB raises — widen so price6 >= 1e4 keeps identical domains
         .withColumn("notional6",
           round(col("amount").cast("decimal(12,2)") *
-            col("price6").cast("decimal(10,6)"), 6).cast("double"))
+            col("price6").cast("decimal(18,6)"), 6).cast("double"))
     }),
     "q_events_range_join_auto" -> ((s, d) => {
       // the DECLARATIVE range join: no explicit bucketing — the injected
@@ -2246,7 +2248,7 @@ object SparkEntry {
                 CAST(round(CAST(amount AS DECIMAL(12,2)) *
                       CAST(round(CAST(l_qr AS DOUBLE)
                         / CAST(nullif(l_br, 0) AS DOUBLE), 6)
-                        AS DECIMAL(10,6)), 6) AS DOUBLE) AS notional6
+                        AS DECIMAL(18,6)), 6) AS DOUBLE) AS notional6
          FROM w WHERE kind = 1""",
     "q_events_range_join" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_windows,

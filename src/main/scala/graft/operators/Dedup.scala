@@ -230,8 +230,18 @@ object Dedup {
     * caught at ANY alignment — the exact-substring-dedup signal (suffix-
     * array style results, hash-join cost model). Row blowup is |tokens|
     * per doc; only (doc_id, digest) pairs shuffle, never text.
+    *
+    * Skew: a corpus-wide boilerplate span (header in most docs) makes one
+    * digest a hot key in the tag-back join. Digests in more than
+    * `maxDocFreq` docs are split off — they are DEFINITELY shared
+    * (n_docs > 1), so their windows are tagged map-side against the tiny
+    * broadcast hot set and never shuffle; the residual join's per-key
+    * fan-in is bounded by the cap. Results are identical for any cap ≥ 1
+    * (same `shared_frac`), only the join shape changes.
     */
-  def repeatedSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+  def repeatedSpans(docs: DataFrame, w: Int = 8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     val wins = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -243,10 +253,21 @@ object Dedup {
         md5(concat_ws(" ", expr(s"slice(toks, i, $w)"))).as("dig"))
     val spanDocs = wins.groupBy("dig")
       .agg(countDistinct("doc_id").as("n_docs"))
-    wins.join(spanDocs, "dig")
+    // hot digests: in > maxDocFreq docs — few by construction (at most
+    // |window rows| / maxDocFreq), so the set broadcasts
+    val hot = spanDocs.filter(col("n_docs") > maxDocFreq)
+      .select(col("dig"), lit(true).as("hot"))
+    val tagged = wins.join(broadcast(hot), Seq("dig"), "left")
+    val hotShared = tagged.filter(col("hot"))
+      .select(col("doc_id"), lit(true).as("shared"))
+    val coldShared = tagged.filter(col("hot").isNull)
+      .select("doc_id", "dig")
+      .join(spanDocs.filter(col("n_docs") <= maxDocFreq), "dig")
+      .select(col("doc_id"), (col("n_docs") > 1).as("shared"))
+    hotShared.unionByName(coldShared)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
-        count(when(col("n_docs") > 1, 1)).as("n_shared"))
+        count(when(col("shared"), 1)).as("n_shared"))
       .withColumn("shared_frac",
         col("n_shared").cast("double") / col("n_windows").cast("double"))
   }

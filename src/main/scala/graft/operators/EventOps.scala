@@ -645,15 +645,42 @@ object EventOps {
         min("running_lp").as("trough_lp"))
   }
 
+  /** A27: per-minute event rate with a 5-row moving average. No global
+    * window: an unpartitioned `Window.orderBy` funnels every row through
+    * one task. Instead (terasort shape) the global row ordinal comes from
+    * a day-bucketed local row_number plus an exclusive prefix of bucket
+    * counts (a #days-sized self-join, no window), and the row-based
+    * MA(-4..0) is a contribution fan-out: each row feeds ordinals
+    * rn..rn+4, one tiny-key aggregation. Identical semantics to
+    * `rowsBetween(-4, 0)` — leading rows average over however many
+    * predecessors exist — and every stage is partitioned.
+    */
   def ratePerMinute(events: DataFrame): DataFrame = {
     val perMin = events
       .groupBy(expr("unix_micros(ts) div 60000000").as("mb"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy("mb").rowsBetween(-4, Window.currentRow)
-    perMin
-      .withColumn("ma5",
-        (sum("n").over(w).cast("double") /
-          count(lit(1)).over(w).cast("double")))
+    // global ordinal: partition-local rank + exclusive bucket prefix
+    val bucketed = perMin.withColumn("bk", expr("mb div 1440"))
+    val wb = Window.partitionBy("bk").orderBy("mb")
+    val counts = bucketed.groupBy("bk").agg(count(lit(1)).as("bn"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.bk") < col("a.bk"), "left")
+      .groupBy(col("a.bk").as("bk"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("boff"))
+    val ranked = bucketed
+      .withColumn("lrn", row_number().over(wb).cast("bigint"))
+      .join(broadcast(offsets), "bk")
+      .select(col("mb"), col("n"), (col("lrn") + col("boff")).as("rn"))
+    // each row contributes to the MA of ordinals rn..rn+4; targets past
+    // the last row drop out in the join, leading targets see only the
+    // rows that exist — exactly the rowsBetween(-4, 0) frame
+    val ma = ranked
+      .select(col("n"), explode(expr("sequence(rn, rn + 4)")).as("tgt"))
+      .groupBy("tgt")
+      .agg(sum("n").as("sn"), count(lit(1)).as("cnt"))
+    ranked.join(ma, ranked("rn") === ma("tgt"))
+      .select(col("mb"), col("n"),
+        (col("sn").cast("double") / col("cnt").cast("double")).as("ma5"))
   }
 
   /** Pivot: per-wallet event-type count matrix (fixed column set so the

@@ -31,7 +31,12 @@ object Similarity {
   def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("n2", vec_norm2(col("embedding")))
 
-  /** C5: exact cosine near-dup pairs within a blocking predicate. */
+  /** C5: exact cosine near-dup pairs — UNBLOCKED O(n²) all-pairs, by
+    * design: this is the small-scale recall oracle the bucketed paths are
+    * audited against (minhash/hyperplane recall specs compare to it).
+    * It is NOT the 100 TB path; at scale use [[hyperplaneLshPairs]]
+    * (banded signature equi-join + exact verify on candidates only),
+    * which returns the same schema. */
   def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
     val e = withNorm(emb).select(col("vec_id"), col("embedding"), col("n2"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

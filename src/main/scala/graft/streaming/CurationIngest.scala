@@ -26,10 +26,15 @@ import org.apache.spark.util.sketch.BloomFilter
   *      swapped atomically.
   * This is the reference's in-memory signature cache
   * (`event_processor.rs` dedup) rebuilt as mergeable-sketch state.
-  * foreachBatch + checkpoint make ingest restartable (each incoming
-  * file processed exactly once); the Bloom sidecar is a pure
-  * accelerator — losing it costs one full confirm scan, never
-  * correctness.
+  * foreachBatch + checkpoint make ingest restartable; the Bloom sidecar
+  * is a pure accelerator — when it is missing or stale (crash between
+  * the digest append and the sidecar swap) EVERY batch digest is
+  * confirmed exactly against the digest table, so losing it costs one
+  * full confirm scan, never correctness. Batch writes are idempotent:
+  * each batch overwrites its own `batch_id=<n>` partition of the corpus
+  * and digest tables, and the confirm scan excludes the current batch's
+  * partition, so a replayed batch after a crash converges to the same
+  * state instead of double-appending or losing rows.
   */
 object CurationIngest {
 
@@ -42,7 +47,7 @@ object CurationIngest {
       .parquet(incomingDir)
     src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // within-batch exact dedup, deterministic keeper (min doc_id)
         val w = org.apache.spark.sql.expressions.Window
@@ -52,27 +57,53 @@ object CurationIngest {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
           .localCheckpoint()
-        val fresh = (standingBloom(s, digestDir) match {
-          case None => batchUnique // empty corpus: everything is new
-          case Some(bloomBytes) =>
-            val suspects = batchUnique.filter(
-              mightContainCol(bloomBytes, xxhash64(col("dig"))))
-              .select("dig").localCheckpoint()
+        // standing digests, excluding this batch's own partition (a
+        // replayed batch must not see its own earlier half-finished
+        // writes as "already in the corpus" — that would drop the rows)
+        val standing = standingDigests(s, digestDir, batchId)
+        val fresh = ((standing, standingBloom(s, digestDir)) match {
+          case (None, _) => batchUnique // empty corpus: everything is new
+          case (Some(digests), bloom) =>
+            // bloom present: gate map-side, only probable hits confirm.
+            // bloom missing/stale: confirm EVERY batch digest exactly —
+            // the sidecar is an accelerator, never a correctness input.
+            val suspects = (bloom match {
+              case Some(bloomBytes) => batchUnique.filter(
+                mightContainCol(bloomBytes, xxhash64(col("dig"))))
+              case None => batchUnique
+            }).select("dig").localCheckpoint()
             if (suspects.isEmpty) batchUnique
             else {
               // exact confirm: one pruned scan of the digest table with
               // the tiny suspect set broadcast — no corpus shuffle
-              val confirmed = s.read.parquet(digestDir)
+              val confirmed = digests
                 .join(broadcast(suspects), Seq("dig"), "left_semi")
               batchUnique.join(broadcast(confirmed), Seq("dig"), "left_anti")
             }
         }).localCheckpoint() // freeze before the writes below
-        fresh.drop("dig").write.mode("append").parquet(corpusDir)
-        fresh.select("dig").write.mode("append").parquet(digestDir)
+        // idempotent per-batch partitions: a replay overwrites in place
+        fresh.drop("dig").write.mode("overwrite")
+          .parquet(s"$corpusDir/batch_id=$batchId")
+        fresh.select("dig").write.mode("overwrite")
+          .parquet(s"$digestDir/batch_id=$batchId")
         mergeBloom(s, digestDir, fresh, expectedItems, fpp)
         ()
       }
       .start()
+  }
+
+  /** Digest table scan for the exact-confirm path, pruned to exclude the
+    * current batch's own partition. None when the table is empty. */
+  private def standingDigests(spark: SparkSession, dir: String,
+      batchId: Long): Option[DataFrame] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val parts = fs.listStatus(p).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith("batch_id=") &&
+      st.getPath.getName != s"batch_id=$batchId")
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts.map(_.getPath.toString): _*))
   }
 
   /** The Bloom sidecar lives next to the digest parquet; the underscore

@@ -46,7 +46,22 @@ object Bench {
     "q_events_asof_merge",
     "q_events_state_history",
     "q_tpch_q5_local",
-    "q_docs_vocab_drift")
+    "q_docs_vocab_drift",
+    // round-3 additions: the TPC-H shapes added in round 2 but unbenched,
+    // the terasort-shaped global shuffle, the reworked rate MA, and the
+    // real-layout decode paths
+    "q_tpch_q4_priority",
+    "q_tpch_q6_forecast",
+    "q_tpch_q10_returns",
+    "q_tpch_q14_promo",
+    "q_tpch_q22_opportunity",
+    "q_docs_shuffle_order",
+    "q_events_rate_1m",
+    "q_events_pumpfun_real",
+    "q_events_bonk_real",
+    "q_events_pumpswap_real",
+    "q_events_cpi_merge",
+    "q_events_account_real")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

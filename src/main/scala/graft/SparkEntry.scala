@@ -539,6 +539,554 @@ object SparkEntry {
         .withColumn("sqrt_price_x64", col("sqrt_price_x64").cast("string"))
         .withColumn("liquidity", col("liquidity").cast("string"))
     }),
+    // ---- real on-chain layouts (RealLayouts registry) ----
+    // Round-trip oracles: synthesize reference-shaped rows from the
+    // events table, encode into the GENUINE wire bytes (real anchor
+    // discriminators, real borsh widths), decode through the registry,
+    // aggregate — DuckDB recomputes the same aggregate from the raw rows.
+    "q_events_pumpfun_real" -> ((s, d) => {
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      val trades = ProtocolRegistry.encode(
+        ev.filter(col("event_type").isin("purchase", "view")).select(
+          expr("cast(round(value * 100, 0) as bigint)").as("sol_amount"),
+          (col("event_id") * 3).as("token_amount"),
+          (col("event_type") === "purchase").cast("long").as("is_buy"),
+          expr("unix_micros(ts) div 1000000").as("timestamp"),
+          (col("event_id") * 7).as("virtual_sol_reserves"),
+          (col("event_id") * 11).as("virtual_token_reserves"),
+          (col("event_id") * 13).as("real_sol_reserves"),
+          (col("event_id") * 17).as("real_token_reserves"),
+          lit(100L).as("fee_basis_points"),
+          expr("cast(round(value * 100, 0) as bigint) div 100").as("fee"),
+          lit(30L).as("creator_fee_basis_points"),
+          expr("cast(round(value * 100, 0) as bigint) div 300")
+            .as("creator_fee"),
+          (col("event_id") % 2).as("track_volume"),
+          (col("event_id") * 19).as("total_unclaimed_tokens"),
+          (col("event_id") * 23).as("total_claimed_tokens"),
+          (col("event_id") * 29).as("current_sol_volume"),
+          expr("unix_micros(ts) div 1000000").as("last_update_timestamp"),
+          mk("user_id % 100").as("mint"), mk("user_id").as("user"),
+          mk("1").as("fee_recipient"), mk("user_id % 50").as("creator")),
+        RealLayouts.PumpFun.layouts(0))
+      val migrates = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          mk("user_id").as("user"), mk("user_id % 100").as("mint"),
+          (col("event_id") * 2).as("mint_amount"),
+          expr("cast(round(value * 100, 0) as bigint)").as("sol_amount"),
+          (col("event_id") % 1000).as("pool_migration_fee"),
+          mk("3").as("bonding_curve"),
+          expr("unix_micros(ts) div 1000000").as("timestamp"),
+          mk("4").as("pool")),
+        RealLayouts.PumpFun.layouts(1))
+      val junk = ev.filter(col("event_type") === "error")
+        .select(expr(
+          "cast(concat('junkjunkjunkjunk', cast(event_id as string)) " +
+            "as binary)").as("payload"))
+      val frames = trades.select("payload").union(migrates.select("payload"))
+        .union(junk)
+        .withColumn("program_id", lit(RealLayouts.PumpFunProgram))
+      ProtocolRegistry
+        .dispatch(frames, Seq(RealLayouts.PumpFun),
+          programCol = Some("program_id"))
+        .groupBy(col("event_kind"), col("pf_trade.is_buy").as("is_buy"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("pf_trade.sol_amount"),
+            col("pf_migrate.sol_amount"))).as("sum_sol"),
+          sum(col("pf_trade.token_amount")).as("sum_tok"),
+          sum(col("pf_trade.fee") + col("pf_trade.creator_fee"))
+            .as("sum_fees"),
+          countDistinct(coalesce(col("pf_trade.user"),
+            col("pf_migrate.user"))).as("n_users"),
+          max(coalesce(col("pf_trade.timestamp"),
+            col("pf_migrate.timestamp"))).as("max_ts"))
+    }),
+    "q_events_bonk_real" -> ((s, d) => {
+      // the shared-discriminator disambiguation: PumpFun and Bonk trade
+      // logs carry the SAME anchor TradeEvent hash — program id routes
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      val pf = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(
+          expr("cast(round(value * 100, 0) as bigint)").as("sol_amount"),
+          (col("event_id") * 3).as("token_amount"),
+          lit(1L).as("is_buy"),
+          expr("unix_micros(ts) div 1000000").as("timestamp"),
+          (col("event_id") * 7).as("virtual_sol_reserves"),
+          (col("event_id") * 11).as("virtual_token_reserves"),
+          (col("event_id") * 13).as("real_sol_reserves"),
+          (col("event_id") * 17).as("real_token_reserves"),
+          lit(100L).as("fee_basis_points"), lit(0L).as("fee"),
+          lit(30L).as("creator_fee_basis_points"), lit(0L).as("creator_fee"),
+          lit(0L).as("track_volume"), lit(0L).as("total_unclaimed_tokens"),
+          lit(0L).as("total_claimed_tokens"),
+          lit(0L).as("current_sol_volume"),
+          lit(0L).as("last_update_timestamp"),
+          mk("user_id % 100").as("mint"), mk("user_id").as("user"),
+          mk("1").as("fee_recipient"), mk("2").as("creator")),
+        RealLayouts.PumpFun.layouts(0))
+        .select(col("payload"), lit(RealLayouts.PumpFunProgram).as("program_id"))
+      val bonk = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view").select(
+          mk("user_id % 100").as("pool_state"),
+          (col("event_id") * 19).as("total_base_sell"),
+          (col("event_id") * 3).as("virtual_base"),
+          (col("event_id") * 5).as("virtual_quote"),
+          (col("event_id") * 7).as("real_base_before"),
+          (col("event_id") * 11).as("real_quote_before"),
+          (col("event_id") * 13).as("real_base_after"),
+          (col("event_id") * 17).as("real_quote_after"),
+          expr("cast(round(value * 100, 0) as bigint)").as("amount_in"),
+          (col("event_id") * 2 + 1).as("amount_out"),
+          (col("event_id") % 97).as("protocol_fee"),
+          (col("event_id") % 89).as("platform_fee"),
+          (col("event_id") % 83).as("creator_fee"),
+          (col("event_id") % 79).as("share_fee"),
+          (col("event_id") % 2).as("trade_direction"),
+          (col("event_id") % 3).as("pool_status"),
+          lit(1L).as("exact_in")),
+        RealLayouts.Bonk.layouts(0))
+        .select(col("payload"), lit(RealLayouts.BonkProgram).as("program_id"))
+      val creates = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          mk("user_id % 100").as("pool_state"), mk("user_id").as("creator"),
+          mk("5").as("config"), (col("user_id") % 10).as("base_decimals"),
+          concat(lit("tok_"), col("event_id")).as("name")),
+        RealLayouts.Bonk.layouts(1))
+        .select(col("payload"), lit(RealLayouts.BonkProgram).as("program_id"))
+      ProtocolRegistry
+        .dispatch(pf.union(bonk).union(creates), Seq(
+          RealLayouts.PumpFun, RealLayouts.Bonk),
+          programCol = Some("program_id"))
+        .groupBy("protocol", "event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("pf_trade.sol_amount"),
+            col("bonk_trade.amount_in"))).as("sum_amt"),
+          sum(col("bonk_trade.trade_direction")).as("sum_dir"),
+          countDistinct(col("bonk_pool_create.name")).as("n_names"))
+    }),
+    "q_events_pumpswap_real" -> ((s, d) => {
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      val common = Seq(
+        expr("unix_micros(ts) div 1000000").as("timestamp"),
+        (col("event_id") * 2).as("user_base_token_reserves"),
+        (col("event_id") * 3).as("user_quote_token_reserves"),
+        (col("event_id") * 5).as("pool_base_token_reserves"),
+        (col("event_id") * 7).as("pool_quote_token_reserves"),
+        mk("user_id % 100").as("pool"), mk("user_id").as("user"),
+        mk("11").as("user_base_token_account"),
+        mk("12").as("user_quote_token_account"))
+      val buys = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(common ++ Seq(
+          expr("cast(round(value * 100, 0) as bigint)").as("base_amount_out"),
+          (col("event_id") + 1).as("max_quote_amount_in"),
+          (col("event_id") * 4).as("quote_amount_in"),
+          lit(25L).as("lp_fee_basis_points"),
+          (col("event_id") % 1000).as("lp_fee"),
+          lit(5L).as("protocol_fee_basis_points"),
+          (col("event_id") % 500).as("protocol_fee"),
+          (col("event_id") * 4 + 1).as("quote_amount_in_with_lp_fee"),
+          (col("event_id") * 4 + 2).as("user_quote_amount_in"),
+          mk("13").as("protocol_fee_recipient"),
+          mk("14").as("protocol_fee_recipient_token_account"),
+          mk("user_id % 50").as("coin_creator"),
+          lit(30L).as("coin_creator_fee_basis_points"),
+          (col("event_id") % 300).as("coin_creator_fee"),
+          (col("event_id") % 2).as("track_volume"),
+          (col("event_id") * 19).as("total_unclaimed_tokens"),
+          (col("event_id") * 23).as("total_claimed_tokens"),
+          (col("event_id") * 29).as("current_sol_volume"),
+          expr("unix_micros(ts) div 1000000")
+            .as("last_update_timestamp")): _*),
+        RealLayouts.PumpSwap.layouts(0))
+      val sells = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view").select(common ++ Seq(
+          expr("cast(round(value * 100, 0) as bigint)").as("base_amount_in"),
+          (col("event_id") + 1).as("min_quote_amount_out"),
+          (col("event_id") * 4).as("quote_amount_out"),
+          lit(25L).as("lp_fee_basis_points"),
+          (col("event_id") % 1000).as("lp_fee"),
+          lit(5L).as("protocol_fee_basis_points"),
+          (col("event_id") % 500).as("protocol_fee"),
+          (col("event_id") * 4 + 1).as("quote_amount_out_without_lp_fee"),
+          (col("event_id") * 4 + 2).as("user_quote_amount_out"),
+          mk("13").as("protocol_fee_recipient"),
+          mk("14").as("protocol_fee_recipient_token_account"),
+          mk("user_id % 50").as("coin_creator"),
+          lit(30L).as("coin_creator_fee_basis_points"),
+          (col("event_id") % 300).as("coin_creator_fee")): _*),
+        RealLayouts.PumpSwap.layouts(1))
+      val deps = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "click").select(common ++ Seq(
+          expr("cast(round(value * 100, 0) as bigint)")
+            .as("lp_token_amount_out"),
+          (col("event_id") + 2).as("max_base_amount_in"),
+          (col("event_id") + 3).as("max_quote_amount_in"),
+          (col("event_id") * 6).as("base_amount_in"),
+          (col("event_id") * 8).as("quote_amount_in"),
+          (col("event_id") * 9).as("lp_mint_supply"),
+          mk("15").as("user_pool_token_account")): _*),
+        RealLayouts.PumpSwap.layouts(3))
+      val wdrs = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(common ++ Seq(
+          expr("cast(round(value * 100, 0) as bigint)")
+            .as("lp_token_amount_in"),
+          (col("event_id") + 2).as("min_base_amount_out"),
+          (col("event_id") + 3).as("min_quote_amount_out"),
+          (col("event_id") * 6).as("base_amount_out"),
+          (col("event_id") * 8).as("quote_amount_out"),
+          (col("event_id") * 9).as("lp_mint_supply"),
+          mk("15").as("user_pool_token_account")): _*),
+        RealLayouts.PumpSwap.layouts(4))
+      val frames = Seq(buys, sells, deps, wdrs).map(_.select("payload"))
+        .reduce(_ union _)
+        .withColumn("program_id", lit(RealLayouts.PumpSwapProgram))
+      ProtocolRegistry
+        .dispatch(frames, Seq(RealLayouts.PumpSwap),
+          programCol = Some("program_id"))
+        .groupBy("event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("ps_buy.base_amount_out"),
+            col("ps_sell.base_amount_in"), col("ps_deposit.base_amount_in"),
+            col("ps_withdraw.base_amount_out"))).as("sum_base"),
+          sum(coalesce(col("ps_buy.quote_amount_in"),
+            col("ps_sell.quote_amount_out"),
+            col("ps_deposit.quote_amount_in"),
+            col("ps_withdraw.quote_amount_out"))).as("sum_quote"),
+          sum(coalesce(col("ps_buy.lp_fee"), col("ps_sell.lp_fee")))
+            .as("sum_lp_fee"),
+          sum(coalesce(col("ps_buy.pool_quote_token_reserves"),
+            col("ps_sell.pool_quote_token_reserves"),
+            col("ps_deposit.pool_quote_token_reserves"),
+            col("ps_withdraw.pool_quote_token_reserves"))).as("sum_pqr"),
+          countDistinct(coalesce(col("ps_buy.user"), col("ps_sell.user"),
+            col("ps_deposit.user"), col("ps_withdraw.user"))).as("n_users"))
+    }),
+    "q_events_cpmm_real" -> ((s, d) => {
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      val cents = expr("cast(round(value * 100, 0) as bigint)")
+      def enc(t: String, i: Int, cols: Seq[org.apache.spark.sql.Column]) =
+        ProtocolRegistry.encode(
+          ev.filter(col("event_type") === t).select(cols: _*),
+          RealLayouts.RaydiumCpmm.layouts(i)).select("payload")
+      val frames = Seq(
+        enc("purchase", 0, Seq(cents.as("amount_in"),
+          (col("event_id") + 1).as("minimum_amount_out"))),
+        enc("view", 1, Seq((col("event_id") * 2).as("max_amount_in"),
+          cents.as("amount_out"))),
+        enc("click", 2, Seq(cents.as("lp_token_amount"),
+          (col("event_id") * 3).as("maximum_token0_amount"),
+          (col("event_id") * 5).as("maximum_token1_amount"))),
+        enc("signup", 3, Seq(cents.as("lp_token_amount"),
+          (col("event_id") * 3).as("minimum_token0_amount"),
+          (col("event_id") * 5).as("minimum_token1_amount"))),
+        enc("error", 4, Seq((col("event_id") * 2).as("init_amount0"),
+          (col("event_id") * 4).as("init_amount1"),
+          expr("unix_micros(ts) div 1000000").as("open_time"))))
+        .reduce(_ union _)
+        .withColumn("program_id", lit(RealLayouts.RaydiumCpmmProgram))
+      ProtocolRegistry
+        .dispatch(frames, Seq(RealLayouts.RaydiumCpmm),
+          programCol = Some("program_id"))
+        .groupBy("event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("cpmm_swap_base_input.amount_in"),
+            col("cpmm_swap_base_output.amount_out"),
+            col("cpmm_deposit.lp_token_amount"),
+            col("cpmm_withdraw.lp_token_amount"),
+            col("cpmm_initialize.init_amount0"))).as("sum_a"),
+          sum(coalesce(col("cpmm_swap_base_input.minimum_amount_out"),
+            col("cpmm_swap_base_output.max_amount_in"),
+            col("cpmm_deposit.maximum_token1_amount"),
+            col("cpmm_withdraw.minimum_token1_amount"),
+            col("cpmm_initialize.init_amount1"))).as("sum_b"),
+          max(col("cpmm_initialize.open_time")).as("max_open"))
+    }),
+    "q_events_clmm_real" -> ((s, d) => {
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      val cents = expr("cast(round(value * 100, 0) as bigint)")
+      val swaps = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(
+          cents.as("amount"), (col("event_id") + 1).as("other_amount_threshold"),
+          (col("event_id") * 7 + 1).as("sqrt_price_limit_x64_lo"),
+          (col("user_id") % 1000).as("sqrt_price_limit_x64_hi"),
+          (col("event_id") % 2).as("is_base_input")),
+        RealLayouts.RaydiumClmm.layouts(0)).select("payload")
+      val opens = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view").select(
+          (-(col("user_id") % 880 + 1) * 64).as("tick_lower_index"),
+          ((col("user_id") % 880 + 1) * 64).as("tick_upper_index"),
+          (-(col("user_id") % 880 + 1) * 640)
+            .as("tick_array_lower_start_index"),
+          ((col("user_id") % 880 + 1) * 640)
+            .as("tick_array_upper_start_index"),
+          (col("event_id") * 3).as("liquidity_lo"),
+          lit(2L).as("liquidity_hi"),
+          (col("event_id") * 5).as("amount0_max"),
+          (col("event_id") * 7).as("amount1_max"),
+          (col("event_id") % 2).as("with_metadata")),
+        RealLayouts.RaydiumClmm.layouts(5)).select("payload")
+      val frames = swaps.union(opens)
+        .withColumn("program_id", lit(RealLayouts.RaydiumClmmProgram))
+      ProtocolRegistry
+        .dispatch(frames, Seq(RealLayouts.RaydiumClmm),
+          programCol = Some("program_id"))
+        .groupBy("event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("clmm_swap.amount")).as("sum_amount"),
+          sum(col("clmm_swap.is_base_input")).as("n_base_input"),
+          sum(col("clmm_swap.sqrt_price_limit_x64")).cast("string")
+            .as("sum_sqrt_price"),
+          sum(col("clmm_open_position_v2.tick_lower_index")).as("sum_tick_lo"),
+          sum(col("clmm_open_position_v2.tick_upper_index")).as("sum_tick_hi"),
+          sum(col("clmm_open_position_v2.liquidity")).cast("string")
+            .as("sum_liquidity"))
+    }),
+    "q_events_ammv4_real" -> ((s, d) => {
+      // pre-anchor native program: SINGLE-BYTE instruction discriminators
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      val cents = expr("cast(round(value * 100, 0) as bigint)")
+      def enc(t: String, i: Int, cols: Seq[org.apache.spark.sql.Column]) =
+        ProtocolRegistry.encode(
+          ev.filter(col("event_type") === t).select(cols: _*),
+          RealLayouts.RaydiumAmmV4.layouts(i)).select("payload")
+      val frames = Seq(
+        enc("purchase", 0, Seq(cents.as("amount_in"),
+          (col("event_id") + 1).as("minimum_amount_out"))),
+        enc("view", 1, Seq((col("event_id") * 2).as("max_amount_in"),
+          cents.as("amount_out"))),
+        enc("click", 2, Seq(cents.as("max_coin_amount"),
+          (col("event_id") * 3).as("max_pc_amount"),
+          (col("event_id") % 2).as("base_side"))),
+        enc("signup", 3, Seq(cents.as("amount"))),
+        enc("error", 4, Seq((col("user_id") % 256).as("nonce"),
+          expr("unix_micros(ts) div 1000000").as("open_time"),
+          (col("event_id") * 2).as("init_pc_amount"),
+          (col("event_id") * 4).as("init_coin_amount"))))
+        .reduce(_ union _)
+        .withColumn("program_id", lit(RealLayouts.RaydiumAmmV4Program))
+      ProtocolRegistry
+        .dispatch(frames, Seq(RealLayouts.RaydiumAmmV4),
+          programCol = Some("program_id"))
+        .groupBy("event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("ammv4_swap_base_in.amount_in"),
+            col("ammv4_swap_base_out.amount_out"),
+            col("ammv4_deposit.max_coin_amount"),
+            col("ammv4_withdraw.amount"),
+            col("ammv4_initialize2.init_pc_amount"))).as("sum_a"),
+          sum(col("ammv4_initialize2.nonce").cast("bigint")).as("sum_nonce"),
+          sum(col("ammv4_deposit.base_side")).as("n_base_side"))
+    }),
+    "q_events_damm_real" -> ((s, d) => {
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      val swaps = ProtocolRegistry.encode(
+        ev.filter(col("event_type").isin("purchase", "view")).select(
+          mk("user_id % 100").as("pool"),
+          (col("event_id") % 2).as("trade_direction"),
+          (col("event_id") % 3).as("collect_fee_mode"),
+          (col("event_id") % 5 === 0).cast("long").as("has_referral"),
+          expr("cast(round(value * 100, 0) as bigint)").as("amount_0"),
+          (col("event_id") * 2).as("amount_1"),
+          (col("event_id") % 4).as("swap_mode"),
+          (col("event_id") * 3).as("included_fee_input_amount"),
+          (col("event_id") * 5).as("excluded_fee_input_amount"),
+          (col("event_id") % 7).as("amount_left"),
+          (col("event_id") * 11).as("output_amount"),
+          (col("event_id") * 13 + 1).as("next_sqrt_price_lo"),
+          (col("user_id") % 1000).as("next_sqrt_price_hi"),
+          (col("event_id") % 97).as("trading_fee"),
+          (col("event_id") % 89).as("protocol_fee"),
+          (col("event_id") % 83).as("partner_fee"),
+          (col("event_id") % 79).as("referral_fee"),
+          (col("event_id") * 17).as("included_transfer_fee_amount_in"),
+          (col("event_id") * 19).as("included_transfer_fee_amount_out"),
+          (col("event_id") * 23).as("excluded_transfer_fee_amount_out"),
+          expr("unix_micros(ts) div 1000000").as("current_timestamp"),
+          (col("event_id") * 29).as("reserve_a_amount"),
+          (col("event_id") * 31).as("reserve_b_amount")),
+        RealLayouts.MeteoraDammV2.layouts(0))
+        .select("payload")
+        .withColumn("program_id", lit(RealLayouts.MeteoraDammV2Program))
+      ProtocolRegistry
+        .dispatch(swaps, Seq(RealLayouts.MeteoraDammV2),
+          programCol = Some("program_id"))
+        .groupBy(col("damm_swap.trade_direction").as("trade_direction"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("damm_swap.amount_0")).as("sum_amount_0"),
+          sum(col("damm_swap.output_amount")).as("sum_output"),
+          sum(col("damm_swap.next_sqrt_price")).cast("string")
+            .as("sum_sqrt_price"),
+          sum(col("damm_swap.has_referral")).as("n_referral"),
+          sum(col("damm_swap.reserve_a_amount")).as("sum_reserve_a"),
+          max(col("damm_swap.current_timestamp")).as("max_ts"))
+    }),
+    "q_events_pumpfun_create_real" -> ((s, d) => {
+      // the REAL CreateTokenEvent: 16-byte discriminator, then three
+      // len-prefixed strings + 4 pubkeys + 5 u64 (dynamic offsets — the
+      // sequential whole-payload expression decodes it)
+      import graft.functions.exprs.le_bytes
+      import graft.sources.RealLayouts
+      val ev = Tables.events(s, d).filter(col("event_type") === "signup")
+      def lp(c: org.apache.spark.sql.Column) = concat(
+        le_bytes(length(c.cast("binary")).cast("bigint"), 4),
+        c.cast("binary"))
+      val framed = ev.select(concat(
+        lit(RealLayouts.PumpFunCreateEventDisc),
+        lp(concat(lit("tok_"), col("event_id"))),
+        lp(concat(lit("T"), col("user_id") % 100)),
+        lp(concat(lit("ipfs://"), col("event_id") % 1000)),
+        expr("unhex(repeat('11', 32))"), expr("unhex(repeat('22', 32))"),
+        expr("unhex(repeat('33', 32))"), expr("unhex(repeat('44', 32))"),
+        le_bytes(expr("unix_micros(ts) div 1000000"), 8),
+        le_bytes(col("event_id") * 2, 8), le_bytes(col("event_id") * 3, 8),
+        le_bytes(col("event_id") * 5, 8),
+        le_bytes(expr("cast(round(value * 100, 0) as bigint)"), 8))
+        .as("payload"))
+      RealLayouts.decodeCreateReal(framed)
+        .select(col("ev.name").as("name"), col("ev.symbol").as("symbol"),
+          col("ev.uri").as("uri"), col("ev.timestamp").as("ts_s"),
+          col("ev.virtual_token_reserves").as("vtr"),
+          col("ev.virtual_sol_reserves").as("vsr"),
+          col("ev.real_token_reserves").as("rtr"),
+          col("ev.token_total_supply").as("tts"))
+    }),
+    "q_events_account_real" -> ((s, d) => {
+      // real account-state layouts dispatched by OWNER program: PumpFun
+      // bonding curve, PumpSwap pool, Bonk pool state (its 40-byte
+      // vesting schedule rides through as declared padding)
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      val cents = expr("cast(round(value * 100, 0) as bigint)")
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      val curves = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          (col("event_id") * 11).as("virtual_token_reserves"),
+          (col("event_id") * 7).as("virtual_sol_reserves"),
+          (col("event_id") * 13).as("real_token_reserves"),
+          (col("event_id") * 17).as("real_sol_reserves"),
+          (col("event_id") * 19).as("token_total_supply"),
+          (col("event_id") % 2).as("complete"), mk("user_id").as("creator"),
+          lit(0L).as("is_mayhem_mode")),
+        RealLayouts.PumpFunAccounts.layouts(0))
+        .select(col("payload"), lit(RealLayouts.PumpFunProgram).as("owner"))
+      val pools = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "click").select(
+          (col("user_id") % 256).as("pool_bump"),
+          (col("event_id") % 65536).as("index"), mk("user_id").as("creator"),
+          mk("21").as("base_mint"), mk("22").as("quote_mint"),
+          mk("23").as("lp_mint"), mk("24").as("pool_base_token_account"),
+          mk("25").as("pool_quote_token_account"), cents.as("lp_supply"),
+          mk("user_id % 50").as("coin_creator"),
+          lit(0L).as("is_mayhem_mode")),
+        RealLayouts.PumpSwapAccounts.layouts(0))
+        .select(col("payload"), lit(RealLayouts.PumpSwapProgram).as("owner"))
+      val states = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view").select(
+          (col("event_id") % 512).as("epoch"),
+          (col("user_id") % 256).as("auth_bump"),
+          (col("event_id") % 3).as("status"),
+          lit(6L).as("base_decimals"), lit(9L).as("quote_decimals"),
+          (col("event_id") % 2).as("migrate_type"),
+          (col("event_id") * 2).as("supply"),
+          (col("event_id") * 19).as("total_base_sell"),
+          (col("event_id") * 3).as("virtual_base"),
+          (col("event_id") * 5).as("virtual_quote"),
+          (col("event_id") * 7).as("real_base"),
+          (col("event_id") * 11).as("real_quote"),
+          (col("event_id") * 13).as("total_quote_fund_raising"),
+          (col("event_id") % 97).as("quote_protocol_fee"),
+          (col("event_id") % 89).as("platform_fee"),
+          (col("event_id") % 83).as("migrate_fee"),
+          mk("31").as("global_config"), mk("32").as("platform_config"),
+          mk("33").as("base_mint"), mk("34").as("quote_mint"),
+          mk("35").as("base_vault"), mk("36").as("quote_vault")),
+        RealLayouts.BonkAccounts.layouts(0))
+        .select(col("payload"), lit(RealLayouts.BonkProgram).as("owner"))
+      val dispatched = ProtocolRegistry.dispatch(
+        curves.union(pools).union(states), RealLayouts.accountRegistry,
+        programCol = Some("owner"))
+      ProtocolRegistry.filterClasses(dispatched, Seq("account"))
+        .groupBy("protocol", "event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("pf_bonding_curve.virtual_token_reserves"),
+            col("ps_pool.lp_supply"), col("bonk_pool_state.virtual_base")))
+            .as("sum_v"),
+          sum(coalesce(col("pf_bonding_curve.complete").cast("bigint"),
+            col("ps_pool.index").cast("bigint"),
+            col("bonk_pool_state.epoch"))).as("sum_w"))
+    }),
+    "q_events_compute_budget" -> ((s, d) => {
+      // compute-budget fee pressure: every tx carries SetComputeUnitLimit
+      // + SetComputeUnitPrice (1-byte discriminators); decode both, pair
+      // per tx, aggregate per wallet bucket
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id").as("tx_id"), col("user_id"),
+          (col("user_id") % 14 * 100000 + 150000).as("units"),
+          (col("event_id") % 100000 + 1).as("micro_lamports"))
+      val lim = ProtocolRegistry.encode(ev,
+        RealLayouts.ComputeBudget.layouts(0))
+        .select(col("tx_id"), col("user_id"), col("payload"))
+      val pri = ProtocolRegistry.encode(ev,
+        RealLayouts.ComputeBudget.layouts(1))
+        .select(col("tx_id"), col("user_id"), col("payload"))
+      val decoded = ProtocolRegistry.dispatch(
+        lim.union(pri).withColumn("program_id",
+          lit(RealLayouts.ComputeBudgetProgram)),
+        Seq(RealLayouts.ComputeBudget), programCol = Some("program_id"))
+      decoded
+        .groupBy("tx_id", "user_id")
+        .agg(max(col("set_compute_unit_limit.units")).as("units"),
+          max(col("set_compute_unit_price.micro_lamports")).as("price"))
+        .groupBy((col("user_id") % 25).as("wallet_bucket"))
+        .agg(count(lit(1)).as("n_tx"),
+          sum("units").as("sum_units"),
+          sum(col("units") * col("price")).as("fee_microlamports"),
+          max("price").as("max_price"))
+    }),
+    "q_events_cpi_merge" -> ((s, d) =>
+      // the inner-CPI tree: outer buy instruction + inner TradeEvent log
+      // at (outer_idx, inner_idx), decoded through the REAL layouts and
+      // merged with log-fields-overwrite semantics (merger_event.rs)
+      graft.sources.InstructionCodec.cpiMerge(
+        graft.sources.InstructionCodec.packCpiTransactions(
+          Tables.events(s, d).filter(col("event_type") === "purchase")))),
+    "q_events_dev_attribution" -> ((s, d) => {
+      // dev-address attribution (reference global_state.rs dev_addresses):
+      // within a transaction, create events register their wallet as the
+      // dev; trades in the SAME tx by a registered wallet are dev trades
+      val ev = Tables.events(s, d)
+        .withColumn("tx_id", expr("event_id div 8"))
+      val devs = ev.filter(col("event_type") === "signup")
+        .select("tx_id", "user_id").distinct()
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("tx_id"), col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      trades
+        .join(devs.withColumn("is_dev", lit(1)),
+          Seq("tx_id", "user_id"), "left")
+        .withColumn("is_dev", coalesce(col("is_dev"), lit(0)))
+        .groupBy("is_dev")
+        .agg(count(lit(1)).as("n_trades"),
+          sum("cents").as("volume_cents"),
+          countDistinct("user_id").as("n_wallets"))
+    }),
     "q_events_json_ingest" -> ((s, d) =>
       graft.sources.JsonIngest.fromJsonLines(
         graft.sources.JsonIngest.toJsonLines(Tables.events(s, d)))
@@ -1516,6 +2064,235 @@ object SparkEntry {
                 CAST(event_id * 3 AS VARCHAR) AS liquidity,
                 epoch_us(ts) AS ts_us
          FROM events WHERE event_type = 'purchase'""",
+    "q_events_pumpfun_real" ->
+      """WITH k AS (
+           SELECT CASE WHEN event_type IN ('purchase', 'view')
+                       THEN 'pf_trade'
+                       WHEN event_type = 'signup' THEN 'pf_migrate'
+                       ELSE 'unknown' END AS event_kind,
+                  CASE WHEN event_type = 'purchase' THEN 1
+                       WHEN event_type = 'view' THEN 0 END AS is_buy,
+                  CASE WHEN event_type <> 'error'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       END AS sol,
+                  CASE WHEN event_type IN ('purchase', 'view')
+                       THEN event_id * 3 END AS tok,
+                  CASE WHEN event_type IN ('purchase', 'view')
+                       THEN CAST(round(value * 100, 0) AS BIGINT) // 100 +
+                            CAST(round(value * 100, 0) AS BIGINT) // 300
+                       END AS fees,
+                  CASE WHEN event_type <> 'error' THEN user_id END AS uid,
+                  CASE WHEN event_type <> 'error'
+                       THEN epoch_us(ts) // 1000000 END AS tss
+           FROM events
+           WHERE event_type IN ('purchase', 'view', 'signup', 'error'))
+         SELECT event_kind, is_buy, count(*) AS n,
+                CAST(sum(sol) AS BIGINT) AS sum_sol,
+                CAST(sum(tok) AS BIGINT) AS sum_tok,
+                CAST(sum(fees) AS BIGINT) AS sum_fees,
+                count(DISTINCT uid) AS n_users, max(tss) AS max_ts
+         FROM k GROUP BY 1, 2""",
+    "q_events_bonk_real" ->
+      """WITH k AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 'pumpfun'
+                       WHEN event_type IN ('view', 'signup') THEN 'bonk'
+                       END AS protocol,
+                  CASE WHEN event_type = 'purchase' THEN 'pf_trade'
+                       WHEN event_type = 'view' THEN 'bonk_trade'
+                       WHEN event_type = 'signup' THEN 'bonk_pool_create'
+                       END AS event_kind,
+                  CASE WHEN event_type IN ('purchase', 'view')
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       END AS amt,
+                  CASE WHEN event_type = 'view'
+                       THEN event_id % 2 END AS dir,
+                  CASE WHEN event_type = 'signup'
+                       THEN 'tok_' || event_id END AS nm
+           FROM events WHERE event_type IN ('purchase', 'view', 'signup'))
+         SELECT protocol, event_kind, count(*) AS n,
+                CAST(sum(amt) AS BIGINT) AS sum_amt,
+                CAST(sum(dir) AS BIGINT) AS sum_dir,
+                count(DISTINCT nm) AS n_names
+         FROM k GROUP BY 1, 2""",
+    "q_events_pumpswap_real" ->
+      """WITH k AS (
+           SELECT CASE event_type WHEN 'purchase' THEN 'ps_buy'
+                    WHEN 'view' THEN 'ps_sell' WHEN 'click' THEN 'ps_deposit'
+                    WHEN 'signup' THEN 'ps_withdraw' END AS event_kind,
+                  CASE WHEN event_type IN ('purchase', 'view')
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE event_id * 6 END AS base_amt,
+                  CASE WHEN event_type IN ('purchase', 'view')
+                       THEN event_id * 4 ELSE event_id * 8 END AS quote_amt,
+                  CASE WHEN event_type IN ('purchase', 'view')
+                       THEN event_id % 1000 END AS lp_fee,
+                  event_id * 7 AS pqr, user_id
+           FROM events
+           WHERE event_type IN ('purchase', 'view', 'click', 'signup'))
+         SELECT event_kind, count(*) AS n,
+                CAST(sum(base_amt) AS BIGINT) AS sum_base,
+                CAST(sum(quote_amt) AS BIGINT) AS sum_quote,
+                CAST(sum(lp_fee) AS BIGINT) AS sum_lp_fee,
+                CAST(sum(pqr) AS BIGINT) AS sum_pqr,
+                count(DISTINCT user_id) AS n_users
+         FROM k GROUP BY 1""",
+    "q_events_cpmm_real" ->
+      """WITH k AS (
+           SELECT CASE event_type
+                    WHEN 'purchase' THEN 'cpmm_swap_base_input'
+                    WHEN 'view' THEN 'cpmm_swap_base_output'
+                    WHEN 'click' THEN 'cpmm_deposit'
+                    WHEN 'signup' THEN 'cpmm_withdraw'
+                    WHEN 'error' THEN 'cpmm_initialize' END AS event_kind,
+                  CASE WHEN event_type IN ('purchase', 'view', 'click',
+                                           'signup')
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE event_id * 2 END AS a,
+                  CASE event_type WHEN 'purchase' THEN event_id + 1
+                    WHEN 'view' THEN event_id * 2
+                    WHEN 'click' THEN event_id * 5
+                    WHEN 'signup' THEN event_id * 5
+                    ELSE event_id * 4 END AS b,
+                  CASE WHEN event_type = 'error'
+                       THEN epoch_us(ts) // 1000000 END AS open_time
+           FROM events)
+         SELECT event_kind, count(*) AS n,
+                CAST(sum(a) AS BIGINT) AS sum_a,
+                CAST(sum(b) AS BIGINT) AS sum_b,
+                max(open_time) AS max_open
+         FROM k GROUP BY 1""",
+    "q_events_clmm_real" ->
+      """WITH k AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 'clmm_swap'
+                       ELSE 'clmm_open_position_v2' END AS event_kind,
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       END AS amount,
+                  CASE WHEN event_type = 'purchase'
+                       THEN event_id % 2 END AS ibi,
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(user_id % 1000 AS HUGEINT)
+                            * 18446744073709551616 + (event_id * 7 + 1)
+                       END AS sqp,
+                  CASE WHEN event_type = 'view'
+                       THEN -(user_id % 880 + 1) * 64 END AS tick_lo,
+                  CASE WHEN event_type = 'view'
+                       THEN (user_id % 880 + 1) * 64 END AS tick_hi,
+                  CASE WHEN event_type = 'view'
+                       THEN CAST(2 AS HUGEINT) * 18446744073709551616
+                            + event_id * 3 END AS liq
+           FROM events WHERE event_type IN ('purchase', 'view'))
+         SELECT event_kind, count(*) AS n,
+                CAST(sum(amount) AS BIGINT) AS sum_amount,
+                CAST(sum(ibi) AS BIGINT) AS n_base_input,
+                CAST(sum(sqp) AS VARCHAR) AS sum_sqrt_price,
+                CAST(sum(tick_lo) AS BIGINT) AS sum_tick_lo,
+                CAST(sum(tick_hi) AS BIGINT) AS sum_tick_hi,
+                CAST(sum(liq) AS VARCHAR) AS sum_liquidity
+         FROM k GROUP BY 1""",
+    "q_events_ammv4_real" ->
+      """WITH k AS (
+           SELECT CASE event_type
+                    WHEN 'purchase' THEN 'ammv4_swap_base_in'
+                    WHEN 'view' THEN 'ammv4_swap_base_out'
+                    WHEN 'click' THEN 'ammv4_deposit'
+                    WHEN 'signup' THEN 'ammv4_withdraw'
+                    WHEN 'error' THEN 'ammv4_initialize2' END AS event_kind,
+                  CASE WHEN event_type IN ('purchase', 'view', 'click',
+                                           'signup')
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE event_id * 2 END AS a,
+                  CASE WHEN event_type = 'error'
+                       THEN user_id % 256 END AS nonce,
+                  CASE WHEN event_type = 'click'
+                       THEN event_id % 2 END AS base_side
+           FROM events)
+         SELECT event_kind, count(*) AS n,
+                CAST(sum(a) AS BIGINT) AS sum_a,
+                CAST(sum(nonce) AS BIGINT) AS sum_nonce,
+                CAST(sum(base_side) AS BIGINT) AS n_base_side
+         FROM k GROUP BY 1""",
+    "q_events_damm_real" ->
+      """SELECT CAST(event_id % 2 AS INTEGER) AS trade_direction,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS sum_amount_0,
+                CAST(sum(event_id * 11) AS BIGINT) AS sum_output,
+                CAST(sum(CAST(user_id % 1000 AS HUGEINT)
+                         * 18446744073709551616 + (event_id * 13 + 1))
+                  AS VARCHAR) AS sum_sqrt_price,
+                CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_referral,
+                CAST(sum(event_id * 29) AS BIGINT) AS sum_reserve_a,
+                max(epoch_us(ts) // 1000000) AS max_ts
+         FROM events WHERE event_type IN ('purchase', 'view')
+         GROUP BY 1""",
+    "q_events_pumpfun_create_real" ->
+      """SELECT 'tok_' || event_id AS name,
+                'T' || (user_id % 100) AS symbol,
+                'ipfs://' || (event_id % 1000) AS uri,
+                epoch_us(ts) // 1000000 AS ts_s,
+                event_id * 2 AS vtr, event_id * 3 AS vsr,
+                event_id * 5 AS rtr,
+                CAST(round(value * 100, 0) AS BIGINT) AS tts
+         FROM events WHERE event_type = 'signup'""",
+    "q_events_account_real" ->
+      """WITH k AS (
+           SELECT CASE event_type WHEN 'signup' THEN 'pumpfun_acct'
+                    WHEN 'click' THEN 'pumpswap_acct'
+                    WHEN 'view' THEN 'bonk_acct' END AS protocol,
+                  CASE event_type WHEN 'signup' THEN 'pf_bonding_curve'
+                    WHEN 'click' THEN 'ps_pool'
+                    WHEN 'view' THEN 'bonk_pool_state' END AS event_kind,
+                  CASE event_type WHEN 'signup' THEN event_id * 11
+                    WHEN 'click' THEN CAST(round(value * 100, 0) AS BIGINT)
+                    WHEN 'view' THEN event_id * 3 END AS v,
+                  CASE event_type WHEN 'signup' THEN event_id % 2
+                    WHEN 'click' THEN event_id % 65536
+                    WHEN 'view' THEN event_id % 512 END AS w
+           FROM events WHERE event_type IN ('signup', 'click', 'view'))
+         SELECT protocol, event_kind, count(*) AS n,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                CAST(sum(w) AS BIGINT) AS sum_w
+         FROM k GROUP BY 1, 2""",
+    "q_events_compute_budget" ->
+      """SELECT user_id % 25 AS wallet_bucket, count(*) AS n_tx,
+                CAST(sum(user_id % 14 * 100000 + 150000) AS BIGINT)
+                  AS sum_units,
+                CAST(sum((user_id % 14 * 100000 + 150000)
+                         * (event_id % 100000 + 1)) AS BIGINT)
+                  AS fee_microlamports,
+                CAST(max(event_id % 100000 + 1) AS BIGINT) AS max_price
+         FROM events WHERE event_type = 'click'
+         GROUP BY 1""",
+    "q_events_cpi_merge" ->
+      """SELECT event_id // 8 AS tx_id,
+                CAST(row_number() OVER (PARTITION BY event_id // 8
+                       ORDER BY event_id) - 1 AS INTEGER) AS outer_idx,
+                CAST(0 AS INTEGER) AS inner_idx,
+                CAST(round(value * 100, 0) AS BIGINT) AS amount,
+                CAST(round(value * 100, 0) AS BIGINT) + 10 AS max_sol_cost,
+                md5(CAST(user_id AS VARCHAR)) ||
+                  md5(CAST(user_id + 1 AS VARCHAR)) AS user_hex,
+                CAST(round(value * 100, 0) AS BIGINT) AS sol_amount,
+                event_id * 3 AS token_amount, CAST(1 AS INTEGER) AS is_buy,
+                epoch_us(ts) // 1000000 AS ts_s,
+                event_id * 7 AS virtual_sol_reserves,
+                CAST(round(value * 100, 0) AS BIGINT) // 100 AS fee,
+                CAST(round(value * 100, 0) AS BIGINT) // 300 AS creator_fee
+         FROM events WHERE event_type = 'purchase'""",
+    "q_events_dev_attribution" ->
+      """SELECT CASE WHEN EXISTS (
+                  SELECT 1 FROM events d
+                  WHERE d.event_type = 'signup'
+                    AND d.event_id // 8 = t.event_id // 8
+                    AND d.user_id = t.user_id) THEN 1 ELSE 0 END AS is_dev,
+                count(*) AS n_trades,
+                CAST(sum(CAST(round(t.value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS volume_cents,
+                count(DISTINCT t.user_id) AS n_wallets
+         FROM events t WHERE t.event_type = 'purchase'
+         GROUP BY 1""",
     "q_docs_decontaminated" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
                     FROM documents),

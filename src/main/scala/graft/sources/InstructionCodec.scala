@@ -81,6 +81,117 @@ object InstructionCodec {
         col("instructions"))
   }
 
+  /** Nested CPI packing (A52 extended to the inner-instruction tree):
+    * each purchase event becomes one OUTER PumpFun buy instruction (real
+    * 8-byte discriminator + u64 args + positional accounts) whose inner
+    * CPI list carries the matching REAL PumpFun TradeEvent log at
+    * `(outer_idx, inner_idx = 0)` — the envelope the reference walks in
+    * `event_parser.rs:141-186` (outer loop + per-outer inner loop with
+    * both indexes threaded into `EventMetadata`, types.rs:313-314).
+    * Expects `event_id, user_id, value, ts` columns. */
+  def packCpiTransactions(events: DataFrame): DataFrame = {
+    import graft.sources.{ProtocolRegistry, RealLayouts}
+    val cents = expr("cast(round(value * 100, 0) as bigint)")
+    val ev = events.select(
+      expr("event_id div 8").as("tx_id"), col("event_id"), col("user_id"),
+      cents.as("cents"), expr("unix_micros(ts) div 1000000").as("ts_s"),
+      ukeyBytes("user_id").as("ukey"))
+    val accounts = ev.groupBy("tx_id").agg(
+      sort_array(collect_set(struct(col("user_id"), col("ukey"))))
+        .as("acct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tx_id").orderBy("event_id")
+    val withIdx = ev
+      .withColumn("outer_idx", row_number().over(w).cast("int") - 1)
+      .join(accounts, "tx_id")
+      .withColumn("user_idx",
+        (expr("array_position(acct.user_id, user_id)").cast("int") - 1))
+    // the outer buy instruction: real discriminator, (amount,
+    // max_sol_cost) args, user in the reference's slot 6
+    val buyIx = RealLayouts.PumpFunIx.layouts(0)
+    // the inner CPI log: the full 250-byte TradeEvent body
+    val logSrc = withIdx.select(
+      col("tx_id"), col("outer_idx"), col("user_idx"), col("acct"),
+      col("cents").as("sol_amount"), (col("event_id") * 3).as("token_amount"),
+      lit(1L).as("is_buy"), col("ts_s").as("timestamp"),
+      (col("event_id") * 7).as("virtual_sol_reserves"),
+      (col("event_id") * 11).as("virtual_token_reserves"),
+      (col("event_id") * 13).as("real_sol_reserves"),
+      (col("event_id") * 17).as("real_token_reserves"),
+      lit(100L).as("fee_basis_points"),
+      expr("cents div 100").as("fee"),
+      lit(30L).as("creator_fee_basis_points"),
+      expr("cents div 300").as("creator_fee"),
+      (col("event_id") % 2).as("track_volume"),
+      (col("event_id") * 19).as("total_unclaimed_tokens"),
+      (col("event_id") * 23).as("total_claimed_tokens"),
+      (col("event_id") * 29).as("current_sol_volume"),
+      col("ts_s").as("last_update_timestamp"),
+      col("ukey").as("mint"), col("ukey").as("user"),
+      col("ukey").as("fee_recipient"), col("ukey").as("creator"),
+      col("cents"))
+    val framed = ProtocolRegistry
+      .encode(logSrc, RealLayouts.PumpFun.layouts(0))
+      .select(col("tx_id"), col("outer_idx"), col("user_idx"), col("acct"),
+        col("cents"),
+        struct(
+          concat(lit(buyIx.discriminator), le_bytes(col("cents"), 8),
+            le_bytes(col("cents") + 10, 8)).as("data"),
+          concat(expr("array(0, 0, 0, 0, 0, 0)"),
+            array(col("user_idx"))).as("accounts")).as("ins"),
+        struct(col("outer_idx"), lit(0).as("inner_idx"),
+          col("payload")).as("cpi"))
+    framed.groupBy("tx_id").agg(
+      first(col("acct.ukey")).as("account_keys"),
+      sort_array(collect_list(struct(col("outer_idx"), col("ins"))))
+        .as("outer_sorted"),
+      sort_array(collect_list(col("cpi"))).as("inner"))
+      .select(col("tx_id"), col("account_keys"),
+        col("outer_sorted.ins").as("instructions"), col("inner"))
+  }
+
+  /** Flatten the nested tx envelope and MERGE each outer instruction
+    * event with its inner CPI log event (reference `merger_event.rs
+    * :4-26`: the log's borsh fields overwrite/fill the instruction
+    * event, the instruction keeps its arg-only fields). Decode is the
+    * real-layout registry on both sides; the join key is
+    * `(tx_id, outer_idx)` — both flattened sides shuffle once on the
+    * same key, nothing else moves. */
+  def cpiMerge(txs: DataFrame): DataFrame = {
+    import graft.sources.{ProtocolRegistry, RealLayouts}
+    val buyIx = RealLayouts.PumpFunIx.layouts(0)
+    val outer = txs.select(col("tx_id"), col("account_keys"),
+      posexplode(col("instructions")).as(Seq("outer_idx", "ins")))
+      .select(col("tx_id"), col("outer_idx"),
+        col("account_keys"), col("ins.data").as("data"),
+        col("ins.accounts").as("accounts"))
+    val ix = RealLayouts.decodeInstruction(outer, buyIx)
+      .select(col("tx_id"), col("outer_idx"), col("amount"),
+        col("max_sol_cost"), col("user"))
+    val logs = txs.select(col("tx_id"), explode(col("inner")).as("cpi"))
+      .select(col("tx_id"), col("cpi.outer_idx").as("outer_idx"),
+        col("cpi.inner_idx").as("inner_idx"),
+        col("cpi.payload").as("payload"),
+        lit(RealLayouts.PumpFunProgram).as("program_id"))
+    val log = ProtocolRegistry.dispatch(logs, Seq(RealLayouts.PumpFun),
+      programCol = Some("program_id"))
+      .filter(col("event_kind") === "pf_trade")
+      .select(col("tx_id"), col("outer_idx"), col("inner_idx"),
+        col("pf_trade"))
+    // merger_event.rs semantics: log fields overwrite, ix args persist
+    ix.join(log, Seq("tx_id", "outer_idx"), "left")
+      .select(col("tx_id"), col("outer_idx"), col("inner_idx"),
+        col("amount"), col("max_sol_cost"),
+        lower(hex(col("user"))).as("user_hex"),
+        col("pf_trade.sol_amount").as("sol_amount"),
+        col("pf_trade.token_amount").as("token_amount"),
+        col("pf_trade.is_buy").as("is_buy"),
+        col("pf_trade.timestamp").as("ts_s"),
+        col("pf_trade.virtual_sol_reserves").as("virtual_sol_reserves"),
+        col("pf_trade.fee").as("fee"),
+        col("pf_trade.creator_fee").as("creator_fee"))
+  }
+
   /** Flatten + decode: one row per instruction, LE fields from the data
     * blob, named accounts resolved through the key table. Guards mirror
     * the reference: discriminator match, data length, account index in

@@ -24,35 +24,60 @@ import graft.functions.exprs._
   */
 object ProtocolRegistry {
 
-  /** A fixed-offset field. `kind`: u64 (LE i64/u64), u32 (LE), u8,
-    * b32 (32-byte pubkey), or str (u32-LE length prefix + UTF-8 bytes,
-    * trailing only) — the widths the reference's borsh layouts mix
-    * (`pumpswap/events.rs` carries u8 flags and 32-byte pubkeys between
-    * the u64 amounts; `pumpfun/events.rs:57-180` carries len-prefixed
-    * name/symbol/uri strings). */
+  /** A fixed-offset field. `kind`: u64/i64 (LE 8-byte), u32/i32 (LE
+    * 4-byte; u32 zero-extended, i32 signed), u16 (LE 2-byte), u8, bool
+    * (1 byte, decoded 0/1 int), u128 (16-byte LE as Decimal(38,0)),
+    * b32 (32-byte pubkey), str (u32-LE length prefix + UTF-8 bytes,
+    * trailing only), or `pad:<n>` (n reserved bytes — decoded as
+    * nothing, encoded as zeros) — the widths the reference's borsh
+    * layouts mix (`pumpswap/events.rs` carries u8 flags, u16 indexes and
+    * 32-byte pubkeys between the u64 amounts; `pumpfun/events.rs:57-180`
+    * carries len-prefixed name/symbol/uri strings). */
   final case class FieldSpec(name: String, offset: Int,
       kind: String = "u64") {
     def width: Int = kind match {
-      case "u64" => 8
+      case "u64" | "i64" => 8
       case "u128" => 16
-      case "u32" => 4
-      case "u8" => 1
+      case "u32" | "i32" => 4
+      case "u16" => 2
+      case "u8" | "bool" => 1
       case "b32" => 32
       case "str" => 4 // length prefix; content length is dynamic
+      case p if p.startsWith("pad:") => p.stripPrefix("pad:").toInt
     }
+    def isPad: Boolean = kind.startsWith("pad:")
   }
 
-  /** One event layout: discriminator + fixed LE fields after it. A
-    * var-length `str` field may only appear last — everything after it
-    * would have a dynamic offset. */
+  /** One event layout: discriminator (any length — the reference mixes
+    * 16-byte anchor event discriminators, 8-byte instruction
+    * discriminators and 1-byte native-program tags) + fixed LE fields
+    * after it. A var-length `str` field may only appear last —
+    * everything after it would have a dynamic offset. */
   final case class LayoutSpec(
       kind: String, discriminator: Array[Byte], fields: Seq[FieldSpec]) {
     require(fields.dropRight(1).forall(_.kind != "str"),
       s"$kind: a str field must be the last field of a layout")
     def minLen: Int = fields.map(f => f.offset + f.width).max
+    /** Decoded (non-pad) fields. */
+    def dataFields: Seq[FieldSpec] = fields.filterNot(_.isPad)
   }
 
-  final case class ProtocolSpec(protocol: String, layouts: Seq[LayoutSpec])
+  /** `program`: when set, [[dispatch]] additionally requires the frame's
+    * program column to equal it — the reference routes to a protocol
+    * parser by program id BEFORE the discriminator match
+    * (`ProtocolInfo.program_ids`), which is what disambiguates e.g. the
+    * PumpFun and Bonk TradeEvents that share one anchor discriminator. */
+  final case class ProtocolSpec(protocol: String, layouts: Seq[LayoutSpec],
+      program: String = null)
+
+  /** Sequential borsh layout builder: offsets computed from the kinds,
+    * starting right after the discriminator. */
+  def borsh(discLen: Int, specs: (String, String)*): Seq[FieldSpec] = {
+    var off = discLen
+    specs.map { case (n, k) =>
+      val f = FieldSpec(n, off, k); off += f.width; f
+    }
+  }
 
   private def disc(tag: Byte*): Array[Byte] =
     (Array[Byte](0x67, 0x72) ++ tag).padTo(8, 0x00.toByte)
@@ -91,7 +116,8 @@ object ProtocolRegistry {
     * block events live outside the registry, on the block-meta path):
     * account snapshots vs everything transaction-borne. */
   def eventClass: org.apache.spark.sql.Column =
-    when(col("protocol") === "account", "account").otherwise("transaction")
+    when(col("protocol") === "account" ||
+      col("protocol").endsWith("_acct"), "account").otherwise("transaction")
 
   /** Class-level include filter over dispatched frames (A1's type-level
     * include-list, one level up — the `EventTypeFilter` category
@@ -171,7 +197,7 @@ object ProtocolRegistry {
 
   /** Per-field decode expression (all codegen'd builtins / graft exprs). */
   private def fieldCol(payload: String, f: FieldSpec): Column = f.kind match {
-    case "u64" => le_long(col(payload), f.offset)
+    case "u64" | "i64" => le_long(col(payload), f.offset)
     // full borsh u128 as Decimal(38,0) (CLMM sqrt_price/liquidity widths)
     case "u128" => le_u128(col(payload), f.offset)
     // widen through a mask: a signed 32-bit read of a u32 ≥ 2^31 would
@@ -179,7 +205,14 @@ object ProtocolRegistry {
     case "u32" =>
       (le_int(col(payload), f.offset).cast("bigint") bitwiseAND
         lit(0xFFFFFFFFL)).cast("bigint")
-    case "u8" => expr(
+    case "i32" => le_int(col(payload), f.offset)
+    // two one-byte reads, not reverse(): reverse on BinaryType detours
+    // through a UTF-8 string cast and mangles bytes >= 0x80
+    case "u16" => expr(
+      s"cast(conv(hex(substring($payload, ${f.offset + 1}, 1)), 16, 10) + " +
+        s"256 * conv(hex(substring($payload, ${f.offset + 2}, 1)), 16, 10) " +
+        "as int)")
+    case "u8" | "bool" => expr(
       s"cast(conv(hex(substring($payload, ${f.offset + 1}, 1)), 16, 10) as int)")
     case "b32" => expr(s"substring($payload, ${f.offset + 1}, 32)")
     // trailing len-prefixed string: null (not truncated garbage) when the
@@ -194,13 +227,16 @@ object ProtocolRegistry {
   /** Per-field encode expression from a source column of the field name:
     * long for u64/u32/u8, binary(32) for b32. */
   private def fieldBytes(f: FieldSpec): Column = f.kind match {
-    case "u64" => le_bytes(col(f.name), 8)
+    case "u64" | "i64" => le_bytes(col(f.name), 8)
     // u128 encodes from two long halves `<name>_lo`/`<name>_hi`
     // (LE: low quad first) — the test/round-trip path
     case "u128" => concat(le_bytes(col(s"${f.name}_lo"), 8),
       le_bytes(col(s"${f.name}_hi"), 8))
-    case "u32" => le_bytes(col(f.name), 4)
-    case "u8" => le_bytes(col(f.name), 1)
+    case "u32" | "i32" => le_bytes(col(f.name), 4)
+    case "u16" => le_bytes(col(f.name), 2)
+    case "u8" | "bool" => le_bytes(col(f.name), 1)
+    case p if p.startsWith("pad:") =>
+      lit(new Array[Byte](p.stripPrefix("pad:").toInt))
     case "b32" => col(f.name)
     // byte length, not char length: a non-ASCII name encodes to more
     // UTF-8 bytes than characters
@@ -217,32 +253,63 @@ object ProtocolRegistry {
         layout.fields.map(fieldBytes): _*))
 
   private def discMatches(payload: String, l: LayoutSpec): Column =
-    expr(s"substring($payload, 1, 8)") === lit(l.discriminator) &&
+    expr(s"substring($payload, 1, ${l.discriminator.length})") ===
+      lit(l.discriminator) &&
       expr(s"octet_length($payload)") >= l.minLen
+
+  /** Layout predicate under a protocol: discriminator + length guard,
+    * plus the program-id gate when the spec declares one (the reference
+    * routes program-first — `dispatcher.rs` looks up the parser by
+    * `ProtocolInfo.program_ids` before any discriminator test). */
+  private def matches(payload: String, p: ProtocolSpec, l: LayoutSpec,
+      programCol: Option[String]): Column =
+    (Option(p.program), programCol) match {
+      case (Some(prog), Some(pc)) => col(pc) === lit(prog) &&
+        discMatches(payload, l)
+      case (Some(prog), None) => throw new IllegalArgumentException(
+        s"protocol ${p.protocol} is program-scoped ($prog): dispatch " +
+          "needs a programCol to disambiguate shared discriminators")
+      case _ => discMatches(payload, l)
+    }
 
   /** Decode payloads of one layout; foreign/truncated rows drop out. */
   def decode(df: DataFrame, layout: LayoutSpec,
       payload: String = "payload"): DataFrame =
     df.filter(discMatches(payload, layout))
-      .select(layout.fields.map(f => fieldCol(payload, f).as(f.name)): _*)
+      .select(decodeCols(layout, payload): _*)
+
+  /** Decode columns for a layout's data fields (aliased), for callers
+    * projecting them alongside other columns. */
+  def decodeCols(layout: LayoutSpec, payload: String): Seq[Column] =
+    layout.dataFields.map(f => fieldCol(payload, f).as(f.name))
 
   /** Registry-wide dispatch: tag (protocol, event_kind) and decode every
-    * layout into its own struct column in ONE projection pass. */
+    * layout into its own struct column in ONE projection pass. Pass
+    * `programCol` when any protocol in the registry is program-scoped
+    * (several real protocols share anchor discriminators). A layout's
+    * struct column is named `<protocol>_<kind>` when two protocols carry
+    * the same kind name, plain `<kind>` otherwise. */
   def dispatch(df: DataFrame, protocols: Seq[ProtocolSpec] = registry,
-      payload: String = "payload"): DataFrame = {
-    val all = protocols.flatMap(p => p.layouts.map(l => (p.protocol, l)))
-    val protoCol = all.foldRight(lit("unknown")) { case ((proto, l), rest) =>
-      when(discMatches(payload, l), lit(proto)).otherwise(rest)
+      payload: String = "payload",
+      programCol: Option[String] = None): DataFrame = {
+    val all = protocols.flatMap(p => p.layouts.map(l => (p, l)))
+    val dupKinds = all.groupBy(_._2.kind).filter(_._2.size > 1).keySet
+    def colName(p: ProtocolSpec, l: LayoutSpec): String =
+      if (dupKinds(l.kind)) s"${p.protocol}_${l.kind}" else l.kind
+    val protoCol = all.foldRight(lit("unknown")) { case ((p, l), rest) =>
+      when(matches(payload, p, l, programCol), lit(p.protocol))
+        .otherwise(rest)
     }
-    val kindCol = all.foldRight(lit("unknown")) { case ((_, l), rest) =>
-      when(discMatches(payload, l), lit(l.kind)).otherwise(rest)
+    val kindCol = all.foldRight(lit("unknown")) { case ((p, l), rest) =>
+      when(matches(payload, p, l, programCol), lit(l.kind)).otherwise(rest)
     }
     all.foldLeft(
       df.withColumn("protocol", protoCol).withColumn("event_kind", kindCol)) {
-      case (acc, (_, l)) =>
-        acc.withColumn(l.kind,
-          when(discMatches(payload, l), struct(l.fields.map(f =>
-            fieldCol(payload, f).as(f.name)): _*)))
+      case (acc, (p, l)) =>
+        acc.withColumn(colName(p, l),
+          when(matches(payload, p, l, programCol),
+            struct(l.dataFields.map(f =>
+              fieldCol(payload, f).as(f.name)): _*)))
     }
   }
 }

@@ -1,0 +1,457 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import ProtocolRegistry.{borsh, LayoutSpec, ProtocolSpec}
+
+/** The REAL on-chain protocol registry: genuine anchor discriminators and
+  * full borsh field schedules transcribed from the reference's protocol
+  * parsers, expressed as [[ProtocolRegistry.ProtocolSpec]] data — the
+  * same declarative registry machinery decodes synthetic analogs and
+  * real wire formats alike.
+  *
+  * Three event families, exactly like the reference:
+  *   - LOG events ("Program data:" CPI logs): 16-byte discriminator
+  *     (8-byte anchor event prefix `e445a52e51cb9a1d` + 8-byte event
+  *     hash) followed by the borsh event body.
+  *   - INSTRUCTION events: 8-byte anchor instruction discriminator
+  *     (1-byte native tag for pre-anchor programs: RaydiumAmmV4,
+  *     ComputeBudget) + LE data args; named pubkeys resolve positionally
+  *     from the transaction's account list ([[ixAccounts]]).
+  *   - ACCOUNT events: 8-byte account discriminator + account state.
+  *
+  * Several protocols share discriminators (PumpFun and Bonk both emit
+  * the anchor `TradeEvent` hash; PumpFun and PumpSwap share the `buy`/
+  * `sell` instruction hashes; Bonk and RaydiumCpmm share the
+  * `pool_state` account hash) — the registry disambiguates by program
+  * id first, as the reference's dispatcher does by `ProtocolInfo
+  * .program_ids`.
+  *
+  * Sources (field order, widths and discriminator bytes):
+  *   pumpfun/events.rs:182-376, pumpswap/events.rs:9-300,
+  *   bonk/events.rs:13-291, bonk/types.rs:96-130,
+  *   raydium_cpmm/{events.rs:142-153,parser.rs:71-244},
+  *   raydium_clmm/events.rs:250-266 + parser.rs,
+  *   raydium_amm_v4/{events.rs:169-180,parser.rs:100-300},
+  *   meteora_damm_v2/events.rs:39-398, pumpfun/types.rs:14-33,
+  *   pumpswap/types.rs:62-74, core/common_event_parser.rs:10-83.
+  */
+object RealLayouts {
+
+  // program ids, verbatim from the reference's parser declarations
+  val PumpFunProgram = "6EF8rrecthR5Dkzon8Nwu78hRvfCKubJ14M5uBEwF6P"
+  val PumpSwapProgram = "pAMMBay6oceH9fJKBRHGP5D4bD4sWpmSwMn52FMfXEA"
+  val BonkProgram = "LanMV9sAd7wArD4vJFi2qDdfnVhFxYSUg6eADduJ3uj"
+  val RaydiumCpmmProgram = "CPMMoo8L3F4NbTegBCKVNunggL7H1ZpdTHKxQB5qKP1C"
+  val RaydiumClmmProgram = "CAMMCzo5YL8w4VFF8KVHrK22GGUsp5VTaW7grrKgrWqK"
+  val RaydiumAmmV4Program = "675kPX9MHTjS2zt1qfr1NYHuzeLXfQM9H24wFSUt1Mp8"
+  val MeteoraDammV2Program = "cpamdpZCGKUy5JxQXB4dcpGPiikHawvSWAd6mEn1sGG"
+  val ComputeBudgetProgram = "ComputeBudget111111111111111111111111111111"
+
+  /** 8-byte anchor event-CPI prefix (sha256("anchor:event")[..8]). */
+  val AnchorEventPrefix: Array[Byte] =
+    Array(0xe4, 0x45, 0xa5, 0x2e, 0x51, 0xcb, 0x9a, 0x1d).map(_.toByte)
+
+  private def eventDisc(tail: Int*): Array[Byte] = {
+    require(tail.length == 8)
+    AnchorEventPrefix ++ tail.map(_.toByte)
+  }
+  private def disc(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+
+  // ---------------------------------------------------------------- PumpFun
+
+  /** PumpFun log events (pumpfun/events.rs:183-325 + discriminators
+    * :353-376). TradeEvent body is 250 bytes, MigrateEvent 160. */
+  val PumpFun: ProtocolSpec = ProtocolSpec("pumpfun", Seq(
+    LayoutSpec("pf_trade", eventDisc(189, 219, 127, 211, 78, 230, 97, 238),
+      borsh(16,
+        "mint" -> "b32", "sol_amount" -> "u64", "token_amount" -> "u64",
+        "is_buy" -> "bool", "user" -> "b32", "timestamp" -> "i64",
+        "virtual_sol_reserves" -> "u64", "virtual_token_reserves" -> "u64",
+        "real_sol_reserves" -> "u64", "real_token_reserves" -> "u64",
+        "fee_recipient" -> "b32", "fee_basis_points" -> "u64",
+        "fee" -> "u64", "creator" -> "b32",
+        "creator_fee_basis_points" -> "u64", "creator_fee" -> "u64",
+        "track_volume" -> "bool", "total_unclaimed_tokens" -> "u64",
+        "total_claimed_tokens" -> "u64", "current_sol_volume" -> "u64",
+        "last_update_timestamp" -> "i64")),
+    LayoutSpec("pf_migrate", eventDisc(189, 233, 93, 185, 92, 148, 234, 148),
+      borsh(16,
+        "user" -> "b32", "mint" -> "b32", "mint_amount" -> "u64",
+        "sol_amount" -> "u64", "pool_migration_fee" -> "u64",
+        "bonding_curve" -> "b32", "timestamp" -> "i64", "pool" -> "b32"))),
+    program = PumpFunProgram)
+
+  /** PumpFun CreateTokenEvent discriminator (strings make its offsets
+    * dynamic — decoded by the sequential [[graft.functions
+    * .DecodeCreateToken]] expression via [[decodeCreateReal]], not by
+    * fixed-offset registry fields). */
+  val PumpFunCreateEventDisc: Array[Byte] =
+    eventDisc(27, 114, 169, 77, 222, 235, 99, 118)
+
+  /** Decode real PumpFun create-token log payloads: 16-byte event
+    * discriminator, then the same name/symbol/uri + 4 pubkeys + 5 u64
+    * schedule the synthetic path decodes (`pumpfun/events.rs:59-180`,
+    * the V1 body the reference's log decoder reads). */
+  def decodeCreateReal(df: DataFrame,
+      payload: String = "payload"): DataFrame = {
+    import graft.functions.exprs.decode_create_token
+    df.filter(expr(s"substring($payload, 1, 16)") ===
+        lit(PumpFunCreateEventDisc))
+      // the sequential decoder skips 8 discriminator bytes itself; hand
+      // it the payload from byte 9 so the full 16 are consumed
+      .withColumn("ev", decode_create_token(expr(s"substring($payload, 9)")))
+      .filter(col("ev").isNotNull)
+  }
+
+  /** PumpFun buy/sell instruction layouts (pumpfun/parser.rs:239-300):
+    * 8-byte ix discriminator + two u64 args; pubkeys come from the
+    * accounts list ([[ixAccounts]]). */
+  val PumpFunIx: ProtocolSpec = ProtocolSpec("pumpfun_ix", Seq(
+    LayoutSpec("pf_buy_ix", disc(102, 6, 61, 18, 1, 218, 235, 234),
+      borsh(8, "amount" -> "u64", "max_sol_cost" -> "u64")),
+    LayoutSpec("pf_sell_ix", disc(51, 230, 133, 164, 1, 127, 131, 173),
+      borsh(8, "amount" -> "u64", "min_sol_output" -> "u64"))),
+    program = PumpFunProgram)
+
+  /** PumpFun account-state layouts (pumpfun/types.rs:14-33, account
+    * discriminators events.rs:373-375). */
+  val PumpFunAccounts: ProtocolSpec = ProtocolSpec("pumpfun_acct", Seq(
+    LayoutSpec("pf_bonding_curve", disc(23, 183, 248, 55, 96, 216, 172, 96),
+      borsh(8,
+        "virtual_token_reserves" -> "u64", "virtual_sol_reserves" -> "u64",
+        "real_token_reserves" -> "u64", "real_sol_reserves" -> "u64",
+        "token_total_supply" -> "u64", "complete" -> "bool",
+        "creator" -> "b32", "is_mayhem_mode" -> "bool"))),
+    program = PumpFunProgram)
+
+  // --------------------------------------------------------------- PumpSwap
+
+  /** PumpSwap log events (pumpswap/events.rs:9-300): buy 385B, sell
+    * 352B, create_pool 325B, deposit/withdraw 248B bodies. */
+  val PumpSwap: ProtocolSpec = ProtocolSpec("pumpswap", Seq(
+    LayoutSpec("ps_buy", eventDisc(103, 244, 82, 31, 44, 245, 119, 119),
+      borsh(16,
+        "timestamp" -> "i64", "base_amount_out" -> "u64",
+        "max_quote_amount_in" -> "u64",
+        "user_base_token_reserves" -> "u64",
+        "user_quote_token_reserves" -> "u64",
+        "pool_base_token_reserves" -> "u64",
+        "pool_quote_token_reserves" -> "u64",
+        "quote_amount_in" -> "u64", "lp_fee_basis_points" -> "u64",
+        "lp_fee" -> "u64", "protocol_fee_basis_points" -> "u64",
+        "protocol_fee" -> "u64", "quote_amount_in_with_lp_fee" -> "u64",
+        "user_quote_amount_in" -> "u64", "pool" -> "b32", "user" -> "b32",
+        "user_base_token_account" -> "b32",
+        "user_quote_token_account" -> "b32",
+        "protocol_fee_recipient" -> "b32",
+        "protocol_fee_recipient_token_account" -> "b32",
+        "coin_creator" -> "b32", "coin_creator_fee_basis_points" -> "u64",
+        "coin_creator_fee" -> "u64", "track_volume" -> "bool",
+        "total_unclaimed_tokens" -> "u64", "total_claimed_tokens" -> "u64",
+        "current_sol_volume" -> "u64", "last_update_timestamp" -> "i64")),
+    LayoutSpec("ps_sell", eventDisc(62, 47, 55, 10, 165, 3, 220, 42),
+      borsh(16,
+        "timestamp" -> "i64", "base_amount_in" -> "u64",
+        "min_quote_amount_out" -> "u64",
+        "user_base_token_reserves" -> "u64",
+        "user_quote_token_reserves" -> "u64",
+        "pool_base_token_reserves" -> "u64",
+        "pool_quote_token_reserves" -> "u64",
+        "quote_amount_out" -> "u64", "lp_fee_basis_points" -> "u64",
+        "lp_fee" -> "u64", "protocol_fee_basis_points" -> "u64",
+        "protocol_fee" -> "u64",
+        "quote_amount_out_without_lp_fee" -> "u64",
+        "user_quote_amount_out" -> "u64", "pool" -> "b32", "user" -> "b32",
+        "user_base_token_account" -> "b32",
+        "user_quote_token_account" -> "b32",
+        "protocol_fee_recipient" -> "b32",
+        "protocol_fee_recipient_token_account" -> "b32",
+        "coin_creator" -> "b32", "coin_creator_fee_basis_points" -> "u64",
+        "coin_creator_fee" -> "u64")),
+    LayoutSpec("ps_create_pool", eventDisc(177, 49, 12, 210, 160, 118, 167, 116),
+      borsh(16,
+        "timestamp" -> "i64", "index" -> "u16", "creator" -> "b32",
+        "base_mint" -> "b32", "quote_mint" -> "b32",
+        "base_mint_decimals" -> "u8", "quote_mint_decimals" -> "u8",
+        "base_amount_in" -> "u64", "quote_amount_in" -> "u64",
+        "pool_base_amount" -> "u64", "pool_quote_amount" -> "u64",
+        "minimum_liquidity" -> "u64", "initial_liquidity" -> "u64",
+        "lp_token_amount_out" -> "u64", "pool_bump" -> "u8",
+        "pool" -> "b32", "lp_mint" -> "b32",
+        "user_base_token_account" -> "b32",
+        "user_quote_token_account" -> "b32", "coin_creator" -> "b32")),
+    LayoutSpec("ps_deposit", eventDisc(120, 248, 61, 83, 31, 142, 107, 144),
+      borsh(16,
+        "timestamp" -> "i64", "lp_token_amount_out" -> "u64",
+        "max_base_amount_in" -> "u64", "max_quote_amount_in" -> "u64",
+        "user_base_token_reserves" -> "u64",
+        "user_quote_token_reserves" -> "u64",
+        "pool_base_token_reserves" -> "u64",
+        "pool_quote_token_reserves" -> "u64", "base_amount_in" -> "u64",
+        "quote_amount_in" -> "u64", "lp_mint_supply" -> "u64",
+        "pool" -> "b32", "user" -> "b32",
+        "user_base_token_account" -> "b32",
+        "user_quote_token_account" -> "b32",
+        "user_pool_token_account" -> "b32")),
+    LayoutSpec("ps_withdraw", eventDisc(22, 9, 133, 26, 160, 44, 71, 192),
+      borsh(16,
+        "timestamp" -> "i64", "lp_token_amount_in" -> "u64",
+        "min_base_amount_out" -> "u64", "min_quote_amount_out" -> "u64",
+        "user_base_token_reserves" -> "u64",
+        "user_quote_token_reserves" -> "u64",
+        "pool_base_token_reserves" -> "u64",
+        "pool_quote_token_reserves" -> "u64", "base_amount_out" -> "u64",
+        "quote_amount_out" -> "u64", "lp_mint_supply" -> "u64",
+        "pool" -> "b32", "user" -> "b32",
+        "user_base_token_account" -> "b32",
+        "user_quote_token_account" -> "b32",
+        "user_pool_token_account" -> "b32"))),
+    program = PumpSwapProgram)
+
+  /** PumpSwap Pool account (pumpswap/types.rs:62-74, discriminator
+    * events.rs:299). */
+  val PumpSwapAccounts: ProtocolSpec = ProtocolSpec("pumpswap_acct", Seq(
+    LayoutSpec("ps_pool", disc(241, 154, 109, 4, 17, 177, 109, 188),
+      borsh(8,
+        "pool_bump" -> "u8", "index" -> "u16", "creator" -> "b32",
+        "base_mint" -> "b32", "quote_mint" -> "b32", "lp_mint" -> "b32",
+        "pool_base_token_account" -> "b32",
+        "pool_quote_token_account" -> "b32", "lp_supply" -> "u64",
+        "coin_creator" -> "b32", "is_mayhem_mode" -> "bool"))),
+    program = PumpSwapProgram)
+
+  // ------------------------------------------------------------------- Bonk
+
+  /** Bonk log events (bonk/events.rs:13-118). TradeEvent shares the
+    * anchor hash with PumpFun's TradeEvent — program id disambiguates.
+    * PoolCreateEvent's fixed prefix decodes through MintParams.decimals
+    * and the trailing-start `name` string (the nested curve/vesting
+    * params after it have string-dependent offsets). */
+  val Bonk: ProtocolSpec = ProtocolSpec("bonk", Seq(
+    LayoutSpec("bonk_trade", eventDisc(189, 219, 127, 211, 78, 230, 97, 238),
+      borsh(16,
+        "pool_state" -> "b32", "total_base_sell" -> "u64",
+        "virtual_base" -> "u64", "virtual_quote" -> "u64",
+        "real_base_before" -> "u64", "real_quote_before" -> "u64",
+        "real_base_after" -> "u64", "real_quote_after" -> "u64",
+        "amount_in" -> "u64", "amount_out" -> "u64",
+        "protocol_fee" -> "u64", "platform_fee" -> "u64",
+        "creator_fee" -> "u64", "share_fee" -> "u64",
+        "trade_direction" -> "u8", "pool_status" -> "u8",
+        "exact_in" -> "bool")),
+    LayoutSpec("bonk_pool_create", eventDisc(151, 215, 226, 9, 118, 161, 115, 174),
+      borsh(16,
+        "pool_state" -> "b32", "creator" -> "b32", "config" -> "b32",
+        "base_decimals" -> "u8", "name" -> "str"))),
+    program = BonkProgram)
+
+  /** Bonk trade instructions (bonk/parser.rs:136-300): exact-in carries
+    * (amount_in, minimum_amount_out, share_fee_rate); exact-out
+    * (amount_out, maximum_amount_in, share_fee_rate). */
+  val BonkIx: ProtocolSpec = ProtocolSpec("bonk_ix", Seq(
+    LayoutSpec("bonk_buy_exact_in", disc(250, 234, 13, 123, 213, 156, 19, 236),
+      borsh(8, "amount_in" -> "u64", "minimum_amount_out" -> "u64",
+        "share_fee_rate" -> "u64")),
+    LayoutSpec("bonk_buy_exact_out", disc(24, 211, 116, 40, 105, 3, 153, 56),
+      borsh(8, "amount_out" -> "u64", "maximum_amount_in" -> "u64",
+        "share_fee_rate" -> "u64")),
+    LayoutSpec("bonk_sell_exact_in", disc(149, 39, 222, 155, 211, 124, 152, 26),
+      borsh(8, "amount_in" -> "u64", "minimum_amount_out" -> "u64",
+        "share_fee_rate" -> "u64")),
+    LayoutSpec("bonk_sell_exact_out", disc(95, 200, 71, 34, 8, 9, 11, 166),
+      borsh(8, "amount_out" -> "u64", "maximum_amount_in" -> "u64",
+        "share_fee_rate" -> "u64"))),
+    program = BonkProgram)
+
+  /** Bonk PoolState account (bonk/types.rs:96-130, discriminator
+    * events.rs:288 — shared with RaydiumCpmm's PoolState hash; the
+    * 40-byte VestingSchedule passes through as padding). */
+  val BonkAccounts: ProtocolSpec = ProtocolSpec("bonk_acct", Seq(
+    LayoutSpec("bonk_pool_state", disc(247, 237, 227, 245, 215, 195, 222, 70),
+      borsh(8,
+        "epoch" -> "u64", "auth_bump" -> "u8", "status" -> "u8",
+        "base_decimals" -> "u8", "quote_decimals" -> "u8",
+        "migrate_type" -> "u8", "supply" -> "u64",
+        "total_base_sell" -> "u64", "virtual_base" -> "u64",
+        "virtual_quote" -> "u64", "real_base" -> "u64",
+        "real_quote" -> "u64", "total_quote_fund_raising" -> "u64",
+        "quote_protocol_fee" -> "u64", "platform_fee" -> "u64",
+        "migrate_fee" -> "u64", "vesting_schedule" -> "pad:40",
+        "global_config" -> "b32", "platform_config" -> "b32",
+        "base_mint" -> "b32", "quote_mint" -> "b32",
+        "base_vault" -> "b32", "quote_vault" -> "b32"))),
+    program = BonkProgram)
+
+  // ----------------------------------------------------------- Raydium CPMM
+
+  /** Raydium CPMM instruction layouts (raydium_cpmm/parser.rs:71-244).
+    * All five events are instruction-driven: LE args + positional
+    * accounts. */
+  val RaydiumCpmm: ProtocolSpec = ProtocolSpec("raydium_cpmm", Seq(
+    LayoutSpec("cpmm_swap_base_input", disc(143, 190, 90, 218, 196, 30, 51, 222),
+      borsh(8, "amount_in" -> "u64", "minimum_amount_out" -> "u64")),
+    LayoutSpec("cpmm_swap_base_output", disc(55, 217, 98, 86, 163, 74, 180, 173),
+      borsh(8, "max_amount_in" -> "u64", "amount_out" -> "u64")),
+    LayoutSpec("cpmm_deposit", disc(242, 35, 198, 137, 82, 225, 242, 182),
+      borsh(8, "lp_token_amount" -> "u64", "maximum_token0_amount" -> "u64",
+        "maximum_token1_amount" -> "u64")),
+    LayoutSpec("cpmm_withdraw", disc(183, 18, 70, 156, 148, 109, 161, 34),
+      borsh(8, "lp_token_amount" -> "u64", "minimum_token0_amount" -> "u64",
+        "minimum_token1_amount" -> "u64")),
+    LayoutSpec("cpmm_initialize", disc(175, 175, 109, 31, 13, 152, 155, 237),
+      borsh(8, "init_amount0" -> "u64", "init_amount1" -> "u64",
+        "open_time" -> "u64"))),
+    program = RaydiumCpmmProgram)
+
+  // ----------------------------------------------------------- Raydium CLMM
+
+  /** Raydium CLMM instruction layouts (raydium_clmm/events.rs:250-266 +
+    * parser arg order). `swap` shares its anchor hash with Meteora's
+    * swap instruction — program id disambiguates. sqrt_price/liquidity
+    * are true u128 (Decimal(38,0) decode). */
+  val RaydiumClmm: ProtocolSpec = ProtocolSpec("raydium_clmm", Seq(
+    LayoutSpec("clmm_swap", disc(248, 198, 158, 145, 225, 117, 135, 200),
+      borsh(8, "amount" -> "u64", "other_amount_threshold" -> "u64",
+        "sqrt_price_limit_x64" -> "u128", "is_base_input" -> "bool")),
+    LayoutSpec("clmm_swap_v2", disc(43, 4, 237, 11, 26, 201, 30, 98),
+      borsh(8, "amount" -> "u64", "other_amount_threshold" -> "u64",
+        "sqrt_price_limit_x64" -> "u128", "is_base_input" -> "bool")),
+    LayoutSpec("clmm_increase_liquidity_v2", disc(133, 29, 89, 223, 69, 238, 176, 10),
+      borsh(8, "liquidity" -> "u128", "amount0_max" -> "u64",
+        "amount1_max" -> "u64")),
+    LayoutSpec("clmm_decrease_liquidity_v2", disc(58, 127, 188, 62, 79, 82, 196, 96),
+      borsh(8, "liquidity" -> "u128", "amount0_min" -> "u64",
+        "amount1_min" -> "u64")),
+    LayoutSpec("clmm_create_pool", disc(233, 146, 209, 142, 207, 104, 64, 188),
+      borsh(8, "sqrt_price_x64" -> "u128", "open_time" -> "u64")),
+    LayoutSpec("clmm_open_position_v2", disc(77, 184, 74, 214, 112, 86, 241, 199),
+      borsh(8, "tick_lower_index" -> "i32", "tick_upper_index" -> "i32",
+        "tick_array_lower_start_index" -> "i32",
+        "tick_array_upper_start_index" -> "i32", "liquidity" -> "u128",
+        "amount0_max" -> "u64", "amount1_max" -> "u64",
+        "with_metadata" -> "bool"))),
+    program = RaydiumClmmProgram)
+
+  // -------------------------------------------------------- Raydium AMM V4
+
+  /** Raydium AMM V4 (raydium_amm_v4/events.rs:169-180): a pre-anchor
+    * native program — SINGLE-BYTE instruction tags, args right after. */
+  val RaydiumAmmV4: ProtocolSpec = ProtocolSpec("raydium_amm_v4", Seq(
+    LayoutSpec("ammv4_swap_base_in", disc(9),
+      borsh(1, "amount_in" -> "u64", "minimum_amount_out" -> "u64")),
+    LayoutSpec("ammv4_swap_base_out", disc(11),
+      borsh(1, "max_amount_in" -> "u64", "amount_out" -> "u64")),
+    LayoutSpec("ammv4_deposit", disc(3),
+      borsh(1, "max_coin_amount" -> "u64", "max_pc_amount" -> "u64",
+        "base_side" -> "u64")),
+    LayoutSpec("ammv4_withdraw", disc(4), borsh(1, "amount" -> "u64")),
+    LayoutSpec("ammv4_initialize2", disc(1),
+      borsh(1, "nonce" -> "u8", "open_time" -> "u64",
+        "init_pc_amount" -> "u64", "init_coin_amount" -> "u64"))),
+    program = RaydiumAmmV4Program)
+
+  // -------------------------------------------------------- Meteora DAMM v2
+
+  /** Meteora DAMM v2 swap log event (meteora_damm_v2/events.rs:39-101,
+    * 180-byte body; discriminator :392-395). */
+  val MeteoraDammV2: ProtocolSpec = ProtocolSpec("meteora_damm_v2", Seq(
+    LayoutSpec("damm_swap", eventDisc(0xbd, 0x42, 0x33, 0xa8, 0x26, 0x50, 0x75, 0x99),
+      borsh(16,
+        "pool" -> "b32", "trade_direction" -> "u8",
+        "collect_fee_mode" -> "u8", "has_referral" -> "bool",
+        "amount_0" -> "u64", "amount_1" -> "u64", "swap_mode" -> "u8",
+        "included_fee_input_amount" -> "u64",
+        "excluded_fee_input_amount" -> "u64", "amount_left" -> "u64",
+        "output_amount" -> "u64", "next_sqrt_price" -> "u128",
+        "trading_fee" -> "u64", "protocol_fee" -> "u64",
+        "partner_fee" -> "u64", "referral_fee" -> "u64",
+        "included_transfer_fee_amount_in" -> "u64",
+        "included_transfer_fee_amount_out" -> "u64",
+        "excluded_transfer_fee_amount_out" -> "u64",
+        "current_timestamp" -> "u64", "reserve_a_amount" -> "u64",
+        "reserve_b_amount" -> "u64"))),
+    program = MeteoraDammV2Program)
+
+  // ---------------------------------------------------------- ComputeBudget
+
+  /** Compute-budget common events (core/common_event_parser.rs:46-82):
+    * single-byte discriminators 2 (SetComputeUnitLimit, u32 units) and
+    * 3 (SetComputeUnitPrice, u64 micro-lamports) — these ride nearly
+    * every real transaction. */
+  val ComputeBudget: ProtocolSpec = ProtocolSpec("compute_budget", Seq(
+    LayoutSpec("set_compute_unit_limit", disc(2), borsh(1, "units" -> "u32")),
+    LayoutSpec("set_compute_unit_price", disc(3),
+      borsh(1, "micro_lamports" -> "u64"))),
+    program = ComputeBudgetProgram)
+
+  /** Transaction (log-event) registry — dispatch with the emitting
+    * program column. */
+  val logRegistry: Seq[ProtocolSpec] =
+    Seq(PumpFun, PumpSwap, Bonk, MeteoraDammV2)
+
+  /** Instruction registry (8-byte/1-byte discriminators + data args). */
+  val ixRegistry: Seq[ProtocolSpec] =
+    Seq(PumpFunIx, BonkIx, RaydiumCpmm, RaydiumClmm, RaydiumAmmV4,
+      ComputeBudget)
+
+  /** Account-state registry — dispatch with the OWNER program column. */
+  val accountRegistry: Seq[ProtocolSpec] =
+    Seq(PumpFunAccounts, PumpSwapAccounts, BonkAccounts)
+
+  // -------------------------------------------- positional account schedules
+
+  /** Named account slots per instruction layout — the reference resolves
+    * instruction pubkeys positionally from the transaction account list
+    * (`pumpfun/parser.rs:253-268`, `raydium_cpmm/parser.rs:194-207`).
+    * Only the analytically load-bearing slots are named here; a layout's
+    * full list lives in the cited parser. */
+  val ixAccounts: Map[String, Seq[(String, Int)]] = Map(
+    "pf_buy_ix" -> Seq("global" -> 0, "fee_recipient" -> 1, "mint" -> 2,
+      "bonding_curve" -> 3, "associated_bonding_curve" -> 4,
+      "associated_user" -> 5, "user" -> 6),
+    "pf_sell_ix" -> Seq("global" -> 0, "fee_recipient" -> 1, "mint" -> 2,
+      "bonding_curve" -> 3, "associated_bonding_curve" -> 4,
+      "associated_user" -> 5, "user" -> 6),
+    "cpmm_swap_base_input" -> Seq("payer" -> 0, "authority" -> 1,
+      "amm_config" -> 2, "pool_state" -> 3, "input_token_account" -> 4,
+      "output_token_account" -> 5, "input_vault" -> 6,
+      "output_vault" -> 7, "input_token_mint" -> 10,
+      "output_token_mint" -> 11),
+    "cpmm_swap_base_output" -> Seq("payer" -> 0, "authority" -> 1,
+      "amm_config" -> 2, "pool_state" -> 3, "input_token_account" -> 4,
+      "output_token_account" -> 5, "input_vault" -> 6,
+      "output_vault" -> 7, "input_token_mint" -> 10,
+      "output_token_mint" -> 11),
+    "ammv4_swap_base_in" -> Seq("token_program" -> 0, "amm" -> 1,
+      "amm_authority" -> 2, "amm_open_orders" -> 3,
+      "user_source_token_account" -> 14,
+      "user_destination_token_account" -> 15, "user_source_owner" -> 16))
+
+  /** Decode one instruction layout over rows with a `data` blob and the
+    * transaction's `account_keys` + per-instruction `accounts` index
+    * list: LE args from the blob, named pubkeys through the key table
+    * (all length/index guarded, malformed rows drop out). */
+  def decodeInstruction(df: DataFrame, layout: LayoutSpec,
+      data: String = "data", accountIdx: String = "accounts",
+      keys: String = "account_keys"): DataFrame = {
+    val named = ixAccounts.getOrElse(layout.kind, Seq.empty)
+    val maxSlot = named.map(_._2).foldLeft(-1)(math.max)
+    val guarded = df.filter(
+      expr(s"substring($data, 1, ${layout.discriminator.length})") ===
+        lit(layout.discriminator) &&
+        expr(s"octet_length($data)") >= layout.minLen &&
+        (if (maxSlot < 0) lit(true)
+         else expr(s"size($accountIdx)") > maxSlot &&
+           expr(s"array_max($accountIdx)") < expr(s"size($keys)") &&
+           expr(s"array_min($accountIdx)") >= 0))
+    val dataCols = ProtocolRegistry
+      .decodeCols(layout, data)
+    val acctCols = named.map { case (n, i) =>
+      element_at(col(keys),
+        element_at(col(accountIdx), i + 1).cast("int") + 1).as(n)
+    }
+    guarded.select(col("*") +: (dataCols ++ acctCols): _*)
+  }
+}

@@ -18,7 +18,11 @@ class DeterminismSpec extends TestSparkSession {
     "q_docs_repeated_spans", "q_text_quality", "q_tpch_q14_promo",
     "q_docs_commonness", "q_events_metrics_snapshot",
     "q_events_trade_price", "q_events_state_history",
-    "q_docs_vocab_drift", "q_events_rate_spikes")
+    "q_docs_vocab_drift", "q_events_rate_spikes",
+    // round 3: the reworked moving average (double) and the real-layout
+    // protocol round-trips (integer aggregates over decoded real bytes —
+    // pinned so the wire decode itself can never go partition-dependent)
+    "q_events_rate_1m", "q_events_pumpfun_real", "q_events_bonk_real")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

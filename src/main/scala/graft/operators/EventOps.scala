@@ -389,9 +389,18 @@ object EventOps {
     val top = totals
       .orderBy(col("total_dec").desc, col("user_id"))
       .limit(k)
-    top
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("total_dec").desc, col("user_id"))).cast("bigint"))
+    // rank the k survivors by counting strict predecessors (triangular
+    // self-join over k rows) — same order as a row_number window without
+    // the unpartitioned WindowExec
+    top.as("a")
+      .join(top.as("b"),
+        col("b.total_dec") > col("a.total_dec") ||
+          (col("b.total_dec") === col("a.total_dec") &&
+            col("b.user_id") < col("a.user_id")), "left")
+      .groupBy(col("a.user_id").as("user_id"),
+        col("a.total_dec").as("total_dec"),
+        col("a.n_purchases").as("n_purchases"))
+      .agg((count(col("b.user_id")) + 1).as("rk"))
       .select(col("rk"), col("user_id"),
         col("total_dec").cast("double").as("total_value"), col("n_purchases"))
   }
@@ -797,11 +806,13 @@ object EventOps {
       .repartitionByRange(col("delta_us"), col("user_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(
-        sum("c").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "off")
+    // exclusive prefix of per-partition counts via triangular self-join
+    // (#partitions rows) — no unpartitioned window
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
     val tot = parted.agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("pid").orderBy("delta_us", "user_id")
     parted.join(broadcast(offsets), "pid")

@@ -107,11 +107,13 @@ object Sampling {
       .repartitionByRange(col("shuffle_key"), col(idCol))
       .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint()
-    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(
-        sum("c").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "off")
+    // exclusive prefix of per-partition counts via triangular self-join
+    // (#partitions rows) — no unpartitioned window
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
     val w = Window.partitionBy("pid").orderBy(col("shuffle_key"), col(idCol))
     parted.join(broadcast(offsets), "pid")
       .withColumn("shuffle_rank",

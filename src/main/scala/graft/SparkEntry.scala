@@ -1060,6 +1060,189 @@ object SparkEntry {
           sum(col("units") * col("price")).as("fee_microlamports"),
           max("price").as("max_price"))
     }),
+    "q_events_ix_taxonomy" -> ((s, d) => {
+      // instruction-taxonomy breadth: tag-only ix kinds, single-byte
+      // native tags, and the cross-program shared anchor hashes (the
+      // SAME payload bytes decode as clmm_swap under the CLMM program
+      // and damm_swap_ix under Meteora; pf_buy_ix vs ps_buy_ix likewise)
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      val cents = expr("cast(round(value * 100, 0) as bigint)")
+      def lay(p: ProtocolRegistry.ProtocolSpec, k: String) =
+        p.layouts.find(_.kind == k).get
+      val swapBytes = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(
+          cents.as("amount"),
+          (col("event_id") + 1).as("other_amount_threshold"),
+          (col("event_id") * 7 + 1).as("sqrt_price_limit_x64_lo"),
+          lit(0L).as("sqrt_price_limit_x64_hi"),
+          (col("event_id") % 2).as("is_base_input")),
+        lay(RealLayouts.RaydiumClmm, "clmm_swap")).select("payload")
+      val swaps = swapBytes
+        .withColumn("program_id", lit(RealLayouts.RaydiumClmmProgram))
+        .union(swapBytes.withColumn("program_id",
+          lit(RealLayouts.MeteoraDammV2Program)))
+      val buyBytes = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          cents.as("amount"), (col("event_id") + 5).as("max_sol_cost")),
+        lay(RealLayouts.PumpFunIx, "pf_buy_ix")).select("payload")
+      val buys = buyBytes
+        .withColumn("program_id", lit(RealLayouts.PumpFunProgram))
+        .union(buyBytes.withColumn("program_id",
+          lit(RealLayouts.PumpSwapProgram)))
+      val migrates = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view").select(
+          cents.as("base_lot_size"), (col("event_id") * 2).as("quote_lot_size"),
+          (col("user_id") % 256).as("market_vault_signer_nonce")),
+        lay(RealLayouts.BonkIx, "bonk_migrate_to_amm")).select("payload")
+        .withColumn("program_id", lit(RealLayouts.BonkProgram))
+      val pnl = ev.filter(col("event_type") === "click")
+        .select(lit(Array[Byte](7)).as("payload"),
+          lit(RealLayouts.RaydiumAmmV4Program).as("program_id"))
+      val closes = ev.filter(col("event_type") === "error")
+        .select(lit(lay(RealLayouts.RaydiumClmm, "clmm_close_position")
+          .discriminator).as("payload"),
+          lit(RealLayouts.RaydiumClmmProgram).as("program_id"))
+      ProtocolRegistry
+        .dispatch(Seq(swaps, buys, migrates, pnl, closes).reduce(_ union _),
+          RealLayouts.ixRegistry, programCol = Some("program_id"))
+        .groupBy("protocol", "event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("clmm_swap.amount"),
+            col("damm_swap_ix.amount_in"), col("pf_buy_ix.amount"),
+            col("ps_buy_ix.base_amount_out"),
+            col("bonk_migrate_to_amm.base_lot_size"))).as("sum_arg"),
+          sum(coalesce(col("damm_swap_ix.minimum_amount_out"),
+            col("pf_buy_ix.max_sol_cost"),
+            col("ps_buy_ix.max_quote_amount_in"),
+            col("bonk_migrate_to_amm.quote_lot_size"))).as("sum_arg2"))
+    }),
+    "q_events_config_accounts" -> ((s, d) => {
+      // config/global account breadth incl. the shared GlobalConfig and
+      // AmmConfig account hashes routed by owner, and the borsh Vec<u8>
+      // platform name (trailing str)
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      def lay(p: ProtocolRegistry.ProtocolSpec, k: String) =
+        p.layouts.find(_.kind == k).get
+      val pfGlobal = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(
+          lit(1L).as("initialized"), mk("1").as("authority"),
+          mk("2").as("fee_recipient"),
+          (col("event_id") * 2).as("initial_virtual_token_reserves"),
+          (col("event_id") * 3).as("initial_virtual_sol_reserves"),
+          (col("event_id") * 5).as("initial_real_token_reserves"),
+          (col("event_id") * 7).as("token_total_supply"),
+          lit(100L).as("fee_basis_points"), mk("3").as("withdraw_authority"),
+          (col("event_id") % 2).as("enable_migrate"),
+          (col("event_id") % 1000).as("pool_migration_fee"),
+          lit(30L).as("creator_fee_basis_points"),
+          mk("4").as("set_creator_authority")),
+        lay(RealLayouts.PumpFunGlobalAccount, "pf_global"))
+        .select(col("payload"), lit(RealLayouts.PumpFunProgram).as("owner"))
+      val psCfg = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view").select(
+          mk("5").as("admin"), lit(25L).as("lp_fee_basis_points"),
+          (col("event_id") % 500).as("protocol_fee_basis_points"),
+          (col("user_id") % 4).as("disable_flags"),
+          lit(30L).as("coin_creator_fee_basis_points"),
+          mk("6").as("admin_set_coin_creator_authority")),
+        lay(RealLayouts.PumpSwapGlobalConfig, "ps_global_config"))
+        .select(col("payload"), lit(RealLayouts.PumpSwapProgram).as("owner"))
+      val bonkCfg = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "click").select(
+          (col("event_id") % 512).as("epoch"),
+          (col("user_id") % 3).as("curve_type"),
+          (col("event_id") % 65536).as("index"),
+          (col("event_id") % 1000).as("migrate_fee"),
+          (col("event_id") % 97).as("trade_fee_rate"),
+          lit(500L).as("max_share_fee_rate"),
+          (col("event_id") * 2).as("min_base_supply"),
+          lit(8000L).as("max_lock_rate"),
+          lit(100L).as("min_base_sell_rate"),
+          lit(200L).as("min_base_migrate_rate"),
+          (col("event_id") * 3).as("min_quote_fund_raising"),
+          mk("7").as("quote_mint"), mk("8").as("protocol_fee_owner"),
+          mk("9").as("migrate_fee_owner"),
+          mk("10").as("migrate_to_amm_wallet"),
+          mk("11").as("migrate_to_cpswap_wallet")),
+        lay(RealLayouts.BonkConfigAccounts, "bonk_global_config"))
+        .select(col("payload"), lit(RealLayouts.BonkProgram).as("owner"))
+      val bonkPlat = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          (col("event_id") % 512).as("epoch"),
+          mk("12").as("platform_fee_wallet"),
+          mk("13").as("platform_nft_wallet"),
+          lit(2500L).as("platform_scale"), lit(2500L).as("creator_scale"),
+          lit(0L).as("burn_scale"), (col("event_id") % 97).as("fee_rate"),
+          concat(lit("plat_"), col("event_id")).as("name")),
+        lay(RealLayouts.BonkConfigAccounts, "bonk_platform_config"))
+        .select(col("payload"), lit(RealLayouts.BonkProgram).as("owner"))
+      val err = ev.filter(col("event_type") === "error").select(
+        (col("user_id") % 256).as("bump"), (col("event_id") % 2).as("disable_create_pool"),
+        (col("event_id") % 65536).as("index"),
+        (col("event_id") % 97).as("trade_fee_rate"),
+        (col("event_id") % 89).as("protocol_fee_rate"),
+        (col("event_id") % 83).as("fund_fee_rate"),
+        (col("event_id") % 79).as("create_pool_fee"),
+        mk("14").as("protocol_owner"), mk("15").as("fund_owner"),
+        (col("user_id") % 16).as("tick_spacing"), mk("16").as("owner"))
+      val cpmmCfg = ProtocolRegistry.encode(err,
+        lay(RealLayouts.CpmmAccounts, "cpmm_amm_config"))
+        .select(col("payload"),
+          lit(RealLayouts.RaydiumCpmmProgram).as("owner"))
+      val clmmCfg = ProtocolRegistry.encode(err,
+        lay(RealLayouts.ClmmAccounts, "clmm_amm_config"))
+        .select(col("payload"),
+          lit(RealLayouts.RaydiumClmmProgram).as("owner"))
+      ProtocolRegistry
+        .dispatch(Seq(pfGlobal, psCfg, bonkCfg, bonkPlat, cpmmCfg, clmmCfg)
+          .reduce(_ union _), RealLayouts.accountRegistry,
+          programCol = Some("owner"))
+        .groupBy("protocol", "event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("pf_global.initial_virtual_token_reserves"),
+            col("ps_global_config.protocol_fee_basis_points"),
+            col("bonk_global_config.trade_fee_rate"),
+            col("bonk_platform_config.fee_rate"),
+            col("cpmm_amm_config.trade_fee_rate"),
+            col("clmm_amm_config.trade_fee_rate").cast("bigint")))
+            .as("sum_a"),
+          countDistinct(col("bonk_platform_config.name")).as("n_names"))
+    }),
+    "q_events_token_accounts" -> ((s, d) => {
+      // discriminator-LESS SPL token + system nonce accounts: owner
+      // program + fixed length are the whole guard, as in the reference
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      val tok = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(
+          mk("user_id % 100").as("mint"), mk("user_id").as("token_owner"),
+          expr("cast(round(value * 100, 0) as bigint)").as("amount")),
+        RealLayouts.SplAccounts.layouts(0))
+        .select(col("payload"), lit(RealLayouts.TokenProgram).as("owner"))
+      val nonce = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "view").select(
+          lit(1L).as("version"), lit(1L).as("state"),
+          mk("user_id").as("authority"), mk("event_id").as("blockhash"),
+          (col("event_id") % 5000 + 5000).as("fee")),
+        RealLayouts.NonceAccounts.layouts(0))
+        .select(col("payload"), lit(RealLayouts.SystemProgram).as("owner"))
+      val dispatched = ProtocolRegistry.dispatch(tok.union(nonce),
+        Seq(RealLayouts.SplAccounts, RealLayouts.NonceAccounts),
+        programCol = Some("owner"))
+      ProtocolRegistry.filterClasses(dispatched, Seq("account"))
+        .groupBy("event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("token_account.amount"),
+            col("nonce_account.fee"))).as("sum_amt"),
+          countDistinct(coalesce(col("token_account.token_owner"),
+            col("nonce_account.authority"))).as("n_owners"))
+    }),
     "q_events_cpi_merge" -> ((s, d) =>
       // the inner-CPI tree: outer buy instruction + inner TradeEvent log
       // at (outer_idx, inner_idx), decoded through the REAL layouts and
@@ -2265,6 +2448,78 @@ object SparkEntry {
                 CAST(max(event_id % 100000 + 1) AS BIGINT) AS max_price
          FROM events WHERE event_type = 'click'
          GROUP BY 1""",
+    "q_events_ix_taxonomy" ->
+      """WITH cents AS (SELECT event_type, event_id,
+                CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+         k AS (
+           SELECT 'raydium_clmm' AS protocol, 'clmm_swap' AS event_kind,
+                  c AS arg, CAST(NULL AS BIGINT) AS arg2
+           FROM cents WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT 'meteora_ix', 'damm_swap_ix', c, event_id + 1
+           FROM cents WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT 'pumpfun_ix', 'pf_buy_ix', c, event_id + 5
+           FROM cents WHERE event_type = 'signup'
+           UNION ALL
+           SELECT 'pumpswap_ix', 'ps_buy_ix', c, event_id + 5
+           FROM cents WHERE event_type = 'signup'
+           UNION ALL
+           SELECT 'bonk_ix', 'bonk_migrate_to_amm', c, event_id * 2
+           FROM cents WHERE event_type = 'view'
+           UNION ALL
+           SELECT 'raydium_amm_v4', 'ammv4_withdraw_pnl',
+                  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM cents WHERE event_type = 'click'
+           UNION ALL
+           SELECT 'raydium_clmm', 'clmm_close_position',
+                  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM cents WHERE event_type = 'error')
+         SELECT protocol, event_kind, count(*) AS n,
+                CAST(sum(arg) AS BIGINT) AS sum_arg,
+                CAST(sum(arg2) AS BIGINT) AS sum_arg2
+         FROM k GROUP BY 1, 2""",
+    "q_events_config_accounts" ->
+      """WITH k AS (
+           SELECT CASE event_type WHEN 'purchase' THEN 'pumpfun_global'
+                    WHEN 'view' THEN 'pumpswap_cfg'
+                    WHEN 'click' THEN 'bonk_cfg'
+                    WHEN 'signup' THEN 'bonk_cfg' END AS protocol,
+                  CASE event_type WHEN 'purchase' THEN 'pf_global'
+                    WHEN 'view' THEN 'ps_global_config'
+                    WHEN 'click' THEN 'bonk_global_config'
+                    WHEN 'signup' THEN 'bonk_platform_config'
+                    END AS event_kind,
+                  CASE event_type WHEN 'purchase' THEN event_id * 2
+                    WHEN 'view' THEN event_id % 500
+                    ELSE event_id % 97 END AS a,
+                  CASE WHEN event_type = 'signup'
+                       THEN 'plat_' || event_id END AS nm
+           FROM events
+           WHERE event_type IN ('purchase', 'view', 'click', 'signup')
+           UNION ALL
+           SELECT p, CASE WHEN p = 'cpmm_acct' THEN 'cpmm_amm_config'
+                          ELSE 'clmm_amm_config' END,
+                  event_id % 97, NULL
+           FROM events, (VALUES ('cpmm_acct'), ('clmm_acct')) t(p)
+           WHERE event_type = 'error')
+         SELECT protocol, event_kind, count(*) AS n,
+                CAST(sum(a) AS BIGINT) AS sum_a,
+                count(DISTINCT nm) AS n_names
+         FROM k GROUP BY 1, 2""",
+    "q_events_token_accounts" ->
+      """WITH k AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 'token_account'
+                       ELSE 'nonce_account' END AS event_kind,
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE event_id % 5000 + 5000 END AS amt,
+                  user_id
+           FROM events WHERE event_type IN ('purchase', 'view'))
+         SELECT event_kind, count(*) AS n,
+                CAST(sum(amt) AS BIGINT) AS sum_amt,
+                count(DISTINCT user_id) AS n_owners
+         FROM k GROUP BY 1""",
     "q_events_cpi_merge" ->
       """SELECT event_id // 8 AS tx_id,
                 CAST(row_number() OVER (PARTITION BY event_id // 8

@@ -57,7 +57,14 @@ object ProtocolRegistry {
       kind: String, discriminator: Array[Byte], fields: Seq[FieldSpec]) {
     require(fields.dropRight(1).forall(_.kind != "str"),
       s"$kind: a str field must be the last field of a layout")
-    def minLen: Int = fields.map(f => f.offset + f.width).max
+    require(discriminator.nonEmpty || fields.nonEmpty,
+      s"$kind: an empty discriminator needs a length-guarding layout")
+    // fields may be empty (tag-only instructions: the reference has
+    // several events whose payload is account-resolved only) and the
+    // discriminator may be empty (SPL token/nonce accounts carry none —
+    // owner program + length are the whole guard)
+    def minLen: Int =
+      (discriminator.length +: fields.map(f => f.offset + f.width)).max
     /** Decoded (non-pad) fields. */
     def dataFields: Seq[FieldSpec] = fields.filterNot(_.isPad)
   }
@@ -252,10 +259,12 @@ object ProtocolRegistry {
       concat(lit(layout.discriminator) +:
         layout.fields.map(fieldBytes): _*))
 
-  private def discMatches(payload: String, l: LayoutSpec): Column =
-    expr(s"substring($payload, 1, ${l.discriminator.length})") ===
-      lit(l.discriminator) &&
-      expr(s"octet_length($payload)") >= l.minLen
+  private def discMatches(payload: String, l: LayoutSpec): Column = {
+    val lenOk = expr(s"octet_length($payload)") >= l.minLen
+    if (l.discriminator.isEmpty) lenOk
+    else expr(s"substring($payload, 1, ${l.discriminator.length})") ===
+      lit(l.discriminator) && lenOk
+  }
 
   /** Layout predicate under a protocol: discriminator + length guard,
     * plus the program-id gate when the spec declares one (the reference

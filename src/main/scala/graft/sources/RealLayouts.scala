@@ -105,15 +105,38 @@ object RealLayouts {
       .filter(col("ev").isNotNull)
   }
 
-  /** PumpFun buy/sell instruction layouts (pumpfun/parser.rs:239-300):
-    * 8-byte ix discriminator + two u64 args; pubkeys come from the
-    * accounts list ([[ixAccounts]]). */
+  /** PumpFun instruction layouts (pumpfun/parser.rs:113-300): buy/sell
+    * carry two u64 args; create/create_v2/migrate are tag-only here —
+    * their bodies are strings (decoded on the log path) and
+    * account-resolved pubkeys ([[ixAccounts]]). */
   val PumpFunIx: ProtocolSpec = ProtocolSpec("pumpfun_ix", Seq(
     LayoutSpec("pf_buy_ix", disc(102, 6, 61, 18, 1, 218, 235, 234),
       borsh(8, "amount" -> "u64", "max_sol_cost" -> "u64")),
     LayoutSpec("pf_sell_ix", disc(51, 230, 133, 164, 1, 127, 131, 173),
-      borsh(8, "amount" -> "u64", "min_sol_output" -> "u64"))),
+      borsh(8, "amount" -> "u64", "min_sol_output" -> "u64")),
+    LayoutSpec("pf_create_ix", disc(24, 30, 200, 40, 5, 28, 7, 119),
+      Seq.empty),
+    LayoutSpec("pf_create_v2_ix", disc(214, 144, 76, 236, 95, 139, 49, 180),
+      Seq.empty),
+    LayoutSpec("pf_migrate_ix", disc(155, 234, 231, 146, 236, 158, 162, 30),
+      Seq.empty)),
     program = PumpFunProgram)
+
+  /** PumpSwap instruction layouts (pumpswap/parser.rs:132-280) — buy and
+    * sell share PumpFun's anchor `buy`/`sell` hashes; program id routes. */
+  val PumpSwapIx: ProtocolSpec = ProtocolSpec("pumpswap_ix", Seq(
+    LayoutSpec("ps_buy_ix", disc(102, 6, 61, 18, 1, 218, 235, 234),
+      borsh(8, "base_amount_out" -> "u64", "max_quote_amount_in" -> "u64")),
+    LayoutSpec("ps_sell_ix", disc(51, 230, 133, 164, 1, 127, 131, 173),
+      borsh(8, "base_amount_in" -> "u64", "min_quote_amount_out" -> "u64")),
+    LayoutSpec("ps_deposit_ix", disc(242, 35, 198, 137, 82, 225, 242, 182),
+      borsh(8, "lp_token_amount_out" -> "u64", "max_base_amount_in" -> "u64",
+        "max_quote_amount_in" -> "u64")),
+    LayoutSpec("ps_withdraw_ix", disc(183, 18, 70, 156, 148, 109, 161, 34),
+      Seq.empty),
+    LayoutSpec("ps_create_pool_ix", disc(233, 146, 209, 142, 207, 104, 64, 188),
+      Seq.empty)),
+    program = PumpSwapProgram)
 
   /** PumpFun account-state layouts (pumpfun/types.rs:14-33, account
     * discriminators events.rs:373-375). */
@@ -262,7 +285,22 @@ object RealLayouts {
         "share_fee_rate" -> "u64")),
     LayoutSpec("bonk_sell_exact_out", disc(95, 200, 71, 34, 8, 9, 11, 166),
       borsh(8, "amount_out" -> "u64", "maximum_amount_in" -> "u64",
-        "share_fee_rate" -> "u64"))),
+        "share_fee_rate" -> "u64")),
+    // initialize family: bodies are MintParams/CurveParams strings —
+    // tag-only on the ix path (the log path decodes the prefix). The
+    // `initialize` hash is anchor-generic and shared with RaydiumCpmm's;
+    // program id routes.
+    LayoutSpec("bonk_initialize", disc(175, 175, 109, 31, 13, 152, 155, 237),
+      Seq.empty),
+    LayoutSpec("bonk_initialize_v2", disc(67, 153, 175, 39, 218, 16, 38, 32),
+      Seq.empty),
+    LayoutSpec("bonk_initialize_t22", disc(37, 190, 126, 222, 44, 154, 171, 17),
+      Seq.empty),
+    LayoutSpec("bonk_migrate_to_amm", disc(207, 82, 192, 145, 254, 207, 145, 223),
+      borsh(8, "base_lot_size" -> "u64", "quote_lot_size" -> "u64",
+        "market_vault_signer_nonce" -> "u8")),
+    LayoutSpec("bonk_migrate_to_cpswap", disc(136, 92, 200, 103, 28, 218, 144, 140),
+      Seq.empty)),
     program = BonkProgram)
 
   /** Bonk PoolState account (bonk/types.rs:96-130, discriminator
@@ -331,7 +369,15 @@ object RealLayouts {
         "tick_array_lower_start_index" -> "i32",
         "tick_array_upper_start_index" -> "i32", "liquidity" -> "u128",
         "amount0_max" -> "u64", "amount1_max" -> "u64",
-        "with_metadata" -> "bool"))),
+        "with_metadata" -> "bool")),
+    LayoutSpec("clmm_open_position_t22", disc(77, 255, 174, 82, 125, 29, 201, 46),
+      borsh(8, "tick_lower_index" -> "i32", "tick_upper_index" -> "i32",
+        "tick_array_lower_start_index" -> "i32",
+        "tick_array_upper_start_index" -> "i32", "liquidity" -> "u128",
+        "amount0_max" -> "u64", "amount1_max" -> "u64",
+        "with_metadata" -> "bool")),
+    LayoutSpec("clmm_close_position", disc(123, 134, 81, 0, 49, 68, 98, 98),
+      Seq.empty)),
     program = RaydiumClmmProgram)
 
   // -------------------------------------------------------- Raydium AMM V4
@@ -349,7 +395,8 @@ object RealLayouts {
     LayoutSpec("ammv4_withdraw", disc(4), borsh(1, "amount" -> "u64")),
     LayoutSpec("ammv4_initialize2", disc(1),
       borsh(1, "nonce" -> "u8", "open_time" -> "u64",
-        "init_pc_amount" -> "u64", "init_coin_amount" -> "u64"))),
+        "init_pc_amount" -> "u64", "init_coin_amount" -> "u64")),
+    LayoutSpec("ammv4_withdraw_pnl", disc(7), Seq.empty)),
     program = RaydiumAmmV4Program)
 
   // -------------------------------------------------------- Meteora DAMM v2
@@ -374,6 +421,25 @@ object RealLayouts {
         "reserve_b_amount" -> "u64"))),
     program = MeteoraDammV2Program)
 
+  /** Meteora DAMM v2 instructions (meteora_damm_v2/parser.rs:60-130 +
+    * events.rs:380-386): `swap` shares its anchor hash with Raydium
+    * CLMM's swap — program id routes. The initialize-pool family bodies
+    * are nested fee-parameter structs with an Option mid-struct
+    * (dynamic offsets), so they are tag-only on the ix path. */
+  val MeteoraIx: ProtocolSpec = ProtocolSpec("meteora_ix", Seq(
+    LayoutSpec("damm_swap_ix", disc(0xf8, 0xc6, 0x9e, 0x91, 0xe1, 0x75, 0x87, 0xc8),
+      borsh(8, "amount_in" -> "u64", "minimum_amount_out" -> "u64")),
+    LayoutSpec("damm_swap2_ix", disc(0x41, 0x4b, 0x3f, 0x4c, 0xeb, 0x5b, 0x5b, 0x88),
+      borsh(8, "amount_0" -> "u64", "amount_1" -> "u64",
+        "swap_mode" -> "u8")),
+    LayoutSpec("damm_initialize_pool_ix",
+      disc(0x5f, 0xb4, 0x0a, 0xac, 0x54, 0xae, 0xe8, 0x28), Seq.empty),
+    LayoutSpec("damm_initialize_customizable_pool_ix",
+      disc(0x14, 0xa1, 0xf1, 0x18, 0xbd, 0xdd, 0xb4, 0x02), Seq.empty),
+    LayoutSpec("damm_initialize_pool_dynamic_config_ix",
+      disc(0x95, 0x52, 0x48, 0xc5, 0xfd, 0xfc, 0x44, 0x0f), Seq.empty)),
+    program = MeteoraDammV2Program)
+
   // ---------------------------------------------------------- ComputeBudget
 
   /** Compute-budget common events (core/common_event_parser.rs:46-82):
@@ -386,6 +452,136 @@ object RealLayouts {
       borsh(1, "micro_lamports" -> "u64"))),
     program = ComputeBudgetProgram)
 
+  // ------------------------------------------------ config/state accounts
+
+  /** PumpFun Global config account (pumpfun/types.rs:60-80; the
+    * fee_recipients [Pubkey; 7] array rides as padding). Discriminator
+    * events.rs:375. */
+  val PumpFunGlobalAccount: ProtocolSpec = ProtocolSpec("pumpfun_global", Seq(
+    LayoutSpec("pf_global", disc(167, 232, 232, 177, 200, 108, 114, 127),
+      borsh(8,
+        "initialized" -> "bool", "authority" -> "b32",
+        "fee_recipient" -> "b32",
+        "initial_virtual_token_reserves" -> "u64",
+        "initial_virtual_sol_reserves" -> "u64",
+        "initial_real_token_reserves" -> "u64",
+        "token_total_supply" -> "u64", "fee_basis_points" -> "u64",
+        "withdraw_authority" -> "b32", "enable_migrate" -> "bool",
+        "pool_migration_fee" -> "u64",
+        "creator_fee_basis_points" -> "u64",
+        "fee_recipients" -> "pad:224",
+        "set_creator_authority" -> "b32"))),
+    program = PumpFunProgram)
+
+  /** PumpSwap GlobalConfig account (pumpswap/types.rs:15-25; the
+    * protocol_fee_recipients [Pubkey; 8] rides as padding). Its
+    * discriminator is shared with Bonk's GlobalConfig — owner routes. */
+  val PumpSwapGlobalConfig: ProtocolSpec = ProtocolSpec("pumpswap_cfg", Seq(
+    LayoutSpec("ps_global_config", disc(149, 8, 156, 202, 160, 252, 176, 217),
+      borsh(8,
+        "admin" -> "b32", "lp_fee_basis_points" -> "u64",
+        "protocol_fee_basis_points" -> "u64", "disable_flags" -> "u8",
+        "protocol_fee_recipients" -> "pad:256",
+        "coin_creator_fee_basis_points" -> "u64",
+        "admin_set_coin_creator_authority" -> "b32"))),
+    program = PumpSwapProgram)
+
+  /** Bonk GlobalConfig + PlatformConfig accounts (bonk/types.rs:156-221;
+    * PlatformConfig's trailing name is a borsh Vec<u8> — the `str`
+    * kind). Discriminators events.rs:289-290. */
+  val BonkConfigAccounts: ProtocolSpec = ProtocolSpec("bonk_cfg", Seq(
+    LayoutSpec("bonk_global_config", disc(149, 8, 156, 202, 160, 252, 176, 217),
+      borsh(8,
+        "epoch" -> "u64", "curve_type" -> "u8", "index" -> "u16",
+        "migrate_fee" -> "u64", "trade_fee_rate" -> "u64",
+        "max_share_fee_rate" -> "u64", "min_base_supply" -> "u64",
+        "max_lock_rate" -> "u64", "min_base_sell_rate" -> "u64",
+        "min_base_migrate_rate" -> "u64",
+        "min_quote_fund_raising" -> "u64", "quote_mint" -> "b32",
+        "protocol_fee_owner" -> "b32", "migrate_fee_owner" -> "b32",
+        "migrate_to_amm_wallet" -> "b32",
+        "migrate_to_cpswap_wallet" -> "b32")),
+    LayoutSpec("bonk_platform_config", disc(160, 78, 128, 0, 248, 83, 230, 160),
+      borsh(8,
+        "epoch" -> "u64", "platform_fee_wallet" -> "b32",
+        "platform_nft_wallet" -> "b32", "platform_scale" -> "u64",
+        "creator_scale" -> "u64", "burn_scale" -> "u64",
+        "fee_rate" -> "u64", "name" -> "str"))),
+    program = BonkProgram)
+
+  /** Raydium CPMM AmmConfig account (raydium_cpmm/types.rs:17-31,
+    * 228 B with its [u64; 16] padding). Shares the `amm_config` hash
+    * with Raydium CLMM's — owner routes. */
+  val CpmmAccounts: ProtocolSpec = ProtocolSpec("cpmm_acct", Seq(
+    LayoutSpec("cpmm_amm_config", disc(218, 244, 33, 104, 203, 203, 43, 111),
+      borsh(8,
+        "bump" -> "u8", "disable_create_pool" -> "bool", "index" -> "u16",
+        "trade_fee_rate" -> "u64", "protocol_fee_rate" -> "u64",
+        "fund_fee_rate" -> "u64", "create_pool_fee" -> "u64",
+        "protocol_owner" -> "b32", "fund_owner" -> "b32",
+        "padding" -> "pad:128"))),
+    program = RaydiumCpmmProgram)
+
+  /** Raydium CLMM account states (raydium_clmm/types.rs:18-183):
+    * AmmConfig (hash shared with CPMM), PoolState prefix through the
+    * u128 liquidity/sqrt-price + current tick (hash shared with
+    * Bonk/CPMM pool_state), TickArrayState prefix (the [TickState; 60]
+    * body follows the start index). */
+  val ClmmAccounts: ProtocolSpec = ProtocolSpec("clmm_acct", Seq(
+    LayoutSpec("clmm_amm_config", disc(218, 244, 33, 104, 203, 203, 43, 111),
+      borsh(8,
+        "bump" -> "u8", "index" -> "u16", "owner" -> "b32",
+        "protocol_fee_rate" -> "u32", "trade_fee_rate" -> "u32",
+        "tick_spacing" -> "u16", "fund_fee_rate" -> "u32",
+        "padding_u32" -> "pad:4", "fund_owner" -> "b32",
+        "padding" -> "pad:24")),
+    LayoutSpec("clmm_pool_state", disc(247, 237, 227, 245, 215, 195, 222, 70),
+      borsh(8,
+        "bump" -> "u8", "amm_config" -> "b32", "owner" -> "b32",
+        "token_mint0" -> "b32", "token_mint1" -> "b32",
+        "token_vault0" -> "b32", "token_vault1" -> "b32",
+        "observation_key" -> "b32", "mint_decimals0" -> "u8",
+        "mint_decimals1" -> "u8", "tick_spacing" -> "u16",
+        "liquidity" -> "u128", "sqrt_price_x64" -> "u128",
+        "tick_current" -> "i32")),
+    LayoutSpec("clmm_tick_array", disc(192, 155, 85, 205, 49, 249, 129, 42),
+      borsh(8, "pool_id" -> "b32", "start_tick_index" -> "i32"))),
+    program = RaydiumClmmProgram)
+
+  /** Raydium AMM V4 AmmInfo account prefix (raydium_amm_v4/types.rs:
+    * 45-61; native single-byte tag 6, events.rs:179). */
+  val AmmV4Accounts: ProtocolSpec = ProtocolSpec("ammv4_acct", Seq(
+    LayoutSpec("ammv4_amm_info", disc(6),
+      borsh(1,
+        "status" -> "u64", "nonce" -> "u64", "order_num" -> "u64",
+        "depth" -> "u64", "coin_decimals" -> "u64",
+        "pc_decimals" -> "u64", "state" -> "u64", "reset_flag" -> "u64",
+        "min_size" -> "u64", "vol_max_cut_ratio" -> "u64",
+        "amount_wave" -> "u64", "coin_lot_size" -> "u64",
+        "pc_lot_size" -> "u64", "min_price_multiplier" -> "u64",
+        "max_price_multiplier" -> "u64", "sys_decimal_value" -> "u64"))),
+    program = RaydiumAmmV4Program)
+
+  val TokenProgram = "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA"
+  val SystemProgram = "11111111111111111111111111111111"
+
+  /** SPL token + system nonce accounts (core/account_event_parser.rs:
+    * 19-41,121-237): NO discriminator — owner program + fixed length
+    * are the whole guard, exactly as the reference recognizes them. */
+  val SplAccounts: ProtocolSpec = ProtocolSpec("spl_acct", Seq(
+    LayoutSpec("token_account", Array.empty[Byte], Seq(
+      ProtocolRegistry.FieldSpec("mint", 0, "b32"),
+      ProtocolRegistry.FieldSpec("token_owner", 32, "b32"),
+      ProtocolRegistry.FieldSpec("amount", 64, "u64"),
+      ProtocolRegistry.FieldSpec("rest", 72, "pad:93")))), // 165 B total
+    program = TokenProgram)
+
+  val NonceAccounts: ProtocolSpec = ProtocolSpec("nonce_acct", Seq(
+    LayoutSpec("nonce_account", Array.empty[Byte],
+      borsh(0, "version" -> "u32", "state" -> "u32",
+        "authority" -> "b32", "blockhash" -> "b32", "fee" -> "u64"))),
+    program = SystemProgram)
+
   /** Transaction (log-event) registry — dispatch with the emitting
     * program column. */
   val logRegistry: Seq[ProtocolSpec] =
@@ -393,12 +589,15 @@ object RealLayouts {
 
   /** Instruction registry (8-byte/1-byte discriminators + data args). */
   val ixRegistry: Seq[ProtocolSpec] =
-    Seq(PumpFunIx, BonkIx, RaydiumCpmm, RaydiumClmm, RaydiumAmmV4,
-      ComputeBudget)
+    Seq(PumpFunIx, PumpSwapIx, BonkIx, RaydiumCpmm, RaydiumClmm,
+      RaydiumAmmV4, MeteoraIx, ComputeBudget)
 
   /** Account-state registry — dispatch with the OWNER program column. */
   val accountRegistry: Seq[ProtocolSpec] =
-    Seq(PumpFunAccounts, PumpSwapAccounts, BonkAccounts)
+    Seq(PumpFunAccounts, PumpSwapAccounts, BonkAccounts,
+      PumpFunGlobalAccount, PumpSwapGlobalConfig, BonkConfigAccounts,
+      CpmmAccounts, ClmmAccounts, AmmV4Accounts, SplAccounts,
+      NonceAccounts)
 
   // -------------------------------------------- positional account schedules
 
@@ -427,7 +626,19 @@ object RealLayouts {
     "ammv4_swap_base_in" -> Seq("token_program" -> 0, "amm" -> 1,
       "amm_authority" -> 2, "amm_open_orders" -> 3,
       "user_source_token_account" -> 14,
-      "user_destination_token_account" -> 15, "user_source_owner" -> 16))
+      "user_destination_token_account" -> 15, "user_source_owner" -> 16),
+    "pf_create_ix" -> Seq("mint" -> 0, "mint_authority" -> 1,
+      "bonding_curve" -> 2, "associated_bonding_curve" -> 3, "user" -> 7),
+    "pf_create_v2_ix" -> Seq("mint" -> 0, "mint_authority" -> 1,
+      "bonding_curve" -> 2, "associated_bonding_curve" -> 3, "user" -> 7),
+    "damm_swap_ix" -> Seq("pool_authority" -> 0, "pool" -> 1,
+      "input_token_account" -> 2, "output_token_account" -> 3,
+      "token_a_vault" -> 4, "token_b_vault" -> 5, "token_a_mint" -> 6,
+      "token_b_mint" -> 7, "payer" -> 8),
+    "bonk_buy_exact_in" -> Seq("payer" -> 0, "global_config" -> 2),
+    "bonk_buy_exact_out" -> Seq("payer" -> 0, "global_config" -> 2),
+    "bonk_sell_exact_in" -> Seq("payer" -> 0, "global_config" -> 2),
+    "bonk_sell_exact_out" -> Seq("payer" -> 0, "global_config" -> 2))
 
   /** Decode one instruction layout over rows with a `data` blob and the
     * transaction's `account_keys` + per-instruction `accounts` index

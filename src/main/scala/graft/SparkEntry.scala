@@ -1060,6 +1060,8 @@ object SparkEntry {
           sum(col("units") * col("price")).as("fee_microlamports"),
           max("price").as("max_price"))
     }),
+    "q_stream_real_dispatch" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.realDispatchAvailableNow(s, d)),
     "q_events_ix_taxonomy" -> ((s, d) => {
       // instruction-taxonomy breadth: tag-only ix kinds, single-byte
       // native tags, and the cross-program shared anchor hashes (the
@@ -2448,6 +2450,20 @@ object SparkEntry {
                 CAST(max(event_id % 100000 + 1) AS BIGINT) AS max_price
          FROM events WHERE event_type = 'click'
          GROUP BY 1""",
+    "q_stream_real_dispatch" ->
+      """WITH k AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 'pumpfun'
+                       ELSE 'bonk' END AS protocol,
+                  CASE WHEN event_type = 'purchase' THEN 'pf_trade'
+                       ELSE 'bonk_trade' END AS event_kind,
+                  CAST(round(value * 100, 0) AS BIGINT) AS amt,
+                  CASE WHEN event_type = 'view'
+                       THEN event_id % 2 END AS dir
+           FROM events WHERE event_type IN ('purchase', 'view'))
+         SELECT protocol, event_kind, count(*) AS n,
+                CAST(sum(amt) AS BIGINT) AS sum_amt,
+                CAST(sum(dir) AS BIGINT) AS sum_dir
+         FROM k GROUP BY 1, 2""",
     "q_events_ix_taxonomy" ->
       """WITH cents AS (SELECT event_type, event_id,
                 CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),

@@ -196,6 +196,84 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A61/A63 streaming composite: the REAL-layout registry on a live
+    * wire. PumpFun and Bonk trade frames — which share one anchor
+    * TradeEvent discriminator — stream in from two wire captures, get
+    * program-tagged at the source (the reference knows the program from
+    * the subscription connection), and ONE registry dispatch projection
+    * routes and decodes both protocols in the same micro-batch. The
+    * aggregate is per (protocol, kind), availableNow ≡ the batch
+    * round-trip oracle. The dispatch is stateless map-side work; only
+    * the tiny (protocol, kind) aggregate keeps state.
+    */
+  def realDispatchAvailableNow(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{ProtocolRegistry, RealLayouts, wire}
+    val name = s"graft_wire_real_${memCounter.incrementAndGet()}"
+    val tmp = System.getProperty("java.io.tmpdir")
+    val hex = Integer.toHexString(sfDir.hashCode)
+    val ev = graft.Tables.events(spark, sfDir)
+    def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+      s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+    val pfDir = s"$tmp/graft_wire_pf_$hex"
+    wire.GraftWireWriter.writeFrames(ProtocolRegistry.encode(
+      ev.filter(col("event_type") === "purchase").select(
+        expr("cast(round(value * 100, 0) as bigint)").as("sol_amount"),
+        (col("event_id") * 3).as("token_amount"), lit(1L).as("is_buy"),
+        expr("unix_micros(ts) div 1000000").as("timestamp"),
+        (col("event_id") * 7).as("virtual_sol_reserves"),
+        (col("event_id") * 11).as("virtual_token_reserves"),
+        (col("event_id") * 13).as("real_sol_reserves"),
+        (col("event_id") * 17).as("real_token_reserves"),
+        lit(100L).as("fee_basis_points"), lit(0L).as("fee"),
+        lit(30L).as("creator_fee_basis_points"), lit(0L).as("creator_fee"),
+        lit(0L).as("track_volume"), lit(0L).as("total_unclaimed_tokens"),
+        lit(0L).as("total_claimed_tokens"), lit(0L).as("current_sol_volume"),
+        lit(0L).as("last_update_timestamp"),
+        mk("user_id % 100").as("mint"), mk("user_id").as("user"),
+        mk("1").as("fee_recipient"), mk("2").as("creator")),
+      RealLayouts.PumpFun.layouts(0)), pfDir)
+    val bkDir = s"$tmp/graft_wire_bk_$hex"
+    wire.GraftWireWriter.writeFrames(ProtocolRegistry.encode(
+      ev.filter(col("event_type") === "view").select(
+        mk("user_id % 100").as("pool_state"),
+        (col("event_id") * 19).as("total_base_sell"),
+        (col("event_id") * 3).as("virtual_base"),
+        (col("event_id") * 5).as("virtual_quote"),
+        (col("event_id") * 7).as("real_base_before"),
+        (col("event_id") * 11).as("real_quote_before"),
+        (col("event_id") * 13).as("real_base_after"),
+        (col("event_id") * 17).as("real_quote_after"),
+        expr("cast(round(value * 100, 0) as bigint)").as("amount_in"),
+        (col("event_id") * 2 + 1).as("amount_out"),
+        (col("event_id") % 97).as("protocol_fee"),
+        (col("event_id") % 89).as("platform_fee"),
+        (col("event_id") % 83).as("creator_fee"),
+        (col("event_id") % 79).as("share_fee"),
+        (col("event_id") % 2).as("trade_direction"),
+        (col("event_id") % 3).as("pool_status"), lit(1L).as("exact_in")),
+      RealLayouts.Bonk.layouts(0)), bkDir)
+    val frames = spark.readStream.format("graft-wire").load(pfDir)
+      .withColumn("program_id", lit(RealLayouts.PumpFunProgram))
+      .union(spark.readStream.format("graft-wire").load(bkDir)
+        .withColumn("program_id", lit(RealLayouts.BonkProgram)))
+    val agg = ProtocolRegistry
+      .dispatch(frames, Seq(RealLayouts.PumpFun, RealLayouts.Bonk),
+        programCol = Some("program_id"))
+      .groupBy("protocol", "event_kind")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("pf_trade.sol_amount"),
+          col("bonk_trade.amount_in"))).as("sum_amt"),
+        sum(col("bonk_trade.trade_direction")).as("sum_dir"))
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** A43: stream-static broadcast enrichment — the live event feed joined
     * per micro-batch against a static dimension, the way the reference
     * enriches events from its account-state cache / bot-wallet list

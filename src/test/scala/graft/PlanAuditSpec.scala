@@ -375,6 +375,40 @@ class PlanAuditSpec extends TestSparkSession {
     }
   }
 
+  test("real-layout registry dispatch is one shuffle-free projection") {
+    import graft.sources.{ProtocolRegistry, RealLayouts}
+    val frames = Tables.events(spark, sfDir).select(
+      expr("cast(concat('xx', cast(event_id as string)) as binary)")
+        .as("payload"),
+      lit(RealLayouts.PumpFunProgram).as("program_id"))
+    val df = ProtocolRegistry.dispatch(frames,
+      Seq(RealLayouts.PumpFun, RealLayouts.Bonk, RealLayouts.PumpSwap),
+      programCol = Some("program_id"))
+    val plan = planOf(df)
+    // the whole multi-protocol registry compiles to map-side projection
+    // work: no exchange, no join, one codegen span over the scan
+    assert(!plan.contains("Exchange"), "dispatch must not shuffle")
+    assert(!plan.contains("Join"), "dispatch must not join")
+    assert(plan.contains("*("), "expected WholeStageCodegen")
+  }
+
+  test("cpi merge joins ix and log sides once, no nested-loop fallback") {
+    import graft.sources.InstructionCodec
+    val txs = InstructionCodec.packCpiTransactions(
+      Tables.events(spark, sfDir).filter(col("event_type") === "purchase"))
+      .localCheckpoint()
+    val merged = InstructionCodec.cpiMerge(txs)
+    merged.collect()
+    // AQE plan strings append an "Initial Plan" section — audit only the
+    // final plan
+    val plan = planOf(merged).split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "merge must stay an equi-join")
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one ix-log join, got $joins")
+  }
+
   test("pricing summary keeps whole-stage codegen through the aggregate") {
     val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // finalize the adaptive plan so codegen stages are visible

@@ -1221,12 +1221,16 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
         s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
-      val tok = ProtocolRegistry.encode(
-        ev.filter(col("event_type") === "purchase").select(
+      def tokFrames(t: String, owner: String) = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === t).select(
           mk("user_id % 100").as("mint"), mk("user_id").as("token_owner"),
           expr("cast(round(value * 100, 0) as bigint)").as("amount")),
         RealLayouts.SplAccounts.layouts(0))
-        .select(col("payload"), lit(RealLayouts.TokenProgram).as("owner"))
+        .select(col("payload"), lit(owner).as("owner"))
+      // identical account bytes under the legacy vs Token-2022 owner —
+      // only the owner program distinguishes them, as on-chain
+      val tok = tokFrames("purchase", RealLayouts.TokenProgram)
+      val tok22 = tokFrames("click", RealLayouts.Token2022Program)
       val nonce = ProtocolRegistry.encode(
         ev.filter(col("event_type") === "view").select(
           lit(1L).as("version"), lit(1L).as("state"),
@@ -1234,15 +1238,19 @@ object SparkEntry {
           (col("event_id") % 5000 + 5000).as("fee")),
         RealLayouts.NonceAccounts.layouts(0))
         .select(col("payload"), lit(RealLayouts.SystemProgram).as("owner"))
-      val dispatched = ProtocolRegistry.dispatch(tok.union(nonce),
-        Seq(RealLayouts.SplAccounts, RealLayouts.NonceAccounts),
+      val dispatched = ProtocolRegistry.dispatch(
+        tok.union(tok22).union(nonce),
+        Seq(RealLayouts.SplAccounts, RealLayouts.Spl2022Accounts,
+          RealLayouts.NonceAccounts),
         programCol = Some("owner"))
       ProtocolRegistry.filterClasses(dispatched, Seq("account"))
-        .groupBy("event_kind")
+        .groupBy("protocol", "event_kind")
         .agg(count(lit(1)).as("n"),
-          sum(coalesce(col("token_account.amount"),
+          sum(coalesce(col("spl_acct_token_account.amount"),
+            col("spl22_acct_token_account.amount"),
             col("nonce_account.fee"))).as("sum_amt"),
-          countDistinct(coalesce(col("token_account.token_owner"),
+          countDistinct(coalesce(col("spl_acct_token_account.token_owner"),
+            col("spl22_acct_token_account.token_owner"),
             col("nonce_account.authority"))).as("n_owners"))
     }),
     "q_events_cpi_merge" -> ((s, d) =>
@@ -2525,17 +2533,21 @@ object SparkEntry {
          FROM k GROUP BY 1, 2""",
     "q_events_token_accounts" ->
       """WITH k AS (
-           SELECT CASE WHEN event_type = 'purchase' THEN 'token_account'
+           SELECT CASE event_type WHEN 'purchase' THEN 'spl_acct'
+                    WHEN 'click' THEN 'spl22_acct'
+                    ELSE 'nonce_acct' END AS protocol,
+                  CASE WHEN event_type IN ('purchase', 'click')
+                       THEN 'token_account'
                        ELSE 'nonce_account' END AS event_kind,
-                  CASE WHEN event_type = 'purchase'
+                  CASE WHEN event_type IN ('purchase', 'click')
                        THEN CAST(round(value * 100, 0) AS BIGINT)
                        ELSE event_id % 5000 + 5000 END AS amt,
                   user_id
-           FROM events WHERE event_type IN ('purchase', 'view'))
-         SELECT event_kind, count(*) AS n,
+           FROM events WHERE event_type IN ('purchase', 'click', 'view'))
+         SELECT protocol, event_kind, count(*) AS n,
                 CAST(sum(amt) AS BIGINT) AS sum_amt,
                 count(DISTINCT user_id) AS n_owners
-         FROM k GROUP BY 1""",
+         FROM k GROUP BY 1, 2""",
     "q_events_cpi_merge" ->
       """SELECT event_id // 8 AS tx_id,
                 CAST(row_number() OVER (PARTITION BY event_id // 8

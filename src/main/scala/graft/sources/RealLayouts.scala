@@ -576,6 +576,21 @@ object RealLayouts {
       ProtocolRegistry.FieldSpec("rest", 72, "pad:93")))), // 165 B total
     program = TokenProgram)
 
+  val Token2022Program = "TokenzQdBNbLqP5VEhdkAS6EPFLC1PHnBqCXEpPxuEb"
+
+  /** Token-2022 accounts: identical base layout, different owner — the
+    * reference treats Token2022 as a second program id for the same
+    * token-account parse (`common/types.rs:361-365` SYSTEM_PROGRAMS).
+    * A distinct spec under the 2022 owner; dispatch prefixes the shared
+    * kind name, so both decode in one pass. */
+  val Spl2022Accounts: ProtocolSpec = ProtocolSpec("spl22_acct", Seq(
+    LayoutSpec("token_account", Array.empty[Byte], Seq(
+      ProtocolRegistry.FieldSpec("mint", 0, "b32"),
+      ProtocolRegistry.FieldSpec("token_owner", 32, "b32"),
+      ProtocolRegistry.FieldSpec("amount", 64, "u64"),
+      ProtocolRegistry.FieldSpec("rest", 72, "pad:93")))),
+    program = Token2022Program)
+
   val NonceAccounts: ProtocolSpec = ProtocolSpec("nonce_acct", Seq(
     LayoutSpec("nonce_account", Array.empty[Byte],
       borsh(0, "version" -> "u32", "state" -> "u32",
@@ -597,7 +612,7 @@ object RealLayouts {
     Seq(PumpFunAccounts, PumpSwapAccounts, BonkAccounts,
       PumpFunGlobalAccount, PumpSwapGlobalConfig, BonkConfigAccounts,
       CpmmAccounts, ClmmAccounts, AmmV4Accounts, SplAccounts,
-      NonceAccounts)
+      Spl2022Accounts, NonceAccounts)
 
   // -------------------------------------------- positional account schedules
 

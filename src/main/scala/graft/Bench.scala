@@ -61,7 +61,10 @@ object Bench {
     "q_events_bonk_real",
     "q_events_pumpswap_real",
     "q_events_cpi_merge",
-    "q_events_account_real")
+    "q_events_account_real",
+    "q_events_ix_taxonomy",
+    "q_events_config_accounts",
+    "q_events_token_accounts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

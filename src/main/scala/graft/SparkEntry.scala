@@ -2505,10 +2505,10 @@ object SparkEntry {
          FROM k GROUP BY 1, 2""",
     "q_events_config_accounts" ->
       """WITH k AS (
-           SELECT CASE event_type WHEN 'purchase' THEN 'pumpfun_global'
-                    WHEN 'view' THEN 'pumpswap_cfg'
-                    WHEN 'click' THEN 'bonk_cfg'
-                    WHEN 'signup' THEN 'bonk_cfg' END AS protocol,
+           SELECT CASE event_type WHEN 'purchase' THEN 'pumpfun_global_acct'
+                    WHEN 'view' THEN 'pumpswap_cfg_acct'
+                    WHEN 'click' THEN 'bonk_cfg_acct'
+                    WHEN 'signup' THEN 'bonk_cfg_acct' END AS protocol,
                   CASE event_type WHEN 'purchase' THEN 'pf_global'
                     WHEN 'view' THEN 'ps_global_config'
                     WHEN 'click' THEN 'bonk_global_config'

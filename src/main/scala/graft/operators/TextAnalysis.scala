@@ -170,16 +170,24 @@ object TextAnalysis {
         coalesce(col("n1"), lit(0L)).as("n1"),
         coalesce(col("n2"), lit(0L)).as("n2"))
     val tot = joined.agg(sum("n1").as("t1"), sum("n2").as("t2"))
-    // top-k via orderBy+limit (TakeOrdered merge), then rank only the k
-    // survivors — the vocab table never funnels through one window task
+    // top-k via orderBy+limit (TakeOrdered merge), then rank the k
+    // survivors by counting strict predecessors (triangular self-join
+    // over k rows) — the vocab table never funnels through one window
+    // task, and neither do the survivors
     val top = joined.join(broadcast(tot))
       .withColumn("drift_num",
         abs(col("n1") * col("t2") - col("n2") * col("t1")))
       .orderBy(col("drift_num").desc, col("token"))
       .limit(topK)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("drift_num").desc, col("token"))
-    top.withColumn("rk", row_number().over(w).cast("bigint"))
+    top.as("a")
+      .join(top.as("b"),
+        col("b.drift_num") > col("a.drift_num") ||
+          (col("b.drift_num") === col("a.drift_num") &&
+            col("b.token") < col("a.token")), "left")
+      .groupBy(col("a.token").as("token"), col("a.n1").as("n1"),
+        col("a.n2").as("n2"), col("a.drift_num").as("drift_num"),
+        col("a.t1").as("t1"), col("a.t2").as("t2"))
+      .agg((count(col("b.token")) + 1).as("rk"))
       .select(col("token"), col("n1"), col("n2"), col("drift_num"),
         (col("drift_num").cast("double") /
           (col("t1") * col("t2")).cast("double")).as("drift"), col("rk"))

@@ -457,7 +457,7 @@ object RealLayouts {
   /** PumpFun Global config account (pumpfun/types.rs:60-80; the
     * fee_recipients [Pubkey; 7] array rides as padding). Discriminator
     * events.rs:375. */
-  val PumpFunGlobalAccount: ProtocolSpec = ProtocolSpec("pumpfun_global", Seq(
+  val PumpFunGlobalAccount: ProtocolSpec = ProtocolSpec("pumpfun_global_acct", Seq(
     LayoutSpec("pf_global", disc(167, 232, 232, 177, 200, 108, 114, 127),
       borsh(8,
         "initialized" -> "bool", "authority" -> "b32",
@@ -476,7 +476,7 @@ object RealLayouts {
   /** PumpSwap GlobalConfig account (pumpswap/types.rs:15-25; the
     * protocol_fee_recipients [Pubkey; 8] rides as padding). Its
     * discriminator is shared with Bonk's GlobalConfig — owner routes. */
-  val PumpSwapGlobalConfig: ProtocolSpec = ProtocolSpec("pumpswap_cfg", Seq(
+  val PumpSwapGlobalConfig: ProtocolSpec = ProtocolSpec("pumpswap_cfg_acct", Seq(
     LayoutSpec("ps_global_config", disc(149, 8, 156, 202, 160, 252, 176, 217),
       borsh(8,
         "admin" -> "b32", "lp_fee_basis_points" -> "u64",
@@ -489,7 +489,7 @@ object RealLayouts {
   /** Bonk GlobalConfig + PlatformConfig accounts (bonk/types.rs:156-221;
     * PlatformConfig's trailing name is a borsh Vec<u8> — the `str`
     * kind). Discriminators events.rs:289-290. */
-  val BonkConfigAccounts: ProtocolSpec = ProtocolSpec("bonk_cfg", Seq(
+  val BonkConfigAccounts: ProtocolSpec = ProtocolSpec("bonk_cfg_acct", Seq(
     LayoutSpec("bonk_global_config", disc(149, 8, 156, 202, 160, 252, 176, 217),
       borsh(8,
         "epoch" -> "u64", "curve_type" -> "u8", "index" -> "u16",

@@ -30,6 +30,15 @@ class RealLayoutsSpec extends TestSparkSession {
         s"$kind: got ${layout(spec, kind).minLen}, reference says $len")
   }
 
+  test("every account protocol carries the _acct class suffix") {
+    // the class-level include filter (A1b) recognizes account states by
+    // the `_acct` protocol suffix — a mis-named spec would silently
+    // classify account snapshots as transactions
+    val bad = RealLayouts.accountRegistry.map(_.protocol)
+      .filterNot(_.endsWith("_acct"))
+    assert(bad.isEmpty, s"account protocols missing _acct suffix: $bad")
+  }
+
   test("registry has no duplicate (program, discriminator) pair") {
     val all = (RealLayouts.logRegistry ++ RealLayouts.ixRegistry ++
       RealLayouts.accountRegistry)

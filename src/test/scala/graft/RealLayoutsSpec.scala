@@ -185,6 +185,55 @@ class RealLayoutsSpec extends TestSparkSession {
       .filter(col("set_compute_unit_limit.units") % 1000 =!= 0).count() == 0)
   }
 
+  test("every field kind round-trips across hash-derived value ranges") {
+    // 512 rows of xxhash64-derived values exercise the full width of
+    // each kind: u8/u16/u32 boundaries, negative i32/i64, u64 above
+    // 2^63 (negative long bit pattern), u128 via lo/hi halves, bool,
+    // pubkey bytes, mid-layout padding and a trailing string
+    import graft.sources.ProtocolRegistry
+    import graft.sources.ProtocolRegistry.{borsh, LayoutSpec}
+    val l = LayoutSpec("kinds", Array(0xAB.toByte), borsh(1,
+      "a_u8" -> "u8", "b_u16" -> "u16", "c_u32" -> "u32",
+      "d_i32" -> "i32", "key" -> "u64", "f_i64" -> "i64",
+      "g_bool" -> "bool", "h_b32" -> "b32", "p" -> "pad:5",
+      "i_u128" -> "u128", "s" -> "str"))
+    val src = spark.range(0, 512).select(
+      (abs(xxhash64(col("id"))) % 256).as("a_u8"),
+      (abs(xxhash64(col("id") + 1)) % 65536).as("b_u16"),
+      (abs(xxhash64(col("id") + 2)) % 4294967296L).as("c_u32"),
+      // sign-preserving modulo keeps the full signed i32 range without
+      // an ANSI overflow cast
+      (xxhash64(col("id") + 3) % 2147483648L).as("d_i32"),
+      col("id").as("key"),
+      xxhash64(col("id") + 5).as("f_i64"),
+      (col("id") % 2).as("g_bool"),
+      expr("unhex(concat(md5(cast(cast(id as string) as binary)), " +
+        "md5(cast(cast(id + 1 as string) as binary))))").as("h_b32"),
+      xxhash64(col("id") + 6).as("i_u128_lo"),
+      abs(xxhash64(col("id") + 7)).as("i_u128_hi"), // < 2^63 → fits 38 digits
+      concat(lit("s_"), col("id")).as("s"))
+    val out = ProtocolRegistry.decode(
+      ProtocolRegistry.encode(src, l).select("payload"), l)
+    assert(out.count() == 512)
+    val joined = out.as("o").join(src.as("x"),
+      col("o.key") === col("x.key"))
+    def q64 = lit("18446744073709551616").cast("decimal(38,0)")
+    val bad = joined.filter(
+      col("o.a_u8") =!= col("x.a_u8") ||
+        col("o.b_u16") =!= col("x.b_u16") ||
+        col("o.c_u32") =!= col("x.c_u32") ||
+        col("o.d_i32") =!= col("x.d_i32") ||
+        col("o.f_i64") =!= col("x.f_i64") ||
+        col("o.g_bool") =!= col("x.g_bool") ||
+        expr("hex(o.h_b32)") =!= expr("hex(x.h_b32)") ||
+        col("o.s") =!= col("x.s") ||
+        col("o.i_u128") =!= (col("x.i_u128_hi").cast("decimal(38,0)") * q64 +
+          when(col("x.i_u128_lo") >= 0,
+            col("x.i_u128_lo").cast("decimal(38,0)"))
+            .otherwise(col("x.i_u128_lo").cast("decimal(38,0)") + q64)))
+    assert(bad.count() == 0)
+  }
+
   test("real create-token log decodes via the sequential expression") {
     val src = spark.range(1, 22).select(
       concat(lit("tok_"), col("id")).as("name"), lit("SYM").as("symbol"),

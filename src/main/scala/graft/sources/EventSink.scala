@@ -93,8 +93,9 @@ object EventSink {
     // updates beat stored rows; two updates of the same id resolve by
     // event time, then by a hash of the full row value — never by
     // partition luck, even for duplicate-(id, ts) update rows
-    val valueHash = xxhash64(concat_ws("\u0000",
-      dated.columns.sorted.map(c => col(c).cast("string")): _*))
+    // xxhash64 over the columns directly (not a string concat): it is
+    // type-aware and distinguishes null from empty values
+    val valueHash = xxhash64(dated.columns.sorted.map(col): _*)
     val w = Window.partitionBy("event_id")
       .orderBy(col("_src").desc, col("ts").desc, valueHash.asc)
     val merged = dated.withColumn("_src", lit(1))

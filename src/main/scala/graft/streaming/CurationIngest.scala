@@ -34,7 +34,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * each batch overwrites its own `batch_id=<n>` partition of the corpus
   * and digest tables, and the confirm scan excludes the current batch's
   * partition, so a replayed batch after a crash converges to the same
-  * state instead of double-appending or losing rows.
+  * state instead of double-appending or losing rows. The checkpoint and
+  * the corpus/digest dirs form one unit: restarting with the SAME
+  * checkpoint resumes batch ids and stays idempotent; pointing a FRESH
+  * checkpoint at existing output dirs restarts batch ids at 0 and would
+  * overwrite them (same contract as any Spark sink path reuse).
   */
 object CurationIngest {
 

@@ -955,7 +955,14 @@ object SparkEntry {
         le_bytes(expr("unix_micros(ts) div 1000000"), 8),
         le_bytes(col("event_id") * 2, 8), le_bytes(col("event_id") * 3, 8),
         le_bytes(col("event_id") * 5, 8),
-        le_bytes(expr("cast(round(value * 100, 0) as bigint)"), 8))
+        le_bytes(expr("cast(round(value * 100, 0) as bigint)"), 8),
+        // even ids carry the V2 tail (token_program + is_mayhem_mode);
+        // odd ids are V1 — the decoder nulls the tail
+        when(col("event_id") % 2 === 0, concat(
+          expr("unhex(repeat('55', 32))"),
+          when(col("event_id") % 4 === 0, expr("X'01'"))
+            .otherwise(expr("X'00'"))))
+          .otherwise(lit(Array.empty[Byte])))
         .as("payload"))
       RealLayouts.decodeCreateReal(framed)
         .select(col("ev.name").as("name"), col("ev.symbol").as("symbol"),
@@ -963,7 +970,10 @@ object SparkEntry {
           col("ev.virtual_token_reserves").as("vtr"),
           col("ev.virtual_sol_reserves").as("vsr"),
           col("ev.real_token_reserves").as("rtr"),
-          col("ev.token_total_supply").as("tts"))
+          col("ev.token_total_supply").as("tts"),
+          col("ev.is_mayhem_mode").as("mayhem"),
+          when(col("ev.token_program").isNotNull, 1)
+            .otherwise(0).as("has_tp"))
     }),
     "q_events_account_real" -> ((s, d) => {
       // real account-state layouts dispatched by OWNER program: PumpFun
@@ -2427,7 +2437,10 @@ object SparkEntry {
                 epoch_us(ts) // 1000000 AS ts_s,
                 event_id * 2 AS vtr, event_id * 3 AS vsr,
                 event_id * 5 AS rtr,
-                CAST(round(value * 100, 0) AS BIGINT) AS tts
+                CAST(round(value * 100, 0) AS BIGINT) AS tts,
+                CASE WHEN event_id % 2 = 0 THEN
+                  CAST(event_id % 4 = 0 AS INTEGER) END AS mayhem,
+                CAST(event_id % 2 = 0 AS INTEGER) AS has_tp
          FROM events WHERE event_type = 'signup'""",
     "q_events_account_real" ->
       """WITH k AS (

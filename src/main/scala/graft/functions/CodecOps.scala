@@ -87,7 +87,7 @@ object CodecOps {
     val user = pubkey(); if (user == null) return null
     val creator = pubkey(); if (creator == null) return null
     if (!remaining(40)) return null
-    val row = new GenericInternalRow(12)
+    val row = new GenericInternalRow(14)
     row.update(0, name); row.update(1, symbol); row.update(2, uri)
     row.update(3, mint); row.update(4, bondingCurve)
     row.update(5, user); row.update(6, creator)
@@ -96,6 +96,14 @@ object CodecOps {
     row.setLong(9, leLong(bytes, off + 16))
     row.setLong(10, leLong(bytes, off + 24))
     row.setLong(11, leLong(bytes, off + 32))
+    off += 40
+    // V2 tail (reference `pumpfun_create_v2_token_event_log_decode`
+    // :154-161): token_program pubkey + is_mayhem_mode flag when the
+    // payload carries them; V1 payloads leave both null
+    if (remaining(33)) {
+      row.update(12, java.util.Arrays.copyOfRange(bytes, off, off + 32))
+      row.setInt(13, if (bytes(off + 32) == 1) 1 else 0)
+    } else { row.update(12, null); row.update(13, null) }
     row
   }
 

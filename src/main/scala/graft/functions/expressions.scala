@@ -143,7 +143,10 @@ object DecodeCreateToken {
     StructField("virtual_token_reserves", LongType),
     StructField("virtual_sol_reserves", LongType),
     StructField("real_token_reserves", LongType),
-    StructField("token_total_supply", LongType)))
+    StructField("token_total_supply", LongType),
+    // V2 tail — null for V1 payloads
+    StructField("token_program", BinaryType),
+    StructField("is_mayhem_mode", IntegerType)))
 }
 
 /** Distinct word trigrams of a document (shingling for the dedup family).

@@ -8,6 +8,30 @@ class DedupSimilaritySpec extends TestSparkSession {
 
   private def docs = Tables.documents(spark, sfDir)
 
+  test("repeated spans: boilerplate-heavy corpus, capped fan-out path " +
+    "equals the uncapped result") {
+    import spark.implicits._
+    // every doc shares an 8-token boilerplate header (the corpus-wide
+    // hot digest the cap exists for) plus a unique body
+    val header = "terms of service apply to all content here"
+    val boiler = (0L until 200L).map(i =>
+      (i, s"$header unique body $i token${i * 7} tail${i % 13}"))
+      .toDF("doc_id", "text")
+    // cap far below the hot digest's 200-doc frequency → the broadcast
+    // hot-tag branch handles it; results must equal the uncapped join
+    val capped = Dedup.repeatedSpans(boiler, w = 8, maxDocFreq = 5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val uncapped = Dedup.repeatedSpans(boiler, w = 8, maxDocFreq = 1000000)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(capped == uncapped, "cap must not change shared_frac")
+    // the header windows are shared in every doc; the unique tails not
+    val frames = Dedup.repeatedSpans(boiler, w = 8, maxDocFreq = 5)
+    assert(frames.filter(col("n_shared") < 1).count() == 0,
+      "every doc carries the boilerplate span")
+    assert(frames.filter(col("shared_frac") >= 1.0).count() == 0,
+      "unique bodies must stay unshared")
+  }
+
   /** Synthetic corpus with planted near-duplicates. */
   private lazy val planted = {
     import spark.implicits._

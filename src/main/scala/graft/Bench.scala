@@ -64,7 +64,11 @@ object Bench {
     "q_events_account_real",
     "q_events_ix_taxonomy",
     "q_events_config_accounts",
-    "q_events_token_accounts")
+    "q_events_token_accounts",
+    "q_tpch_q8_share",
+    "q_tpch_q15_topsupp",
+    "q_tpch_q12_late",
+    "q_tpch_q21_waiting")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

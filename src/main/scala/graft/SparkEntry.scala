@@ -1605,6 +1605,17 @@ object SparkEntry {
         Tables.orders(s, d), Tables.nation(s, d))),
     "q_tpch_q6_forecast" -> ((s, d) =>
       Relational.forecastRevenue(Tables.lineitem(s, d))),
+    "q_tpch_q8_share" -> ((s, d) =>
+      Relational.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d))),
+    "q_tpch_q15_topsupp" -> ((s, d) =>
+      Relational.topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q_tpch_q12_late" -> ((s, d) =>
+      Relational.latePriority(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q_tpch_q21_waiting" -> ((s, d) =>
+      Relational.waitingSuppliers(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d))),
     "q_tpch_q5_local" -> ((s, d) =>
       Relational.localSupplierVolume(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.customer(s, d),
@@ -2740,6 +2751,78 @@ object SparkEntry {
            AND CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
                BETWEEN 5 AND 7
            AND l_quantity < 24""",
+    "q_tpch_q8_share" ->
+      """WITH v AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                         AS DECIMAL(4,2)) AS volume,
+                  n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+                AND r_name = 'AMERICA'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                  / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+                CAST(sum(volume) AS DOUBLE) AS total_volume
+         FROM v GROUP BY 1""",
+    "q_tpch_q15_topsupp" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                           AS DECIMAL(4,2))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name,
+                CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM revenue)""",
+    "q_tpch_q12_late" ->
+      """SELECT l_returnflag,
+                count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS high_line_count,
+                count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1""",
+    "q_tpch_q21_waiting" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_suppkey, l_shipdate
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         per_order AS (
+           SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                  max(l_shipdate) AS max_ship
+           FROM li GROUP BY 1),
+         holdups AS (
+           SELECT li.l_orderkey,
+                  count(DISTINCT li.l_suppkey) AS n_max_shippers,
+                  max(po.n_supp) AS n_supp,
+                  max(li.l_suppkey) AS late_supp
+           FROM li JOIN per_order po ON li.l_orderkey = po.l_orderkey
+             AND li.l_shipdate = po.max_ship
+           GROUP BY 1
+           HAVING max(po.n_supp) > 1 AND count(DISTINCT li.l_suppkey) = 1)
+         SELECT late_supp AS s_suppkey, s_name, count(*) AS numwait
+         FROM holdups JOIN supplier ON late_supp = s_suppkey
+         GROUP BY 1, 2
+         ORDER BY numwait DESC, s_suppkey
+         LIMIT 20""",
     "q_tpch_q5_local" ->
       """SELECT n_name,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -428,4 +428,120 @@ object Relational {
         sum(dec2("l_quantity")).cast("double").as("total_qty"))
       .select(col("yr"), col("mon"),
         (col("pv") / col("total_qty")).as("vwap"), col("total_qty"))
+
+  /** B25 (TPC-H Q8 shape): national market share — one nation's share of
+    * a part type's sales volume into one region, per year. Six-way join:
+    * both nation legs, region, part and supplier all broadcast (tiny
+    * dims); the only wide shuffles are lineitem⋈orders and ⋈customer on
+    * their natural keys. Share = exact decimal num/den, one double
+    * division at the boundary. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, part: DataFrame,
+      homeNation: String = "NATION_3", regionName: String = "AMERICA",
+      partType: String = "ECONOMY",
+      from: String = "1996-01-01", until: String = "1998-01-01")
+      : DataFrame = {
+    val nCust = nation.select(col("n_nationkey").as("c_nk"),
+      col("n_regionkey").as("c_rk"))
+    val nSupp = nation.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(
+          col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("c_rk") === col("r_regionkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === homeNation,
+          dec2("l_extendedprice") * oneMinus("l_discount"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("home_vol"),
+        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+          .as("total_vol"))
+      .select(col("o_year"),
+        (col("home_vol").cast("double") / col("total_vol").cast("double"))
+          .as("mkt_share"),
+        col("total_vol").cast("double").as("total_volume"))
+  }
+
+  /** B26 (TPC-H Q15 shape): top supplier(s) by quarterly revenue — the
+    * revenue "view" is one keyed aggregate, its max is a 1-row broadcast
+    * joined back, so ties surface exactly like the SQL view formulation
+    * and nothing global-sorts. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      from: String = "1996-01-01", until: String = "1996-04-01")
+      : DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        .as("total_rev"))
+    val top = revenue.agg(max("total_rev").as("max_rev"))
+    revenue.join(broadcast(top), col("total_rev") === col("max_rev"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
+  /** B27 (TPC-H Q12 shape, adapted): late-shipment priority audit. The
+    * testdata carries no shipmode/commitdate, so "late" is shipped 60+
+    * days after the order date and the classifier is the return flag —
+    * same join + band filter + conditional-count shape as Q12 (high- vs
+    * low-priority orders among late lines). */
+  def latePriority(lineitem: DataFrame, orders: DataFrame,
+      from: String = "1996-01-01", until: String = "1997-01-01")
+      : DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_shipdate") >= expr("o_orderdate + interval 60 days"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+
+  /** B28 (TPC-H Q21 shape, adapted): suppliers who held up multi-supplier
+    * orders. Q21's semi/anti-exists pair ("another supplier's line
+    * exists; no other supplier shipped later") is computed as one
+    * per-order aggregate — distinct suppliers, latest ship date, number
+    * of distinct suppliers at the latest date — then a key-aligned
+    * join-back tags each line, so the whole correlated-subquery sandwich
+    * is two hash aggregates and one join, no per-row probing. */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, k: Int = 20): DataFrame = {
+    val li = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perOrder = li.groupBy("l_orderkey").agg(
+      countDistinct("l_suppkey").as("n_supp"),
+      max("l_shipdate").as("max_ship"))
+    val lateAtMax = li.join(perOrder, "l_orderkey")
+      .filter(col("l_shipdate") === col("max_ship"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_max_shippers"),
+        first(col("n_supp")).as("n_supp"),
+        max("l_suppkey").as("late_supp"))
+      // multi-supplier order, exactly ONE supplier at the latest ship:
+      // everyone else was waiting on them (Q21's exists + not-exists)
+      .filter(col("n_supp") > 1 && col("n_max_shippers") === 1)
+    val counts = lateAtMax.groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), "s_suppkey")
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+    counts.select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
 }

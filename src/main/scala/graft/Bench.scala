@@ -68,7 +68,12 @@ object Bench {
     "q_tpch_q8_share",
     "q_tpch_q15_topsupp",
     "q_tpch_q12_late",
-    "q_tpch_q21_waiting")
+    "q_tpch_q21_waiting",
+    "q_tpch_q2_mincost",
+    "q_tpch_q9_profit",
+    "q_tpch_q11_important",
+    "q_tpch_q16_suppcnt",
+    "q_tpch_q20_dominant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

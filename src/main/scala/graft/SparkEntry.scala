@@ -1616,6 +1616,22 @@ object SparkEntry {
     "q_tpch_q21_waiting" -> ((s, d) =>
       Relational.waitingSuppliers(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.supplier(s, d))),
+    "q_tpch_q2_mincost" -> ((s, d) =>
+      Relational.minCostSupplier(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_tpch_q9_profit" -> ((s, d) =>
+      Relational.productTypeProfit(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    "q_tpch_q11_important" -> ((s, d) =>
+      Relational.importantParts(Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
+    "q_tpch_q16_suppcnt" -> ((s, d) =>
+      Relational.supplierPartCount(Tables.lineitem(s, d),
+        Tables.part(s, d), Tables.supplier(s, d))),
+    "q_tpch_q20_dominant" -> ((s, d) =>
+      Relational.dominantSuppliers(Tables.lineitem(s, d),
+        Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "q_tpch_q5_local" -> ((s, d) =>
       Relational.localSupplierVolume(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.customer(s, d),
@@ -2800,6 +2816,96 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
          GROUP BY 1""",
+    "q_tpch_q2_mincost" ->
+      """WITH reg_supp AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+                AND r_name = 'EUROPE'),
+         cost AS (
+           SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                  min(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS supply_cost
+           FROM lineitem
+           JOIN reg_supp ON l_suppkey = s_suppkey
+           JOIN part ON l_partkey = p_partkey
+                AND p_type = 'LARGE' AND p_size <= 10
+           GROUP BY 1, 2, 3, 4, 5, 6)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                CAST(supply_cost AS DOUBLE) AS min_cost
+         FROM cost c
+         WHERE supply_cost = (SELECT min(supply_cost) FROM cost c2
+                              WHERE c2.p_partkey = c.p_partkey)""",
+    "q_tpch_q9_profit" ->
+      """SELECT n_name AS nation,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                              AS DECIMAL(4,2))) AS DOUBLE) -
+                CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)) *
+                         CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  / 10.0 AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red %'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2""",
+    "q_tpch_q11_important" ->
+      """WITH per_part AS (
+           SELECT l_partkey AS p_partkey,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+                       AS BIGINT) AS value_cents
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+                AND n_name = 'NATION_3'
+           GROUP BY 1)
+         SELECT p_partkey,
+                CAST(value_cents AS DOUBLE) / 100.0 AS value
+         FROM per_part
+         WHERE value_cents * 1000 >
+               (SELECT sum(value_cents) FROM per_part)""",
+    "q_tpch_q16_suppcnt" ->
+      """WITH pairs AS (
+           SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         ok AS (
+           SELECT l_partkey, l_suppkey FROM pairs
+           WHERE l_suppkey NOT IN
+                 (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+         SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM ok
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_type NOT LIKE 'SMALL%'
+           AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+         GROUP BY 1, 2, 3""",
+    "q_tpch_q20_dominant" ->
+      """WITH li AS (
+           SELECT l_partkey, l_suppkey, l_quantity
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+                AND p_name LIKE 'small %'
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'),
+         pair_qty AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(sum(l_quantity) AS BIGINT) AS pair_qty
+           FROM li GROUP BY 1, 2),
+         part_qty AS (
+           SELECT l_partkey,
+                  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+           FROM li GROUP BY 1)
+         SELECT s_suppkey, s_name, count(*) AS n_parts_dominated
+         FROM pair_qty
+         JOIN part_qty USING (l_partkey)
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+              AND n_name = 'NATION_1'
+         WHERE pair_qty * 2 > total_qty
+         GROUP BY 1, 2""",
     "q_tpch_q21_waiting" ->
       """WITH li AS (
            SELECT l_orderkey, l_suppkey, l_shipdate

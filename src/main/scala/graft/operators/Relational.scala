@@ -544,4 +544,153 @@ object Relational {
       .limit(k)
     counts.select(col("s_suppkey"), col("s_name"), col("numwait"))
   }
+
+  /** B29 (TPC-H Q2 shape, adapted): minimum-cost supplier per part. The
+    * testdata has no partsupp table, so the part↔supplier relationship and
+    * its cost are derived from trade history: the "supply cost" of a
+    * (part, supplier) pair is the cheapest line price ever observed
+    * (exact decimal — no division, so the min is engine-reproducible).
+    * Q2's correlated `cost = (SELECT min(cost) ...)` becomes one keyed
+    * aggregate + a key-aligned join-back; region/nation/supplier/part are
+    * all broadcast dimensions, so lineitem shuffles once on the pair key
+    * and everything else is map-side. */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String = "EUROPE", partType: String = "LARGE",
+      maxSize: Int = 10): DataFrame = {
+    val regSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val cost = lineitem
+      .join(broadcast(regSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.filter(col("p_type") === partType &&
+          col("p_size") <= maxSize)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(dec2("l_extendedprice")).as("supply_cost"))
+    val minPerPart = cost.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    cost
+      .join(minPerPart, col("p_partkey") === col("mc_partkey") &&
+        col("supply_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        col("min_cost").cast("double").as("min_cost"))
+  }
+
+  /** B30 (TPC-H Q9 shape, adapted): product-type profit by nation and
+    * year. No partsupp.ps_supplycost exists, so cost is proxied at 10% of
+    * the part's retail price per unit — the aggregate keeps revenue and
+    * cost as separate exact decimal sums and only combines them in double
+    * at the output boundary. Plan shape is Q9's: the big fact joins the
+    * part filter first (broadcast, prunes most lines), then orders for
+    * the year, then the supplier→nation broadcast chain, one hash
+    * aggregate at the end. */
+  def productTypeProfit(lineitem: DataFrame, orders: DataFrame,
+      part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      namePrefix: String = "red "): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+          .as("revenue"),
+        sum(dec2("p_retailprice") * col("l_quantity").cast("decimal(12,2)"))
+          .as("retail_vol"))
+      .select(col("nation"), col("o_year"),
+        (col("revenue").cast("double") -
+          col("retail_vol").cast("double") / 10.0).as("profit"))
+
+  /** B31 (TPC-H Q11 shape, adapted): important parts — the inventory
+    * value of each part supplied from one nation, kept when it exceeds a
+    * fixed fraction of the nation's total. The global total is a 1-row
+    * aggregate broadcast back (Q11's scalar subquery); the threshold
+    * compare happens in scaled-integer cents (`value*1000 > total`), so
+    * the boundary is exact in both engines. */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String = "NATION_3",
+      permille: Int = 1): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg((sum(dec2("l_extendedprice")) * 100).cast("bigint")
+        .as("value_cents"))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart.join(broadcast(total))
+      .filter(col("value_cents") * 1000 > col("total_cents") * permille)
+      .select(col("p_partkey"),
+        (col("value_cents").cast("double") / 100.0).as("value"))
+  }
+
+  /** B32 (TPC-H Q16 shape, adapted): how many suppliers can supply each
+    * (brand, type, size) bucket. The part↔supplier relationship is the
+    * distinct pair set observed in lineitem; Q16's "customer complaints"
+    * exclusion becomes an anti-join against suppliers in deficit
+    * (s_acctbal < 0). The distinct-pair reduction happens BEFORE the part
+    * join, so the count-distinct aggregate sees pairs, not raw lines. */
+  def supplierPartCount(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame,
+      sizes: Seq[Int] = Seq(1, 3, 9, 14, 19, 23, 36, 45),
+      excludeBrand: String = "Brand#1"): DataFrame = {
+    val pairs = lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+    pairs
+      .join(broadcast(part.filter(col("p_brand") =!= excludeBrand &&
+          !col("p_type").startsWith("SMALL") &&
+          col("p_size").isin(sizes: _*))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** B33 (TPC-H Q20 shape, adapted): dominant suppliers of a part family
+    * in a year — suppliers who shipped MORE than half of a part's total
+    * shipped quantity (the availqty>half-of-sold test re-expressed over
+    * trade history). Two keyed aggregates (pair and part totals) with an
+    * exact integer `2*pair > total` predicate, then one broadcast hash
+    * semi-join onto the nation-scoped supplier list — no correlated
+    * probing. Quantities are integer-valued, so the sums are exact. */
+  def dominantSuppliers(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      namePrefix: String = "small ", nationName: String = "NATION_1",
+      from: String = "1996-01-01", until: String = "1997-01-01")
+      : DataFrame = {
+    val li = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val pairQty = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("pair_qty"))
+    val partQty = li.groupBy(col("l_partkey").as("pq_partkey"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("total_qty"))
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    pairQty
+      .join(partQty, col("l_partkey") === col("pq_partkey"))
+      .filter(col("pair_qty") * 2 > col("total_qty"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_parts_dominated"))
+  }
 }

@@ -415,4 +415,56 @@ class PlanAuditSpec extends TestSparkSession {
     val plan = planOf(df)
     assert(plan.contains("*("), "expected a WholeStageCodegen span")
   }
+
+  test("Q2 shape: correlated min is a keyed aggregate + join-back, dims " +
+      "broadcast") {
+    val df = Relational.minCostSupplier(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+    val plan = planOf(df)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "expected part + region-supplier broadcasts")
+    assert(plan.contains("partial_min"),
+      "expected map-side partial min for the supply cost")
+    assert(!plan.contains("WindowExec"), "no window needed for the min")
+  }
+
+  test("Q11 shape: scalar total is a 1-row broadcast, threshold in " +
+      "integer cents") {
+    val df = Relational.importantParts(Tables.lineitem(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir))
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "expected the global total broadcast back, not a shuffle")
+    assert(plan.contains("partial_sum"),
+      "expected map-side partial sums for per-part value")
+  }
+
+  test("Q16 shape: broadcast anti-join exclusion, distinct pairs before " +
+      "the part join") {
+    val df = Relational.supplierPartCount(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir))
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      "expected a broadcast left-anti exclusion of deficit suppliers")
+    // the distinct-pair reduction must appear below the part join: the
+    // first (deepest) aggregate groups by the raw pair columns
+    assert(plan.contains("l_partkey") && plan.contains("l_suppkey"),
+      "expected the pair-distinct aggregate keys in the plan")
+  }
+
+  test("Q20 shape: dominance is two keyed aggregates + integer " +
+      "predicate, no window") {
+    val df = Relational.dominantSuppliers(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir))
+    val plan = planOf(df)
+    assert(!plan.contains("WindowExec"),
+      "dominance must not use a window rank")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "expected part-filter + nation-supplier broadcasts")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      "expected the 1996 ship-date band pushed to the scan")
+  }
 }

@@ -1737,6 +1737,9 @@ object SparkEntry {
       Similarity.cosinePairs(
         Tables.embeddings(s, d)
           .filter(col("label") === 3 && col("vec_id") % 5 === 0), 0.30)),
+    "q_docs_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(
+        Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0), 0.35)),
     "q_ann_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -3869,6 +3872,23 @@ object SparkEntry {
                       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos6
                FROM d JOIN n na ON v1 = na.vec_id JOIN n nb ON v2 = nb.vec_id)
          SELECT v1, v2, cos6 FROM c WHERE cos6 >= 0.30""",
+    "q_docs_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+                    WHERE vec_id % 2 = 0),
+         x AS (SELECT vec_id, label,
+                      unnest(generate_series(1, 64)) AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS v FROM e),
+         n AS (SELECT vec_id, sum(v * v) AS n2 FROM x GROUP BY 1),
+         d AS (SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS dot
+               FROM x a JOIN x b ON a.i = b.i AND a.label = b.label
+                    AND a.vec_id > b.vec_id
+               GROUP BY 1, 2),
+         dropped AS (
+           SELECT DISTINCT v1 AS vec_id
+           FROM d JOIN n na ON v1 = na.vec_id JOIN n nb ON v2 = nb.vec_id
+           WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35)
+         SELECT vec_id, label AS cluster FROM e
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
     "q_ann_bruteforce_topk" ->
       """WITH x AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
                            CAST(unnest(embedding) AS DOUBLE) AS v

@@ -314,4 +314,34 @@ object Similarity {
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= k)
   }
+
+  /** C40: semantic dedup (SemDeDup-style): embeddings are first grouped
+    * into clusters (here the precomputed cluster id; at scale the
+    * [[kmeansFit]] assignment), then within each cluster a vector is
+    * DROPPED when any earlier vector (lower `vec_id`) in the same
+    * cluster sits above the cosine threshold — the deterministic
+    * keep-lowest-id greedy pass of the SemDeDup recipe (no transitive
+    * closure: the survivor set is defined purely by id order, so it is
+    * reproducible and SQL-expressible).
+    *
+    * Scale design: the all-pairs compare is BLOCKED by the cluster id —
+    * the embedding side shuffles once on the cluster key and each
+    * cluster's O(n_c²) compare runs independently, so k bounds the
+    * quadratic blow-up exactly as in the paper. Cosines use the
+    * codegen'd vector expressions; for very hot clusters compose with
+    * [[hyperplaneLshPairs]] banding inside the cluster. Returns the
+    * surviving (vec_id, cluster) rows. */
+  def semanticDedup(emb: DataFrame, tau: Double,
+      clusterCol: String = "label"): DataFrame = {
+    val e = withNorm(emb).select(col(clusterCol).as("cluster"),
+      col("vec_id"), col("embedding"), col("n2"))
+    val dropped = e.as("a")
+      .join(e.as("b"), col("a.cluster") === col("b.cluster") &&
+        col("a.vec_id") > col("b.vec_id"))
+      .filter(cos6("a.embedding", "b.embedding", "a.n2", "b.n2") >= tau)
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+    emb.select(col("vec_id"), col(clusterCol).as("cluster"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
 }

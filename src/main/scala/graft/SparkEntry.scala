@@ -834,7 +834,12 @@ object SparkEntry {
           lit(2L).as("liquidity_hi"),
           (col("event_id") * 5).as("amount0_max"),
           (col("event_id") * 7).as("amount1_max"),
-          (col("event_id") % 2).as("with_metadata")),
+          (col("event_id") % 2).as("with_metadata"),
+          // borsh Option<bool> tail: every 3rd row None (1-byte tag),
+          // the rest Some(user_id % 2) — exercises both wire widths
+          when(col("user_id") % 3 === 0, lit(null).cast("int"))
+            .otherwise((col("user_id") % 2).cast("int"))
+            .as("base_flag")),
         RealLayouts.RaydiumClmm.layouts(5)).select("payload")
       val frames = swaps.union(opens)
         .withColumn("program_id", lit(RealLayouts.RaydiumClmmProgram))
@@ -850,7 +855,10 @@ object SparkEntry {
           sum(col("clmm_open_position_v2.tick_lower_index")).as("sum_tick_lo"),
           sum(col("clmm_open_position_v2.tick_upper_index")).as("sum_tick_hi"),
           sum(col("clmm_open_position_v2.liquidity")).cast("string")
-            .as("sum_liquidity"))
+            .as("sum_liquidity"),
+          sum(col("clmm_open_position_v2.base_flag")).as("sum_base_flag"),
+          count(col("clmm_open_position_v2.base_flag"))
+            .as("n_base_flag_set"))
     }),
     "q_events_ammv4_real" -> ((s, d) => {
       // pre-anchor native program: SINGLE-BYTE instruction discriminators
@@ -2413,7 +2421,9 @@ object SparkEntry {
                        THEN (user_id % 880 + 1) * 64 END AS tick_hi,
                   CASE WHEN event_type = 'view'
                        THEN CAST(2 AS HUGEINT) * 18446744073709551616
-                            + event_id * 3 END AS liq
+                            + event_id * 3 END AS liq,
+                  CASE WHEN event_type = 'view' AND user_id % 3 <> 0
+                       THEN CAST(user_id % 2 AS INTEGER) END AS base_flag
            FROM events WHERE event_type IN ('purchase', 'view'))
          SELECT event_kind, count(*) AS n,
                 CAST(sum(amount) AS BIGINT) AS sum_amount,
@@ -2421,7 +2431,9 @@ object SparkEntry {
                 CAST(sum(sqp) AS VARCHAR) AS sum_sqrt_price,
                 CAST(sum(tick_lo) AS BIGINT) AS sum_tick_lo,
                 CAST(sum(tick_hi) AS BIGINT) AS sum_tick_hi,
-                CAST(sum(liq) AS VARCHAR) AS sum_liquidity
+                CAST(sum(liq) AS VARCHAR) AS sum_liquidity,
+                CAST(sum(base_flag) AS BIGINT) AS sum_base_flag,
+                count(base_flag) AS n_base_flag_set
          FROM k GROUP BY 1""",
     "q_events_ammv4_real" ->
       """WITH k AS (

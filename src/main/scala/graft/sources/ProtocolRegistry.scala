@@ -28,7 +28,10 @@ object ProtocolRegistry {
     * 4-byte; u32 zero-extended, i32 signed), u16 (LE 2-byte), u8, bool
     * (1 byte, decoded 0/1 int), u128 (16-byte LE as Decimal(38,0)),
     * b32 (32-byte pubkey), str (u32-LE length prefix + UTF-8 bytes,
-    * trailing only), or `pad:<n>` (n reserved bytes — decoded as
+    * trailing only), optbool (borsh `Option<bool>`: 1-byte tag +
+    * conditional value byte, trailing only — `raydium_clmm/parser.rs`
+    * `read_option_bool` for open_position base_flag; decoded to a
+    * nullable 0/1 int), or `pad:<n>` (n reserved bytes — decoded as
     * nothing, encoded as zeros) — the widths the reference's borsh
     * layouts mix (`pumpswap/events.rs` carries u8 flags, u16 indexes and
     * 32-byte pubkeys between the u64 amounts; `pumpfun/events.rs:57-180`
@@ -43,6 +46,7 @@ object ProtocolRegistry {
       case "u8" | "bool" => 1
       case "b32" => 32
       case "str" => 4 // length prefix; content length is dynamic
+      case "optbool" => 1 // tag byte; value byte present only when Some
       case p if p.startsWith("pad:") => p.stripPrefix("pad:").toInt
     }
     def isPad: Boolean = kind.startsWith("pad:")
@@ -55,8 +59,9 @@ object ProtocolRegistry {
     * everything after it would have a dynamic offset. */
   final case class LayoutSpec(
       kind: String, discriminator: Array[Byte], fields: Seq[FieldSpec]) {
-    require(fields.dropRight(1).forall(_.kind != "str"),
-      s"$kind: a str field must be the last field of a layout")
+    require(fields.dropRight(1).forall(f =>
+        f.kind != "str" && f.kind != "optbool"),
+      s"$kind: a variable-width (str/optbool) field must be last")
     require(discriminator.nonEmpty || fields.nonEmpty,
       s"$kind: an empty discriminator needs a length-guarding layout")
     // fields may be empty (tag-only instructions: the reference has
@@ -222,6 +227,14 @@ object ProtocolRegistry {
     case "u8" | "bool" => expr(
       s"cast(conv(hex(substring($payload, ${f.offset + 1}, 1)), 16, 10) as int)")
     case "b32" => expr(s"substring($payload, ${f.offset + 1}, 32)")
+    // borsh Option<bool>: tag 0 → null (None); tag 1 + in-bounds value
+    // byte → 0/1; anything else (invalid tag, truncated value) → null,
+    // mirroring read_option_bool's parse-fail None
+    case "optbool" => expr(
+      s"case when conv(hex(substring($payload, ${f.offset + 1}, 1)), " +
+        s"16, 10) = 1 and octet_length($payload) >= ${f.offset + 2} " +
+        s"then cast(cast(conv(hex(substring($payload, " +
+        s"${f.offset + 2}, 1)), 16, 10) as int) <> 0 as int) end")
     // trailing len-prefixed string: null (not truncated garbage) when the
     // declared length overruns the actual payload
     case "str" =>
@@ -244,6 +257,11 @@ object ProtocolRegistry {
     case "u8" | "bool" => le_bytes(col(f.name), 1)
     case p if p.startsWith("pad:") =>
       lit(new Array[Byte](p.stripPrefix("pad:").toInt))
+    // Option<bool> from a nullable 0/1 int column: None → lone 0x00 tag,
+    // Some → 0x01 tag + value byte (borsh wire form)
+    case "optbool" => when(col(f.name).isNull, lit(Array[Byte](0)))
+      .otherwise(concat(lit(Array[Byte](1)),
+        le_bytes(col(f.name).cast("bigint"), 1)))
     case "b32" => col(f.name)
     // byte length, not char length: a non-ASCII name encodes to more
     // UTF-8 bytes than characters

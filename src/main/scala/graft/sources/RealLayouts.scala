@@ -364,18 +364,21 @@ object RealLayouts {
         "amount1_min" -> "u64")),
     LayoutSpec("clmm_create_pool", disc(233, 146, 209, 142, 207, 104, 64, 188),
       borsh(8, "sqrt_price_x64" -> "u128", "open_time" -> "u64")),
+    // trailing base_flag is borsh Option<bool> (parser.rs:108/157
+    // read_option_bool at offset 49 past the 8-byte disc) — wire width
+    // 1 byte (None) or 2 (Some), decoded to a nullable 0/1 int
     LayoutSpec("clmm_open_position_v2", disc(77, 184, 74, 214, 112, 86, 241, 199),
       borsh(8, "tick_lower_index" -> "i32", "tick_upper_index" -> "i32",
         "tick_array_lower_start_index" -> "i32",
         "tick_array_upper_start_index" -> "i32", "liquidity" -> "u128",
         "amount0_max" -> "u64", "amount1_max" -> "u64",
-        "with_metadata" -> "bool")),
+        "with_metadata" -> "bool", "base_flag" -> "optbool")),
     LayoutSpec("clmm_open_position_t22", disc(77, 255, 174, 82, 125, 29, 201, 46),
       borsh(8, "tick_lower_index" -> "i32", "tick_upper_index" -> "i32",
         "tick_array_lower_start_index" -> "i32",
         "tick_array_upper_start_index" -> "i32", "liquidity" -> "u128",
         "amount0_max" -> "u64", "amount1_max" -> "u64",
-        "with_metadata" -> "bool")),
+        "with_metadata" -> "bool", "base_flag" -> "optbool")),
     LayoutSpec("clmm_close_position", disc(123, 134, 81, 0, 49, 68, 98, 98),
       Seq.empty)),
     program = RaydiumClmmProgram)

@@ -156,11 +156,21 @@ class RealLayoutsSpec extends TestSparkSession {
       (col("id") * 640).as("tick_array_upper_start_index"),
       (col("id") * 1e6.toLong).as("liquidity_lo"), lit(2L).as("liquidity_hi"),
       (col("id") * 3).as("amount0_max"), (col("id") * 5).as("amount1_max"),
-      (col("id") % 2).as("with_metadata"))
+      (col("id") % 2).as("with_metadata"),
+      // Option<bool> tail: id%3==0 → None, else Some(id%2) — the wire
+      // frame is 1 byte shorter for the None rows
+      when(col("id") % 3 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 2).cast("int")).as("base_flag"))
     val opOut = ProtocolRegistry.decode(
       ProtocolRegistry.encode(opSrc, op).select("payload"), op)
     assert(opOut.filter(col("tick_lower_index") >= 0).count() == 0,
       "i32 sign must survive")
+    // optbool round-trip: the None rows come back null, Some rows 0/1
+    assert(opOut.filter(col("base_flag").isNull).count() == 7,
+      "every 3rd row must decode base_flag as borsh None")
+    assert(opOut.filter(col("base_flag").isNotNull &&
+        col("base_flag") =!= col("tick_upper_index") / 64 % 2)
+      .count() == 0, "Some(bool) value must survive the round-trip")
     // u128 = hi * 2^64 + lo as Decimal(38,0)
     val wantLiq = opOut.filter(col("liquidity") =!=
       (col("tick_upper_index").cast("decimal(38,0)") / 64 * 1000000L +

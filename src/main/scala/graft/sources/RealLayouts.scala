@@ -358,7 +358,7 @@ object RealLayouts {
         "sqrt_price_limit_x64" -> "u128", "is_base_input" -> "bool")),
     LayoutSpec("clmm_increase_liquidity_v2", disc(133, 29, 89, 223, 69, 238, 176, 10),
       borsh(8, "liquidity" -> "u128", "amount0_max" -> "u64",
-        "amount1_max" -> "u64")),
+        "amount1_max" -> "u64", "base_flag" -> "optbool")),
     LayoutSpec("clmm_decrease_liquidity_v2", disc(58, 127, 188, 62, 79, 82, 196, 96),
       borsh(8, "liquidity" -> "u128", "amount0_min" -> "u64",
         "amount1_min" -> "u64")),

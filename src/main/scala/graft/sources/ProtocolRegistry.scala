@@ -47,6 +47,7 @@ object ProtocolRegistry {
       case "b32" => 32
       case "str" => 4 // length prefix; content length is dynamic
       case "optbool" => 1 // tag byte; value byte present only when Some
+      case "optb32" => 0 // optional un-tagged 32-byte tail; may be absent
       case p if p.startsWith("pad:") => p.stripPrefix("pad:").toInt
     }
     def isPad: Boolean = kind.startsWith("pad:")
@@ -60,8 +61,8 @@ object ProtocolRegistry {
   final case class LayoutSpec(
       kind: String, discriminator: Array[Byte], fields: Seq[FieldSpec]) {
     require(fields.dropRight(1).forall(f =>
-        f.kind != "str" && f.kind != "optbool"),
-      s"$kind: a variable-width (str/optbool) field must be last")
+        f.kind != "str" && f.kind != "optbool" && f.kind != "optb32"),
+      s"$kind: a variable-width (str/optbool/optb32) field must be last")
     require(discriminator.nonEmpty || fields.nonEmpty,
       s"$kind: an empty discriminator needs a length-guarding layout")
     // fields may be empty (tag-only instructions: the reference has
@@ -227,6 +228,14 @@ object ProtocolRegistry {
     case "u8" | "bool" => expr(
       s"cast(conv(hex(substring($payload, ${f.offset + 1}, 1)), 16, 10) as int)")
     case "b32" => expr(s"substring($payload, ${f.offset + 1}, 32)")
+    // optional un-tagged 32-byte tail (pumpswap create_pool
+    // coin_creator, parser.rs:220): present when the frame is long
+    // enough, otherwise the reference substitutes Pubkey::default() —
+    // decode to 32 zero bytes, not null, to mirror that
+    case "optb32" =>
+      when(expr(s"octet_length($payload)") >= f.offset + 32,
+        expr(s"substring($payload, ${f.offset + 1}, 32)"))
+        .otherwise(lit(new Array[Byte](32)))
     // borsh Option<bool>: tag 0 → null (None); tag 1 + in-bounds value
     // byte → 0/1; anything else (invalid tag, truncated value) → null,
     // mirroring read_option_bool's parse-fail None
@@ -262,6 +271,9 @@ object ProtocolRegistry {
     case "optbool" => when(col(f.name).isNull, lit(Array[Byte](0)))
       .otherwise(concat(lit(Array[Byte](1)),
         le_bytes(col(f.name).cast("bigint"), 1)))
+    // optional tail pubkey: null column → absent on the wire
+    case "optb32" => when(col(f.name).isNull, lit(Array.empty[Byte]))
+      .otherwise(col(f.name))
     case "b32" => col(f.name)
     // byte length, not char length: a non-ASCII name encodes to more
     // UTF-8 bytes than characters

@@ -133,9 +133,14 @@ object RealLayouts {
       borsh(8, "lp_token_amount_out" -> "u64", "max_base_amount_in" -> "u64",
         "max_quote_amount_in" -> "u64")),
     LayoutSpec("ps_withdraw_ix", disc(183, 18, 70, 156, 148, 109, 161, 34),
-      Seq.empty),
+      borsh(8, "lp_token_amount_in" -> "u64", "min_base_amount_out" -> "u64",
+        "min_quote_amount_out" -> "u64")),
+    // create_pool args end with an OPTIONAL un-tagged coin_creator
+    // pubkey — short frames decode it as Pubkey::default() zeros
+    // (pumpswap/parser.rs:213-224)
     LayoutSpec("ps_create_pool_ix", disc(233, 146, 209, 142, 207, 104, 64, 188),
-      Seq.empty)),
+      borsh(8, "index" -> "u16", "base_amount_in" -> "u64",
+        "quote_amount_in" -> "u64", "coin_creator" -> "optb32"))),
     program = PumpSwapProgram)
 
   /** PumpFun account-state layouts (pumpfun/types.rs:14-33, account

@@ -171,6 +171,26 @@ class RealLayoutsSpec extends TestSparkSession {
     assert(opOut.filter(col("base_flag").isNotNull &&
         col("base_flag") =!= col("tick_upper_index") / 64 % 2)
       .count() == 0, "Some(bool) value must survive the round-trip")
+
+    // ps_create_pool_ix: optional un-tagged coin_creator tail — absent
+    // frames (26 bytes) decode to Pubkey::default() zeros, present
+    // frames (58 bytes) round-trip the pubkey
+    val cpl = layout(RealLayouts.PumpSwapIx, "ps_create_pool_ix")
+    val cplSrc = spark.range(1, 21).select(
+      (col("id") % 65536).as("index"),
+      (col("id") * 11).as("base_amount_in"),
+      (col("id") * 13).as("quote_amount_in"),
+      when(col("id") % 2 === 0, expr("unhex(repeat('c7', 32))"))
+        .otherwise(lit(null).cast("binary")).as("coin_creator"))
+    val cplOut = ProtocolRegistry.decode(
+      ProtocolRegistry.encode(cplSrc, cpl).select("payload"), cpl)
+    assert(cplOut.count() == 20, "both wire widths must pass the guard")
+    assert(cplOut.filter(col("base_amount_in") % 2 === 0 &&
+        col("coin_creator") =!= expr("unhex(repeat('c7', 32))"))
+      .count() == 0, "present coin_creator must survive")
+    assert(cplOut.filter(col("base_amount_in") % 2 =!= 0 &&
+        col("coin_creator") =!= expr("unhex(repeat('00', 32))"))
+      .count() == 0, "absent coin_creator must decode as default zeros")
     // u128 = hi * 2^64 + lo as Decimal(38,0)
     val wantLiq = opOut.filter(col("liquidity") =!=
       (col("tick_upper_index").cast("decimal(38,0)") / 64 * 1000000L +

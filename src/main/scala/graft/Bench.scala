@@ -74,7 +74,8 @@ object Bench {
     "q_tpch_q11_important",
     "q_tpch_q16_suppcnt",
     "q_tpch_q20_dominant",
-    "q_docs_semantic_dedup")
+    "q_docs_semantic_dedup",
+    "q_events_series_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

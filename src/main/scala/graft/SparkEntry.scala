@@ -1646,6 +1646,8 @@ object SparkEntry {
         Tables.supplier(s, d), Tables.nation(s, d))),
     "q_events_concentration" -> ((s, d) =>
       EventOps.walletConcentration(Tables.events(s, d))),
+    "q_events_series_corr" -> ((s, d) =>
+      EventOps.seriesCorrelation(Tables.events(s, d))),
     "q_docs_distinctive_terms" -> ((s, d) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     "q_events_decode_health" -> ((s, d) => {
@@ -3032,6 +3034,28 @@ object SparkEntry {
                    CAST(sum(cnt) AS BIGINT)) AS hhi,
                 max(cnt) * 1.0 / CAST(sum(cnt) AS BIGINT) AS top_share
          FROM c GROUP BY 1""",
+    "q_events_series_corr" ->
+      """WITH hourly AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                       AS HUGEINT) AS x
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(count(*) AS HUGEINT) AS n,
+                  sum(a.x) AS sx, sum(b.x) AS sy,
+                  sum(a.x * b.x) AS sxy,
+                  sum(a.x * a.x) AS sxx,
+                  sum(b.x * b.x) AS syy
+           FROM hourly a JOIN hourly b ON a.hb = b.hb
+                AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+         FROM p""",
     "q_docs_distinctive_terms" ->
       """WITH t AS (SELECT source,
                            unnest(string_split(lower(text), ' ')) AS token

@@ -919,4 +919,46 @@ object EventOps {
         min("v").cast("double").as("low"),
         count(lit(1)).as("n"),
         sum("v").cast("double").as("volume"))
+
+  /** A66: cross-market correlation matrix — Pearson correlation of the
+    * hourly volume series between every pair of event types (the
+    * "which tokens move together" screen; time-series similarity search
+    * shaped like the EDBT'19 distributed-streams formulation, computed
+    * as one aggregation instead of per-pair scans).
+    *
+    * Exactness: all five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * integer cents in Decimal(38,0), and `n·Σxy − ΣxΣy` is formed in
+    * exact decimal BEFORE the single cast to double — so the correlation
+    * is bit-reproducible across engines and partitionings (catastrophic
+    * cancellation happens in exact arithmetic, not floats).
+    *
+    * Scale: one keyed aggregate to the hourly series (shuffle on
+    * (type, hour)), one self-join on the hour bucket (shuffle on hour —
+    * bounded: one row per (type, hour)), one pair-keyed aggregate. With
+    * K series the join fans out K(K-1)/2 pair rows per hour, never raw
+    * events. */
+  def seriesCorrelation(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)"))
+        .cast("decimal(38,0)").as("x"))
+    val p = hourly.as("a")
+      .join(hourly.as("b"), col("a.hb") === col("b.hb") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("a.x")).as("sx"), sum(col("b.x")).as("sy"),
+        sum(col("a.x") * col("b.x")).as("sxy"),
+        sum(col("a.x") * col("a.x")).as("sxx"),
+        sum(col("b.x") * col("b.x")).as("syy"))
+    p.select(col("type_a"), col("type_b"), col("n").cast("bigint")
+        .as("n_hours"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+           .cast("double")))).as("corr"))
+  }
 }

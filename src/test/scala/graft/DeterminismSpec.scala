@@ -25,7 +25,8 @@ class DeterminismSpec extends TestSparkSession {
     "q_events_rate_1m", "q_events_pumpfun_real", "q_events_bonk_real",
     // the adapted Q2/Q9/Q11 shapes emit doubles derived from exact
     // decimal/integer aggregates — pinned like the rest of the family
-    "q_tpch_q2_mincost", "q_tpch_q9_profit", "q_tpch_q11_important")
+    "q_tpch_q2_mincost", "q_tpch_q9_profit", "q_tpch_q11_important",
+    "q_events_series_corr")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

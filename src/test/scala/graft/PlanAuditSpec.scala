@@ -416,6 +416,30 @@ class PlanAuditSpec extends TestSparkSession {
     assert(plan.contains("*("), "expected a WholeStageCodegen span")
   }
 
+  test("semantic dedup pair compare is blocked by the cluster key, " +
+      "never a cross product") {
+    val df = Similarity.semanticDedup(
+      Tables.embeddings(spark, sfDir), 0.35)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "within-cluster compare must be an equi-join on the cluster id")
+    assert(plan.contains("LeftAnti"),
+      "survivors come from an anti-join against the dropped set")
+  }
+
+  test("series correlation aggregates partial and joins hourly rows, " +
+      "never raw events") {
+    val df = EventOps.seriesCorrelation(Tables.events(spark, sfDir))
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "hourly series and pair moments need map-side partials")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair fan-out must ride the hour-bucket equi-join")
+    assert(!plan.contains("WindowExec"), "no window needed")
+  }
+
   test("Q2 shape: correlated min is a keyed aggregate + join-back, dims " +
       "broadcast") {
     val df = Relational.minCostSupplier(Tables.lineitem(spark, sfDir),

@@ -1750,6 +1750,9 @@ object SparkEntry {
     "q_docs_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(
         Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0), 0.35)),
+    "q_embeddings_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0))),
     "q_ann_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -3908,6 +3911,21 @@ object SparkEntry {
                       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos6
                FROM d JOIN n na ON v1 = na.vec_id JOIN n nb ON v2 = nb.vec_id)
          SELECT v1, v2, cos6 FROM c WHERE cos6 >= 0.30""",
+    "q_embeddings_quantize" ->
+      """WITH dims AS (
+           SELECT vec_id,
+                  CAST(unnest(generate_series(1, 64)) - 1 AS BIGINT) AS i,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000,
+                       0) AS BIGINT) AS v6
+           FROM embeddings WHERE vec_id % 10 = 0),
+         scales AS (
+           SELECT vec_id, max(abs(v6)) AS s6 FROM dims GROUP BY 1)
+         SELECT d.vec_id, d.i, s.s6,
+                CAST(CASE WHEN s.s6 = 0 THEN 0
+                     ELSE CAST(sign(d.v6) AS BIGINT) *
+                          ((254 * abs(d.v6) + s.s6) // (2 * s.s6)) END
+                     AS INTEGER) AS q
+         FROM dims d JOIN scales s ON d.vec_id = s.vec_id""",
     "q_docs_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings
                     WHERE vec_id % 2 = 0),

@@ -315,6 +315,36 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** C41: symmetric int8 quantization of the embedding column — the 4×
+    * storage compressor applied before vectors are persisted at scale.
+    * Per-vector scale = max|v| (so codes span the full [-127, 127]
+    * range); codes are computed ENTIRELY in integer arithmetic on the
+    * fixed 1e-6 grid: q = sign · trunc((254·|v6| + s6) / (2·s6)), which
+    * is round-half-away-from-zero expressed with a truncating division
+    * of non-negative operands — the one division form Spark's `div` and
+    * DuckDB's `//` agree on, so codes are bit-identical across engines
+    * (no float division, no platform rounding mode).
+    *
+    * Scale: one explode + two hash aggregates (per-vector max, then
+    * nothing — the code projection is stateless); at 100 TB this is one
+    * shuffle on vec_id, and the per-dim rows never leave their partition
+    * after the join-back. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val dims = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i").cast("bigint").as("i"),
+        expr("cast(round(cast(v as double) * 1000000, 0) as bigint)")
+          .as("v6"))
+    val scales = dims.groupBy("vec_id")
+      .agg(max(abs(col("v6"))).as("s6"))
+    dims.join(scales, "vec_id")
+      .select(col("vec_id"), col("i"), col("s6"),
+        when(col("s6") === 0, lit(0))
+          .otherwise((signum(col("v6")).cast("bigint") *
+            expr("(254 * abs(v6) + s6) div (2 * s6)")).cast("int"))
+          .as("q"))
+  }
+
   /** C40: semantic dedup (SemDeDup-style): embeddings are first grouped
     * into clusters (here the precomputed cluster id; at scale the
     * [[kmeansFit]] assignment), then within each cluster a vector is

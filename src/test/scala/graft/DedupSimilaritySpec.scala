@@ -221,4 +221,27 @@ class DedupSimilaritySpec extends TestSparkSession {
     // far better even with the coarse deterministic codebook
     assert(recall >= 0.2, s"PQ ADC recall was $recall")
   }
+
+  test("int8 quantization: codes in range, round-half-away bound holds") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Similarity.quantizeInt8(emb)
+    assert(q.filter(abs(col("q")) > 127).count() == 0,
+      "codes must span at most [-127, 127]")
+    // q = round(127·v6/s6) ⇒ |v6 − q·s6/127| ≤ s6/254 (+ grid slack);
+    // re-derive v6 for the check: join back the exploded grid values
+    val dims = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i").cast("bigint").as("i"),
+        expr("cast(round(cast(v as double) * 1000000, 0) as bigint)")
+          .as("v6"))
+    val joined = q.join(dims, Seq("vec_id", "i"))
+      .filter(col("s6") > 0 &&
+        abs(col("v6") * 254 - col("q").cast("bigint") * col("s6") * 2) >
+          col("s6") + 2)
+    assert(joined.count() == 0, "dequantization error exceeds s6/254")
+    // every vector keeps at least one full-range code (scale = max|v|)
+    val full = q.filter(abs(col("q")) === 127)
+      .select("vec_id").distinct().count()
+    assert(full == emb.count(), "max-|v| component must map to ±127")
+  }
 }

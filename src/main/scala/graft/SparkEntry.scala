@@ -1753,6 +1753,10 @@ object SparkEntry {
     "q_embeddings_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(
         Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0))),
+    "q_ann_int8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
     "q_ann_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -3911,6 +3915,37 @@ object SparkEntry {
                       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos6
                FROM d JOIN n na ON v1 = na.vec_id JOIN n nb ON v2 = nb.vec_id)
          SELECT v1, v2, cos6 FROM c WHERE cos6 >= 0.30""",
+    "q_ann_int8_topk" ->
+      """WITH dims AS (
+           SELECT vec_id,
+                  CAST(unnest(generate_series(1, 64)) - 1 AS BIGINT) AS i,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000,
+                       0) AS BIGINT) AS v6
+           FROM embeddings),
+         scales AS (
+           SELECT vec_id, max(abs(v6)) AS s6 FROM dims GROUP BY 1),
+         codes AS (
+           SELECT d.vec_id, d.i, s.s6,
+                  CASE WHEN s.s6 = 0 THEN 0
+                       ELSE CAST(sign(d.v6) AS BIGINT) *
+                            ((254 * abs(d.v6) + s.s6) // (2 * s.s6)) END
+                    AS q
+           FROM dims d JOIN scales s ON d.vec_id = s.vec_id),
+         scored AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+                  CAST(sum(a.q * b.q) AS HUGEINT)
+                    * max(a.s6) * max(b.s6) AS dot_scaled
+           FROM codes a JOIN codes b ON a.i = b.i
+                AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, neighbor_id, dot_scaled,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot_scaled DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, neighbor_id,
+                CAST(dot_scaled AS VARCHAR) AS dot_scaled, rk
+         FROM ranked WHERE rk <= 5""",
     "q_embeddings_quantize" ->
       """WITH dims AS (
            SELECT vec_id,

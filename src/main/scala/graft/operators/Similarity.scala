@@ -345,6 +345,37 @@ object Similarity {
           .as("q"))
   }
 
+  /** C42: top-k by approximate inner product over int8-quantized codes
+    * (scalar-quantized MIPS — the search path that runs on the 4×
+    * compressed store from [[quantizeInt8]]). The score is
+    * `(Σ q_a·q_n) · s_a · s_n`, monotone in the reconstructed dot
+    * product and computed ENTIRELY in exact integer/decimal arithmetic —
+    * rank order is bit-stable across engines; ties break on
+    * neighbor_id. Per-query ranking is a partitioned window over
+    * candidate rows (bounded by the candidate set, never unpartitioned).
+    *
+    * Scale: codes join on the dimension index — the quantized
+    * brute-force baseline; compose with the IVF cell assignment to
+    * probe only nearby cells, same as the float path. */
+  def int8TopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val nc = quantizeInt8(emb).select(col("vec_id").as("neighbor_id"),
+      col("i"), col("s6").as("sn"), col("q").as("qn"))
+    val qc = quantizeInt8(queries).select(col("vec_id").as("q_id"),
+      col("i"), col("s6").as("sq"), col("q").as("qq"))
+    val scores = qc.join(nc, "i")
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .groupBy("q_id", "neighbor_id")
+      .agg((sum((col("qq") * col("qn")).cast("bigint"))
+        .cast("decimal(38,0)") * max("sq") * max("sn"))
+        .as("dot_scaled"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dot_scaled").desc, col("neighbor_id"))
+    scores.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("neighbor_id"),
+        col("dot_scaled").cast("string").as("dot_scaled"), col("rk"))
+  }
+
   /** C40: semantic dedup (SemDeDup-style): embeddings are first grouped
     * into clusters (here the precomputed cluster id; at scale the
     * [[kmeansFit]] assignment), then within each cluster a vector is

@@ -244,4 +244,27 @@ class DedupSimilaritySpec extends TestSparkSession {
       .select("vec_id").distinct().count()
     assert(full == emb.count(), "max-|v| component must map to ±127")
   }
+
+  test("int8 MIPS topk recall vs exact dot product") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val exact = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .crossJoin(q).filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        graft.functions.exprs.vec_dot(col("ne"), col("qe")).as("dot"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.int8TopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // 8-bit codes carry ~0.8% relative error per component — the top-5
+    // set should be nearly identical, far above the PQ bound
+    assert(recall >= 0.7, s"int8 MIPS recall was $recall")
+  }
 }

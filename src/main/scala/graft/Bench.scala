@@ -75,7 +75,8 @@ object Bench {
     "q_tpch_q16_suppcnt",
     "q_tpch_q20_dominant",
     "q_docs_semantic_dedup",
-    "q_events_series_corr")
+    "q_events_series_corr",
+    "q_ann_int8_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

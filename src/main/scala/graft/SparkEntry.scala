@@ -1753,6 +1753,9 @@ object SparkEntry {
     "q_embeddings_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(
         Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0))),
+    "q_docs_strip_boilerplate" -> ((s, d) =>
+      operators.Dedup.stripSharedSegments(
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 0))),
     "q_ann_int8_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -3946,6 +3949,28 @@ object SparkEntry {
          SELECT q_id, neighbor_id,
                 CAST(dot_scaled AS VARCHAR) AS dot_scaled, rk
          FROM ranked WHERE rk <= 5""",
+    "q_docs_strip_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE doc_id % 7 = 0),
+         idx AS (
+           SELECT doc_id, l,
+                  unnest(generate_series(0, (len(l) + 2) // 3 - 1)) AS i
+           FROM toks),
+         segs AS (
+           SELECT doc_id, i,
+                  array_to_string(l[i*3+1 : i*3+3], ' ') AS seg
+           FROM idx),
+         freq AS (
+           SELECT md5(seg) AS h, count(DISTINCT doc_id) AS nd
+           FROM segs GROUP BY 1)
+         SELECT s.doc_id,
+                coalesce(string_agg(s.seg, ' ' ORDER BY s.i)
+                  FILTER (WHERE f.nd <= 1), '') AS text,
+                count(*) FILTER (WHERE f.nd <= 1) AS n_kept,
+                count(*) FILTER (WHERE f.nd > 1) AS n_dropped
+         FROM segs s JOIN freq f ON md5(s.seg) = f.h
+         GROUP BY 1""",
     "q_embeddings_quantize" ->
       """WITH dims AS (
            SELECT vec_id,

@@ -239,6 +239,46 @@ object Dedup {
     * fan-in is bounded by the cap. Results are identical for any cap ≥ 1
     * (same `shared_frac`), only the join shape changes.
     */
+  /** C43: boilerplate STRIP — the curation action the detectors (C27
+    * boilerplateChunks, C34 repeatedSpans) feed: the corpus is cut into
+    * aligned `segLen`-token segments, segments whose exact digest
+    * appears in more than `maxDocFreq` distinct documents are dropped
+    * corpus-wide (headers/footers/licence blocks), and each document is
+    * reassembled from its surviving segments in original order. Output
+    * keeps the kept/dropped counts so the rewrite is auditable.
+    *
+    * Scale: one explode to (doc, seg) rows, one digest-keyed aggregate
+    * for document frequency (map-side partials), one join back on the
+    * digest, and one per-doc aggregate whose order-restoring sort is
+    * over that document's segments only (array_sort on the collected
+    * handful, never a global window). Only digests shuffle in the
+    * frequency pass, never segment text. */
+  def stripSharedSegments(docs: DataFrame, segLen: Int = 3,
+      maxDocFreq: Int = 1): DataFrame = {
+    require(segLen >= 1 && maxDocFreq >= 1)
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"sequence(0, (size(toks) + ${segLen - 1}) div $segLen - 1)"))
+          .as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", expr(s"slice(toks, i * $segLen + 1, $segLen)"))
+          .as("seg"))
+    val freq = segs.groupBy(md5(col("seg").cast("binary")).as("h"))
+      .agg(countDistinct("doc_id").as("nd"))
+    segs
+      .join(freq, md5(col("seg").cast("binary")) === col("h"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(" +
+          s"case when nd <= $maxDocFreq then struct(i, seg) end)), " +
+          "p -> p.seg)"), " ").as("text"),
+        count(when(col("nd") <= maxDocFreq, 1)).as("n_kept"),
+        count(when(col("nd") > maxDocFreq, 1)).as("n_dropped"))
+  }
+
   def repeatedSpans(docs: DataFrame, w: Int = 8,
       maxDocFreq: Int = 1000): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")

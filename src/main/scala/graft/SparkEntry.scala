@@ -1756,6 +1756,14 @@ object SparkEntry {
     "q_docs_strip_boilerplate" -> ((s, d) =>
       operators.Dedup.stripSharedSegments(
         Tables.documents(s, d).filter(col("doc_id") % 7 === 0))),
+    "q_docs_select_budget" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      operators.Sampling.selectByBudget(
+        Tables.documents(s, d),
+        size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"),
+        size(toks).cast("bigint"), 5000L)
+    }),
     "q_ann_int8_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -3949,6 +3957,21 @@ object SparkEntry {
          SELECT q_id, neighbor_id,
                 CAST(dot_scaled AS VARCHAR) AS dot_scaled, rk
          FROM ranked WHERE rk <= 5""",
+    "q_docs_select_budget" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_distinct(string_split(text, ' ')))
+                       AS DOUBLE) /
+                    CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, score, tokens,
+                  CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, score, tokens, cum_tokens
+         FROM c WHERE cum_tokens - tokens < 5000""",
     "q_docs_strip_boilerplate" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS l

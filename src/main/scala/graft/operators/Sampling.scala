@@ -159,4 +159,41 @@ object Sampling {
       .withColumn("bin",
         ((col("cum_tokens") - tokensCol) / budget).cast("bigint"))
   }
+
+  /** C44: token-budget corpus selection — keep the best-scoring prefix
+    * of the corpus until the training-token budget is exhausted ("fill
+    * 1T tokens with the highest-quality data"). A document is kept when
+    * the cumulative token count BEFORE it is still under the budget, so
+    * the cut is a deterministic function of the (score desc, doc_id)
+    * total order; the boundary document is kept (packers truncate
+    * downstream), matching greedy selection.
+    *
+    * Scale: the global running sum is the terasort shape, not a global
+    * window — range-exchange on the order key (frozen with
+    * localCheckpoint so every pass sees identical boundaries),
+    * per-partition window sums, and a triangular #partitions-row offset
+    * join. Nothing funnels through one task. */
+  def selectByBudget(df: DataFrame, scoreCol: Column, tokensCol: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df
+      .select(col("doc_id"), scoreCol.as("score"), tokensCol.as("tokens"))
+      .repartitionByRange(col("score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = parted.groupBy("pid").agg(sum("tokens").as("c"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    val w = Window.partitionBy("pid")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("cum_tokens",
+        (sum("tokens").over(w) + col("off")).cast("bigint"))
+      .filter(col("cum_tokens") - col("tokens") < budget)
+      .select(col("doc_id"), col("score"), col("tokens").cast("bigint")
+        .as("tokens"), col("cum_tokens"))
+  }
 }

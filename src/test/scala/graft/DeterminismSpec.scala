@@ -26,7 +26,9 @@ class DeterminismSpec extends TestSparkSession {
     // the adapted Q2/Q9/Q11 shapes emit doubles derived from exact
     // decimal/integer aggregates — pinned like the rest of the family
     "q_tpch_q2_mincost", "q_tpch_q9_profit", "q_tpch_q11_important",
-    "q_events_series_corr")
+    "q_events_series_corr",
+    // range-exchange prefix sums must not depend on partition boundaries
+    "q_docs_select_budget")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

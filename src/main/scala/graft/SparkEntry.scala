@@ -1648,6 +1648,9 @@ object SparkEntry {
       EventOps.walletConcentration(Tables.events(s, d))),
     "q_events_series_corr" -> ((s, d) =>
       EventOps.seriesCorrelation(Tables.events(s, d))),
+    "q_events_realized_pnl" -> ((s, d) =>
+      EventOps.realizedPnl(
+        Tables.events(s, d).filter(col("user_id") % 10 === 0))),
     "q_docs_distinctive_terms" -> ((s, d) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     "q_events_decode_health" -> ((s, d) => {
@@ -3052,6 +3055,33 @@ object SparkEntry {
                    CAST(sum(cnt) AS BIGINT)) AS hhi,
                 max(cnt) * 1.0 / CAST(sum(cnt) AS BIGINT) AS top_share
          FROM c GROUP BY 1""",
+    "q_events_realized_pnl" ->
+      """WITH t AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events
+           WHERE user_id % 10 = 0
+             AND event_type IN ('purchase', 'view')),
+         c AS (
+           SELECT user_id, event_id, event_type, cents,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                         THEN cents ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_buy_cents,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_buy_n
+           FROM t)
+         SELECT user_id, event_id, cents AS sell_cents,
+                cum_buy_cents, cum_buy_n,
+                CASE WHEN cum_buy_n > 0
+                     THEN CAST(cents AS DOUBLE) -
+                          CAST(cum_buy_cents AS DOUBLE) /
+                          CAST(cum_buy_n AS DOUBLE) END AS pnl_cents
+         FROM c WHERE event_type = 'view'""",
     "q_events_series_corr" ->
       """WITH hourly AS (
            SELECT event_type,

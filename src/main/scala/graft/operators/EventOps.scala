@@ -920,6 +920,43 @@ object EventOps {
         count(lit(1)).as("n"),
         sum("v").cast("double").as("volume"))
 
+  /** A67: realized PnL per wallet, average-cost basis — the position
+    * tracker a DEX subscriber builds from decoded trades: every sell is
+    * marked against the running average cost of all PRIOR buys in the
+    * wallet's (event-time, event_id) total order. Cost and count
+    * accumulate as exact integer cents in per-wallet windows (partitioned
+    * — never a global window); the basis is the single double division
+    * at the output boundary, so each sell row is bit-reproducible.
+    * Sells before any buy have a null basis (no position), mirroring a
+    * cold-start cache. Emits per-sell rows, not a float aggregate —
+    * summing per-sell double PnL would be partition-order dependent;
+    * downstream exact aggregation should sum the integer columns. */
+  def realizedPnl(events: DataFrame,
+      buyType: String = "purchase", sellType: String = "view"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val t = events
+      .filter(col("event_type").isin(buyType, sellType))
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+        col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    t.withColumn("cum_buy_cents",
+        sum(when(col("event_type") === buyType, col("cents"))
+          .otherwise(lit(0L))).over(w))
+      .withColumn("cum_buy_n",
+        sum(when(col("event_type") === buyType, lit(1L))
+          .otherwise(lit(0L))).over(w))
+      .filter(col("event_type") === sellType)
+      .select(col("user_id"), col("event_id"),
+        col("cents").as("sell_cents"),
+        coalesce(col("cum_buy_cents"), lit(0L)).as("cum_buy_cents"),
+        coalesce(col("cum_buy_n"), lit(0L)).as("cum_buy_n"),
+        when(coalesce(col("cum_buy_n"), lit(0L)) > 0,
+          col("cents").cast("double") -
+            col("cum_buy_cents").cast("double") /
+            col("cum_buy_n").cast("double")).as("pnl_cents"))
+  }
+
   /** A66: cross-market correlation matrix — Pearson correlation of the
     * hourly volume series between every pair of event types (the
     * "which tokens move together" screen; time-series similarity search

@@ -466,6 +466,62 @@ object EventStreamPipelines {
     }
   }
 
+  /** A17f: streaming realized PnL (average-cost basis, the batch A67
+    * semantics live): per-wallet `ValueState` holds the exact integer
+    * (cum_buy_cents, cum_buy_n) position; each micro-batch's rows are
+    * sorted by (event-time, event_id) inside the handler, buys fold into
+    * state, and every sell emits its integer mark-against-position row
+    * (0..n per batch — the flatMap shape). The double basis division is
+    * downstream, keeping all state and emission exact. In-order
+    * delivery across batches is the source's contract (same as any
+    * sequenced position tracker); within a batch order is restored
+    * here. */
+  class RealizedPnlProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long)] {
+    @transient private var pos: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pos = getHandle.getValueState[(Long, Long)]("pos",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      var (bc, bn) = if (pos.exists()) pos.get() else (0L, 0L)
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      // rows arrive shuffle-ordered; restore the (ts_us, event_id) total
+      // order before folding the position
+      rows.toArray.sortBy(r => (r._2, r._3)).foreach {
+        case (_, _, eventId, isBuy, cents) =>
+          if (isBuy == 1L) { bc += cents; bn += 1 }
+          else out += ((key, eventId, cents, bc, bn))
+      }
+      pos.update((bc, bn))
+      out.iterator
+    }
+  }
+
+  /** A17f driver: decoded trades → per-sell integer PnL rows. */
+  def realizedPnlStream(events: DataFrame,
+      buyType: String = "purchase", sellType: String = "view"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin(buyType, sellType))
+      .select(col("user_id").cast("long"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_id").cast("long"),
+        when(col("event_type") === buyType, 1L).otherwise(0L).as("is_buy"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RealizedPnlProcessor, TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long)])
+      .toDF("user_id", "event_id", "sell_cents", "cum_buy_cents",
+        "cum_buy_n")
+  }
+
   /** A17d: bounded per-wallet trade history with `ListState` — the
     * reference keeps a recent-trades ring per wallet for its bot/burst
     * heuristics; here the list state holds the last `keep` amounts and

@@ -377,6 +377,52 @@ class StreamingExtensionsSpec extends TestSparkSession {
     }
   }
 
+  test("A17f: streaming realized PnL equals the batch average-cost marks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = Tables.events(spark, sfDir)
+        .filter(col("user_id") % 10 === 0)
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val events = input.toDF()
+        .toDF("user_id", "ts", "event_id", "event_type", "value")
+      val q = EventStreamPipelines.realizedPnlStream(events).writeStream
+        .format("memory").queryName("graft_pnl_test")
+        .outputMode("append").start()
+      input.addData(src.select(col("user_id").cast("long"), col("ts"),
+          col("event_id").cast("long"), col("event_type"), col("value"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getLong(2), r.getString(3), r.getDouble(4))))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_pnl_test")
+        .select("user_id", "event_id", "sell_cents", "cum_buy_cents",
+          "cum_buy_n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      q.stop()
+      val batch = graft.operators.EventOps.realizedPnl(src)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("sell_cents"), col("cum_buy_cents"), col("cum_buy_n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A17d: ListState keeps a bounded recent-trades ring per wallet") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

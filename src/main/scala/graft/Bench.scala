@@ -76,7 +76,10 @@ object Bench {
     "q_tpch_q20_dominant",
     "q_docs_semantic_dedup",
     "q_events_series_corr",
-    "q_ann_int8_topk")
+    "q_ann_int8_topk",
+    "q_docs_strip_boilerplate",
+    "q_docs_select_budget",
+    "q_events_realized_pnl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -440,6 +440,33 @@ class PlanAuditSpec extends TestSparkSession {
     assert(!plan.contains("WindowExec"), "no window needed")
   }
 
+  test("budget selection runs on a range exchange, not a global window") {
+    val toks = split(col("text"), " ")
+    val df = Sampling.selectByBudget(Tables.documents(spark, sfDir),
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"),
+      size(toks).cast("bigint"), 5000L)
+    val plan = planOf(df)
+    // the range exchange itself is behind the frozen localCheckpoint
+    // (lineage is cut so every pass sees identical boundaries); what the
+    // visible plan must guarantee is that the prefix-sum window is
+    // partitioned on the range id — never an empty-partition global sort
+    assert(plan.contains("windowspecdefinition(pid"),
+      "prefix-sum window must be partitioned by the range id")
+    assert(!"windowspecdefinition\\(score".r.findFirstIn(plan).isDefined,
+      "global (unpartitioned) window crept in")
+  }
+
+  test("boilerplate strip shuffles digest keys, reassembly is per-doc") {
+    val df = operators.Dedup.stripSharedSegments(
+      Tables.documents(spark, sfDir))
+    val plan = planOf(df)
+    assert(plan.contains("partial_count") || plan.contains("count(distinct"),
+      "segment document-frequency needs a keyed aggregate")
+    assert(!plan.contains("WindowExec"),
+      "order restore must be array_sort inside the per-doc aggregate, " +
+        "not a window")
+  }
+
   test("Q2 shape: correlated min is a keyed aggregate + join-back, dims " +
       "broadcast") {
     val df = Relational.minCostSupplier(Tables.lineitem(spark, sfDir),

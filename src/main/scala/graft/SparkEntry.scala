@@ -1651,6 +1651,8 @@ object SparkEntry {
     "q_events_realized_pnl" -> ((s, d) =>
       EventOps.realizedPnl(
         Tables.events(s, d).filter(col("user_id") % 10 === 0))),
+    "q_events_cohort_ltv" -> ((s, d) =>
+      EventOps.cohortLtv(Tables.events(s, d))),
     "q_docs_distinctive_terms" -> ((s, d) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     "q_events_decode_health" -> ((s, d) => {
@@ -3055,6 +3057,24 @@ object SparkEntry {
                    CAST(sum(cnt) AS BIGINT)) AS hhi,
                 max(cnt) * 1.0 / CAST(sum(cnt) AS BIGINT) AS top_share
          FROM c GROUP BY 1""",
+    "q_events_cohort_ltv" ->
+      """WITH weekly AS (
+           SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+         fw AS (SELECT user_id, min(week) AS cohort_week
+                FROM weekly GROUP BY 1),
+         cells AS (
+           SELECT cohort_week, w.week - cohort_week AS age_weeks,
+                  CAST(sum(cents) AS BIGINT) AS cents,
+                  count(DISTINCT w.user_id) AS n_active
+           FROM weekly w JOIN fw ON w.user_id = fw.user_id
+           GROUP BY 1, 2)
+         SELECT cohort_week, age_weeks, cents, n_active,
+                CAST(sum(cents) OVER (PARTITION BY cohort_week
+                  ORDER BY age_weeks ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_cents
+         FROM cells""",
     "q_events_realized_pnl" ->
       """WITH t AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,

@@ -271,6 +271,29 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** A50b: cohort LTV triangle — cumulative value per cohort-week and
+    * account age (the lifetime-value companion of A50's retention
+    * counts): wallets are grouped by first-activity week, weekly volume
+    * lands on the (cohort, age) cell, and the running LTV accumulates
+    * along each cohort's age axis. All integer cents; the cumulative
+    * window is partitioned by cohort over the triangle table (one row
+    * per cohort×age — metadata-sized relative to events). */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val weekly = events.select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val firstWeek = weekly.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    val cells = weekly.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("n_active"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_cents", sum("cents").over(w))
+  }
+
   /** A49: EWMA-smoothed per-minute rate — the reference's throughput
     * smoothing (metrics EWMA) with a bounded 10-minute memory. Weights
     * are exact rationals on a common 10^9 denominator (0.8^d =

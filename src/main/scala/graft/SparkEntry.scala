@@ -1653,6 +1653,48 @@ object SparkEntry {
         Tables.events(s, d).filter(col("user_id") % 10 === 0))),
     "q_events_cohort_ltv" -> ((s, d) =>
       EventOps.cohortLtv(Tables.events(s, d))),
+    "q_events_curve_progress" -> ((s, d) => {
+      // composite: REAL BondingCurve snapshots ride the wire (encode →
+      // registry decode), as-of enrich trades with the latest prior
+      // curve state, then bucket volume by bonding-curve progress —
+      // the "how far along the curve do people buy" board
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      val curves = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"),
+          (col("event_id") * 11).as("virtual_token_reserves"),
+          (col("event_id") * 7).as("virtual_sol_reserves"),
+          (col("event_id") % 1000).as("real_token_reserves"),
+          (col("event_id") * 17).as("real_sol_reserves"),
+          lit(1000L).as("token_total_supply"),
+          (col("event_id") % 2).as("complete"),
+          mk("user_id").as("creator"), lit(0L).as("is_mayhem_mode")),
+        RealLayouts.PumpFunAccounts.layouts(0))
+      val decodedSnaps = curves.select(
+        Seq(col("user_id"), col("ts_us"), col("event_id")) ++
+          ProtocolRegistry.decodeCols(
+            RealLayouts.PumpFunAccounts.layouts(0), "payload"): _*)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("real_token_reserves"), col("token_total_supply"))
+      val trades = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      operators.AsOfJoin.asOf(trades, decodedSnaps,
+        "user_id", "ts_us", "event_id",
+        Seq("real_token_reserves", "token_total_supply"),
+        Seq("cents"))
+        .select(col("user_id"), col("cents"),
+          expr("asof.real_token_reserves * 10 div " +
+            "asof.token_total_supply").as("progress_decile"))
+        .groupBy("progress_decile")
+        .agg(count(lit(1)).as("n_trades"),
+          sum(col("cents")).as("sum_cents"))
+    }),
     "q_docs_distinctive_terms" -> ((s, d) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     "q_events_decode_health" -> ((s, d) => {
@@ -3057,6 +3099,25 @@ object SparkEntry {
                    CAST(sum(cnt) AS BIGINT)) AS hhi,
                 max(cnt) * 1.0 / CAST(sum(cnt) AS BIGINT) AS top_share
          FROM c GROUP BY 1""",
+    "q_events_curve_progress" ->
+      """WITH snaps AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  event_id % 1000 AS rtr, 1000 AS tts
+           FROM events WHERE event_type = 'signup'),
+         trades AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         matched AS (
+           SELECT t.user_id, t.cents,
+                  (SELECT s.rtr * 10 // s.tts FROM snaps s
+                   WHERE s.user_id = t.user_id AND s.ts_us <= t.ts_us
+                   ORDER BY s.ts_us DESC, s.event_id DESC
+                   LIMIT 1) AS progress_decile
+           FROM trades t)
+         SELECT progress_decile, count(*) AS n_trades,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM matched GROUP BY 1""",
     "q_events_cohort_ltv" ->
       """WITH weekly AS (
            SELECT user_id, epoch_us(ts) // 604800000000 AS week,

@@ -1841,6 +1841,18 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, d)).drop("roll_min")),
     "q_docs_corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(Tables.documents(s, d))),
+    "q_docs_stats_merged" -> ((s, d) => {
+      // incremental maintenance path: stats of base ∪ delta from merged
+      // digest-level partials — must equal the direct recompute (the
+      // oracle below IS the direct recompute)
+      val docs = Tables.documents(s, d)
+      TextAnalysis.finalizeCorpusStats(
+        TextAnalysis.mergeCorpusStatsPartials(
+          TextAnalysis.corpusStatsPartial(
+            docs.filter(col("doc_id") % 2 === 0)),
+          TextAnalysis.corpusStatsPartial(
+            docs.filter(col("doc_id") % 2 =!= 0))))
+    }),
     "q_docs_filter_chain" -> ((s, d) =>
       TextAnalysis.filterChain(Tables.documents(s, d))),
     "q_text_top_tokens" -> ((s, d) =>
@@ -4182,6 +4194,17 @@ object SparkEntry {
                      ELSE 'unk' END AS pred_lang,
                 lang
          FROM documents""",
+    "q_docs_stats_merged" ->
+      """SELECT source, count(*) AS n_docs,
+                count(DISTINCT md5(text)) AS n_unique_texts,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS total_ws_tokens,
+                CAST(min(length(text)) AS BIGINT) AS min_chars,
+                CAST(max(length(text)) AS BIGINT) AS max_chars,
+                CAST(count(*) - count(DISTINCT md5(text))
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
+         FROM documents GROUP BY 1""",
     "q_docs_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
                 count(DISTINCT md5(text)) AS n_unique_texts,

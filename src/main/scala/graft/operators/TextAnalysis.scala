@@ -92,6 +92,42 @@ object TextAnalysis {
         (col("n_docs") - col("n_unique_texts")).cast("double") /
           col("n_docs").cast("double"))
 
+  /** C18b: MERGEABLE corpus statistics — the maintenance path for C18 at
+    * 100 TB: a new batch is reduced to per-(source, digest) partials and
+    * merged with the standing partials table, so the base corpus is
+    * never rescanned. The partial is digest-level (count per distinct
+    * text), which is what makes `n_unique_texts`/`dup_ratio` —
+    * NOT mergeable from plain counters — associative: distinctness is a
+    * property of the digest key set. Invariant (spec + oracle):
+    * `finalize(merge(partial(A), partial(B))) == corpusStats(A ∪ B)`. */
+  def corpusStatsPartial(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text").cast("binary")))
+      .groupBy("source", "text_md5")
+      .agg(count(lit(1)).as("cnt"),
+        first(length(col("text")).cast("bigint")).as("chars"),
+        first(size(split(col("text"), " ")).cast("bigint")).as("ws_tok"))
+
+  /** Merge partial tables (associative, any batch order). */
+  def mergeCorpusStatsPartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("source", "text_md5")
+      .agg(sum("cnt").as("cnt"), first("chars").as("chars"),
+        first("ws_tok").as("ws_tok"))
+
+  /** Finalize merged partials into the C18 report shape. */
+  def finalizeCorpusStats(partials: DataFrame): DataFrame =
+    partials.groupBy("source")
+      .agg(sum("cnt").as("n_docs"),
+        count(lit(1)).as("n_unique_texts"),
+        sum(col("chars") * col("cnt")).as("total_chars"),
+        sum(col("ws_tok") * col("cnt")).as("total_ws_tokens"),
+        min("chars").as("min_chars"),
+        max("chars").as("max_chars"))
+      .withColumn("dup_ratio",
+        (col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs").cast("double"))
+
   /** C19: training-data filter chain — length, language, and quality gates
     * composed in one codegen'd projection (single scan, no shuffle), with
     * the first failing gate recorded as the reject reason so curation runs

@@ -1803,6 +1803,9 @@ object SparkEntry {
     "q_docs_strip_boilerplate" -> ((s, d) =>
       operators.Dedup.stripSharedSegments(
         Tables.documents(s, d).filter(col("doc_id") % 7 === 0))),
+    "q_docs_weighted_sample" -> ((s, d) =>
+      operators.Sampling.weightedSample(Tables.documents(s, d),
+        "source", "doc_id", col("n_chars"), 5)),
     "q_docs_select_budget" -> ((s, d) => {
       val toks = split(col("text"), " ")
       operators.Sampling.selectByBudget(
@@ -4080,6 +4083,26 @@ object SparkEntry {
          SELECT q_id, neighbor_id,
                 CAST(dot_scaled AS VARCHAR) AS dot_scaled, rk
          FROM ranked WHERE rk <= 5""",
+    "q_docs_weighted_sample" ->
+      """WITH t AS (
+           SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents WHERE n_chars >= 1),
+         hx AS (
+           SELECT source, doc_id, weight,
+                  CAST(sum((strpos('0123456789abcdef',
+                    substring(h, CAST(i AS INT), 1)) - 1)
+                    * power(16, 8 - i)) AS BIGINT) AS h32
+           FROM t, unnest(generate_series(1, 8)) AS u(i)
+           GROUP BY 1, 2, 3),
+         r AS (
+           SELECT source, doc_id, weight,
+                  h32 * 1000000000 // weight AS priority,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY h32 * 1000000000 // weight, doc_id) AS rn
+           FROM hx)
+         SELECT source, doc_id, weight, priority, rn
+         FROM r WHERE rn <= 5""",
     "q_docs_select_budget" ->
       """WITH t AS (
            SELECT doc_id,

@@ -43,6 +43,34 @@ object Sampling {
       .select(col(stratumCol), col(idCol))
   }
 
+  /** C15c: WEIGHTED k-per-stratum sampling (deterministic priority
+    * sampling): each row draws a pseudo-random 32-bit key from its id
+    * hash and competes with priority `key·10⁹ div weight` — heavier
+    * rows get systematically smaller priorities, so the k smallest per
+    * stratum form a weight-biased sample (A-Res with the exponential
+    * variate replaced by an exact scaled-integer rational). Everything
+    * is integer arithmetic on non-negative operands, so the sample is a
+    * pure function of (id, weight): reproducible across engines,
+    * partitionings, and reruns — no floats, no logs, no RNG state. */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(col("priority"), col(idCol))
+    df.withColumn("weight", weightCol.cast("bigint"))
+      .filter(col("weight") >= 1)
+      .withColumn("h32", expr(
+        s"cast(conv(substring(md5(cast(cast($idCol as string) " +
+          "as binary)), 1, 8), 16, 10) as bigint)"))
+      // h32 < 2^32, so h32·10^9 < 2^62 — no overflow; div truncates on
+      // non-negative operands identically in Spark and DuckDB
+      .withColumn("priority", expr("h32 * 1000000000 div weight"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select(col(stratumCol), col(idCol), col("weight"),
+        col("priority"), col("rn"))
+  }
+
   /** Data-mixture construction: upsample each row by an integer repeat
     * factor (training-data recipes weight sources, e.g. books x2 vs web
     * x1). Pure generate — no shuffle; each copy is tagged so downstream

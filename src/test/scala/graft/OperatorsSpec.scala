@@ -256,6 +256,25 @@ class OperatorsSpec extends TestSparkSession {
     assert(math.abs(oddRate - 0.50) < 0.1, s"odd rate $oddRate")
   }
 
+  test("weighted sampling favors heavier rows and is a pure id function") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Sampling.weightedSample(docs, "source", "doc_id",
+      col("n_chars"), 5)
+    val s2 = Sampling.weightedSample(docs, "source", "doc_id",
+      col("n_chars"), 5)
+    assert(s1.collect().toSet == s2.collect().toSet, "must be reproducible")
+    // bias check: mean weight of the winners exceeds the population mean
+    val sampleMean = s1.agg(avg("weight")).head.getDouble(0)
+    val popMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampleMean > popMean,
+      s"weighted winners mean $sampleMean <= population mean $popMean")
+    // exactly k rows per stratum with contiguous ranks
+    val bad = s1.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .filter(col("n") =!= 5 || col("mx") =!= 5)
+    assert(bad.count() == 0, "every stratum must yield exactly k ranks")
+  }
+
   test("count-min sketch bounds per-type counts (never under, eps over)") {
     // A26b: constant-memory frequency sketch — the per-type counters the
     // reference keeps exactly, sketchable when the key space explodes

@@ -1653,6 +1653,8 @@ object SparkEntry {
         Tables.events(s, d).filter(col("user_id") % 10 === 0))),
     "q_events_cohort_ltv" -> ((s, d) =>
       EventOps.cohortLtv(Tables.events(s, d))),
+    "q_events_ohlc_gapfill" -> ((s, d) =>
+      EventOps.ohlcGapFill(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
       // composite: REAL BondingCurve snapshots ride the wire (encode →
       // registry decode), as-of enrich trades with the latest prior
@@ -2066,6 +2068,44 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS cum_value
          FROM events""",
+    "q_events_ohlc_gapfill" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                           event_type, CAST(value AS DECIMAL(18,2)) AS v,
+                           epoch_us(ts) AS tu, event_id
+                    FROM events),
+         w AS (SELECT *,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu, event_id) AS rna,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu DESC, event_id DESC) AS rnd
+               FROM b),
+         c AS (SELECT hb, event_type,
+                 CAST(max(CASE WHEN rna = 1 THEN v END) AS DOUBLE) AS open,
+                 CAST(max(CASE WHEN rnd = 1 THEN v END) AS DOUBLE) AS close,
+                 CAST(max(v) AS DOUBLE) AS high,
+                 CAST(min(v) AS DOUBLE) AS low,
+                 count(*) AS n, CAST(sum(v) AS DOUBLE) AS volume
+               FROM w GROUP BY hb, event_type),
+         spine AS (
+           SELECT event_type,
+                  unnest(generate_series(min(hb), max(hb), 3600)) AS hb
+           FROM c GROUP BY event_type),
+         j AS (SELECT s.event_type, s.hb, c.open, c.high, c.low, c.close,
+                      c.n, c.volume,
+                      last_value(c.close IGNORE NULLS) OVER (
+                        PARTITION BY s.event_type ORDER BY s.hb
+                        ROWS UNBOUNDED PRECEDING) AS ffill_close
+               FROM spine s LEFT JOIN c
+                 ON s.event_type = c.event_type AND s.hb = c.hb)
+         SELECT event_type, hb,
+                coalesce(open, ffill_close) AS open,
+                coalesce(high, ffill_close) AS high,
+                coalesce(low, ffill_close) AS low,
+                coalesce(close, ffill_close) AS close,
+                coalesce(n, 0) AS n,
+                coalesce(volume, 0.0) AS volume,
+                n IS NULL AS is_gap
+         FROM j""",
     "q_events_ohlc_1h" ->
       """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
                            event_type, CAST(value AS DECIMAL(18,2)) AS v,

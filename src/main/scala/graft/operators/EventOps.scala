@@ -943,6 +943,34 @@ object EventOps {
         count(lit(1)).as("n"),
         sum("v").cast("double").as("volume"))
 
+  /** A12c: gap-filled OHLC — the chart-ready series: every hour in each
+    * type's [first, last] range gets a candle; hours with no trades
+    * carry the last known close forward as a flat O=H=L=C candle with
+    * zero volume (is_gap tags them). The hour spine is a per-type
+    * `sequence()` explode (bounded by the time range, not the event
+    * count) and the carry-forward is `last(ignoreNulls)` over the
+    * type-partitioned hour order — candle-table sized, never raw
+    * events. */
+  def ohlcGapFill(events: DataFrame): DataFrame = {
+    val candles = ohlc1h(events)
+    val spine = candles.groupBy("event_type")
+      .agg(min("hb").as("lo"), max("hb").as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 3600)")).as("hb"))
+    val w = Window.partitionBy("event_type").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(candles, Seq("event_type", "hb"), "left")
+      .withColumn("ffill_close", last("close", ignoreNulls = true).over(w))
+      .select(col("event_type"), col("hb"),
+        coalesce(col("open"), col("ffill_close")).as("open"),
+        coalesce(col("high"), col("ffill_close")).as("high"),
+        coalesce(col("low"), col("ffill_close")).as("low"),
+        coalesce(col("close"), col("ffill_close")).as("close"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("volume"), lit(0.0)).as("volume"),
+        col("n").isNull.as("is_gap"))
+  }
+
   /** A67: realized PnL per wallet, average-cost basis — the position
     * tracker a DEX subscriber builds from decoded trades: every sell is
     * marked against the running average cost of all PRIOR buys in the

@@ -28,7 +28,8 @@ class DeterminismSpec extends TestSparkSession {
     "q_tpch_q2_mincost", "q_tpch_q9_profit", "q_tpch_q11_important",
     "q_events_series_corr",
     // range-exchange prefix sums must not depend on partition boundaries
-    "q_docs_select_budget", "q_events_realized_pnl")
+    "q_docs_select_budget", "q_events_realized_pnl",
+    "q_events_ohlc_gapfill")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -1655,6 +1655,8 @@ object SparkEntry {
       EventOps.cohortLtv(Tables.events(s, d))),
     "q_events_ohlc_gapfill" -> ((s, d) =>
       EventOps.ohlcGapFill(Tables.events(s, d))),
+    "q_events_max_drawdown" -> ((s, d) =>
+      EventOps.maxDrawdown(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
       // composite: REAL BondingCurve snapshots ride the wire (encode →
       // registry decode), as-of enrich trades with the latest prior
@@ -2068,6 +2070,30 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS cum_value
          FROM events""",
+    "q_events_max_drawdown" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                           event_type, CAST(value AS DECIMAL(18,2)) AS v,
+                           epoch_us(ts) AS tu, event_id
+                    FROM events),
+         w AS (SELECT *,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu DESC, event_id DESC) AS rnd
+               FROM b),
+         c AS (SELECT hb, event_type,
+                 CAST(max(CASE WHEN rnd = 1 THEN v END) AS DOUBLE) AS close
+               FROM w GROUP BY hb, event_type),
+         d AS (SELECT event_type, hb,
+                 close / max(close) OVER (PARTITION BY event_type
+                   ORDER BY hb ROWS UNBOUNDED PRECEDING) - 1.0 AS dd
+               FROM c),
+         r AS (SELECT event_type, dd, hb,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY dd, hb) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n_hours
+               FROM d)
+         SELECT event_type, dd AS max_drawdown, hb AS at_hb,
+                CAST(n_hours AS BIGINT) AS n_hours
+         FROM r WHERE rk = 1""",
     "q_events_ohlc_gapfill" ->
       """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
                            event_type, CAST(value AS DECIMAL(18,2)) AS v,

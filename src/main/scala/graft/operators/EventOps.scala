@@ -971,6 +971,26 @@ object EventOps {
         col("n").isNull.as("is_gap"))
   }
 
+  /** A12d: maximum drawdown per market — the risk metric over the
+    * hourly close series: running peak close per type, per-hour
+    * drawdown `close/peak − 1`, and the deepest (drawdown, hour) pair
+    * via an order-independent struct-min (ties resolve to the earliest
+    * hour). Runs entirely on the candle table; the only floats are the
+    * per-row ratio and the final min — no float accumulation. */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ohlc1h(events)
+      .withColumn("peak", max("close").over(w))
+      .withColumn("dd",
+        col("close").cast("double") / col("peak").cast("double") - 1.0)
+      .groupBy("event_type")
+      .agg(min(struct(col("dd"), col("hb"))).as("worst"),
+        count(lit(1)).as("n_hours"))
+      .select(col("event_type"), col("worst.dd").as("max_drawdown"),
+        col("worst.hb").as("at_hb"), col("n_hours"))
+  }
+
   /** A67: realized PnL per wallet, average-cost basis — the position
     * tracker a DEX subscriber builds from decoded trades: every sell is
     * marked against the running average cost of all PRIOR buys in the

@@ -1657,6 +1657,8 @@ object SparkEntry {
       EventOps.ohlcGapFill(Tables.events(s, d))),
     "q_events_max_drawdown" -> ((s, d) =>
       EventOps.maxDrawdown(Tables.events(s, d))),
+    "q_events_price_impact" -> ((s, d) =>
+      EventOps.priceImpact(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
       // composite: REAL BondingCurve snapshots ride the wire (encode →
       // registry decode), as-of enrich trades with the latest prior
@@ -2070,6 +2072,27 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS cum_value
          FROM events""",
+    "q_events_price_impact" ->
+      """WITH t AS (
+           SELECT event_type, epoch_us(ts) AS tu, event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+         l AS (SELECT *,
+                 lead(cents) OVER (PARTITION BY event_type
+                   ORDER BY tu, event_id) AS next_cents
+               FROM t),
+         m AS (SELECT event_type AS mt, max(cents) AS max_cents
+               FROM t GROUP BY 1)
+         SELECT event_type,
+                least(9, cents * 10 // max_cents) AS size_decile,
+                count(*) AS n,
+                CAST(sum(next_cents - cents) AS BIGINT)
+                  AS sum_impact_cents,
+                CAST(CAST(sum(next_cents - cents) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS avg_impact_cents
+         FROM l JOIN m ON event_type = mt
+         WHERE next_cents IS NOT NULL
+         GROUP BY 1, 2""",
     "q_events_max_drawdown" ->
       """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
                            event_type, CAST(value AS DECIMAL(18,2)) AS v,

@@ -1028,6 +1028,31 @@ object EventOps {
             col("cum_buy_n").cast("double")).as("pnl_cents"))
   }
 
+  /** A68: price impact by trade size — does a bigger trade move the next
+    * print more? Per type, each trade's impact is the exact integer cent
+    * change to the NEXT trade in the (event-time, id) total order
+    * (type-partitioned lead); trades bucket into size deciles against
+    * the type's max size with truncating integer division; the average
+    * impact per (type, decile) is an exact integer sum over counts with
+    * one final double division — no float accumulation anywhere. */
+  def priceImpact(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("tu", "event_id")
+    val t = events.select(col("event_type"), tsUs.as("tu"), col("event_id"),
+      expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val maxc = t.groupBy(col("event_type").as("mt"))
+      .agg(max("cents").as("max_cents"))
+    t.withColumn("next_cents", lead("cents", 1).over(w))
+      .filter(col("next_cents").isNotNull)
+      .join(broadcast(maxc), col("event_type") === col("mt"))
+      .withColumn("size_decile",
+        least(lit(9L), expr("cents * 10 div max_cents")))
+      .groupBy("event_type", "size_decile")
+      .agg(count(lit(1)).as("n"),
+        sum(col("next_cents") - col("cents")).as("sum_impact_cents"))
+      .withColumn("avg_impact_cents",
+        col("sum_impact_cents").cast("double") / col("n").cast("double"))
+  }
+
   /** A66: cross-market correlation matrix — Pearson correlation of the
     * hourly volume series between every pair of event types (the
     * "which tokens move together" screen; time-series similarity search

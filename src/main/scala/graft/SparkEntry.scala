@@ -1659,6 +1659,8 @@ object SparkEntry {
       EventOps.maxDrawdown(Tables.events(s, d))),
     "q_events_price_impact" -> ((s, d) =>
       EventOps.priceImpact(Tables.events(s, d))),
+    "q_events_volume_autocorr" -> ((s, d) =>
+      EventOps.volumeAutocorrelation(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
       // composite: REAL BondingCurve snapshots ride the wire (encode →
       // registry decode), as-of enrich trades with the latest prior
@@ -2072,6 +2074,29 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS cum_value
          FROM events""",
+    "q_events_volume_autocorr" ->
+      """WITH hourly AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                       AS HUGEINT) AS x
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type,
+                  CAST(count(*) AS HUGEINT) AS n,
+                  sum(a.x) AS sx, sum(b.x) AS sy,
+                  sum(a.x * b.x) AS sxy,
+                  sum(a.x * a.x) AS sxx,
+                  sum(b.x * b.x) AS syy
+           FROM hourly a JOIN hourly b
+             ON a.event_type = b.event_type
+                AND a.hb = b.hb + 24 * 3600
+           GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+         FROM p""",
     "q_events_price_impact" ->
       """WITH t AS (
            SELECT event_type, epoch_us(ts) AS tu, event_id,

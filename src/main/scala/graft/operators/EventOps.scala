@@ -991,6 +991,38 @@ object EventOps {
         col("worst.hb").as("at_hb"), col("n_hours"))
   }
 
+  /** A66b: hourly-volume autocorrelation at a fixed lag — the
+    * seasonality probe (lag 24 = daily cycle): the series self-joins on
+    * `hb + lag·3600`, and the same five exact Decimal(38,0) moment sums
+    * as [[seriesCorrelation]] produce a bit-reproducible Pearson per
+    * type. Join fan-out is one row per (type, hour) pair — candle-table
+    * sized. */
+  def volumeAutocorrelation(events: DataFrame, lagHours: Int = 24)
+      : DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)"))
+        .cast("decimal(38,0)").as("x"))
+    val lagged = hourly.select(col("event_type").as("lt"),
+      (col("hb") + lagHours * 3600L).as("lhb"), col("x").as("y"))
+    val p = hourly
+      .join(lagged, col("event_type") === col("lt") &&
+        col("hb") === col("lhb"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    p.select(col("event_type"), col("n").cast("bigint").as("n_pairs"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+           .cast("double")))).as("autocorr"))
+  }
+
   /** A67: realized PnL per wallet, average-cost basis — the position
     * tracker a DEX subscriber builds from decoded trades: every sell is
     * marked against the running average cost of all PRIOR buys in the

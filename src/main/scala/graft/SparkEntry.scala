@@ -1661,6 +1661,10 @@ object SparkEntry {
       EventOps.priceImpact(Tables.events(s, d))),
     "q_events_volume_autocorr" -> ((s, d) =>
       EventOps.volumeAutocorrelation(Tables.events(s, d))),
+    "q_events_round_bias" -> ((s, d) =>
+      EventOps.roundNumberBias(Tables.events(s, d))),
+    "q_events_burstiness" -> ((s, d) =>
+      EventOps.burstiness(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
       // composite: REAL BondingCurve snapshots ride the wire (encode →
       // registry decode), as-of enrich trades with the latest prior
@@ -2074,6 +2078,35 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS cum_value
          FROM events""",
+    "q_events_round_bias" ->
+      """SELECT event_type, count(*) AS n,
+                count(CASE WHEN CAST(round(value * 100, 0) AS BIGINT)
+                           % 100 = 0 THEN 1 END) AS n_whole_dollar,
+                count(CASE WHEN CAST(round(value * 100, 0) AS BIGINT)
+                           % 1000 = 0 THEN 1 END) AS n_ten_dollar,
+                CAST(count(CASE WHEN CAST(round(value * 100, 0) AS BIGINT)
+                           % 100 = 0 THEN 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS whole_dollar_rate,
+                CAST(count(CASE WHEN CAST(round(value * 100, 0) AS BIGINT)
+                           % 1000 = 0 THEN 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS ten_dollar_rate
+         FROM events GROUP BY 1""",
+    "q_events_burstiness" ->
+      """WITH pm AS (
+           SELECT event_type, epoch_us(ts) // 60000000 AS mb,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type,
+                CAST(sum(n) AS BIGINT) AS total,
+                count(*) AS active_minutes,
+                CAST(max(mb) - min(mb) + 1 AS BIGINT) AS span_minutes,
+                CAST((max(mb) - min(mb) + 1) *
+                       CAST(sum(n * n) AS BIGINT) -
+                       CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT)
+                     AS DOUBLE) /
+                  CAST((max(mb) - min(mb) + 1) * CAST(sum(n) AS BIGINT)
+                       AS DOUBLE) AS fano
+         FROM pm GROUP BY 1""",
     "q_events_volume_autocorr" ->
       """WITH hourly AS (
            SELECT event_type,

@@ -1060,6 +1060,53 @@ object EventOps {
             col("cum_buy_n").cast("double")).as("pnl_cents"))
   }
 
+  /** A40b: round-number bias — the wash/bot fingerprint: organic trade
+    * sizes spread across the cent grid, scripted flows cluster on whole
+    * dollars and $10 multiples. Exact integer counts per type (whole
+    * dollar, 10-dollar, first significant digit histogram is left to
+    * the per-digit rows of the decile queries); ratios are one double
+    * division each at the output boundary. */
+  def roundNumberBias(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(expr("cents % 100 = 0"), 1)).as("n_whole_dollar"),
+        count(when(expr("cents % 1000 = 0"), 1)).as("n_ten_dollar"))
+      .withColumn("whole_dollar_rate",
+        col("n_whole_dollar").cast("double") / col("n").cast("double"))
+      .withColumn("ten_dollar_rate",
+        col("n_ten_dollar").cast("double") / col("n").cast("double"))
+
+  /** A51b: burstiness (Fano factor) of per-minute arrival counts — the
+    * dispersion index var/mean per type, >1 means bursty (bot storms),
+    * ≈1 Poisson-like. Variance forms from the exact integer moments
+    * (N·Σn² − (Σn)²) over the minute-count table; the only float ops
+    * are the two final divisions. Includes empty minutes in the span
+    * (they shift the mean down and the variance up — dropping them
+    * understates burstiness), via the span length rather than a spine
+    * explode. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val perMin = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 60000000").as("mb"))
+      .agg(count(lit(1)).as("n"))
+    perMin.groupBy("event_type")
+      .agg(sum("n").as("total"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        count(lit(1)).as("active_minutes"),
+        (max("mb") - min("mb") + 1).as("span_minutes"))
+      // moments over the FULL span: empty minutes contribute n=0, so
+      // Σn and Σn² are unchanged and only the denominator widens
+      .select(col("event_type"), col("total"), col("active_minutes"),
+        col("span_minutes"),
+        ((col("span_minutes") * col("sum_sq") -
+          col("total") * col("total")).cast("double") /
+          (col("span_minutes") * col("total")).cast("double"))
+          .as("fano"))
+  }
+
   /** A68: price impact by trade size — does a bigger trade move the next
     * print more? Per type, each trade's impact is the exact integer cent
     * change to the NEXT trade in the (event-time, id) total order

@@ -1665,6 +1665,10 @@ object SparkEntry {
       EventOps.roundNumberBias(Tables.events(s, d))),
     "q_events_burstiness" -> ((s, d) =>
       EventOps.burstiness(Tables.events(s, d))),
+    "q_events_wallet_overlap" -> ((s, d) =>
+      EventOps.walletOverlap(Tables.events(s, d))),
+    "q_events_gini" -> ((s, d) =>
+      EventOps.giniByType(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
       // composite: REAL BondingCurve snapshots ride the wire (encode →
       // registry decode), as-of enrich trades with the latest prior
@@ -2107,6 +2111,39 @@ object SparkEntry {
                   CAST((max(mb) - min(mb) + 1) * CAST(sum(n) AS BIGINT)
                        AS DOUBLE) AS fano
          FROM pm GROUP BY 1""",
+    "q_events_wallet_overlap" ->
+      """WITH tw AS (SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (SELECT event_type AS st, count(*) AS sz
+                FROM tw GROUP BY 1),
+         inter AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  count(*) AS n_common
+           FROM tw a JOIN tw b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, n_common,
+                sa.sz AS n_a, sb.sz AS n_b,
+                CAST(n_common AS DOUBLE) /
+                  CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+         FROM inter
+         JOIN sz sa ON type_a = sa.st
+         JOIN sz sb ON type_b = sb.st""",
+    "q_events_gini" ->
+      """WITH vols AS (
+           SELECT event_type, user_id,
+                  sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY v, user_id) AS i
+               FROM vols)
+         SELECT event_type, count(*) AS n_wallets,
+                CAST(sum(v) AS BIGINT) AS total_cents,
+                (2.0 * CAST(sum(i * v) AS DOUBLE)) /
+                  CAST(count(*) * sum(v) AS DOUBLE) -
+                  CAST(count(*) + 1 AS DOUBLE) /
+                    CAST(count(*) AS DOUBLE) AS gini
+         FROM r GROUP BY event_type""",
     "q_events_volume_autocorr" ->
       """WITH hourly AS (
            SELECT event_type,

@@ -1107,6 +1107,57 @@ object EventOps {
           .as("fano"))
   }
 
+  /** A70: cross-market wallet overlap — Jaccard similarity of the
+    * active-wallet sets for every type pair (which markets share their
+    * crowd): distinct (type, wallet) pairs reduce first, the
+    * intersection counts come from one self-join on the wallet key, and
+    * set sizes broadcast back — all exact integers, one double division
+    * per pair. */
+  def walletOverlap(events: DataFrame): DataFrame = {
+    val tw = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = tw.groupBy(col("event_type").as("st"))
+      .agg(count(lit(1)).as("sz"))
+    val inter = tw.as("a")
+      .join(tw.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes), col("type_a") === col("st"))
+      .withColumnRenamed("sz", "n_a").drop("st")
+      .join(broadcast(sizes), col("type_b") === col("st"))
+      .withColumnRenamed("sz", "n_b").drop("st")
+      .select(col("type_a"), col("type_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** A53b: Gini coefficient of wallet volume per market — the
+    * inequality companion of A53's HHI: wallets rank by (volume, id)
+    * within their type (partitioned window over the wallet-level table,
+    * events already reduced), and `G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n`
+    * forms from exact integer sums with double division only at the
+    * end. */
+  def giniByType(events: DataFrame): DataFrame = {
+    val vols = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("v"))
+    val w = Window.partitionBy("event_type").orderBy(col("v"), col("user_id"))
+    vols.withColumn("i", row_number().over(w).cast("bigint"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_wallets"),
+        sum("v").as("total_cents"),
+        sum(col("i") * col("v")).as("rank_weighted"))
+      .select(col("event_type"), col("n_wallets"), col("total_cents"),
+        ((lit(2.0) * col("rank_weighted").cast("double")) /
+          (col("n_wallets") * col("total_cents")).cast("double") -
+          (col("n_wallets") + 1).cast("double") /
+            col("n_wallets").cast("double")).as("gini"))
+  }
+
   /** A68: price impact by trade size — does a bigger trade move the next
     * print more? Per type, each trade's impact is the exact integer cent
     * change to the NEXT trade in the (event-time, id) total order

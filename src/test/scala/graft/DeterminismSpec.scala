@@ -30,7 +30,8 @@ class DeterminismSpec extends TestSparkSession {
     // range-exchange prefix sums must not depend on partition boundaries
     "q_docs_select_budget", "q_events_realized_pnl",
     "q_events_ohlc_gapfill", "q_events_max_drawdown", "q_events_price_impact",
-    "q_events_volume_autocorr", "q_events_burstiness")
+    "q_events_volume_autocorr", "q_events_burstiness",
+    "q_events_wallet_overlap", "q_events_gini")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -985,8 +985,8 @@ object SparkEntry {
     }),
     "q_events_account_real" -> ((s, d) => {
       // real account-state layouts dispatched by OWNER program: PumpFun
-      // bonding curve, PumpSwap pool, Bonk pool state (its 40-byte
-      // vesting schedule rides through as declared padding)
+      // bonding curve, PumpSwap pool, Bonk pool state (incl. the nested
+      // VestingSchedule flattened to its five u64 fields)
       import graft.sources.{ProtocolRegistry, RealLayouts}
       val ev = Tables.events(s, d)
       val cents = expr("cast(round(value * 100, 0) as bigint)")
@@ -1031,6 +1031,11 @@ object SparkEntry {
           (col("event_id") % 97).as("quote_protocol_fee"),
           (col("event_id") % 89).as("platform_fee"),
           (col("event_id") % 83).as("migrate_fee"),
+          (col("event_id") % 1009).as("total_locked_amount"),
+          (col("event_id") % 7).as("cliff_period"),
+          (col("event_id") % 11).as("unlock_period"),
+          (col("event_id") % 13).as("start_time"),
+          (col("event_id") % 17).as("allocated_share_amount"),
           mk("31").as("global_config"), mk("32").as("platform_config"),
           mk("33").as("base_mint"), mk("34").as("quote_mint"),
           mk("35").as("base_vault"), mk("36").as("quote_vault")),
@@ -1047,7 +1052,13 @@ object SparkEntry {
             .as("sum_v"),
           sum(coalesce(col("pf_bonding_curve.complete").cast("bigint"),
             col("ps_pool.index").cast("bigint"),
-            col("bonk_pool_state.epoch"))).as("sum_w"))
+            col("bonk_pool_state.epoch"))).as("sum_w"),
+          sum(coalesce(col("bonk_pool_state.total_locked_amount") +
+            col("bonk_pool_state.cliff_period") +
+            col("bonk_pool_state.unlock_period") +
+            col("bonk_pool_state.start_time") +
+            col("bonk_pool_state.allocated_share_amount"), lit(0L)))
+            .as("sum_vesting"))
     }),
     "q_events_compute_budget" -> ((s, d) => {
       // compute-budget fee pressure: every tx carries SetComputeUnitLimit
@@ -2763,11 +2774,16 @@ object SparkEntry {
                     WHEN 'view' THEN event_id * 3 END AS v,
                   CASE event_type WHEN 'signup' THEN event_id % 2
                     WHEN 'click' THEN event_id % 65536
-                    WHEN 'view' THEN event_id % 512 END AS w
+                    WHEN 'view' THEN event_id % 512 END AS w,
+                  CASE event_type WHEN 'view' THEN
+                    event_id % 1009 + event_id % 7 + event_id % 11 +
+                    event_id % 13 + event_id % 17
+                  ELSE 0 END AS vest
            FROM events WHERE event_type IN ('signup', 'click', 'view'))
          SELECT protocol, event_kind, count(*) AS n,
                 CAST(sum(v) AS BIGINT) AS sum_v,
-                CAST(sum(w) AS BIGINT) AS sum_w
+                CAST(sum(w) AS BIGINT) AS sum_w,
+                CAST(sum(vest) AS BIGINT) AS sum_vesting
          FROM k GROUP BY 1, 2""",
     "q_events_compute_budget" ->
       """SELECT user_id % 25 AS wallet_bucket, count(*) AS n_tx,

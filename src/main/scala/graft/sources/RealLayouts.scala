@@ -310,7 +310,8 @@ object RealLayouts {
 
   /** Bonk PoolState account (bonk/types.rs:96-130, discriminator
     * events.rs:288 — shared with RaydiumCpmm's PoolState hash; the
-    * 40-byte VestingSchedule passes through as padding). */
+    * nested VestingSchedule (bonk/types.rs:88-95) is flattened into its
+    * five u64 fields, exactly as borsh lays them out in-place). */
   val BonkAccounts: ProtocolSpec = ProtocolSpec("bonk_acct", Seq(
     LayoutSpec("bonk_pool_state", disc(247, 237, 227, 245, 215, 195, 222, 70),
       borsh(8,
@@ -321,7 +322,10 @@ object RealLayouts {
         "virtual_quote" -> "u64", "real_base" -> "u64",
         "real_quote" -> "u64", "total_quote_fund_raising" -> "u64",
         "quote_protocol_fee" -> "u64", "platform_fee" -> "u64",
-        "migrate_fee" -> "u64", "vesting_schedule" -> "pad:40",
+        "migrate_fee" -> "u64",
+        "total_locked_amount" -> "u64", "cliff_period" -> "u64",
+        "unlock_period" -> "u64", "start_time" -> "u64",
+        "allocated_share_amount" -> "u64",
         "global_config" -> "b32", "platform_config" -> "b32",
         "base_mint" -> "b32", "quote_mint" -> "b32",
         "base_vault" -> "b32", "quote_vault" -> "b32"))),

@@ -1680,6 +1680,8 @@ object SparkEntry {
       EventOps.walletOverlap(Tables.events(s, d))),
     "q_events_gini" -> ((s, d) =>
       EventOps.giniByType(Tables.events(s, d))),
+    "q_events_pagerank" -> ((s, d) =>
+      GraphOps.coactivityPagerank(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
       // composite: REAL BondingCurve snapshots ride the wire (encode →
       // registry decode), as-of enrich trades with the latest prior
@@ -1923,7 +1925,47 @@ object SparkEntry {
     }),
   )
 
+  /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
+    * 10 damped steps as plain CTEs (recursive CTEs can't aggregate in
+    * the recursive term) — every step is the same 64-bit truncating
+    * integer arithmetic as the Spark loop, so the fixed point is
+    * bit-identical. */
+  private lazy val pagerankOracle: String = {
+    val steps = (1 to 10).map { k =>
+      s""", p$k AS (
+         SELECT d.src AS node,
+                (SELECT 150000000000 // n FROM nn) +
+                  (85 * COALESCE(i.s, 0)) // 100 AS pr
+         FROM d LEFT JOIN (
+           SELECT e.dst AS dnode, sum(p.pr // d2.deg) AS s
+           FROM e JOIN p${k - 1} p ON e.src = p.node
+                JOIN d d2 ON e.src = d2.src
+           GROUP BY e.dst) i ON d.src = i.dnode)"""
+    }.mkString
+    s"""WITH act AS (
+         SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                         user_id
+         FROM events),
+       sized AS (
+         SELECT event_type, mb FROM act
+         GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+       e AS (
+         SELECT DISTINCT x.user_id AS src, y.user_id AS dst
+         FROM act x
+         JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
+         JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+         WHERE x.user_id <> y.user_id),
+       d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       nn AS (SELECT count(*) AS n FROM d),
+       p0 AS (SELECT src AS node, 1000000000000 // n AS pr FROM d, nn)
+       $steps
+       SELECT d.src AS node, CAST(d.deg AS BIGINT) AS deg,
+              CAST(p.pr AS BIGINT) AS pr
+       FROM d JOIN p10 p ON d.src = p.node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_events_pagerank" -> pagerankOracle,
     "q_events_filter_types" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
          FROM events WHERE event_type IN ('purchase', 'signup')""",

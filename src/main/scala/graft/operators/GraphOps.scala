@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the wallet co-activity graph.
+  *
+  * The reference's bot/dev-attribution heuristics (global_state.rs dev
+  * address sets, wash-trade pairing) are all special cases of "who acts
+  * together": this operator builds the general co-activity graph and
+  * ranks wallets by exact-integer PageRank.
+  *
+  * Determinism engineering (the property every float query in this repo
+  * holds): rank mass is a BIGINT scaled by 1e12 and every PageRank step
+  * is integer arithmetic — `pr div deg` truncating division fans mass
+  * out, `(85 · Σ incoming) div 100` applies the damping factor — so the
+  * fixed-point after k iterations is bit-identical on any partitioning
+  * AND reproducible in any engine with 64-bit integer division (the
+  * DuckDB oracle unrolls the same 10 steps as plain CTEs). A float
+  * PageRank would be partition-order dependent and un-oracle-able.
+  *
+  * Scale notes (100 TB): the pair fan-out inside one (market, hour)
+  * group is quadratic in the group's active-wallet count, so groups
+  * beyond `maxGroupSize` are dropped — the same bounded-hot-key policy
+  * as `Dedup.ngramJaccard(maxDocFreq)`; a corpus-wide hot hour
+  * otherwise materializes k² edge rows. The edge list and out-degrees
+  * are built once, `localCheckpoint`ed (iterating on a live lineage
+  * re-derives the whole upstream pipeline every round and the plan
+  * grows combinatorially — same lesson as `Dedup.canonicalize`), and
+  * each iteration is ONE shuffle: ranks join the degree-annotated edge
+  * list on `src`, contributions hash-aggregate on `dst`. Rank state is
+  * one row per node — metadata-sized next to the event table.
+  */
+object GraphOps {
+
+  /** Wallets ranked by 10 rounds of damped (0.85) integer PageRank over
+    * the "active in the same market-hour" graph. Output: one row per
+    * node — `node`, `deg` (symmetric co-activity degree), `pr` (rank
+    * mass out of 1e12).
+    */
+  def coactivityPagerank(
+      events: DataFrame,
+      iterations: Int = 10,
+      maxGroupSize: Int = 64): DataFrame = {
+    // distinct (market, hour, wallet) activity; hot hours capped
+    val act = events.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("mb"),
+        col("user_id")).distinct()
+    val sized = act.groupBy("event_type", "mb")
+      .agg(count(lit(1)).as("gs"))
+      .filter(col("gs") >= 2 && col("gs") <= maxGroupSize)
+      .select(col("event_type"), col("mb"))
+    val g = act.join(sized, Seq("event_type", "mb"))
+    val edges = g.as("x").join(g.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.mb") === col("y.mb") &&
+          col("x.user_id") =!= col("y.user_id"))
+      .select(col("x.user_id").as("src"), col("y.user_id").as("dst"))
+      .distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree-annotated edges: built once, iterated many times
+    val withDeg = edges.join(outdeg, "src").localCheckpoint()
+    val nodes = outdeg.localCheckpoint()
+    val n = nodes.count() // one metadata-sized driver action
+    if (n == 0) {
+      return nodes.select(col("src").as("node"), col("deg"),
+        col("deg").as("pr"))
+    }
+    val scale = 1000000000000L // total rank mass
+    val base = (15L * scale / 100L) / n // (1 - d) / n, d = 0.85
+    var ranks = nodes.select(col("src").as("node"),
+      lit(scale / n).as("pr"))
+    for (_ <- 1 to iterations) {
+      val incoming = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum("c").as("inc"))
+      ranks = nodes
+        .join(incoming, col("src") === col("dst"), "left_outer")
+        .select(col("src").as("node"),
+          (lit(base) +
+            expr("(85 * coalesce(inc, cast(0 as bigint))) div 100"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    nodes.select(col("src").as("node"), col("deg"))
+      .join(ranks, "node")
+      .select(col("node"), col("deg"), col("pr"))
+  }
+}

@@ -31,7 +31,9 @@ class DeterminismSpec extends TestSparkSession {
     "q_docs_select_budget", "q_events_realized_pnl",
     "q_events_ohlc_gapfill", "q_events_max_drawdown", "q_events_price_impact",
     "q_events_volume_autocorr", "q_events_burstiness",
-    "q_events_wallet_overlap", "q_events_gini")
+    "q_events_wallet_overlap", "q_events_gini",
+    // all-integer output, but pins the iterative join/agg pipeline
+    "q_events_pagerank")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -79,7 +79,19 @@ object Bench {
     "q_ann_int8_topk",
     "q_docs_strip_boilerplate",
     "q_docs_select_budget",
-    "q_events_realized_pnl")
+    "q_events_realized_pnl",
+    "q_events_pagerank",
+    "q_events_triangles",
+    "q_events_sandwich",
+    "q_events_bollinger",
+    "q_events_wallet_overlap",
+    "q_events_gini",
+    "q_events_price_impact",
+    "q_events_max_drawdown",
+    "q_events_ohlc_gapfill",
+    "q_events_volume_autocorr",
+    "q_events_cohort_ltv",
+    "q_events_curve_progress")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

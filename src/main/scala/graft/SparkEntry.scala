@@ -1682,6 +1682,12 @@ object SparkEntry {
       EventOps.giniByType(Tables.events(s, d))),
     "q_events_pagerank" -> ((s, d) =>
       GraphOps.coactivityPagerank(Tables.events(s, d))),
+    "q_events_triangles" -> ((s, d) =>
+      GraphOps.triangleStats(Tables.events(s, d))),
+    "q_events_sandwich" -> ((s, d) =>
+      EventOps.sandwichTrades(Tables.events(s, d))),
+    "q_events_bollinger" -> ((s, d) =>
+      EventOps.bollingerBreakouts(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
       // composite: REAL BondingCurve snapshots ride the wire (encode →
       // registry decode), as-of enrich trades with the latest prior
@@ -1966,6 +1972,95 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_events_pagerank" -> pagerankOracle,
+    "q_events_triangles" ->
+      """WITH act AS (
+           SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                           user_id
+           FROM events),
+         sized AS (
+           SELECT event_type, mb FROM act
+           GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+         e AS (
+           SELECT DISTINCT x.user_id AS src, y.user_id AS dst
+           FROM act x
+           JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
+           JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+           WHERE x.user_id < y.user_id),
+         deg AS (
+           SELECT node, count(*) AS deg FROM (
+             SELECT src AS node FROM e
+             UNION ALL SELECT dst AS node FROM e) GROUP BY 1),
+         tri AS (
+           SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+           FROM e ab
+           JOIN e bc ON ab.dst = bc.src
+           JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+         pn AS (
+           SELECT node, count(*) AS tri FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b AS node FROM tri
+             UNION ALL SELECT c AS node FROM tri) GROUP BY 1)
+         SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+                CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+                CAST(CASE WHEN d.deg >= 2
+                     THEN (2 * COALESCE(p.tri, 0) * 1000000)
+                            // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS cc_1e6
+         FROM deg d LEFT JOIN pn p ON d.node = p.node""",
+    "q_events_sandwich" ->
+      """WITH t AS (
+           SELECT epoch_us(ts) // 3600000000 AS mb, event_id, user_id,
+                  event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         sized AS (SELECT mb FROM t GROUP BY 1 HAVING count(*) <= 1024),
+         tt AS (SELECT t.* FROM t JOIN sized USING (mb)),
+         br AS (
+           SELECT mb, user_id AS attacker,
+                  min(CASE WHEN event_type = 'purchase'
+                      THEN event_id END) AS b,
+                  max(CASE WHEN event_type = 'view'
+                      THEN event_id END) AS s
+           FROM tt GROUP BY 1, 2
+           HAVING b IS NOT NULL AND s IS NOT NULL AND s > b)
+         SELECT br.attacker,
+                CAST(count(DISTINCT br.mb) AS BIGINT) AS n_hours,
+                CAST(count(*) AS BIGINT) AS n_victim_trades,
+                CAST(count(DISTINCT tt.user_id) AS BIGINT) AS n_victims,
+                CAST(sum(tt.cents) AS BIGINT) AS victim_cents
+         FROM br JOIN tt ON tt.mb = br.mb
+         WHERE tt.user_id <> br.attacker
+           AND tt.event_id > br.b AND tt.event_id < br.s
+         GROUP BY 1""",
+    "q_events_bollinger" ->
+      """WITH b AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS db,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(ts) AS tu, event_id
+           FROM events),
+         w0 AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type, db
+                      ORDER BY tu DESC, event_id DESC) AS rn
+           FROM b),
+         closes AS (
+           SELECT event_type, db, cents AS close_cents
+           FROM w0 WHERE rn = 1),
+         r AS (
+           SELECT event_type, db, close_cents,
+                  count(*) OVER win AS n,
+                  sum(close_cents) OVER win AS s1,
+                  sum(close_cents * close_cents) OVER win AS s2
+           FROM closes
+           WINDOW win AS (PARTITION BY event_type ORDER BY db
+                          RANGE BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT event_type, db * 86400 AS day, close_cents,
+                CAST(n AS BIGINT) AS n_window,
+                CASE WHEN n * close_cents - s1 > 0 THEN 'hi'
+                     ELSE 'lo' END AS side
+         FROM r
+         WHERE n >= 12
+           AND 4 * (n * close_cents - s1) * (n * close_cents - s1)
+               > 9 * (n * s2 - s1 * s1)""",
     "q_events_filter_types" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
          FROM events WHERE event_type IN ('purchase', 'signup')""",

@@ -1224,4 +1224,91 @@ object EventOps {
          sqrt((col("n") * col("syy") - col("sy") * col("sy"))
            .cast("double")))).as("corr"))
   }
+
+  /** A72: sandwich-pattern detection — the MEV heuristic the reference's
+    * slot/tx-index ordering (grpc/shred `types.rs` transaction_index)
+    * exists to enable: an attacker's buy and later sell BRACKET other
+    * wallets' trades in the intra-block execution order. Here the block
+    * analog is the hour bucket and the order inside it is `event_id`
+    * (buy ≙ purchase, sell ≙ view, as in [[washTrades]]).
+    *
+    * Shape: one keyed aggregate builds each wallet's (first buy, last
+    * sell) bracket per bucket, then ONE equi-join on the bucket pulls
+    * the trades strictly inside the bracket — fan-out is brackets ×
+    * trades per bucket, so buckets beyond `maxBucketTrades` are dropped
+    * first (the bounded-hot-key policy of `Dedup.ngramJaccard`). All
+    * comparisons are exact integers on the event_id total order; no
+    * windows, no floats. */
+  def sandwichTrades(
+      events: DataFrame,
+      maxBucketTrades: Int = 1024): DataFrame = {
+    val t = events
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(expr("unix_micros(ts) div 3600000000").as("mb"),
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val sized = t.groupBy("mb").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucketTrades).select("mb")
+    val tt = t.join(sized, "mb")
+    val brackets = tt.groupBy("mb", "user_id")
+      .agg(min(when(col("event_type") === "purchase", col("event_id")))
+          .as("b"),
+        max(when(col("event_type") === "view", col("event_id"))).as("s"))
+      .filter(col("b").isNotNull && col("s").isNotNull &&
+        col("s") > col("b"))
+      .select(col("mb"), col("user_id").as("attacker"), col("b"),
+        col("s"))
+    tt.join(brackets, Seq("mb"))
+      .filter(col("user_id") =!= col("attacker") &&
+        col("event_id") > col("b") && col("event_id") < col("s"))
+      .groupBy("attacker")
+      .agg(countDistinct("mb").as("n_hours"),
+        count(lit(1)).as("n_victim_trades"),
+        countDistinct("user_id").as("n_victims"),
+        sum("cents").as("victim_cents"))
+  }
+
+  /** A12e: Bollinger-band breakouts over the daily close series —
+    * candles whose close leaves the ±k·σ band around the trailing
+    * 20-day mean (the classic Bollinger length; k is a rational
+    * kNum/kDen so 3/2 bands are expressible without floats). The
+    * breakout predicate is EXACT integer arithmetic: with rolling cent
+    * sums s1 = Σx, s2 = Σx² over n candles,
+    * `|x − μ| > k·σ  ⟺  kDen²·(n·x − s1)² > kNum²·(n·s2 − s1²)` —
+    * both sides are products of 64-bit cent sums, so no float ever
+    * forms and the flag is bit-identical in any engine (a float
+    * mean/stddev version would diverge between Spark and the oracle in
+    * the last ulp).
+    *
+    * Scale: runs on the candle table (one row per (type, day)); the
+    * rolling frame is a RANGE window over the integer day bucket,
+    * partitioned by type — trailing state is O(window). */
+  def bollingerBreakouts(
+      events: DataFrame,
+      windowDays: Int = 20,
+      kNum: Int = 3,
+      kDen: Int = 2,
+      minPeriods: Int = 12): DataFrame = {
+    val closes = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("db"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        tsUs.as("tu"), col("event_id"))
+      .groupBy("event_type", "db")
+      .agg(max_by(col("cents"), struct(col("tu"), col("event_id")))
+        .as("close_cents"))
+    val w = Window.partitionBy("event_type").orderBy("db")
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    closes
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum("close_cents").over(w))
+      .withColumn("s2", sum(expr("close_cents * close_cents")).over(w))
+      .filter(col("n") >= minPeriods)
+      .withColumn("d", expr("n * close_cents - s1"))
+      .filter(expr(s"${kDen.toLong * kDen} * d * d > " +
+        s"${kNum.toLong * kNum} * (n * s2 - s1 * s1)"))
+      .select(col("event_type"), (col("db") * 86400).as("day"),
+        col("close_cents"), col("n").as("n_window"),
+        when(col("d") > 0, lit("hi")).otherwise(lit("lo")).as("side"))
+  }
 }

@@ -33,15 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Wallets ranked by 10 rounds of damped (0.85) integer PageRank over
-    * the "active in the same market-hour" graph. Output: one row per
-    * node — `node`, `deg` (symmetric co-activity degree), `pr` (rank
-    * mass out of 1e12).
-    */
-  def coactivityPagerank(
-      events: DataFrame,
-      iterations: Int = 10,
-      maxGroupSize: Int = 64): DataFrame = {
+  /** Directed co-activity edge list: (src, dst) for every ordered pair
+    * of wallets active in the same (market, hour) group, groups larger
+    * than `maxGroupSize` dropped BEFORE the quadratic pair fan-out.
+    * Both directions are present (the graph is symmetric); filter
+    * `src < dst` for the undirected edge set. */
+  def coactivityEdges(events: DataFrame, maxGroupSize: Int): DataFrame = {
     // distinct (market, hour, wallet) activity; hot hours capped
     val act = events.select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("mb"),
@@ -51,12 +48,24 @@ object GraphOps {
       .filter(col("gs") >= 2 && col("gs") <= maxGroupSize)
       .select(col("event_type"), col("mb"))
     val g = act.join(sized, Seq("event_type", "mb"))
-    val edges = g.as("x").join(g.as("y"),
+    g.as("x").join(g.as("y"),
         col("x.event_type") === col("y.event_type") &&
           col("x.mb") === col("y.mb") &&
           col("x.user_id") =!= col("y.user_id"))
       .select(col("x.user_id").as("src"), col("y.user_id").as("dst"))
       .distinct()
+  }
+
+  /** Wallets ranked by 10 rounds of damped (0.85) integer PageRank over
+    * the "active in the same market-hour" graph. Output: one row per
+    * node — `node`, `deg` (symmetric co-activity degree), `pr` (rank
+    * mass out of 1e12).
+    */
+  def coactivityPagerank(
+      events: DataFrame,
+      iterations: Int = 10,
+      maxGroupSize: Int = 64): DataFrame = {
+    val edges = coactivityEdges(events, maxGroupSize)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // degree-annotated edges: built once, iterated many times
     val withDeg = edges.join(outdeg, "src").localCheckpoint()
@@ -87,5 +96,43 @@ object GraphOps {
     nodes.select(col("src").as("node"), col("deg"))
       .join(ranks, "node")
       .select(col("node"), col("deg"), col("pr"))
+  }
+
+  /** A73: triangle count and local clustering coefficient per wallet —
+    * "are this wallet's co-actors also each other's co-actors", the
+    * community-tightness signal that separates organic crowds from bot
+    * rings (a wash-trading cluster is near-clique: cc → 1e6).
+    *
+    * Shape: the undirected edge set (src < dst, each edge once) joins
+    * itself twice — wedges (a,b)⋈(b,c) then closure probe on (a,c);
+    * with the group-size cap the per-node degree is bounded, so wedge
+    * fan-out is Σ deg² over capped degrees, not n². The coefficient is
+    * a truncating integer `2·tri·1e6 div deg·(deg−1)` — bit-identical
+    * in any engine, no floats. */
+  def triangleStats(
+      events: DataFrame,
+      maxGroupSize: Int = 64): DataFrame = {
+    val e = coactivityEdges(events, maxGroupSize)
+      .filter(col("src") < col("dst"))
+      .localCheckpoint()
+    val deg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // oriented wedges a<b<c close into each triangle exactly once
+    val tri = e.as("ab").join(e.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(e.as("ac"), col("ac.src") === col("ab.src") &&
+        col("ac.dst") === col("bc.dst"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"),
+        col("bc.dst").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("cc_1e6",
+        when(col("deg") >= 2,
+          expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .select(col("node"), col("deg"), col("tri"), col("cc_1e6"))
   }
 }

@@ -33,7 +33,9 @@ class DeterminismSpec extends TestSparkSession {
     "q_events_volume_autocorr", "q_events_burstiness",
     "q_events_wallet_overlap", "q_events_gini",
     // all-integer output, but pins the iterative join/agg pipeline
-    "q_events_pagerank")
+    "q_events_pagerank",
+    // integer-exact graph + MEV + band analytics
+    "q_events_triangles", "q_events_sandwich", "q_events_bollinger")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

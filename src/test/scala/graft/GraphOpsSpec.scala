@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Structural properties of the co-activity graph operators on corpora
+  * whose graph shape is known by construction. */
+class GraphOpsSpec extends TestSparkSession {
+  import spark.implicits._
+
+  // one market-hour with wallets 1..k → a k-clique; a second hour with
+  // wallets 100,101 → an isolated edge
+  private def cliqueEvents(k: Int): DataFrame =
+    ((1 to k).map(w => (w.toLong, "m", 0L)) ++
+      Seq((100L, "m", 1L), (101L, "m", 1L)))
+      .map { case (u, t, h) =>
+        (u * 10 + h, new Timestamp(h * 3600000L), u, t, 1.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("clique wallets have clustering coefficient exactly 1e6") {
+    val out = GraphOps.triangleStats(cliqueEvents(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    (1 to 5).foreach { w =>
+      val (deg, tri, cc) = out(w.toLong)
+      assert(deg === 4)
+      assert(tri === 6) // C(4,2) triangles through each clique node
+      assert(cc === 1000000L)
+    }
+    // the isolated edge has no triangles and cc 0
+    assert(out(100L) === ((1L, 0L, 0L)))
+    assert(out(101L) === ((1L, 0L, 0L)))
+  }
+
+  test("pagerank conserves rank mass up to truncation loss") {
+    val out = GraphOps.coactivityPagerank(cliqueEvents(6)).collect()
+    val total = out.map(_.getLong(2)).sum
+    // truncating divisions only ever LOSE mass; with 8 nodes and 10
+    // rounds the loss is bounded by iterations · nodes · (divisor - 1)
+    assert(total <= 1000000000000L)
+    assert(total > 999999990000L)
+    // clique nodes all end with identical rank (graph symmetry)
+    val cliqueRanks =
+      out.filter(_.getLong(0) <= 6).map(_.getLong(2)).distinct
+    assert(cliqueRanks.length === 1)
+  }
+
+  test("hot group cap drops oversized market-hours before the fan-out") {
+    // 70 wallets in one hour exceeds maxGroupSize=64 → no edges at all
+    val out = GraphOps.triangleStats(cliqueEvents(70)
+      .filter(col("user_id") < 100), maxGroupSize = 64)
+    assert(out.count() === 0)
+  }
+
+  test("sandwich brackets only strictly interior other-wallet trades") {
+    // hour 0, event_id order: A buy(1), V trade(2), A sell(3), V trade(4)
+    // → exactly one victim trade (id 2); id 4 is outside the bracket
+    val ev = Seq(
+      (1L, 0L, 1L, "purchase", 10.0),
+      (2L, 0L, 2L, "view", 7.0),
+      (3L, 0L, 1L, "view", 10.0),
+      (4L, 0L, 2L, "purchase", 9.0))
+      .map { case (id, h, u, t, v) =>
+        (id, new Timestamp(h * 3600000L), u, t, v, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.EventOps.sandwichTrades(ev).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L) // attacker A
+    assert(out(0).getLong(2) === 1L) // one victim trade
+    assert(out(0).getLong(4) === 700L) // its cents
+  }
+}

@@ -1979,7 +1979,7 @@ object SparkEntry {
            FROM events),
          sized AS (
            SELECT event_type, mb FROM act
-           GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+           GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 16),
          e AS (
            SELECT DISTINCT x.user_id AS src, y.user_id AS dst
            FROM act x

@@ -82,6 +82,7 @@ object Bench {
     "q_events_realized_pnl",
     "q_events_pagerank",
     "q_events_triangles",
+    "q_events_wallet_clusters",
     "q_events_sandwich",
     "q_events_bollinger",
     "q_events_wallet_overlap",

@@ -1684,6 +1684,8 @@ object SparkEntry {
       GraphOps.coactivityPagerank(Tables.events(s, d))),
     "q_events_triangles" -> ((s, d) =>
       GraphOps.triangleStats(Tables.events(s, d))),
+    "q_events_wallet_clusters" -> ((s, d) =>
+      GraphOps.walletClusters(Tables.events(s, d))),
     "q_events_sandwich" -> ((s, d) =>
       EventOps.sandwichTrades(Tables.events(s, d))),
     "q_events_bollinger" -> ((s, d) =>
@@ -2007,6 +2009,35 @@ object SparkEntry {
                             // (d.deg * (d.deg - 1))
                      ELSE 0 END AS BIGINT) AS cc_1e6
          FROM deg d LEFT JOIN pn p ON d.node = p.node""",
+    "q_events_wallet_clusters" ->
+      """WITH act AS (
+           SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                           user_id
+           FROM events),
+         sized AS (
+           SELECT event_type, mb FROM act
+           GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 16),
+         e AS (
+           SELECT DISTINCT x.user_id AS src, y.user_id AS dst
+           FROM act x
+           JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
+           JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+           WHERE x.user_id < y.user_id),
+         edges AS (SELECT src AS a, dst AS b FROM e
+                   UNION SELECT dst, src FROM e),
+         cl AS (
+           SELECT a AS wallet, least(a, min(b)) AS cluster_id FROM (
+             WITH RECURSIVE reach(a, b) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+             SELECT a, b FROM reach)
+           GROUP BY a),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM cl GROUP BY 1)
+         SELECT cl.wallet, cl.cluster_id,
+                CAST(sz.cluster_size AS BIGINT) AS cluster_size
+         FROM cl JOIN sz USING (cluster_id)""",
     "q_events_sandwich" ->
       """WITH t AS (
            SELECT epoch_us(ts) // 3600000000 AS mb, event_id, user_id,

@@ -102,6 +102,28 @@ object GraphOps {
       .select(col("node"), col("deg"), col("pr"))
   }
 
+  /** A74: connected components over the co-activity graph — the Sybil
+    * surface: wallets reachable through chains of shared market-hours
+    * collapse into one cluster (cluster_id = min wallet id, label
+    * propagation to a fixed point via [[Dedup.canonicalize]], which
+    * already carries the per-round `localCheckpoint` lineage hygiene).
+    * Output: wallet, cluster_id, cluster_size — wallets with no
+    * co-activity don't appear (a singleton row per lone wallet would
+    * just mirror the wallet table). */
+  def walletClusters(
+      events: DataFrame,
+      maxGroupSize: Int = 16): DataFrame = {
+    val pairs = coactivityEdges(events, maxGroupSize)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("d1"), col("dst").as("d2"))
+    val labels = Dedup.canonicalize(pairs)
+    val sizes = labels.groupBy("keep_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "keep_id")
+      .select(col("doc_id").as("wallet"),
+        col("keep_id").as("cluster_id"), col("cluster_size"))
+  }
+
   /** A73: triangle count and local clustering coefficient per wallet —
     * "are this wallet's co-actors also each other's co-actors", the
     * community-tightness signal that separates organic crowds from bot

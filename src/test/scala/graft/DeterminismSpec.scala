@@ -35,7 +35,8 @@ class DeterminismSpec extends TestSparkSession {
     // all-integer output, but pins the iterative join/agg pipeline
     "q_events_pagerank",
     // integer-exact graph + MEV + band analytics
-    "q_events_triangles", "q_events_sandwich", "q_events_bollinger")
+    "q_events_triangles", "q_events_sandwich", "q_events_bollinger",
+    "q_events_wallet_clusters")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

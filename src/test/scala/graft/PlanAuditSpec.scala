@@ -518,4 +518,36 @@ class PlanAuditSpec extends TestSparkSession {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
       "expected the 1996 ship-date band pushed to the scan")
   }
+
+  test("triangle wedge join and closure probe stay equi-keyed") {
+    val df = GraphOps.triangleStats(Tables.events(spark, sfDir))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "wedge/closure must join on edge keys, not cross-filter")
+    assert(!plan.contains("WindowExec"),
+      "triangle counting is joins + keyed aggregates, no window")
+  }
+
+  test("sandwich detection is one bracket aggregate + one bucket " +
+      "equi-join, no window") {
+    val df = EventOps.sandwichTrades(Tables.events(spark, sfDir))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "interior-trade match must ride the bucket equi-join")
+    assert(!plan.contains("WindowExec"),
+      "brackets are min/max aggregates, not window functions")
+    assert(plan.contains("partial_min") || plan.contains("partial_max"),
+      "bracket bounds need map-side partials")
+  }
+
+  test("bollinger rolling sums run in one type-partitioned window") {
+    val df = EventOps.bollingerBreakouts(Tables.events(spark, sfDir))
+    val plan = planOf(df)
+    assert(plan.contains("windowspecdefinition(event_type"),
+      "rolling frame must be partitioned by market")
+    assert("windowspecdefinition\\(db[,)]".r.findFirstIn(plan).isEmpty,
+      "global (unpartitioned) window crept in")
+  }
 }

@@ -1686,6 +1686,11 @@ object SparkEntry {
       GraphOps.triangleStats(Tables.events(s, d))),
     "q_events_wallet_clusters" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d))),
+    // sketch estimate — declared no_oracle like the other sketch family
+    "q_events_hll_range" -> ((s, d) =>
+      EventOps.usersFromSketches(
+        EventOps.dailyUserSketches(Tables.events(s, d)),
+        Long.MinValue, Long.MaxValue)),
     "q_events_sandwich" -> ((s, d) =>
       EventOps.sandwichTrades(Tables.events(s, d))),
     "q_events_bollinger" -> ((s, d) =>

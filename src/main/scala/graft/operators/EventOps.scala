@@ -752,6 +752,31 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** A26c: mergeable per-day HLL sketch store — the 100 TB pattern for
+    * distinct counts over arbitrary ranges: sketch each day ONCE at
+    * ingest (datasketches HLL, a few KB per row), then answer any
+    * [from, to] range by unioning the stored sketches — no raw-event
+    * re-scan, ever. Sketch algebra is associative/commutative, so the
+    * union of daily sketches is byte-equivalent to sketching the range
+    * directly (pinned in OperatorsSpec), and the estimate is
+    * deterministic — unlike a sampled recount. */
+  def dailyUserSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("db"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Distinct-user estimate for a day range, answered purely from the
+    * stored daily sketches. */
+  def usersFromSketches(
+      sketches: DataFrame, fromDb: Long, toDb: Long): DataFrame =
+    sketches
+      .filter(col("db").between(fromDb, toDb))
+      .agg(count(lit(1)).as("n_days"),
+        sum("n_events").as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
+          .as("approx_users"))
+
   /** A31: partial-event merge (reference `core/merger_event.rs`): an
     * instruction decode and its inner-CPI decode carry complementary
     * fields of the same logical event; the reference mutates one struct

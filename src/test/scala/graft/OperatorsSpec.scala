@@ -142,6 +142,26 @@ class OperatorsSpec extends TestSparkSession {
     }
   }
 
+  test("daily HLL sketches union to the direct whole-range sketch") {
+    val daily = EventOps.dailyUserSketches(events)
+    val merged = EventOps
+      .usersFromSketches(daily, Long.MinValue, Long.MaxValue)
+      .collect()(0)
+    // sketch algebra: union of per-day sketches ≡ one sketch over the
+    // whole range — same estimate, not merely a close one
+    val direct = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .collect()(0).getLong(0)
+    assert(merged.getAs[Long]("approx_users") === direct)
+    // and the estimate lands within HLL error of the exact count
+    val exact = events.select(countDistinct("user_id")).collect()(0)
+      .getLong(0)
+    val approx = merged.getAs[Long]("approx_users").toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+    assert(merged.getAs[Long]("n_events") === events.count())
+  }
+
   test("set ops: result excludes big-ticket buyers") {
     val res = Relational.setOps(Tables.customer(spark, sfDir),
       Tables.orders(spark, sfDir))

@@ -1686,6 +1686,8 @@ object SparkEntry {
       GraphOps.triangleStats(Tables.events(s, d))),
     "q_events_wallet_clusters" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d))),
+    "q_events_momentum_ic" -> ((s, d) =>
+      EventOps.momentumIC(Tables.events(s, d))),
     // sketch estimate — declared no_oracle like the other sketch family
     "q_events_hll_range" -> ((s, d) =>
       EventOps.usersFromSketches(
@@ -2014,6 +2016,40 @@ object SparkEntry {
                             // (d.deg * (d.deg - 1))
                      ELSE 0 END AS BIGINT) AS cc_1e6
          FROM deg d LEFT JOIN pn p ON d.node = p.node""",
+    "q_events_momentum_ic" ->
+      """WITH b AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(ts) AS tu, event_id
+           FROM events),
+         w0 AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type, hb
+                      ORDER BY tu DESC, event_id DESC) AS rn
+           FROM b),
+         closes AS (
+           SELECT event_type, hb, cents AS close_cents
+           FROM w0 WHERE rn = 1),
+         l AS (
+           SELECT event_type, close_cents,
+                  lag(close_cents, 24) OVER win AS lagc,
+                  lead(close_cents, 1) OVER win AS leadc
+           FROM closes
+           WINDOW win AS (PARTITION BY event_type ORDER BY hb)),
+         sfm AS (
+           SELECT event_type,
+                  CAST(close_cents - lagc AS HUGEINT) AS s,
+                  CAST(leadc - close_cents AS HUGEINT) AS f
+           FROM l WHERE lagc IS NOT NULL AND leadc IS NOT NULL),
+         p AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                  sum(s) AS ss, sum(f) AS sf, sum(s * f) AS ssf,
+                  sum(s * s) AS sss, sum(f * f) AS sff
+           FROM sfm GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+                CAST(n * ssf - ss * sf AS DOUBLE) /
+                  (sqrt(CAST(n * sss - ss * ss AS DOUBLE)) *
+                   sqrt(CAST(n * sff - sf * sf AS DOUBLE))) AS ic
+         FROM p""",
     "q_events_wallet_clusters" ->
       """WITH act AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,

@@ -1250,6 +1250,50 @@ object EventOps {
            .cast("double")))).as("corr"))
   }
 
+  /** A75: momentum information coefficient — does the trailing k-hour
+    * price move predict the NEXT hour's move? Per market: signal =
+    * close − close[k candles back], forward = next close − close, and
+    * IC = Pearson(signal, forward) with the same exactness contract as
+    * [[seriesCorrelation]]: both legs are integer cent differences,
+    * all five moment sums accumulate in Decimal(38,0), and the
+    * numerator/denominator differences form in exact arithmetic before
+    * the ONE cast to double.
+    *
+    * Scale: candle-table sized — the lag/lead pass is a 3-column
+    * type-partitioned window, the moments are one keyed aggregate. */
+  def momentumIC(events: DataFrame, lookback: Int = 24): DataFrame = {
+    val closes = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hb"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        tsUs.as("tu"), col("event_id"))
+      .groupBy("event_type", "hb")
+      .agg(max_by(col("cents"), struct(col("tu"), col("event_id")))
+        .as("close_cents"))
+    val w = Window.partitionBy("event_type").orderBy("hb")
+    closes
+      .withColumn("s",
+        col("close_cents") - lag("close_cents", lookback).over(w))
+      .withColumn("f",
+        lead("close_cents", 1).over(w) - col("close_cents"))
+      .filter(col("s").isNotNull && col("f").isNotNull)
+      .select(col("event_type"),
+        col("s").cast("decimal(38,0)").as("s"),
+        col("f").cast("decimal(38,0)").as("f"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("s").as("ss"), sum("f").as("sf"),
+        sum(col("s") * col("f")).as("ssf"),
+        sum(col("s") * col("s")).as("sss"),
+        sum(col("f") * col("f")).as("sff"))
+      .select(col("event_type"), col("n").cast("bigint").as("n_hours"),
+        ((col("n") * col("ssf") - col("ss") * col("sf")).cast("double") /
+          (sqrt((col("n") * col("sss") - col("ss") * col("ss"))
+            .cast("double")) *
+           sqrt((col("n") * col("sff") - col("sf") * col("sf"))
+             .cast("double")))).as("ic"))
+  }
+
   /** A72: sandwich-pattern detection — the MEV heuristic the reference's
     * slot/tx-index ordering (grpc/shred `types.rs` transaction_index)
     * exists to enable: an attacker's buy and later sell BRACKET other

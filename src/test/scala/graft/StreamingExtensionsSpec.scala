@@ -660,4 +660,48 @@ class StreamingExtensionsSpec extends TestSparkSession {
     assert(pruned.count() > 0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("A26d: streaming sketch ingest matches the batch sketch path " +
+      "and survives replay + compaction") {
+    import graft.streaming.SketchIngest
+    val base = java.nio.file.Files.createTempDirectory("graft_sk")
+    val incoming = base.resolve("in").toString
+    val store = base.resolve("sketches").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // three files → three micro-batches, days split across batches
+    ev.filter(col("event_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    ev.filter(col("event_id") % 3 === 1)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    ev.filter(col("event_id") % 3 === 2)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    val q = SketchIngest.start(spark, incoming, store, ckpt,
+      spark.read.parquet(incoming).schema)
+    q.processAllAvailable(); q.stop()
+    // union-of-streamed-partials ≡ the batch dailyUserSketches path:
+    // identical day rows AND identical estimates (sketch associativity)
+    def estimate(daily: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = EventOps
+        .usersFromSketches(daily, Long.MinValue, Long.MaxValue).head
+      (r.getAs[Long]("n_days"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("approx_users"))
+    }
+    val streamed = estimate(SketchIngest.dailySketches(spark, store))
+    val batch = estimate(EventOps.dailyUserSketches(ev))
+    assert(streamed == batch, s"$streamed vs $batch")
+    // replaying the SAME checkpoint admits nothing new
+    val q2 = SketchIngest.start(spark, incoming, store, ckpt,
+      spark.read.parquet(incoming).schema)
+    q2.processAllAvailable(); q2.stop()
+    assert(estimate(SketchIngest.dailySketches(spark, store)) == batch)
+    // compaction folds partials without changing any answer
+    SketchIngest.compact(spark, store)
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(parts.toSeq == Seq("batch_id=compacted"), parts.toSeq)
+    assert(estimate(SketchIngest.dailySketches(spark, store)) == batch)
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
 }

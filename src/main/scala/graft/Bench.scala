@@ -92,6 +92,7 @@ object Bench {
     "q_events_ohlc_gapfill",
     "q_events_volume_autocorr",
     "q_events_momentum_ic",
+    "q_events_leadlag_ic",
     "q_events_cohort_ltv",
     "q_events_curve_progress")
 

@@ -1688,6 +1688,8 @@ object SparkEntry {
       GraphOps.walletClusters(Tables.events(s, d))),
     "q_events_momentum_ic" -> ((s, d) =>
       EventOps.momentumIC(Tables.events(s, d))),
+    "q_events_leadlag_ic" -> ((s, d) =>
+      EventOps.leadLagIC(Tables.events(s, d))),
     // sketch estimate — declared no_oracle like the other sketch family
     "q_events_hll_range" -> ((s, d) =>
       EventOps.usersFromSketches(
@@ -2016,6 +2018,45 @@ object SparkEntry {
                             // (d.deg * (d.deg - 1))
                      ELSE 0 END AS BIGINT) AS cc_1e6
          FROM deg d LEFT JOIN pn p ON d.node = p.node""",
+    "q_events_leadlag_ic" ->
+      """WITH b AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(ts) AS tu, event_id
+           FROM events),
+         w0 AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type, hb
+                      ORDER BY tu DESC, event_id DESC) AS rn
+           FROM b),
+         closes AS (
+           SELECT event_type, hb, cents AS close_cents
+           FROM w0 WHERE rn = 1),
+         l AS (
+           SELECT event_type, hb, close_cents,
+                  lag(close_cents) OVER win AS prevc,
+                  lag(hb) OVER win AS prevh
+           FROM closes
+           WINDOW win AS (PARTITION BY event_type ORDER BY hb)),
+         mv AS (
+           SELECT event_type, hb,
+                  CAST(close_cents - prevc AS HUGEINT) AS mv
+           FROM l WHERE prevh = hb - 1),
+         p AS (
+           SELECT a.event_type AS type_lead, f.event_type AS type_follow,
+                  CAST(count(*) AS HUGEINT) AS n,
+                  sum(a.mv) AS sx, sum(f.mv) AS sy,
+                  sum(a.mv * f.mv) AS sxy,
+                  sum(a.mv * a.mv) AS sxx,
+                  sum(f.mv * f.mv) AS syy
+           FROM mv a JOIN mv f ON f.hb = a.hb + 1
+                AND a.event_type <> f.event_type
+           GROUP BY 1, 2)
+         SELECT type_lead, type_follow, CAST(n AS BIGINT) AS n_hours,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                         sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)
+                  AS ic
+         FROM p""",
     "q_events_momentum_ic" ->
       """WITH b AS (
            SELECT event_type, epoch_us(ts) // 3600000000 AS hb,

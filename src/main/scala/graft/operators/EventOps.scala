@@ -1294,6 +1294,57 @@ object EventOps {
              .cast("double")))).as("ic"))
   }
 
+  /** A75b: lead-lag cross-market coefficient — does market A's hourly
+    * move predict market B's NEXT hour? Moves are integer cent
+    * differences between CONSECUTIVE hour candles (gaps excluded, so
+    * every sample spans exactly one hour), the follower leg shifts by
+    * one hour bucket via an equi-join (no cross-type window), and each
+    * ordered pair gets the [[seriesCorrelation]] exactness contract:
+    * Decimal(38,0) moments, exact differences, one double cast. The
+    * matrix is asymmetric by construction — ic(A→B) ≠ ic(B→A). */
+  def leadLagIC(events: DataFrame): DataFrame = {
+    val closes = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hb"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        tsUs.as("tu"), col("event_id"))
+      .groupBy("event_type", "hb")
+      .agg(max_by(col("cents"), struct(col("tu"), col("event_id")))
+        .as("close_cents"))
+    val w = Window.partitionBy("event_type").orderBy("hb")
+    val moves = closes
+      .withColumn("prevc", lag("close_cents", 1).over(w))
+      .withColumn("prevh", lag("hb", 1).over(w))
+      .filter(col("prevh") === col("hb") - 1)
+      .select(col("event_type"), col("hb"),
+        (col("close_cents") - col("prevc")).cast("decimal(38,0)")
+          .as("mv"))
+    val lead = moves.select(col("event_type").as("type_lead"),
+      col("hb"), col("mv").as("x"))
+    val follow = moves.select(col("event_type").as("type_follow"),
+      (col("hb") - 1).as("hb"), col("mv").as("y"))
+    // a sparse pair can have a zero-variance leg (every sampled move
+    // identical) — ic is undefined there, and ANSI mode would throw on
+    // the 0.0 denominator: emit NULL instead (NULLIF in the oracle)
+    val denom = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double"))
+    lead.join(follow, Seq("hb"))
+      .filter(col("type_lead") =!= col("type_follow"))
+      .groupBy("type_lead", "type_follow")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("type_lead"), col("type_follow"),
+        col("n").cast("bigint").as("n_hours"),
+        when(denom =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            denom).as("ic"))
+  }
+
   /** A72: sandwich-pattern detection — the MEV heuristic the reference's
     * slot/tx-index ordering (grpc/shred `types.rs` transaction_index)
     * exists to enable: an attacker's buy and later sell BRACKET other

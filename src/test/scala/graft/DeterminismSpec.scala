@@ -36,7 +36,8 @@ class DeterminismSpec extends TestSparkSession {
     "q_events_pagerank",
     // integer-exact graph + MEV + band analytics
     "q_events_triangles", "q_events_sandwich", "q_events_bollinger",
-    "q_events_wallet_clusters", "q_events_momentum_ic")
+    "q_events_wallet_clusters", "q_events_momentum_ic",
+    "q_events_leadlag_ic")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

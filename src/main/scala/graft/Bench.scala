@@ -93,6 +93,7 @@ object Bench {
     "q_events_volume_autocorr",
     "q_events_momentum_ic",
     "q_events_leadlag_ic",
+    "q_events_quantile_store",
     "q_events_cohort_ltv",
     "q_events_curve_progress")
 

@@ -1690,6 +1690,10 @@ object SparkEntry {
       EventOps.momentumIC(Tables.events(s, d))),
     "q_events_leadlag_ic" -> ((s, d) =>
       EventOps.leadLagIC(Tables.events(s, d))),
+    "q_events_quantile_store" -> ((s, d) =>
+      EventOps.quantilesFromHistograms(
+        EventOps.dailyValueHistograms(Tables.events(s, d)),
+        Long.MinValue, Long.MaxValue)),
     // sketch estimate — declared no_oracle like the other sketch family
     "q_events_hll_range" -> ((s, d) =>
       EventOps.usersFromSketches(
@@ -2018,6 +2022,22 @@ object SparkEntry {
                             // (d.deg * (d.deg - 1))
                      ELSE 0 END AS BIGINT) AS cc_1e6
          FROM deg d LEFT JOIN pn p ON d.node = p.node""",
+    "q_events_quantile_store" ->
+      """WITH h AS (
+           SELECT epoch_us(ts) // 86400000000 AS db,
+                  CAST(round(value * 100) AS BIGINT) // 100 AS bucket,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT bucket, sum(n) AS n FROM h GROUP BY 1),
+         c AS (SELECT a.bucket, CAST(sum(b.n) AS BIGINT) AS cum
+               FROM m a JOIN m b ON b.bucket <= a.bucket GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM m),
+         p AS (SELECT unnest([50, 90, 99]) AS pct)
+         SELECT p.pct, t.tot AS n_rows,
+                (min(c.bucket) + 1) * 100 - 1 AS upper_cents
+         FROM p CROSS JOIN t
+         JOIN c ON c.cum * 100 >= p.pct * t.tot
+         GROUP BY 1, 2""",
     "q_events_leadlag_ic" ->
       """WITH b AS (
            SELECT event_type, epoch_us(ts) // 3600000000 AS hb,

@@ -1250,6 +1250,55 @@ object EventOps {
            .cast("double")))).as("corr"))
   }
 
+  /** A5c: mergeable per-day histogram store — the DETERMINISTIC quantile
+    * analog of the A26c sketch store: per day, integer-cent values fold
+    * into fixed-width buckets (`cents div bucketCents`), and any day
+    * range answers rank queries by SUMMING stored bucket counts — no
+    * raw re-scan, and unlike KLL/t-digest (randomized compaction,
+    * merge-order-dependent buffers) histogram addition is exact,
+    * associative, and bit-reproducible, so the store is oracle-checkable
+    * end to end. Rank error is bounded by the bucket width — a chosen
+    * constant, not a probabilistic bound. */
+  def dailyValueHistograms(
+      events: DataFrame, bucketCents: Long = 100L): DataFrame =
+    events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
+        expr(s"cast(round(value * 100, 0) as bigint) div $bucketCents")
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Percentile estimates for a day range, answered purely from the
+    * stored histograms: merged counts cumulate via a triangular
+    * self-join over the (bounded) bucket domain — never an
+    * unpartitioned window — and each requested percentile reports the
+    * inclusive upper edge of the first bucket whose cumulative count
+    * reaches the rank. */
+  def quantilesFromHistograms(
+      hists: DataFrame,
+      fromDb: Long,
+      toDb: Long,
+      percents: Seq[Int] = Seq(50, 90, 99),
+      bucketCents: Long = 100L): DataFrame = {
+    val merged = hists
+      .filter(col("db").between(fromDb, toDb))
+      .groupBy("bucket").agg(sum("n").as("n"))
+    val cum = merged.as("a")
+      .join(merged.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.n")).as("cum"))
+    val tot = merged.agg(sum("n").as("tot"))
+    val ps = hists.sparkSession
+      .createDataFrame(percents.map(Tuple1(_)))
+      .toDF("pct")
+    ps.crossJoin(broadcast(tot))
+      .join(cum,
+        col("cum") * 100 >= col("pct").cast("bigint") * col("tot"))
+      .groupBy("pct", "tot")
+      .agg(min("bucket").as("bucket"))
+      .select(col("pct"), col("tot").as("n_rows"),
+        ((col("bucket") + 1) * bucketCents - 1).as("upper_cents"))
+  }
+
   /** A75: momentum information coefficient — does the trailing k-hour
     * price move predict the NEXT hour's move? Per market: signal =
     * close − close[k candles back], forward = next close − close, and

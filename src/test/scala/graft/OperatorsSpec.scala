@@ -162,6 +162,33 @@ class OperatorsSpec extends TestSparkSession {
     assert(merged.getAs[Long]("n_events") === events.count())
   }
 
+  test("histogram store quantiles are within one bucket of exact") {
+    val hists = EventOps.dailyValueHistograms(events)
+    val out = EventOps
+      .quantilesFromHistograms(hists, Long.MinValue, Long.MaxValue)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val cents = events
+      .select(expr("cast(round(value * 100, 0) as bigint)").as("c"))
+      .orderBy("c").collect().map(_.getLong(0))
+    Seq(50, 90, 99).foreach { p =>
+      // exact rank-p value (ceil rank, 1-based) vs the bucket upper edge
+      val exact = cents((((cents.length.toLong * p + 99) / 100) - 1).toInt)
+      val est = out(p)
+      assert(est >= exact && est - exact < 100,
+        s"p$p est $est vs exact $exact")
+    }
+    // store mergeability is exact: splitting the days across two stores
+    // and summing answers identically (counts just add)
+    val days = hists.select("db").distinct().collect().map(_.getLong(0))
+    val mid = days.sorted.apply(days.length / 2)
+    val left = hists.filter(col("db") < mid)
+    val right = hists.filter(col("db") >= mid)
+    val reunited = EventOps.quantilesFromHistograms(
+      left.union(right), Long.MinValue, Long.MaxValue)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(reunited == out)
+  }
+
   test("set ops: result excludes big-ticket buyers") {
     val res = Relational.setOps(Tables.customer(spark, sfDir),
       Tables.orders(spark, sfDir))

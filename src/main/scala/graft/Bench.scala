@@ -83,6 +83,7 @@ object Bench {
     "q_events_pagerank",
     "q_events_triangles",
     "q_events_wallet_clusters",
+    "q_events_taint",
     "q_events_sandwich",
     "q_events_bollinger",
     "q_events_wallet_overlap",

@@ -1682,6 +1682,8 @@ object SparkEntry {
       EventOps.giniByType(Tables.events(s, d))),
     "q_events_pagerank" -> ((s, d) =>
       GraphOps.coactivityPagerank(Tables.events(s, d))),
+    "q_events_taint" -> ((s, d) =>
+      GraphOps.seededPagerank(Tables.events(s, d))),
     "q_events_triangles" -> ((s, d) =>
       GraphOps.triangleStats(Tables.events(s, d))),
     "q_events_wallet_clusters" -> ((s, d) =>
@@ -1985,8 +1987,60 @@ object SparkEntry {
        FROM d JOIN p10 p ON d.src = p.node"""
   }
 
+  /** Seeded-PageRank oracle: identical CTE unrolling to
+    * [[pagerankOracle]], but rank mass starts on (and restarts to) the
+    * seed wallets — the `ns`-way truncating splits mirror the Spark
+    * loop's Long divisions exactly. */
+  private lazy val taintOracle: String = {
+    val steps = (1 to 10).map { k =>
+      s""", p$k AS (
+         SELECT d.src AS node,
+                (CASE WHEN sd.seed IS NOT NULL
+                      THEN (SELECT 150000000000 // ns FROM nn)
+                      ELSE 0 END) +
+                  (85 * COALESCE(i.s, 0)) // 100 AS pr
+         FROM d LEFT JOIN seeds sd ON d.src = sd.seed
+         LEFT JOIN (
+           SELECT e.dst AS dnode, sum(p.pr // d2.deg) AS s
+           FROM e JOIN p${k - 1} p ON e.src = p.node
+                JOIN d d2 ON e.src = d2.src
+           GROUP BY e.dst) i ON d.src = i.dnode)"""
+    }.mkString
+    s"""WITH act AS (
+         SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                         user_id
+         FROM events),
+       sized AS (
+         SELECT event_type, mb FROM act
+         GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+       e AS (
+         SELECT DISTINCT x.user_id AS src, y.user_id AS dst
+         FROM act x
+         JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
+         JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+         WHERE x.user_id <> y.user_id),
+       d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       seeds AS (
+         SELECT t.user_id AS seed FROM (
+           SELECT user_id, count(*) AS cnt FROM events
+           GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10) t
+         JOIN d ON t.user_id = d.src),
+       nn AS (SELECT count(*) AS ns FROM seeds),
+       p0 AS (
+         SELECT d.src AS node,
+                CASE WHEN sd.seed IS NOT NULL
+                     THEN (SELECT 1000000000000 // ns FROM nn)
+                     ELSE 0 END AS pr
+         FROM d LEFT JOIN seeds sd ON d.src = sd.seed)
+       $steps
+       SELECT d.src AS node, CAST(d.deg AS BIGINT) AS deg,
+              CAST(p.pr AS BIGINT) AS taint
+       FROM d JOIN p10 p ON d.src = p.node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_events_pagerank" -> pagerankOracle,
+    "q_events_taint" -> taintOracle,
     "q_events_triangles" ->
       """WITH act AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,

@@ -102,6 +102,67 @@ object GraphOps {
       .select(col("node"), col("deg"), col("pr"))
   }
 
+  /** A71b: seeded (personalized) PageRank — taint/affiliation
+    * propagation: restart mass concentrates on a seed set (here the
+    * `nSeeds` most-active wallets, tie-broken by id) instead of
+    * spreading uniformly, so the stationary mass measures proximity to
+    * the seeds through co-activity chains — the general form of the
+    * reference's dev/bot attribution (`global_state.rs` dev-address
+    * sets tag one hop; this scores every wallet by ALL weighted paths).
+    * Same integer contract as [[coactivityPagerank]]: truncating
+    * `pr div deg` flow, `(85·Σ) div 100` damping, restart only to
+    * seeds present in the graph — bit-identical to the oracle's
+    * unrolled CTE steps on any partitioning. */
+  def seededPagerank(
+      events: DataFrame,
+      iterations: Int = 10,
+      maxGroupSize: Int = 64,
+      nSeeds: Int = 10): DataFrame = {
+    val edges = coactivityEdges(events, maxGroupSize)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(outdeg, "src").localCheckpoint()
+    val nodes = outdeg.localCheckpoint()
+    val seeds = events.groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(nSeeds)
+      .join(nodes, col("user_id") === col("src"))
+      .select(col("user_id").as("seed"))
+      .localCheckpoint()
+    val nSeedsInGraph = seeds.count()
+    if (nSeedsInGraph == 0) {
+      return nodes.select(col("src").as("node"), col("deg"),
+        col("deg").as("taint")).limit(0)
+    }
+    val scale = 1000000000000L
+    val base = (15L * scale / 100L) / nSeedsInGraph
+    val restart = nodes.join(seeds, col("src") === col("seed"), "left")
+      .select(col("src").as("node"),
+        when(col("seed").isNotNull, lit(base)).otherwise(lit(0L))
+          .as("r"))
+      .localCheckpoint()
+    var ranks = restart.select(col("node"),
+      when(col("r") > 0, lit(scale / nSeedsInGraph)).otherwise(lit(0L))
+        .as("pr")) // full unit mass split across the seeds
+    for (i <- 1 to iterations) {
+      val incoming = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum("c").as("inc"))
+      ranks = restart
+        .join(incoming, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (col("r") +
+            expr("(85 * coalesce(inc, cast(0 as bigint))) div 100"))
+            .as("pr"))
+      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+    }
+    nodes.select(col("src").as("node"), col("deg"))
+      .join(ranks, "node")
+      .select(col("node"), col("deg"), col("pr").as("taint"))
+  }
+
   /** A74: connected components over the co-activity graph — the Sybil
     * surface: wallets reachable through chains of shared market-hours
     * collapse into one cluster (cluster_id = min wallet id, label

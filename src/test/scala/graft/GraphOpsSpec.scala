@@ -50,6 +50,18 @@ class GraphOpsSpec extends TestSparkSession {
     assert(cliqueRanks.length === 1)
   }
 
+  test("seeded pagerank taints only wallets reachable from the seeds") {
+    // seeds (2 most active, id tiebreak) = clique wallets 1, 2; the
+    // isolated edge 100-101 is unreachable and must score exactly 0
+    val out = GraphOps.seededPagerank(cliqueEvents(5), nSeeds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(100L) === 0L && out(101L) === 0L)
+    (1 to 5).foreach(w => assert(out(w.toLong) > 0L, s"wallet $w"))
+    // seeds hold the restart mass: strictly above the non-seed clique
+    // members (symmetric flow, asymmetric restart)
+    assert(out(1L) > out(3L) && out(2L) > out(3L))
+  }
+
   test("hot group cap drops oversized market-hours before the fan-out") {
     // 70 wallets in one hour exceeds maxGroupSize=64 → no edges at all
     val out = GraphOps.triangleStats(cliqueEvents(70)

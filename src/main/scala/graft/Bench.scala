@@ -85,6 +85,7 @@ object Bench {
     "q_events_wallet_clusters",
     "q_events_taint",
     "q_events_sandwich",
+    "q_events_wash_pairs",
     "q_events_bollinger",
     "q_events_wallet_overlap",
     "q_events_gini",

@@ -1703,6 +1703,8 @@ object SparkEntry {
         Long.MinValue, Long.MaxValue)),
     "q_events_sandwich" -> ((s, d) =>
       EventOps.sandwichTrades(Tables.events(s, d))),
+    "q_events_wash_pairs" -> ((s, d) =>
+      EventOps.washPairs(Tables.events(s, d))),
     "q_events_bollinger" -> ((s, d) =>
       EventOps.bollingerBreakouts(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
@@ -2219,6 +2221,27 @@ object SparkEntry {
          WHERE tt.user_id <> br.attacker
            AND tt.event_id > br.b AND tt.event_id < br.s
          GROUP BY 1""",
+    "q_events_wash_pairs" ->
+      """WITH t AS (
+           SELECT epoch_us(ts) // 3600000000 AS mb, user_id, event_type
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         w AS (
+           SELECT mb, user_id,
+                  count(*) FILTER (event_type = 'purchase') AS nb,
+                  count(*) FILTER (event_type = 'view') AS ns
+           FROM t GROUP BY 1, 2),
+         sized AS (SELECT mb FROM w GROUP BY 1 HAVING count(*) <= 1024),
+         s AS (SELECT w.* FROM w JOIN sized USING (mb)),
+         pr AS (
+           SELECT a.user_id AS wallet_a, b.user_id AS wallet_b,
+                  CAST(count(*) FILTER (a.nb > 0 AND b.ns > 0)
+                       AS BIGINT) AS hours_ab,
+                  CAST(count(*) FILTER (b.nb > 0 AND a.ns > 0)
+                       AS BIGINT) AS hours_ba
+           FROM s a JOIN s b ON a.mb = b.mb AND a.user_id < b.user_id
+           GROUP BY 1, 2)
+         SELECT wallet_a, wallet_b, hours_ab, hours_ba
+         FROM pr WHERE hours_ab >= 1 AND hours_ba >= 1""",
     "q_events_bollinger" ->
       """WITH b AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS db,

@@ -1437,6 +1437,40 @@ object EventOps {
         sum("cents").as("victim_cents"))
   }
 
+  /** A40b: two-party wash ("ping-pong") pairs — the PAIR form of
+    * [[washTrades]]'s single-wallet self-churn: wallet A buys while B
+    * sells in one hour bucket, and somewhere in the pair's history the
+    * direction REVERSES (B buys while A sells) — volume bouncing
+    * between two accounts, the coordinated-bot shape the reference's
+    * dev/bot tagging feeds on.
+    *
+    * Shape: one keyed aggregate to per-(hour, wallet) side counts, one
+    * self-join on the hour bucket (fan-out quadratic in per-hour active
+    * wallets, so hot hours beyond `maxBucketWallets` are dropped
+    * first), one pair-keyed aggregate. All integers. */
+  def washPairs(
+      events: DataFrame,
+      maxBucketWallets: Int = 1024): DataFrame = {
+    val sides = events
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("mb"),
+        col("user_id"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("nb"),
+        count(when(col("event_type") === "view", 1)).as("ns"))
+    val sized = sides.groupBy("mb").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucketWallets).select("mb")
+    val s = sides.join(sized, "mb")
+    s.as("a").join(s.as("b"),
+        col("a.mb") === col("b.mb") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("wallet_a"),
+        col("b.user_id").as("wallet_b"))
+      .agg(
+        count(when(col("a.nb") > 0 && col("b.ns") > 0, 1)).as("hours_ab"),
+        count(when(col("b.nb") > 0 && col("a.ns") > 0, 1)).as("hours_ba"))
+      .filter(col("hours_ab") >= 1 && col("hours_ba") >= 1)
+  }
+
   /** A12e: Bollinger-band breakouts over the daily close series —
     * candles whose close leaves the ±k·σ band around the trailing
     * 20-day mean (the classic Bollinger length; k is a rational

@@ -661,6 +661,40 @@ class StreamingExtensionsSpec extends TestSparkSession {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("A5d: streaming histogram ingest answers EXACTLY the batch " +
+      "quantile-store path") {
+    import graft.streaming.HistogramIngest
+    val base = java.nio.file.Files.createTempDirectory("graft_hist")
+    val incoming = base.resolve("in").toString
+    val store = base.resolve("hists").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    ev.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    val q = HistogramIngest.start(spark, incoming, store, ckpt,
+      spark.read.parquet(incoming).schema)
+    q.processAllAvailable(); q.stop()
+    def quantiles(h: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] =
+      EventOps.quantilesFromHistograms(h, Long.MinValue, Long.MaxValue)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = quantiles(HistogramIngest.dailyHistograms(spark, store))
+    val batch = quantiles(EventOps.dailyValueHistograms(ev))
+    assert(streamed == batch && streamed.nonEmpty,
+      s"$streamed vs $batch")
+    // replay with the same checkpoint changes nothing (exactness, not
+    // just bounded error — histogram partials are idempotent counts)
+    val q2 = HistogramIngest.start(spark, incoming, store, ckpt,
+      spark.read.parquet(incoming).schema)
+    q2.processAllAvailable(); q2.stop()
+    assert(
+      quantiles(HistogramIngest.dailyHistograms(spark, store)) == batch)
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("A26d: streaming sketch ingest matches the batch sketch path " +
       "and survives replay + compaction") {
     import graft.streaming.SketchIngest

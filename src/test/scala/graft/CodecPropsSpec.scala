@@ -82,4 +82,27 @@ class CodecPropsSpec extends AnyFunSuite {
       } finally f.delete()
     }, n = 100)
   }
+
+  test("bollinger integer predicate equals the exact |x-mu| > k*sigma " +
+      "test on every window") {
+    // the operator's 64-bit inequality kDen²·(n·x − s1)² > kNum²·(n·s2 − s1²)
+    // must decide EXACTLY the same as the textbook band test computed in
+    // arbitrary precision — for any window of cent values and k = 3/2
+    val window = for {
+      n <- Gen.choose(2, 24)
+      vs <- Gen.containerOfN[List, Long](n, Gen.choose(0L, 100000L))
+    } yield vs
+    check(Prop.forAll(window) { vs =>
+      val n = vs.length.toLong
+      val x = vs.last
+      val s1 = vs.sum
+      val s2 = vs.map(v => v * v).sum
+      val fast = 4L * (n * x - s1) * (n * x - s1) > 9L * (n * s2 - s1 * s1)
+      // exact rational check: (x-mu)² > (9/4)·sigma² with mu = s1/n,
+      // sigma² = (n·s2 - s1²)/n² — multiply through by 4n² exactly
+      val lhs = BigInt(4) * BigInt(n * x - s1).pow(2)
+      val rhs = BigInt(9) * (BigInt(n) * BigInt(s2) - BigInt(s1).pow(2))
+      fast == (lhs > rhs)
+    })
+  }
 }

@@ -84,6 +84,7 @@ object Bench {
     "q_events_triangles",
     "q_events_wallet_clusters",
     "q_events_taint",
+    "q_events_kcore",
     "q_events_sandwich",
     "q_events_wash_pairs",
     "q_events_bollinger",

@@ -1684,6 +1684,8 @@ object SparkEntry {
       GraphOps.coactivityPagerank(Tables.events(s, d))),
     "q_events_taint" -> ((s, d) =>
       GraphOps.seededPagerank(Tables.events(s, d))),
+    "q_events_kcore" -> ((s, d) =>
+      GraphOps.kCore(Tables.events(s, d))),
     "q_events_triangles" -> ((s, d) =>
       GraphOps.triangleStats(Tables.events(s, d))),
     "q_events_wallet_clusters" -> ((s, d) =>
@@ -2040,9 +2042,44 @@ object SparkEntry {
        FROM d JOIN p10 p ON d.src = p.node"""
   }
 
+  /** k-core oracle: `maxPeels` peel rounds unrolled; each step MUST be
+    * `AS MATERIALIZED` — the step CTE is referenced twice (src and dst
+    * semi-joins), and DuckDB's default inlining would re-evaluate the
+    * whole chain per reference, going exponential in the peel count. */
+  private lazy val kcoreOracle: String = {
+    val steps = (1 to 12).map { j =>
+      s""", s$j AS MATERIALIZED (
+         SELECT e.src AS node FROM e
+         JOIN s${j - 1} a ON e.src = a.node
+         JOIN s${j - 1} b ON e.dst = b.node
+         GROUP BY 1 HAVING count(*) >= 8)"""
+    }.mkString
+    s"""WITH act AS (
+         SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                         user_id
+         FROM events),
+       sized AS (
+         SELECT event_type, mb FROM act
+         GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+       e AS MATERIALIZED (
+         SELECT DISTINCT x.user_id AS src, y.user_id AS dst
+         FROM act x
+         JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
+         JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+         WHERE x.user_id <> y.user_id),
+       s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)
+       $steps
+       SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       FROM e
+       JOIN s12 a ON e.src = a.node
+       JOIN s12 b ON e.dst = b.node
+       GROUP BY 1"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_events_pagerank" -> pagerankOracle,
     "q_events_taint" -> taintOracle,
+    "q_events_kcore" -> kcoreOracle,
     "q_events_triangles" ->
       """WITH act AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,

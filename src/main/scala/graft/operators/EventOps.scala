@@ -1272,7 +1272,14 @@ object EventOps {
     * self-join over the (bounded) bucket domain — never an
     * unpartitioned window — and each requested percentile reports the
     * inclusive upper edge of the first bucket whose cumulative count
-    * reaches the rank. */
+    * reaches the rank.
+    *
+    * The two theta-joins here (bucket ≤ bucket cumulation, rank
+    * threshold probe) run over the BUCKET DOMAIN, whose size is
+    * `value_range / bucketCents` — a constant fixed by configuration,
+    * not by data volume — so the nested-loop pairs are
+    * O((range/width)² + |percents|·range/width) regardless of how many
+    * trillion raw rows fed the store. */
   def quantilesFromHistograms(
       hists: DataFrame,
       fromDb: Long,

@@ -163,6 +163,54 @@ object GraphOps {
       .select(col("node"), col("deg"), col("pr").as("taint"))
   }
 
+  /** A76: k-core extraction — the densest-region peel: repeatedly drop
+    * wallets with fewer than k surviving co-activity partners until no
+    * drop happens (bounded by `maxPeels` rounds). The surviving core is
+    * where coordinated rings live — every member keeps ≥ k partners
+    * even after the periphery is stripped. Output: the core wallets
+    * with their WITHIN-CORE degree.
+    *
+    * Determinism/oracle: each peel is a keyed degree count + semi-join
+    * — no randomness, no ordering — so after any FIXED number of peels
+    * both engines hold the identical survivor set, converged or not;
+    * the oracle unrolls exactly `maxPeels` steps and equality holds
+    * regardless of where the fixed point lands. Spark side stops early
+    * when a round removes nothing (the remaining unrolled steps are
+    * no-ops by construction). Lineage is truncated per round like
+    * [[Dedup.canonicalize]]. */
+  def kCore(
+      events: DataFrame,
+      k: Int = 8,
+      maxPeels: Int = 12,
+      maxGroupSize: Int = 64): DataFrame = {
+    val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
+    var survivors = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (round < maxPeels && !done) {
+      val deg = edges
+        .join(survivors.withColumnRenamed("node", "src"), Seq("src"),
+          "left_semi")
+        .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_semi")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= k).select("node")
+        .localCheckpoint()
+      done = next.count() == survivors.count()
+      survivors = next
+      round += 1
+    }
+    edges
+      .join(survivors.withColumnRenamed("node", "src"), Seq("src"),
+        "left_semi")
+      .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"),
+        "left_semi")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
   /** A74: connected components over the co-activity graph — the Sybil
     * surface: wallets reachable through chains of shared market-hours
     * collapse into one cluster (cluster_id = min wallet id, label

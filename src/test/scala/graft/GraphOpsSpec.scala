@@ -62,6 +62,33 @@ class GraphOpsSpec extends TestSparkSession {
     assert(out(1L) > out(3L) && out(2L) > out(3L))
   }
 
+  test("k-core peels the pendant edge and keeps the clique") {
+    // clique 1..6 (degree 5 each) survives k=3; the isolated 100-101
+    // edge (degree 1) peels in round one
+    val out = GraphOps.kCore(cliqueEvents(6), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === (1 to 6).map(_.toLong).toSet)
+    assert(out.values.forall(_ === 5L))
+  }
+
+  test("k-core peel cascades: a chain hung off a clique unravels") {
+    // clique 1..5 plus a chain 5-20-21: both chain wallets fall below
+    // k=2... 20 has degree 2 (5 and 21) but once 21 (degree 1) peels,
+    // 20 drops to 1 and peels in the NEXT round — the cascade only a
+    // fixed-point peel catches
+    val base = cliqueEvents(5).filter(col("user_id") < 100)
+    // chain edges: hour 1 = {5, 20}, hour 2 = {20, 21}
+    val extra = Seq((5L, 1L), (20L, 1L), (20L, 2L), (21L, 2L))
+      .map { case (u, h) =>
+        (u * 100 + h, new Timestamp(h * 3600000L), u, "m", 1.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = GraphOps.kCore(base.union(extra), k = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out === (1 to 5).map(_.toLong).toSet,
+      s"chain must fully unravel, got $out")
+  }
+
   test("hot group cap drops oversized market-hours before the fan-out") {
     // 70 wallets in one hour exceeds maxGroupSize=64 → no edges at all
     val out = GraphOps.triangleStats(cliqueEvents(70)

@@ -519,6 +519,27 @@ class PlanAuditSpec extends TestSparkSession {
       "expected the 1996 ship-date band pushed to the scan")
   }
 
+  test("k-core peel round is keyed semi-joins + degree aggregate") {
+    val df = GraphOps.kCore(Tables.events(spark, sfDir))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "survivor filtering must ride the node equi-joins")
+    assert(!plan.contains("WindowExec"),
+      "degrees are keyed aggregates, not window counts")
+  }
+
+  test("seeded pagerank final assembly joins on the node key only") {
+    // the per-iteration aggregates sit behind localCheckpoint lineage
+    // cuts; the visible plan is the node ⋈ taint assembly — it must be
+    // a keyed join, never a cross product
+    val df = GraphOps.seededPagerank(Tables.events(spark, sfDir))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "rank assembly must join on the node key")
+  }
+
   test("triangle wedge join and closure probe stay equi-keyed") {
     val df = GraphOps.triangleStats(Tables.events(spark, sfDir))
     val plan = planOf(df)

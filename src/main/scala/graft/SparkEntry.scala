@@ -2294,9 +2294,10 @@ object SparkEntry {
            FROM w0 WHERE rn = 1),
          r AS (
            SELECT event_type, db, close_cents,
-                  count(*) OVER win AS n,
-                  sum(close_cents) OVER win AS s1,
-                  sum(close_cents * close_cents) OVER win AS s2
+                  CAST(count(*) OVER win AS HUGEINT) AS n,
+                  sum(CAST(close_cents AS HUGEINT)) OVER win AS s1,
+                  sum(CAST(close_cents AS HUGEINT) *
+                      CAST(close_cents AS HUGEINT)) OVER win AS s2
            FROM closes
            WINDOW win AS (PARTITION BY event_type ORDER BY db
                           RANGE BETWEEN 19 PRECEDING AND CURRENT ROW))
@@ -2534,8 +2535,10 @@ object SparkEntry {
                FROM vols)
          SELECT event_type, count(*) AS n_wallets,
                 CAST(sum(v) AS BIGINT) AS total_cents,
-                (2.0 * CAST(sum(i * v) AS DOUBLE)) /
-                  CAST(count(*) * sum(v) AS DOUBLE) -
+                (2.0 * CAST(sum(CAST(i AS HUGEINT) *
+                                CAST(v AS HUGEINT)) AS DOUBLE)) /
+                  CAST(CAST(count(*) AS HUGEINT) *
+                       CAST(sum(v) AS HUGEINT) AS DOUBLE) -
                   CAST(count(*) + 1 AS DOUBLE) /
                     CAST(count(*) AS DOUBLE) AS gini
          FROM r GROUP BY event_type""",
@@ -3871,9 +3874,9 @@ object SparkEntry {
       """WITH pm AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute,
                             count(*) AS c
                      FROM events GROUP BY 1, 2),
-         st AS (SELECT event_type, count(*) AS m,
-                       CAST(sum(c) AS BIGINT) AS t,
-                       CAST(sum(c * c) AS BIGINT) AS s
+         st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS m,
+                       CAST(sum(c) AS HUGEINT) AS t,
+                       sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s
                 FROM pm GROUP BY 1)
          SELECT event_type, minute, c AS n
          FROM pm JOIN st USING (event_type)

@@ -577,19 +577,23 @@ object EventOps {
     * fixed threshold, made self-calibrating). The z-score compare is kept
     * fully rational: with per-minute counts c over m minutes, total T and
     * Σc² = S, `c > mean + 3σ` ⟺ `c·m > T ∧ (c·m − T)² > 9·(S·m − T²)` —
-    * pure integer arithmetic, so results are bit-identical on any engine
-    * or layout (no float mean/variance accumulation order to disagree
-    * on). Two keyed aggregations with map-side partials; the per-type
-    * stats row set is tiny and broadcasts back.
+    * pure integer arithmetic accumulated in Decimal(38,0) (dev² and S·m
+    * wrap a 64-bit long once per-type volume passes ~10⁹ events), so
+    * results are bit-identical on any engine or layout (no float
+    * mean/variance accumulation order to disagree on). Two keyed
+    * aggregations with map-side partials; the per-type stats row set is
+    * tiny and broadcasts back.
     */
   def rateSpikes(events: DataFrame): DataFrame = {
     val perMin = events.groupBy(col("event_type"),
         expr("unix_micros(ts) div 60000000").as("minute"))
       .agg(count(lit(1)).as("c"))
     val stats = perMin.groupBy("event_type")
-      .agg(count(lit(1)).as("m"), sum("c").as("t"),
-        sum(col("c") * col("c")).as("s"))
-    val dev = col("c") * col("m") - col("t")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum("c").cast("decimal(38,0)").as("t"),
+        sum(col("c").cast("decimal(38,0)") *
+          col("c").cast("decimal(38,0)")).as("s"))
+    val dev = col("c").cast("decimal(38,0)") * col("m") - col("t")
     perMin.join(broadcast(stats), "event_type")
       .filter(dev > 0 && dev * dev >
         (col("s") * col("m") - col("t") * col("t")) * 9)
@@ -1164,8 +1168,10 @@ object EventOps {
     * inequality companion of A53's HHI: wallets rank by (volume, id)
     * within their type (partitioned window over the wallet-level table,
     * events already reduced), and `G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n`
-    * forms from exact integer sums with double division only at the
-    * end. */
+    * forms from exact integer sums — the rank-weighted sum Σi·xᵢ and
+    * the n·Σx denominator accumulate in Decimal(38,0) (i·x wraps a long
+    * once rank × cent-volume passes 2⁶³, i.e. ~10⁶ wallets of ~10¹³
+    * lamport-scale cents) — with double division only at the end. */
   def giniByType(events: DataFrame): DataFrame = {
     val vols = events
       .groupBy(col("event_type"), col("user_id"))
@@ -1175,10 +1181,12 @@ object EventOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_wallets"),
         sum("v").as("total_cents"),
-        sum(col("i") * col("v")).as("rank_weighted"))
+        sum(col("i").cast("decimal(38,0)") *
+          col("v").cast("decimal(38,0)")).as("rank_weighted"))
       .select(col("event_type"), col("n_wallets"), col("total_cents"),
         ((lit(2.0) * col("rank_weighted").cast("double")) /
-          (col("n_wallets") * col("total_cents")).cast("double") -
+          (col("n_wallets").cast("decimal(38,0)") *
+            col("total_cents").cast("decimal(38,0)")).cast("double") -
           (col("n_wallets") + 1).cast("double") /
             col("n_wallets").cast("double")).as("gini"))
   }
@@ -1485,8 +1493,10 @@ object EventOps {
     * breakout predicate is EXACT integer arithmetic: with rolling cent
     * sums s1 = Σx, s2 = Σx² over n candles,
     * `|x − μ| > k·σ  ⟺  kDen²·(n·x − s1)² > kNum²·(n·s2 − s1²)` —
-    * both sides are products of 64-bit cent sums, so no float ever
-    * forms and the flag is bit-identical in any engine (a float
+    * both sides are products of cent sums accumulated in Decimal(38,0)
+    * (x² alone wraps a 64-bit long once closes pass ~3×10⁹ cents, well
+    * inside lamport magnitudes), so no float ever forms, nothing wraps
+    * below 10³⁸, and the flag is bit-identical in any engine (a float
     * mean/stddev version would diverge between Spark and the oracle in
     * the last ulp).
     *
@@ -1509,14 +1519,18 @@ object EventOps {
         .as("close_cents"))
     val w = Window.partitionBy("event_type").orderBy("db")
       .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val xD = col("close_cents").cast("decimal(38,0)")
     closes
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s1", sum("close_cents").over(w))
-      .withColumn("s2", sum(expr("close_cents * close_cents")).over(w))
+      .withColumn("s1", sum(xD).over(w))
+      .withColumn("s2", sum(xD * xD).over(w))
       .filter(col("n") >= minPeriods)
-      .withColumn("d", expr("n * close_cents - s1"))
-      .filter(expr(s"${kDen.toLong * kDen} * d * d > " +
-        s"${kNum.toLong * kNum} * (n * s2 - s1 * s1)"))
+      .withColumn("d",
+        col("n").cast("decimal(38,0)") * xD - col("s1"))
+      .filter(lit(kDen.toLong * kDen) * col("d") * col("d") >
+        lit(kNum.toLong * kNum) *
+          (col("n").cast("decimal(38,0)") * col("s2") -
+            col("s1") * col("s1")))
       .select(col("event_type"), (col("db") * 86400).as("day"),
         col("close_cents"), col("n").as("n_window"),
         when(col("d") > 0, lit("hi")).otherwise(lit("lo")).as("side"))

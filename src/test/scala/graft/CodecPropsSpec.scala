@@ -83,26 +83,130 @@ class CodecPropsSpec extends AnyFunSuite {
     }, n = 100)
   }
 
-  test("bollinger integer predicate equals the exact |x-mu| > k*sigma " +
-      "test on every window") {
-    // the operator's 64-bit inequality kDen²·(n·x − s1)² > kNum²·(n·s2 − s1²)
-    // must decide EXACTLY the same as the textbook band test computed in
-    // arbitrary precision — for any window of cent values and k = 3/2
+  private val dec38Bound = BigInt(10).pow(38)
+
+  test("bollinger decimal predicate equals the exact |x-mu| > k*sigma " +
+      "test at lamport magnitudes and never leaves the Decimal(38,0) domain") {
+    // the operator's inequality kDen²·(n·x − s1)² > kNum²·(n·s2 − s1²) now
+    // accumulates in Decimal(38,0); Spark decimal arithmetic at scale 0 is
+    // exact integer arithmetic whenever every intermediate fits in 38
+    // digits (overflow throws under ANSI, never wraps). So the property is
+    // two-fold: (a) every intermediate fits for closes up to 2×10¹⁷ cents
+    // (10⁸ SOL notionals at lamport resolution — far past the ~6×10⁸-cent
+    // Long wrap point), and (b) the formula decides exactly like the
+    // textbook band test in arbitrary precision, for k = 3/2
     val window = for {
       n <- Gen.choose(2, 24)
-      vs <- Gen.containerOfN[List, Long](n, Gen.choose(0L, 100000L))
+      vs <- Gen.containerOfN[List, Long](n, Gen.choose(0L, 200000000000000000L))
     } yield vs
     check(Prop.forAll(window) { vs =>
+      val n = BigInt(vs.length)
+      val x = BigInt(vs.last)
+      val s1 = vs.map(BigInt(_)).sum
+      val s2 = vs.map(v => BigInt(v) * BigInt(v)).sum
+      val d = n * x - s1
+      val lhs = BigInt(4) * d.pow(2)
+      val rhs = BigInt(9) * (n * s2 - s1.pow(2))
+      val fitsDec38 = List(s1, s2, d, lhs, rhs).forall(_.abs < dec38Bound)
+      // textbook: (x-mu)² > (9/4)·sigma² with mu = s1/n, sigma² =
+      // (n·s2 - s1²)/n² — multiply through by 4n² exactly
+      fitsDec38 && ((lhs > rhs) == (BigInt(4) * d * d >
+        BigInt(9) * (n * s2 - s1 * s1)))
+    })
+  }
+
+  test("bollinger Long arithmetic wraps past ~6e8 cents — the witness " +
+      "for the Decimal(38,0) hardening") {
+    // a flat window at 10¹¹ cents (real lamport scale): sigma = 0, the
+    // last close equals the mean, so the exact band test must say NO
+    // breakout; 64-bit evaluation of the same formula wraps d² and
+    // disagrees on some windows in this domain — proving Long was unsafe
+    val windows = for {
+      n <- Gen.choose(12, 24)
+      base <- Gen.choose(100000000000L, 4000000000000L)
+      vs <- Gen.containerOfN[List, Long](n, Gen.choose(base, base * 2))
+    } yield vs
+    var longDisagreed = false
+    check(Prop.forAll(windows) { vs =>
       val n = vs.length.toLong
       val x = vs.last
       val s1 = vs.sum
-      val s2 = vs.map(v => v * v).sum
-      val fast = 4L * (n * x - s1) * (n * x - s1) > 9L * (n * s2 - s1 * s1)
-      // exact rational check: (x-mu)² > (9/4)·sigma² with mu = s1/n,
-      // sigma² = (n·s2 - s1²)/n² — multiply through by 4n² exactly
-      val lhs = BigInt(4) * BigInt(n * x - s1).pow(2)
-      val rhs = BigInt(9) * (BigInt(n) * BigInt(s2) - BigInt(s1).pow(2))
-      fast == (lhs > rhs)
-    })
+      val s2 = vs.map(v => v * v).sum // wraps silently
+      val longFast =
+        4L * (n * x - s1) * (n * x - s1) > 9L * (n * s2 - s1 * s1)
+      val nB = BigInt(n); val xB = BigInt(x)
+      val s1B = vs.map(BigInt(_)).sum
+      val s2B = vs.map(v => BigInt(v) * BigInt(v)).sum
+      val exact = BigInt(4) * (nB * xB - s1B).pow(2) >
+        BigInt(9) * (nB * s2B - s1B.pow(2))
+      if (longFast != exact) longDisagreed = true
+      true
+    }, n = 500)
+    assert(longDisagreed,
+      "expected Long arithmetic to diverge from exact somewhere past the wrap point")
+  }
+
+  test("rate-spike decimal z-score predicate matches exact arithmetic " +
+      "at 1e9-events-per-minute scale within the Decimal(38,0) domain") {
+    // c·m − t and its square, and S·m − T², all accumulate in
+    // Decimal(38,0) now; for per-minute counts up to 10⁹ over up to
+    // 5000 minutes every intermediate fits 38 digits and the predicate
+    // equals the textbook c > mean + 3·sigma test exactly
+    val series = for {
+      m <- Gen.choose(2, 5000)
+      cs <- Gen.containerOfN[List, Long](m, Gen.choose(0L, 1000000000L))
+    } yield cs
+    var longDisagreed = false
+    check(Prop.forAll(series) { cs =>
+      val m = BigInt(cs.length)
+      val t = cs.map(BigInt(_)).sum
+      val s = cs.map(c => BigInt(c) * BigInt(c)).sum
+      val mL = cs.length.toLong
+      val tL = cs.sum
+      val sL = cs.map(c => c * c).sum // wraps silently past ~3e9 counts
+      cs.forall { c =>
+        val dev = BigInt(c) * m - t
+        val lhs = dev.pow(2)
+        val rhs = BigInt(9) * (s * m - t.pow(2))
+        val fits = List(dev, lhs, rhs, s * m).forall(_.abs < dec38Bound)
+        val exact = dev > 0 && lhs > rhs
+        val devL = c * mL - tL
+        val longFast = devL > 0 &&
+          devL * devL > 9L * (sL * mL - tL * tL)
+        if (longFast != exact) longDisagreed = true
+        fits
+      }
+    }, n = 100)
+    assert(longDisagreed,
+      "expected Long z-score arithmetic to diverge from exact in this domain")
+  }
+
+  test("gini rank-weighted decimal sum is exact at lamport magnitudes " +
+      "where the Long version wraps") {
+    // Σ i·vᵢ with ranks to 10⁶ and volumes to 10¹³ cents: the product
+    // i·v passes 2⁶³ (Long wraps) but stays far inside 38 digits; the
+    // decimal-accumulated Gini therefore equals the arbitrary-precision
+    // value bit-for-bit after the single double division
+    val vols = for {
+      n <- Gen.choose(2, 200)
+      vs <- Gen.containerOfN[List, Long](n, Gen.choose(0L, 10000000000000L))
+    } yield vs
+    check(Prop.forAll(vols) { vs =>
+      val sorted = vs.sorted
+      val n = BigInt(sorted.length)
+      val total = sorted.map(BigInt(_)).sum
+      val rw = sorted.zipWithIndex
+        .map { case (v, i) => BigInt(i + 1) * BigInt(v) }.sum
+      val fits = List(rw, n * total).forall(_.abs < dec38Bound)
+      if (total == 0) fits
+      else {
+        val giniDec = 2.0 * rw.toDouble / (n * total).toDouble -
+          (n + 1).toDouble / n.toDouble
+        val giniExact =
+          (BigDecimal(2 * rw) / BigDecimal(n * total) -
+            BigDecimal(n + 1) / BigDecimal(n)).toDouble
+        fits && math.abs(giniDec - giniExact) < 1e-12
+      }
+    }, n = 100)
   }
 }

@@ -359,6 +359,55 @@ class OperatorsSpec extends TestSparkSession {
     assert(flat.isEmpty)
   }
 
+  test("bollinger + gini decimal paths match BigInt at lamport magnitudes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 30 daily closes at 10¹¹–10¹² cents (lamport scale: d² is ~10²⁵,
+    // a Long would wrap) with one planted 5×10¹² outlier
+    val cents = (0 until 30).map { i =>
+      if (i == 25) 5000000000000L
+      else 100000000000L + math.abs(rnd.nextLong()) % 900000000000L
+    }
+    val ev = cents.zipWithIndex
+      .map { case (c, d) => (d.toLong * 86400000000L, c / 100.0, d.toLong, "m") }
+      .toDF("us", "value", "event_id", "event_type")
+      .select(expr("timestamp_micros(us)").as("ts"), col("value"),
+        col("event_id"), col("event_type"))
+    val got = EventOps.bollingerBreakouts(ev).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("side"))).toSet
+    val expected = (for {
+      i <- cents.indices
+      win = cents.slice(math.max(0, i - 19), i + 1)
+      if win.length >= 12
+      n = BigInt(win.length); x = BigInt(cents(i))
+      s1 = win.map(BigInt(_)).sum
+      s2 = win.map(v => BigInt(v) * BigInt(v)).sum
+      d = n * x - s1
+      if BigInt(4) * d * d > BigInt(9) * (n * s2 - s1 * s1)
+    } yield (i.toLong * 86400L, if (d > 0) "hi" else "lo")).toSet
+    assert(expected.nonEmpty, "planted outlier must break the band")
+    assert(got == expected)
+
+    // 2000 wallets at ~5×10¹² cents: Σi·v ≈ 10¹⁹ wraps a Long; the
+    // decimal-accumulated Gini must equal the arbitrary-precision value
+    val vols = (1 to 2000).map(i =>
+      ("u%04d".format(i), 2000000000000L + (i.toLong * 4000000000L)))
+    val gev = vols.toDF("user_id", "cents")
+      .select(col("user_id"), (col("cents") / 100.0).as("value"),
+        lit("g").as("event_type"))
+    val g = EventOps.giniByType(gev).collect().head
+    val sorted = vols.map(_._2).sorted
+    val n = BigInt(sorted.length)
+    val total = sorted.map(BigInt(_)).sum
+    val rw = sorted.zipWithIndex
+      .map { case (v, i) => BigInt(i + 1) * BigInt(v) }.sum
+    assert(rw > BigInt(Long.MaxValue), "domain must actually wrap a Long")
+    val giniExact = 2.0 * rw.toDouble / (n * total).toDouble -
+      (n + 1).toDouble / n.toDouble
+    assert(math.abs(g.getAs[Double]("gini") - giniExact) < 1e-12)
+    assert(g.getAs[Long]("total_cents") == total.toLong)
+  }
+
   test("wallet concentration: HHI within [1/n, 1], shares consistent") {
     val rows = EventOps.walletConcentration(events).collect()
     assert(rows.nonEmpty)

@@ -1243,6 +1243,64 @@ object SparkEntry {
             .as("sum_a"),
           countDistinct(col("bonk_platform_config.name")).as("n_names"))
     }),
+    "q_events_pool_accounts" -> ((s, d) => {
+      // the last two reference account types: the CPMM PoolState (629 B
+      // with its [u64;31] padding, raydium_cpmm/types.rs:61-86 — its
+      // anchor hash is shared with Bonk/CLMM pool_state, so the owner
+      // program does the routing) and the Bonk vesting record
+      // (common/types.rs:128), round-tripped through the account
+      // registry and reduced to a TVL-style rollup
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      def mk(e: String) = expr(s"unhex(concat(md5(cast(cast($e as string) " +
+        s"as binary)), md5(cast(cast(($e) + 1 as string) as binary))))")
+      def lay(p: ProtocolRegistry.ProtocolSpec, k: String) =
+        p.layouts.find(_.kind == k).get
+      val pool = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(
+          mk("event_id % 16").as("amm_config"),
+          mk("user_id").as("pool_creator"),
+          mk("2").as("token0_vault"), mk("3").as("token1_vault"),
+          mk("4").as("lp_mint"), mk("5").as("token0_mint"),
+          mk("6").as("token1_mint"), mk("7").as("token0_program"),
+          mk("8").as("token1_program"), mk("9").as("observation_key"),
+          lit(254L).as("auth_bump"), (col("event_id") % 4).as("status"),
+          lit(9L).as("lp_mint_decimals"), lit(6L).as("mint0_decimals"),
+          lit(9L).as("mint1_decimals"),
+          (col("event_id") * 2).as("lp_supply"),
+          (col("event_id") % 1000).as("protocol_fees_token0"),
+          (col("event_id") % 997).as("protocol_fees_token1"),
+          (col("event_id") % 991).as("fund_fees_token0"),
+          (col("event_id") % 983).as("fund_fees_token1"),
+          expr("unix_micros(ts) div 1000000").as("open_time"),
+          (col("event_id") % 512).as("recent_epoch")),
+        lay(RealLayouts.CpmmAccounts, "cpmm_pool_state"))
+        .select(col("payload"),
+          lit(RealLayouts.RaydiumCpmmProgram).as("owner"))
+      val vest = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "signup").select(
+          (col("event_id") * 3).as("total_locked_amount"),
+          (col("event_id") % 86400).as("cliff_period"),
+          lit(3600L).as("unlock_period"),
+          expr("unix_micros(ts) div 1000000").as("start_time"),
+          (col("event_id") % 500).as("allocated_share_amount")),
+        lay(RealLayouts.BonkAccounts, "bonk_vesting_record"))
+        .select(col("payload"), lit(RealLayouts.BonkProgram).as("owner"))
+      ProtocolRegistry
+        .dispatch(pool.union(vest), RealLayouts.accountRegistry,
+          programCol = Some("owner"))
+        .groupBy("protocol", "event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("cpmm_pool_state.lp_supply"),
+            col("bonk_vesting_record.total_locked_amount")))
+            .as("sum_locked"),
+          sum(coalesce(col("cpmm_pool_state.protocol_fees_token0"),
+            col("bonk_vesting_record.allocated_share_amount"))).as("sum_b"),
+          sum(coalesce(col("cpmm_pool_state.open_time"),
+            col("bonk_vesting_record.start_time"))).as("sum_t"),
+          countDistinct(col("cpmm_pool_state.pool_creator"))
+            .as("n_creators"))
+    }),
     "q_events_token_accounts" -> ((s, d) => {
       // discriminator-LESS SPL token + system nonce accounts: owner
       // program + fixed length are the whole guard, as in the reference
@@ -3254,6 +3312,23 @@ object SparkEntry {
          SELECT protocol, event_kind, count(*) AS n,
                 CAST(sum(a) AS BIGINT) AS sum_a,
                 count(DISTINCT nm) AS n_names
+         FROM k GROUP BY 1, 2""",
+    "q_events_pool_accounts" ->
+      """WITH k AS (
+           SELECT 'cpmm_acct' AS protocol, 'cpmm_pool_state' AS event_kind,
+                  event_id * 2 AS locked, event_id % 1000 AS b,
+                  epoch_us(ts) // 1000000 AS t, user_id AS creator
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT 'bonk_acct', 'bonk_vesting_record',
+                  event_id * 3, event_id % 500,
+                  epoch_us(ts) // 1000000, NULL
+           FROM events WHERE event_type = 'signup')
+         SELECT protocol, event_kind, count(*) AS n,
+                CAST(sum(locked) AS BIGINT) AS sum_locked,
+                CAST(sum(b) AS BIGINT) AS sum_b,
+                CAST(sum(t) AS BIGINT) AS sum_t,
+                count(DISTINCT creator) AS n_creators
          FROM k GROUP BY 1, 2""",
     "q_events_token_accounts" ->
       """WITH k AS (

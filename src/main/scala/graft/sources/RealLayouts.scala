@@ -328,7 +328,19 @@ object RealLayouts {
         "allocated_share_amount" -> "u64",
         "global_config" -> "b32", "platform_config" -> "b32",
         "base_mint" -> "b32", "quote_mint" -> "b32",
-        "base_vault" -> "b32", "quote_vault" -> "b32"))),
+        "base_vault" -> "b32", "quote_vault" -> "b32")),
+    // The reference declares AccountBonkVestingRecord in its taxonomy
+    // (common/types.rs:128,154) but publishes no struct for it; the one
+    // vesting layout it ships is VestingSchedule (bonk/types.rs:89-95),
+    // so graft decodes the record as that schedule. Discriminator is
+    // the standard Anchor account hash sha256("account:VestingRecord")
+    // [0..8] — the same derivation every 8-byte account discriminator
+    // above follows.
+    LayoutSpec("bonk_vesting_record", disc(106, 243, 221, 205, 230, 126, 85, 83),
+      borsh(8,
+        "total_locked_amount" -> "u64", "cliff_period" -> "u64",
+        "unlock_period" -> "u64", "start_time" -> "u64",
+        "allocated_share_amount" -> "u64"))),
     program = BonkProgram)
 
   // ----------------------------------------------------------- Raydium CPMM
@@ -521,9 +533,12 @@ object RealLayouts {
         "fee_rate" -> "u64", "name" -> "str"))),
     program = BonkProgram)
 
-  /** Raydium CPMM AmmConfig account (raydium_cpmm/types.rs:17-31,
-    * 228 B with its [u64; 16] padding). Shares the `amm_config` hash
-    * with Raydium CLMM's — owner routes. */
+  /** Raydium CPMM AmmConfig + PoolState accounts (raydium_cpmm/types.rs:
+    * 17-31 AmmConfig, 228 B with its [u64; 16] padding; types.rs:61-86
+    * PoolState, POOL_STATE_SIZE 629 with its [u64; 31] padding,
+    * discriminator events.rs:153 — the `amm_config` hash is shared with
+    * Raydium CLMM's and the `pool_state` hash with Bonk/CLMM's; owner
+    * routes). */
   val CpmmAccounts: ProtocolSpec = ProtocolSpec("cpmm_acct", Seq(
     LayoutSpec("cpmm_amm_config", disc(218, 244, 33, 104, 203, 203, 43, 111),
       borsh(8,
@@ -531,7 +546,21 @@ object RealLayouts {
         "trade_fee_rate" -> "u64", "protocol_fee_rate" -> "u64",
         "fund_fee_rate" -> "u64", "create_pool_fee" -> "u64",
         "protocol_owner" -> "b32", "fund_owner" -> "b32",
-        "padding" -> "pad:128"))),
+        "padding" -> "pad:128")),
+    LayoutSpec("cpmm_pool_state", disc(247, 237, 227, 245, 215, 195, 222, 70),
+      borsh(8,
+        "amm_config" -> "b32", "pool_creator" -> "b32",
+        "token0_vault" -> "b32", "token1_vault" -> "b32",
+        "lp_mint" -> "b32", "token0_mint" -> "b32",
+        "token1_mint" -> "b32", "token0_program" -> "b32",
+        "token1_program" -> "b32", "observation_key" -> "b32",
+        "auth_bump" -> "u8", "status" -> "u8",
+        "lp_mint_decimals" -> "u8", "mint0_decimals" -> "u8",
+        "mint1_decimals" -> "u8", "lp_supply" -> "u64",
+        "protocol_fees_token0" -> "u64", "protocol_fees_token1" -> "u64",
+        "fund_fees_token0" -> "u64", "fund_fees_token1" -> "u64",
+        "open_time" -> "u64", "recent_epoch" -> "u64",
+        "padding" -> "pad:248"))),
     program = RaydiumCpmmProgram)
 
   /** Raydium CLMM account states (raydium_clmm/types.rs:18-183):

@@ -24,7 +24,10 @@ class RealLayoutsSpec extends TestSparkSession {
       (RealLayouts.PumpSwap, "ps_withdraw", 16 + 248), // WITHDRAW_LOG_SIZE
       (RealLayouts.Bonk, "bonk_trade", 16 + 139), // BONK_TRADE_EVENT_LOG_SIZE
       (RealLayouts.MeteoraDammV2, "damm_swap", 16 + 180), // METEORA_DAMM_V2_SWAP_EVENT_LOG_SIZE
-      (RealLayouts.PumpFunAccounts, "pf_bonding_curve", 8 + 74)) // BONDING_CURVE_SIZE
+      (RealLayouts.PumpFunAccounts, "pf_bonding_curve", 8 + 74), // BONDING_CURVE_SIZE
+      (RealLayouts.CpmmAccounts, "cpmm_amm_config", 8 + 228), // AMM_CONFIG_SIZE
+      (RealLayouts.CpmmAccounts, "cpmm_pool_state", 8 + 629), // POOL_STATE_SIZE
+      (RealLayouts.BonkAccounts, "bonk_vesting_record", 8 + 40)) // VestingSchedule
     for ((spec, kind, len) <- want)
       assert(layout(spec, kind).minLen == len,
         s"$kind: got ${layout(spec, kind).minLen}, reference says $len")

@@ -133,6 +133,42 @@ object SparkEntry {
       EventOps.userTypePivot(Tables.events(s, d))),
     "q_events_block_join" -> ((s, d) =>
       EventOps.blockMetaJoin(Tables.events(s, d))),
+    // real BlockMeta frames on the wire: a mixed stream of swap fills and
+    // block-meta frames dispatches through ONE registry pass; the block
+    // class routes via filterClasses (filter.rs include_block_event) and
+    // trades join their actual slot metadata (400 ms Solana slots)
+    "q_events_block_real" -> ((s, d) => {
+      import graft.sources.ProtocolRegistry
+      val ev = Tables.events(s, d)
+      val trades = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase").select(
+          col("event_id"), (col("user_id") % 100).as("pool"), col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("base_amount"),
+          (col("event_id") * 2 + 1).as("quote_amount"),
+          expr("unix_micros(ts)").as("ts_us")),
+        ProtocolRegistry.Swap.layouts(0)).select("payload")
+      val metas = ProtocolRegistry.encode(
+        ev.filter(col("event_type") === "purchase")
+          .select(expr("unix_micros(ts) div 400000").as("slot")).distinct()
+          .select(col("slot"), (col("slot") - 1).as("parent_slot"),
+            (col("slot") * 400).as("block_time_ms"),
+            md5(col("slot").cast("string")).as("block_hash")),
+        ProtocolRegistry.Block.layouts(0)).select("payload")
+      val disp = ProtocolRegistry.dispatch(trades.union(metas))
+      val t = ProtocolRegistry.filterClasses(disp, Seq("transaction"))
+        .select(col("buy.user_id").as("user_id"),
+          col("buy.base_amount").as("amt"),
+          expr("buy.ts_us div 400000").as("slot"))
+      val b = ProtocolRegistry.filterClasses(disp, Seq("block"))
+        .select(col("block_meta.slot").as("slot"),
+          col("block_meta.parent_slot").as("parent_slot"),
+          col("block_meta.block_time_ms").as("block_time_ms"),
+          col("block_meta.block_hash").as("block_hash"))
+      t.join(b, "slot")
+        .groupBy("slot", "parent_slot", "block_time_ms", "block_hash")
+        .agg(count(lit(1)).as("n_trades"), sum("amt").as("sum_cents"),
+          countDistinct("user_id").as("n_wallets"))
+    }),
     "q_events_approx_users" -> ((s, d) =>
       EventOps.approxUsers(Tables.events(s, d))),
     "q_events_rate_1m" -> ((s, d) =>
@@ -2870,6 +2906,15 @@ object SparkEntry {
                 CAST(sum(w.ts_us - b.block_start_us) AS BIGINT) AS sum_offset_us
          FROM w JOIN b ON w.slot = b.slot
          GROUP BY w.slot""",
+    "q_events_block_real" ->
+      """WITH t AS (SELECT epoch_us(ts) // 400000 AS slot, user_id,
+                           CAST(round(value * 100, 0) AS BIGINT) AS amt
+                    FROM events WHERE event_type = 'purchase')
+         SELECT slot, slot - 1 AS parent_slot, slot * 400 AS block_time_ms,
+                md5(CAST(slot AS VARCHAR)) AS block_hash,
+                count(*) AS n_trades, CAST(sum(amt) AS BIGINT) AS sum_cents,
+                count(DISTINCT user_id) AS n_wallets
+         FROM t GROUP BY 1, 2, 3, 4""",
     "q_set_ops_customers" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
          INTERSECT

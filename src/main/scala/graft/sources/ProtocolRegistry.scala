@@ -124,13 +124,29 @@ object ProtocolRegistry {
     LayoutSpec("pool_state", disc(0x53, 0x01),
       u64s("event_id", "pool", "base_reserve", "quote_reserve", "ts_us"))))
 
+  /** "block" protocol: block metadata frames — the reference's
+    * BlockMetaEvent (protocols/block/block_meta_event.rs:8-13: slot u64 +
+    * block_hash String, with block_time_ms riding the event metadata;
+    * model.BlockMeta adds parent_slot). The reference receives these over
+    * its gRPC block-meta subscription — transport is out of scope here,
+    * so graft frames them on its own wire with a registry discriminator,
+    * making slot/block-time rows first-class in a mixed dispatch. */
+  val Block: ProtocolSpec = ProtocolSpec("block", Seq(
+    LayoutSpec("block_meta", disc(0x59, 0x01), Seq(
+      FieldSpec("slot", 8),
+      FieldSpec("parent_slot", 16),
+      FieldSpec("block_time_ms", 24, "i64"),
+      FieldSpec("block_hash", 32, "str")))))
+
   /** Event class of a dispatched row — the reference's filter classes
-    * (`filter.rs` `include_transaction_event` / `include_account_event`;
-    * block events live outside the registry, on the block-meta path):
-    * account snapshots vs everything transaction-borne. */
+    * (`filter.rs` `include_transaction_event` / `include_account_event` /
+    * `include_block_event`): account snapshots, block metadata, and
+    * everything transaction-borne. */
   def eventClass: org.apache.spark.sql.Column =
     when(col("protocol") === "account" ||
-      col("protocol").endsWith("_acct"), "account").otherwise("transaction")
+      col("protocol").endsWith("_acct"), "account")
+      .when(col("protocol") === "block", "block")
+      .otherwise("transaction")
 
   /** Class-level include filter over dispatched frames (A1's type-level
     * include-list, one level up — the `EventTypeFilter` category
@@ -206,7 +222,7 @@ object ProtocolRegistry {
   /** Default registry (the single-layout trade/create protocols live in
     * [[EventCodec]]; this registry carries the multi-layout protocols). */
   val registry: Seq[ProtocolSpec] =
-    Seq(Swap, Amm, Account, Launch, Clmm, Perp, Meta, Cpmm)
+    Seq(Swap, Amm, Account, Launch, Clmm, Perp, Meta, Cpmm, Block)
 
   /** Per-field decode expression (all codegen'd builtins / graft exprs). */
   private def fieldCol(payload: String, f: FieldSpec): Column = f.kind match {

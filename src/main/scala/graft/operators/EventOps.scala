@@ -1276,17 +1276,19 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
 
   /** Percentile estimates for a day range, answered purely from the
-    * stored histograms: merged counts cumulate via a triangular
-    * self-join over the (bounded) bucket domain — never an
-    * unpartitioned window — and each requested percentile reports the
-    * inclusive upper edge of the first bucket whose cumulative count
-    * reaches the rank.
+    * stored histograms: merged counts cumulate with the terasort prefix
+    * shape (the C44 selectByBudget pattern — range-exchange on the
+    * bucket key, per-partition window sums, a #partitions-row
+    * triangular offset join) — never an unpartitioned window and never
+    * a bucket×bucket pair fan-out — and each requested percentile
+    * reports the inclusive upper edge of the first bucket whose
+    * cumulative count reaches the rank.
     *
-    * The two theta-joins here (bucket ≤ bucket cumulation, rank
-    * threshold probe) run over the BUCKET DOMAIN, whose size is
-    * `value_range / bucketCents` — a constant fixed by configuration,
-    * not by data volume — so the nested-loop pairs are
-    * O((range/width)² + |percents|·range/width) regardless of how many
+    * Cost is LINEAR in the observed bucket count: O(B) for the prefix
+    * cumulation plus O(|percents|·B) for the broadcast threshold probe.
+    * A pathological store (bucketCents=1 over a lamport-range value
+    * column) therefore degrades to a plain scan of its distinct
+    * buckets, not a 10¹⁸-pair nested loop — regardless of how many
     * trillion raw rows fed the store. */
   def quantilesFromHistograms(
       hists: DataFrame,
@@ -1297,10 +1299,20 @@ object EventOps {
     val merged = hists
       .filter(col("db").between(fromDb, toDb))
       .groupBy("bucket").agg(sum("n").as("n"))
-    val cum = merged.as("a")
-      .join(merged.as("b"), col("b.bucket") <= col("a.bucket"))
-      .groupBy(col("a.bucket").as("bucket"))
-      .agg(sum(col("b.n")).as("cum"))
+    val parted = merged
+      .repartitionByRange(col("bucket"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val psums = parted.groupBy("pid").agg(sum("n").as("c"))
+    val offsets = psums.as("a")
+      .join(psums.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    val wp = Window.partitionBy("pid").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parted.join(broadcast(offsets), "pid")
+      .withColumn("cum", sum("n").over(wp) + col("off"))
+      .select(col("bucket"), col("cum"))
     val tot = merged.agg(sum("n").as("tot"))
     val ps = hists.sparkSession
       .createDataFrame(percents.map(Tuple1(_)))

@@ -189,6 +189,27 @@ class OperatorsSpec extends TestSparkSession {
     assert(reunited == out)
   }
 
+  test("quantile store survives a pathological bucketCents=1 lamport-range store") {
+    import spark.implicits._
+    // 100k distinct cent-wide buckets spread over a ~10^18 range: the
+    // former bucket<=bucket triangular cumulation would be a 10^10-pair
+    // nested loop here; the terasort prefix shape scans them once. With
+    // bucketCents=1 the store is lossless, so every percentile must
+    // equal the exact order statistic.
+    val n = 100000
+    val vals = (0 until n).map(i =>
+      1000000000000000L * (i % 1000) + i.toLong * 7919)
+    val hists = vals.map(v => (0L, v, 1L)).toDF("db", "bucket", "n")
+    val out = EventOps
+      .quantilesFromHistograms(hists, 0L, 0L, Seq(50, 90, 99), 1L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val sorted = vals.sorted
+    Seq(50, 90, 99).foreach { p =>
+      val exact = sorted((((sorted.length.toLong * p + 99) / 100) - 1).toInt)
+      assert(out(p) == exact, s"p$p: ${out(p)} vs exact $exact")
+    }
+  }
+
   test("set ops: result excludes big-ticket buyers") {
     val res = Relational.setOps(Tables.customer(spark, sfDir),
       Tables.orders(spark, sfDir))

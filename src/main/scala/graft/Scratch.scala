@@ -29,55 +29,37 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val docs = Tables.documents(spark, sfDir)
-    locally {
-      val grams0 = operators.Dedup.withTrigrams(docs)
-      val g0 = grams0.select(col("doc_id"), explode(col("grams")).as("g"))
-        .select(col("doc_id"), expr("xxhash64(g)").as("h0"))
-      println(s"[scratch] gram rows: ${g0.count()}")
-      time("g0_count2")(g0.count())
-      time("g0_noop")(noop(g0))
-      val gplain = grams0.select(col("doc_id"), explode(col("grams")).as("g"))
-      time("gplain_noop")(noop(gplain))
-      time("repart")(noop(g0.repartition(32, col("doc_id"))))
-      val gramsM = grams0.localCheckpoint()
-      val gM = gramsM.select(col("doc_id"), explode(col("grams")).as("g"))
-      time("explode_after_ckpt")(noop(gM))
-      time("explode_after_ckpt2")(noop(gM))
-      println("[scratch] PLAN:\n" + gplain.queryExecution.executedPlan.toString.take(3000))
-      time("plain_min")(noop(g0.groupBy("doc_id").agg(min("h0"))))
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-      val s0 = g0.groupBy("doc_id")
-        .agg(functions.MinHashAgg.minhash(col("h0"), 64).as("sig"))
-      time("sigs_hithresh")(noop(s0))
-      time("sigs_hithresh2")(noop(s0))
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    // convergence probe: per-round changed-rank counts for pagerank
+    val events = Tables.events(spark, sfDir)
+    val edges = operators.GraphOps.coactivityEdges(events, 64)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(outdeg, "src").localCheckpoint()
+    val nodes = outdeg.localCheckpoint()
+    val n = nodes.count()
+    val scale = 1000000000000L
+    val base = (15L * scale / 100L) / n
+    var ranks = nodes.select(col("src").as("node"),
+      lit(scale / n).as("pr")).localCheckpoint()
+    for (i <- 1 to 12) {
+      val incoming = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum("c").as("inc"))
+      val next = nodes
+        .join(incoming, col("src") === col("dst"), "left_outer")
+        .select(col("src").as("node"),
+          (lit(base) +
+            expr("(85 * coalesce(inc, cast(0 as bigint))) div 100"))
+            .as("pr"))
+        .localCheckpoint()
+      val changed = next.as("a")
+        .join(ranks.as("b"), col("a.node") === col("b.node"))
+        .filter(col("a.pr") =!= col("b.pr"))
+        .count()
+      println(s"[scratch] round $i changed=$changed")
+      ranks = next
     }
-    val grams = operators.Dedup.withTrigrams(docs)
-    time("grams")(noop(grams))
-    time("grams2")(noop(grams))
-    val g = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      .select(col("doc_id"), expr("xxhash64(g)").as("h0"))
-    val sigs = g.groupBy("doc_id")
-      .agg(functions.MinHashAgg.minhash(col("h0"), 64).as("sig"))
-    time("sigs")(noop(sigs))
-    val banded = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(expr("sequence(0, 15)")).as("band"))
-      .select(col("doc_id"), col("band"),
-        expr("xxhash64(band, slice(sig, band * 4 + 1, 4))").as("bh"))
-    time("banded")(noop(banded))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    time("candidates")(noop(candidates))
-    val full = operators.Dedup.minhashLsh(docs, 0.5)
-    time("full")(noop(full))
-    time("full2")(noop(full))
-    time("full3")(noop(full))
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -12,8 +12,21 @@ import org.apache.spark.sql.types.LongType
   * pushdown happen naturally because we hand Catalyst the bare scan.
   */
 object Tables {
+  /** Parquet writers disagree on isAdjustedToUTC; with the session pinned
+    * to UTC a plain cast of TIMESTAMP_NTZ to TimestampType preserves the
+    * wall-clock value, which is exactly how DuckDB's naive timestamps read
+    * the same files — so oracles stay in agreement. Normalizing here keeps
+    * every operator on instant-typed columns (`unix_micros`, watermarks).
+    */
+  def tzNormalize(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      else d
+    }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tzNormalize(spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

@@ -60,6 +60,16 @@ object GraphOps {
     * the "active in the same market-hour" graph. Output: one row per
     * node — `node`, `deg` (symmetric co-activity degree), `pr` (rank
     * mass out of 1e12).
+    *
+    * No convergence early-stop, deliberately: only an EXACT fixed point
+    * (zero ranks changed) keeps the result bit-identical to the
+    * fixed-`iterations` oracle, and measurement (sf0.1, 12 rounds
+    * probed) shows integer truncating division never settles — all
+    * nodes keep flipping low-order mass every round. A per-round
+    * delta probe therefore costs one extra job per round (measured
+    * +130% wall) and never fires; a tolerance-based stop would change
+    * results. Callers wanting approximate ranks cheaper should lower
+    * `iterations` instead.
     */
   def coactivityPagerank(
       events: DataFrame,

@@ -30,9 +30,11 @@ object EventStreamPipelines {
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    val nanosFixed =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    graft.Tables.tzNormalize(nanosFixed)
   }
 
   /** A15: include-list filter → tumbling window counts, run with the

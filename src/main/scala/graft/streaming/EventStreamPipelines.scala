@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming re-expression of the reference's subscription
@@ -568,6 +568,79 @@ object EventStreamPipelines {
       }
       touched.iterator.map(t => (key, t, counts.getValue(t)))
     }
+  }
+
+  /** A17g: event-time TIMERS on the new API — the capability
+    * `flatMapGroupsWithState` exposes as `EventTimeTimeout` and the
+    * reference's idle-wallet session flush needs: a wallet whose open
+    * session goes `gapMinutes` past the watermark emits WITHOUT waiting
+    * for its own next event. `handleInputRows` folds rows into the open
+    * session (closing gap-split sessions inline, as A17b does) and
+    * re-arms one timer at `end + gap`; `handleExpiredTimer` fires when
+    * the WATERMARK passes that instant, emits the idle session flagged
+    * `by_timeout`, and clears state — so state is bounded by activity,
+    * not by key cardinality. Exactly one timer per key is alive: the
+    * old one is deleted before re-arming (timers don't overwrite).
+    * Output: (user_id, start_us, end_us, n_events, by_timeout).
+    */
+  class SessionTimeoutProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, (Long, Long),
+        (Long, Long, Long, Int, Boolean)] {
+    private val gapUs = gapMinutes * 60L * 1000000L
+    @transient private var sess: ValueState[(Long, Long, Int)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Int)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Int)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Int, Boolean)] = {
+      val closed =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int, Boolean)]
+      var open: Option[(Long, Long, Int)] =
+        if (sess.exists()) Some(sess.get()) else None
+      rows.map(_._2).toArray.sorted.foreach { t =>
+        open = open match {
+          case Some((s, e, n)) if t - e <= gapUs =>
+            Some((s, math.max(e, t), n + 1))
+          case Some((s, e, n)) =>
+            closed += ((key, s, e, n, false))
+            Some((t, t, 1))
+          case None => Some((t, t, 1))
+        }
+      }
+      open.foreach { case st @ (_, e, _) =>
+        sess.update(st)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(e / 1000L + gapMinutes * 60000L)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Int, Boolean)] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val (s, e, n) = sess.get()
+        sess.clear()
+        Iterator.single((key, s, e, n, true))
+      }
+    }
+  }
+
+  /** A17g driver: watermarked events → sessions closed either by a
+    * gap-splitting successor event or by the event-time timer. */
+  def sessionTimeoutStream(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), expr("unix_micros(ts)").as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Int, Boolean)])
+      .toDF("user_id", "start_us", "end_us", "n_events", "by_timeout")
   }
 
   /** A17c driver: per-wallet running (count, cents) updates. Volume

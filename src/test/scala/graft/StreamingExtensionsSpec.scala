@@ -587,6 +587,66 @@ class StreamingExtensionsSpec extends TestSparkSession {
       s.getAs[Int]("n_events") == 2)
   }
 
+  test("A17g: event-time timers flush idle sessions at the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val events = input.toDF().toDF("user_id", "ts")
+      val out = EventStreamPipelines.sessionTimeoutStream(
+        events, gapMinutes = 30, watermarkDelay = "0 seconds")
+      val q = out.writeStream.format("memory")
+        .queryName("graft_timer_test").outputMode("append").start()
+      def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+      def us(min: Long) = min * 60000000L
+      input.addData((1L, ts(0)), (1L, ts(10)), (2L, ts(5)))
+      q.processAllAvailable()
+      // watermark is only 10 min: timers armed at 40/35 min, nothing fires
+      assert(spark.table("graft_timer_test").isEmpty)
+      // user 1 returns after a 90-min gap (inline closure, NOT by timer);
+      // user 3's event pushes the watermark to 120 min, past user 2's
+      // 35-min timer (timer closure)
+      input.addData((1L, ts(100)), (3L, ts(120)))
+      q.processAllAvailable()
+      val mid = spark.table("graft_timer_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getBoolean(4))).toSet
+      assert(mid == Set(
+        (1L, us(0), us(10), 2, false),  // closed by the gap-splitting event
+        (2L, us(5), us(5), 1, true)),   // closed by the event-time timer
+        s"unexpected mid-stream closures: $mid")
+      // advance the watermark far past every armed timer: the re-armed
+      // user-1 session (130-min timer) and user 3 (150-min) both flush
+      input.addData((4L, ts(300)))
+      q.processAllAvailable()
+      val fin = spark.table("graft_timer_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getBoolean(4))).toSet
+      q.stop()
+      // replay equivalence: every session of users 1-3 is now closed and
+      // the full emission equals the batch gap-split sessionization of
+      // the same input (flags record WHICH path closed each one)
+      assert(fin == Set(
+        (1L, us(0), us(10), 2, false),
+        (2L, us(5), us(5), 1, true),
+        (1L, us(100), us(100), 1, true),
+        (3L, us(120), us(120), 1, true)),
+        s"unexpected final closures: $fin")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A29d: backfill overwrites only the corrected date partitions") {
     import graft.sources.EventSink
     val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString

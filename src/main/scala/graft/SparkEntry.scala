@@ -106,6 +106,8 @@ object SparkEntry {
       EventOps.sessionizeNative(Tables.events(s, d))),
     "q_stream_session_native" -> ((s, d) =>
       streaming.EventStreamPipelines.sessionNativeAvailableNow(s, d)),
+    "q_stream_session_timeout" -> ((s, d) =>
+      streaming.EventStreamPipelines.sessionTimeoutAvailableNow(s, d)),
     "q_events_asof_tolerance" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
@@ -2545,6 +2547,32 @@ object SparkEntry {
                 max(ts_us) + 1800000000 AS end_us,
                 count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
          FROM c GROUP BY user_id, sid""",
+    // timer-flushed sessionizer, single-batch availableNow semantics:
+    // non-final sessions close inline (by_timeout=0); a wallet's final
+    // session emits iff its end+gap timer (ms) is behind the final
+    // watermark max(ts_ms) - 10min; later finals stay open (unemitted).
+    // Gap split is STRICTLY > 30min (processor keeps t - end <= gap).
+    "q_stream_session_timeout" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         wm AS (SELECT (max(ts_us) // 1000) - 600000 AS wm_ms FROM e),
+         s AS (SELECT user_id, ts_us,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         c AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+         g AS (SELECT user_id, sid, min(ts_us) AS start_us,
+                      max(ts_us) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+               FROM c GROUP BY user_id, sid),
+         m AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid
+               FROM g)
+         SELECT user_id, start_us, end_us, n_events,
+                CAST(CASE WHEN sid < max_sid THEN 0 ELSE 1 END AS BIGINT)
+                  AS by_timeout
+         FROM m, wm
+         WHERE sid < max_sid OR (end_us // 1000) + 1800000 < wm_ms""",
     "q_events_asof_tolerance" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                            0 AS kind, event_id AS view_id,

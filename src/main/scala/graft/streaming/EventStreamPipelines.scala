@@ -643,6 +643,47 @@ object EventStreamPipelines {
       .toDF("user_id", "start_us", "end_us", "n_events", "by_timeout")
   }
 
+  /** A17g end-to-end: run the timer-flushed sessionizer over the events
+    * file stream to completion. Single-batch availableNow makes the
+    * emission deterministic and SQL-expressible: every non-final session
+    * of a wallet closes inline when its successor arrives (by_timeout =
+    * false); the wallet's FINAL session closes iff the final watermark
+    * (max event time minus the delay) passed its `end + gap` timer —
+    * the rest stay open in state and are not emitted. The driver
+    * oracle-checks all of it, timer arithmetic included, against a
+    * DuckDB gap-island formulation.
+    */
+  def sessionTimeoutAvailableNow(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val name = s"graft_stream_timer_${memCounter.incrementAndGet()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = sessionTimeoutStream(
+        eventsStream(spark, dir), gapMinutes, watermarkDelay).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events").cast("long").as("n_events"),
+        col("by_timeout").cast("long").as("by_timeout"))
+  }
+
   /** A17c driver: per-wallet running (count, cents) updates. Volume
     * accumulates in integer cents so state and output are exact and
     * order-independent regardless of shuffle arrival order. */

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Temporary profiling harness (not part of the library surface). */
 object Scratch {
@@ -21,45 +20,21 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
 
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-
-    // convergence probe: per-round changed-rank counts for pagerank
-    val events = Tables.events(spark, sfDir)
-    val edges = operators.GraphOps.coactivityEdges(events, 64)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(outdeg, "src").localCheckpoint()
-    val nodes = outdeg.localCheckpoint()
-    val n = nodes.count()
-    val scale = 1000000000000L
-    val base = (15L * scale / 100L) / n
-    var ranks = nodes.select(col("src").as("node"),
-      lit(scale / n).as("pr")).localCheckpoint()
-    for (i <- 1 to 12) {
-      val incoming = withDeg
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("pr div deg").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum("c").as("inc"))
-      val next = nodes
-        .join(incoming, col("src") === col("dst"), "left_outer")
-        .select(col("src").as("node"),
-          (lit(base) +
-            expr("(85 * coalesce(inc, cast(0 as bigint))) div 100"))
-            .as("pr"))
-        .localCheckpoint()
-      val changed = next.as("a")
-        .join(ranks.as("b"), col("a.node") === col("b.node"))
-        .filter(col("a.pr") =!= col("b.pr"))
-        .count()
-      println(s"[scratch] round $i changed=$changed")
-      ranks = next
+    def timeQ(name: String, reps: Int = 3): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(name)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scratch] $name: min=${ts.min}%.2f s all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
+
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q_events_pagerank", "q_events_taint", "q_events_kcore",
+        "q_events_wallet_clusters", "q_events_triangles")
+    qs.foreach(q => timeQ(q))
     spark.stop()
   }
 }

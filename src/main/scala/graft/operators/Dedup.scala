@@ -332,15 +332,25 @@ object Dedup {
       .union(edges.select(col("b").as("doc_id"))).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    // label state is node-sized (two ids per row): when the graph is
+    // small enough, broadcast it into the per-round joins so a round
+    // never re-shuffles the edge list — same policy as the GraphOps
+    // iteration loops; past the limit fall back to shuffle joins. The
+    // count is one metadata-sized job against the fresh checkpoint.
+    val bcast = labels.count() <= 2L * 1000 * 1000
     var converged = false
     var round = 0
     while (!converged && round < maxIterations) {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "b2"),
-          col("b") === col("b2"))
+        .join({
+          val r = labels.withColumnRenamed("doc_id", "b2")
+          if (bcast) broadcast(r) else r
+        }, col("b") === col("b2"))
         .groupBy(col("a").as("doc_id"))
         .agg(min("label").as("nlabel"))
-      val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+      val next = labels.join(
+          if (bcast) broadcast(viaNeighbor) else viaNeighbor,
+          Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))

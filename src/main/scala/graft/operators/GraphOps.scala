@@ -26,33 +26,61 @@ import org.apache.spark.sql.functions._
   * otherwise materializes k² edge rows. The edge list and out-degrees
   * are built once, `localCheckpoint`ed (iterating on a live lineage
   * re-derives the whole upstream pipeline every round and the plan
-  * grows combinatorially — same lesson as `Dedup.canonicalize`), and
-  * each iteration is ONE shuffle: ranks join the degree-annotated edge
-  * list on `src`, contributions hash-aggregate on `dst`. Rank state is
-  * one row per node — metadata-sized next to the event table.
+  * grows combinatorially — same lesson as `Dedup.canonicalize`).
+  * Iteration cost is regime-dependent: node-sized rank state under
+  * [[BroadcastNodeLimit]] broadcasts into the per-round join, so a
+  * round never re-shuffles or re-sorts the edge list — the only
+  * exchange left moves the map-side-combined partial sums, whose
+  * volume is per-partition-distinct dst keys (node-sized), not edge
+  * rows. Past the limit each round falls back to the shuffle join on
+  * `src` plus the same combined `dst` aggregate. Rank state is one
+  * row per node — metadata-sized next to the event table.
   */
 object GraphOps {
+
+  /** Node-sized iteration state (two longs per row) is broadcast into
+    * the per-round joins when the graph is small enough that shipping
+    * ~32 MB beats re-sorting the edge list every round; past the limit
+    * the loops fall back to the shuffle join. The node count is already
+    * on the driver (the loops count it once for the rank seed), so the
+    * choice costs nothing extra. */
+  private val BroadcastNodeLimit = 2L * 1000 * 1000
 
   /** Directed co-activity edge list: (src, dst) for every ordered pair
     * of wallets active in the same (market, hour) group, groups larger
     * than `maxGroupSize` dropped BEFORE the quadratic pair fan-out.
     * Both directions are present (the graph is symmetric); filter
-    * `src < dst` for the undirected edge set. */
+    * `src < dst` for the undirected edge set.
+    *
+    * Shape: ONE explicit repartition on (market, hour) feeds everything
+    * — `HashPartitioning(event_type, mb)` satisfies the clustering
+    * requirement of the 3-key distinct, the group-size count AND the
+    * membership join, so none of them re-exchanges, and ReuseExchange
+    * computes the shared scan+shuffle once across the two consumers.
+    * The pair fan-out is a map-side double-explode over per-group user
+    * lists collected AFTER the size filter (so the list is bounded by
+    * `maxGroupSize` — a corpus-wide hot hour never materializes its
+    * membership anywhere, same policy as before), replacing a self-join
+    * that re-shuffled the activity set twice more. Two shuffles
+    * end-to-end: the activity repartition and the final pair distinct
+    * (was effectively five, with the activity subtree evaluated twice). */
   def coactivityEdges(events: DataFrame, maxGroupSize: Int): DataFrame = {
-    // distinct (market, hour, wallet) activity; hot hours capped
+    // distinct (market, hour, wallet) activity, clustered by group key
     val act = events.select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("mb"),
-        col("user_id")).distinct()
+        col("user_id"))
+      .repartition(col("event_type"), col("mb"))
+      .distinct()
     val sized = act.groupBy("event_type", "mb")
       .agg(count(lit(1)).as("gs"))
       .filter(col("gs") >= 2 && col("gs") <= maxGroupSize)
       .select(col("event_type"), col("mb"))
-    val g = act.join(sized, Seq("event_type", "mb"))
-    g.as("x").join(g.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-          col("x.mb") === col("y.mb") &&
-          col("x.user_id") =!= col("y.user_id"))
-      .select(col("x.user_id").as("src"), col("y.user_id").as("dst"))
+    act.join(sized, Seq("event_type", "mb"))
+      .groupBy("event_type", "mb")
+      .agg(collect_list(col("user_id")).as("us")) // bounded ≤ maxGroupSize
+      .select(explode(col("us")).as("src"), col("us"))
+      .select(col("src"), explode(col("us")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
   }
 
@@ -75,28 +103,37 @@ object GraphOps {
       events: DataFrame,
       iterations: Int = 10,
       maxGroupSize: Int = 64): DataFrame = {
-    val edges = coactivityEdges(events, maxGroupSize)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree-annotated edges: built once, iterated many times
-    val withDeg = edges.join(outdeg, "src").localCheckpoint()
-    val nodes = outdeg.localCheckpoint()
+    // checkpoint the edge list BEFORE deriving degrees: it feeds both the
+    // degree count and the annotated join, and an unmaterialized lineage
+    // would re-run the whole activity build once per consumer
+    val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
+    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val n = nodes.count() // one metadata-sized driver action
     if (n == 0) {
       return nodes.select(col("src").as("node"), col("deg"),
         col("deg").as("pr"))
     }
+    val bcast = n <= BroadcastNodeLimit
+    // degree-annotated edges: built once (broadcasting the node-sized
+    // degree table keeps the build a map-side join), iterated many times
+    val withDeg = edges
+      .join(if (bcast) broadcast(nodes) else nodes, "src")
+      .localCheckpoint()
     val scale = 1000000000000L // total rank mass
     val base = (15L * scale / 100L) / n // (1 - d) / n, d = 0.85
     var ranks = nodes.select(col("src").as("node"),
       lit(scale / n).as("pr"))
     for (i <- 1 to iterations) {
       val incoming = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(if (bcast) broadcast(ranks) else ranks,
+          col("src") === col("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum("c").as("inc"))
       ranks = nodes
-        .join(incoming, col("src") === col("dst"), "left_outer")
+        .join(if (bcast) broadcast(incoming) else incoming,
+          col("src") === col("dst"), "left_outer")
         .select(col("src").as("node"),
           (lit(base) +
             expr("(85 * coalesce(inc, cast(0 as bigint))) div 100"))
@@ -128,10 +165,13 @@ object GraphOps {
       iterations: Int = 10,
       maxGroupSize: Int = 64,
       nSeeds: Int = 10): DataFrame = {
-    val edges = coactivityEdges(events, maxGroupSize)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(outdeg, "src").localCheckpoint()
-    val nodes = outdeg.localCheckpoint()
+    val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
+    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val bcast = nodes.count() <= BroadcastNodeLimit
+    val withDeg = edges
+      .join(if (bcast) broadcast(nodes) else nodes, "src")
+      .localCheckpoint()
     val seeds = events.groupBy("user_id")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("user_id"))
@@ -156,12 +196,14 @@ object GraphOps {
         .as("pr")) // full unit mass split across the seeds
     for (i <- 1 to iterations) {
       val incoming = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(if (bcast) broadcast(ranks) else ranks,
+          col("src") === col("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum("c").as("inc"))
       ranks = restart
-        .join(incoming, col("node") === col("dst"), "left_outer")
+        .join(if (bcast) broadcast(incoming) else incoming,
+          col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (col("r") +
             expr("(85 * coalesce(inc, cast(0 as bigint))) div 100"))
@@ -196,27 +238,30 @@ object GraphOps {
     val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
     var survivors = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
+    var nSurv = survivors.count()
     var round = 0
     var done = false
+    def gate(e: DataFrame, s: DataFrame): DataFrame = {
+      def side(c: String) = {
+        val r = s.withColumnRenamed("node", c)
+        if (nSurv <= BroadcastNodeLimit) broadcast(r) else r
+      }
+      e.join(side("src"), Seq("src"), "left_semi")
+        .join(side("dst"), Seq("dst"), "left_semi")
+    }
     while (round < maxPeels && !done) {
-      val deg = edges
-        .join(survivors.withColumnRenamed("node", "src"), Seq("src"),
-          "left_semi")
-        .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"),
-          "left_semi")
+      val deg = gate(edges, survivors)
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
       val next = deg.filter(col("deg") >= k).select("node")
         .localCheckpoint()
-      done = next.count() == survivors.count()
+      val nNext = next.count()
+      done = nNext == nSurv // peels only remove: equal count = fixed point
       survivors = next
+      nSurv = nNext
       round += 1
     }
-    edges
-      .join(survivors.withColumnRenamed("node", "src"), Seq("src"),
-        "left_semi")
-      .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"),
-        "left_semi")
+    gate(edges, survivors)
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
   }

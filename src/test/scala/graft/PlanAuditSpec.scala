@@ -529,6 +529,31 @@ class PlanAuditSpec extends TestSparkSession {
       "degrees are keyed aggregates, not window counts")
   }
 
+  test("pagerank round in the broadcast regime never re-shuffles edges") {
+    // mirror one iteration of coactivityPagerank's broadcast regime:
+    // rank state broadcasts into the round (no sort-merge join, so the
+    // checkpointed edge list is never re-sorted or re-exchanged) and the
+    // contribution aggregate combines map-side BEFORE its exchange, so
+    // the only shuffled bytes are node-sized partial sums
+    val events = Tables.events(spark, sfDir)
+    val edges = GraphOps.coactivityEdges(events, 64).localCheckpoint()
+    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val withDeg = edges.join(broadcast(nodes), "src").localCheckpoint()
+    val ranks = nodes.select(col("src").as("node"), lit(1000L).as("pr"))
+    val incoming = withDeg
+      .join(broadcast(ranks), col("src") === col("node"))
+      .select(col("dst"), expr("pr div deg").as("c"))
+      .groupBy(col("dst")).agg(sum("c").as("inc"))
+    val plan = planOf(incoming)
+    assert(plan.contains("BroadcastHashJoin"),
+      "rank state must broadcast into the per-round join")
+    assert(!plan.contains("SortMergeJoin"),
+      "a broadcast-regime round must not sort the edge list")
+    assert(plan.contains("partial_sum"),
+      "contributions must combine map-side before the exchange")
+  }
+
   test("seeded pagerank final assembly joins on the node key only") {
     // the per-iteration aggregates sit behind localCheckpoint lineage
     // cuts; the visible plan is the node ⋈ taint assembly — it must be

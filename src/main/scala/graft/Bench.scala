@@ -108,7 +108,10 @@ object Bench {
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_multimodal_sample_frames",
-    "q_events_block_real")
+    "q_events_block_real",
+    "q_events_vpin",
+    "q_events_roll_spread",
+    "q_events_kyle_lambda")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -156,7 +156,12 @@ object SparkEntry {
             (col("slot") * 400).as("block_time_ms"),
             md5(col("slot").cast("string")).as("block_hash")),
         ProtocolRegistry.Block.layouts(0)).select("payload")
+      // one dispatch pass: prune to the two consumed structs + the
+      // routing column, then checkpoint — the two class filters below
+      // would otherwise each re-run the whole encode+dispatch subtree
       val disp = ProtocolRegistry.dispatch(trades.union(metas))
+        .select(col("protocol"), col("buy"), col("block_meta"))
+        .localCheckpoint()
       val t = ProtocolRegistry.filterClasses(disp, Seq("transaction"))
         .select(col("buy.user_id").as("user_id"),
           col("buy.base_amount").as("amt"),
@@ -1803,6 +1808,12 @@ object SparkEntry {
       EventOps.sandwichTrades(Tables.events(s, d))),
     "q_events_wash_pairs" -> ((s, d) =>
       EventOps.washPairs(Tables.events(s, d))),
+    "q_events_vpin" -> ((s, d) =>
+      EventOps.vpin(Tables.events(s, d))),
+    "q_events_roll_spread" -> ((s, d) =>
+      EventOps.rollSpread(Tables.events(s, d))),
+    "q_events_kyle_lambda" -> ((s, d) =>
+      EventOps.kyleLambda(Tables.events(s, d))),
     "q_events_bollinger" -> ((s, d) =>
       EventOps.bollingerBreakouts(Tables.events(s, d))),
     "q_events_curve_progress" -> ((s, d) => {
@@ -2375,6 +2386,103 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT wallet_a, wallet_b, hours_ab, hours_ba
          FROM pr WHERE hours_ab >= 1 AND hours_ba >= 1""",
+    // VPIN equal-volume buckets: global cumsum in (ts, id) order, bucket
+    // = the trade's LAST unit div 1e8 cents; HUGEINT widenings cast back
+    // to BIGINT so dtypes match Spark's longs
+    "q_events_vpin" ->
+      """WITH t AS (
+           SELECT epoch_us(ts) AS ts_us, event_id, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('purchase', 'view')
+             AND CAST(round(value * 100, 0) AS BIGINT) > 0),
+         c AS (
+           SELECT *, sum(cents) OVER (ORDER BY ts_us, event_id
+             ROWS UNBOUNDED PRECEDING) AS gcum FROM t),
+         b AS (
+           SELECT CAST((gcum - 1) // 100000 AS BIGINT) AS bucket,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN cents END), 0) AS BIGINT) AS buy_cents,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                       THEN cents END), 0) AS BIGINT) AS sell_cents,
+                  CAST(count(*) AS BIGINT) AS n_trades,
+                  min(ts_us) AS start_us, max(ts_us) AS end_us
+           FROM c GROUP BY 1)
+         SELECT bucket, buy_cents, sell_cents, n_trades, start_us, end_us,
+                CAST((CAST(abs(buy_cents - sell_cents) AS HUGEINT)
+                      * 1000000) // (buy_cents + sell_cents) AS BIGINT)
+                  AS imbalance_1e6
+         FROM b""",
+    // Roll 1984 effective spread: serial covariance of consecutive
+    // hour-candle moves; spread defined only for NEGATIVE covariance
+    "q_events_roll_spread" ->
+      """WITH b AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(ts) AS tu, event_id
+           FROM events),
+         w0 AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type, hb
+                      ORDER BY tu DESC, event_id DESC) AS rn
+           FROM b),
+         closes AS (
+           SELECT event_type, hb, cents AS close_cents
+           FROM w0 WHERE rn = 1),
+         mv AS (
+           SELECT event_type, hb,
+                  close_cents - lag(close_cents, 1) OVER win AS mv,
+                  hb - lag(hb, 1) OVER win AS dh
+           FROM closes
+           WINDOW win AS (PARTITION BY event_type ORDER BY hb)),
+         m AS (SELECT event_type, hb, mv FROM mv WHERE dh = 1),
+         pr AS (
+           SELECT event_type,
+                  CAST(mv AS HUGEINT) AS x,
+                  CAST(lag(mv, 1) OVER win AS HUGEINT) AS y,
+                  hb - lag(hb, 1) OVER win AS dh
+           FROM m
+           WINDOW win AS (PARTITION BY event_type ORDER BY hb)),
+         p AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy
+           FROM pr WHERE dh = 1 GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                CASE WHEN n * sxy - sx * sy < 0
+                     THEN 2.0 * sqrt(CAST(sx * sy - n * sxy AS DOUBLE))
+                          / CAST(n AS DOUBLE)
+                END AS spread_cents
+         FROM p""",
+    // Kyle 1985 price-impact slope over the VPIN volume buckets:
+    // lambda = cov(dp, q) / var(q), exact HUGEINT moments, one division
+    "q_events_kyle_lambda" ->
+      """WITH t AS (
+           SELECT epoch_us(ts) AS ts_us, event_id, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('purchase', 'view')
+             AND CAST(round(value * 100, 0) AS BIGINT) > 0),
+         c AS (
+           SELECT *, sum(cents) OVER (ORDER BY ts_us, event_id
+             ROWS UNBOUNDED PRECEDING) AS gcum FROM t),
+         b AS (
+           SELECT CAST((gcum - 1) // 100000 AS BIGINT) AS bucket,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN cents END), 0) AS HUGEINT)
+                  - CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                       THEN cents END), 0) AS HUGEINT) AS q,
+                  CAST(last(cents ORDER BY ts_us, event_id) AS HUGEINT)
+                  - CAST(first(cents ORDER BY ts_us, event_id) AS HUGEINT)
+                    AS dp
+           FROM c GROUP BY 1),
+         p AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+                  sum(q) AS sq, sum(dp) AS sp,
+                  sum(q * dp) AS sqp, sum(q * q) AS sqq
+           FROM b)
+         SELECT CAST(n AS BIGINT) AS n_buckets,
+                CASE WHEN n * sqq - sq * sq <> 0
+                     THEN CAST(n * sqp - sq * sp AS DOUBLE)
+                          / CAST(n * sqq - sq * sq AS DOUBLE) * 1000000.0
+                END AS lambda_per_1e6
+         FROM p""",
     "q_events_bollinger" ->
       """WITH b AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS db,

@@ -1421,6 +1421,117 @@ object EventOps {
             denom).as("ic"))
   }
 
+  /** A88: Roll's effective-spread estimator per market — bid-ask bounce
+    * makes consecutive price changes negatively serially correlated, and
+    * `spread = 2·√(−cov(Δpₜ, Δpₜ₋₁))` recovers the effective spread from
+    * trade prints alone (Roll 1984), no quote data needed. Moves are
+    * integer cent differences between CONSECUTIVE hour candles (gaps
+    * excluded, as in [[leadLagIC]]); the serial-covariance moments
+    * accumulate in Decimal(38,0) and `n·Σxy − ΣxΣy` forms exact, so the
+    * sign test (the spread is only defined for negative covariance —
+    * positive means momentum, not bounce) is exact too; one double cast
+    * computes `2·√(−cov_num)/n`. Candle-table sized: two windows and one
+    * keyed aggregate.
+    */
+  def rollSpread(events: DataFrame): DataFrame = {
+    val closes = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hb"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        tsUs.as("tu"), col("event_id"))
+      .groupBy("event_type", "hb")
+      .agg(max_by(col("cents"), struct(col("tu"), col("event_id")))
+        .as("close_cents"))
+    val w = Window.partitionBy("event_type").orderBy("hb")
+    val moves = closes
+      .withColumn("prevc", lag("close_cents", 1).over(w))
+      .withColumn("prevh", lag("hb", 1).over(w))
+      .filter(col("prevh") === col("hb") - 1)
+      .select(col("event_type"), col("hb"),
+        (col("close_cents") - col("prevc")).as("mv"))
+    val pairs = moves
+      .withColumn("pmv", lag("mv", 1).over(w))
+      .withColumn("pmh", lag("hb", 1).over(w))
+      .filter(col("pmh") === col("hb") - 1)
+      .select(col("event_type"),
+        col("mv").cast("decimal(38,0)").as("x"),
+        col("pmv").cast("decimal(38,0)").as("y"))
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n").cast("bigint").as("n_pairs"),
+        // cov_num = n·Σxy − ΣxΣy (exact); cov = cov_num/n²;
+        // spread = 2·√(−cov) = 2·√(−cov_num)/n, null when cov ≥ 0
+        when(col("n") * col("sxy") - col("sx") * col("sy") < 0,
+          lit(2.0) *
+            sqrt((col("sx") * col("sy") - col("n") * col("sxy"))
+              .cast("double")) / col("n").cast("double"))
+          .as("spread_cents"))
+  }
+
+  /** A89: Kyle's lambda over equal-volume buckets — the price-impact
+    * slope λ of the bucket price move on the bucket's signed volume
+    * (`Δp = λ·q + ε`, Kyle 1985): the companion regression to [[vpin]],
+    * over the same three-level-prefix volume bucketing (so flow
+    * toxicity and its price cost come from one partitioned pipeline
+    * shape). Per bucket: q = buy − sell cents, Δp = last print − first
+    * print in (ts, id) order. λ = (n·Σqp − ΣqΣp)/(n·Σqq − (Σq)²) with
+    * all moments in Decimal(38,0), exact differences, ONE double
+    * division; null when signed volume has zero variance. λ is priced
+    * per 1e6 cents of net flow (`lambda_per_1e6`) so the magnitude
+    * stays readable.
+    */
+  def kyleLambda(events: DataFrame, bucketCents: Long = 100000L,
+      buyType: String = "purchase", sellType: String = "view"): DataFrame = {
+    val t = events
+      .filter(col("event_type").isin(buyType, sellType))
+      .select(tsUs.as("ts_us"), col("event_id"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("hb", expr("ts_us div 3600000000"))
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val wh = Window.partitionBy("hb").orderBy("ts_us", "event_id")
+    val withLocal = t.withColumn("hcum", sum("cents").over(wh))
+    val hourTot = t.groupBy("day", "hb").agg(sum("cents").as("hn"))
+    val wd = Window.partitionBy("day").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hourOffInDay = hourTot.withColumn("hoff",
+      coalesce(sum("hn").over(wd), lit(0L)))
+    val dayTot = hourTot.groupBy("day").agg(sum("hn").as("dn"))
+    val dayOff = dayTot.as("a")
+      .join(dayTot.as("b"), col("b.day") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(coalesce(sum(col("b.dn")), lit(0L)).as("doff"))
+    val offsets = hourOffInDay.join(broadcast(dayOff), "day")
+      .select(col("hb"), (col("hoff") + col("doff")).as("off"))
+    val buckets = withLocal.join(broadcast(offsets), "hb")
+      .withColumn("gcum", col("hcum") + col("off"))
+      .withColumn("bucket", expr(s"(gcum - 1) div $bucketCents"))
+      .groupBy("bucket")
+      .agg(
+        (sum(when(col("event_type") === buyType, col("cents"))
+            .otherwise(lit(0L))) -
+          sum(when(col("event_type") === sellType, col("cents"))
+            .otherwise(lit(0L)))).as("q"),
+        (max_by(col("cents"), struct(col("ts_us"), col("event_id"))) -
+          min_by(col("cents"), struct(col("ts_us"), col("event_id"))))
+          .as("dp"))
+      .select(col("q").cast("decimal(38,0)").as("q"),
+        col("dp").cast("decimal(38,0)").as("dp"))
+    buckets
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("q").as("sq"), sum("dp").as("sp"),
+        sum(col("q") * col("dp")).as("sqp"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("n").cast("bigint").as("n_buckets"),
+        when(col("n") * col("sqq") - col("sq") * col("sq") =!= 0,
+          (col("n") * col("sqp") - col("sq") * col("sp")).cast("double") /
+            (col("n") * col("sqq") - col("sq") * col("sq"))
+              .cast("double") * 1000000.0)
+          .as("lambda_per_1e6"))
+  }
+
   /** A72: sandwich-pattern detection — the MEV heuristic the reference's
     * slot/tx-index ordering (grpc/shred `types.rs` transaction_index)
     * exists to enable: an attacker's buy and later sell BRACKET other
@@ -1496,6 +1607,68 @@ object EventOps {
         count(when(col("a.nb") > 0 && col("b.ns") > 0, 1)).as("hours_ab"),
         count(when(col("b.nb") > 0 && col("a.ns") > 0, 1)).as("hours_ba"))
       .filter(col("hours_ab") >= 1 && col("hours_ba") >= 1)
+  }
+
+  /** A87: VPIN — volume-synchronized probability of informed trading,
+    * the flow-toxicity gauge (Easley/López de Prado/O'Hara): the trade
+    * stream in (ts, id) execution order is cut into equal-VOLUME
+    * buckets every `bucketCents` of traded value, and each bucket
+    * reports its buy/sell imbalance `|B−S|·1e6 div (B+S)` — persistent
+    * one-sided buckets mark informed/toxic flow, the condition the
+    * reference's real-time metrics exist to surface.
+    *
+    * Shape (no global window): the global cumulative-volume prefix is a
+    * three-level sum — an hour-partitioned running sum over trades, a
+    * day-partitioned running sum over the hour totals (≤24 rows per
+    * partition), and a broadcast triangular prefix over day totals
+    * (days are metadata-sized) — then ONE keyed aggregate per bucket.
+    * The widest window is one market-hour of trades, the same skew
+    * bound every hour-bucketed operator here carries. Whole trades land
+    * in the bucket holding their LAST unit (the textbook version splits
+    * boundary trades; assigning whole keeps every quantity an exact
+    * integer and the result engine-reproducible). Zero-value prints
+    * carry no volume and are dropped. The imbalance numerator
+    * accumulates in Decimal(38,0) so no `bucketCents` choice can wrap
+    * the ×1e6 product (the A66 exactness contract).
+    */
+  def vpin(events: DataFrame, bucketCents: Long = 100000L,
+      buyType: String = "purchase", sellType: String = "view"): DataFrame = {
+    val t = events
+      .filter(col("event_type").isin(buyType, sellType))
+      .select(tsUs.as("ts_us"), col("event_id"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("hb", expr("ts_us div 3600000000"))
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val wh = Window.partitionBy("hb").orderBy("ts_us", "event_id")
+    val withLocal = t.withColumn("hcum", sum("cents").over(wh))
+    val hourTot = t.groupBy("day", "hb").agg(sum("cents").as("hn"))
+    val wd = Window.partitionBy("day").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hourOffInDay = hourTot.withColumn("hoff",
+      coalesce(sum("hn").over(wd), lit(0L)))
+    val dayTot = hourTot.groupBy("day").agg(sum("hn").as("dn"))
+    val dayOff = dayTot.as("a")
+      .join(dayTot.as("b"), col("b.day") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(coalesce(sum(col("b.dn")), lit(0L)).as("doff"))
+    val offsets = hourOffInDay.join(broadcast(dayOff), "day")
+      .select(col("hb"), (col("hoff") + col("doff")).as("off"))
+    withLocal.join(broadcast(offsets), "hb")
+      .withColumn("gcum", col("hcum") + col("off"))
+      .withColumn("bucket", expr(s"(gcum - 1) div $bucketCents"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("event_type") === buyType, col("cents"))
+          .otherwise(lit(0L))).as("buy_cents"),
+        sum(when(col("event_type") === sellType, col("cents"))
+          .otherwise(lit(0L))).as("sell_cents"),
+        count(lit(1)).as("n_trades"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"))
+      .withColumn("imbalance_1e6",
+        expr("cast((cast(abs(buy_cents - sell_cents) as decimal(38,0)) " +
+          "* 1000000) div (buy_cents + sell_cents) as bigint)"))
   }
 
   /** A12e: Bollinger-band breakouts over the daily close series —

@@ -163,21 +163,29 @@ object Similarity {
 
   /** C7f: per-subspace PQ codebook, Lloyd-refined. The embedding space
     * splits into `m` subspaces of `dims/m` components; each starts from
-    * deterministic seed codewords (every `seedEvery`-th vector's slice)
-    * and runs `iters` assign/update rounds — the same broadcast-argmin +
-    * partial-agg-update shape as [[kmeansFit]], with all m subspaces
-    * trained in ONE plan (subspace id is just another key column, so one
-    * shuffle trains every codebook). Returns (sub, code, cw).
+    * deterministic seed codewords (every `seedEvery`-th vector's slice,
+    * capped at the first `maxCodes` seeds) and runs `iters`
+    * assign/update rounds — the same broadcast-argmin + partial-agg-
+    * update shape as [[kmeansFit]], with all m subspaces trained in ONE
+    * plan (subspace id is just another key column, so one shuffle trains
+    * every codebook). Returns (sub, code, cw).
+    *
+    * `maxCodes` is the PQ scale contract: without it the book grows
+    * O(n) with the corpus and every assignment pass is O(n²·m) — a
+    * quadratic cliff disguised as a constant. Capped, the book is the
+    * classic fixed-size table (256 codes ≙ one byte per subspace code)
+    * and assignment stays O(n·m·maxCodes) at any corpus size.
     */
   def pqCodebook(emb: DataFrame, dims: Int, m: Int = 8,
-      seedEvery: Int = 13, iters: Int = 2): DataFrame = {
+      seedEvery: Int = 13, iters: Int = 2, maxCodes: Int = 256): DataFrame = {
     require(dims % m == 0, s"dims $dims must divide into $m subspaces")
     val w = dims / m
     val subs = (0 until m).map { sub =>
       emb.select(col("vec_id"), lit(sub).as("sub"),
         slice(col("embedding"), sub * w + 1, w).as("sv"))
     }.reduce(_ unionByName _)
-    var cb = subs.filter(col("vec_id") % seedEvery === 0)
+    var cb = subs.filter(col("vec_id") % seedEvery === 0 &&
+        col("vec_id") < seedEvery.toLong * maxCodes)
       .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
     val assignW = Window.partitionBy("vec_id", "sub")
       .orderBy(col("d2"), col("code"))
@@ -218,8 +226,9 @@ object Similarity {
     * index in subspace `sub`.
     */
   def pqEncode(emb: DataFrame, dims: Int, m: Int = 8,
-      seedEvery: Int = 13): DataFrame =
-    pqAssign(emb, pqCodebook(emb, dims, m, seedEvery), dims, m)
+      seedEvery: Int = 13, maxCodes: Int = 256): DataFrame =
+    pqAssign(emb, pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes),
+        dims, m)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
         .as("pairs"))
@@ -253,9 +262,9 @@ object Similarity {
     * the code pair, never on raw vectors.
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, dims: Int, k: Int,
-      m: Int = 8, seedEvery: Int = 13): DataFrame = {
+      m: Int = 8, seedEvery: Int = 13, maxCodes: Int = 256): DataFrame = {
     val w = dims / m
-    val codebook = pqCodebook(emb, dims, m, seedEvery)
+    val codebook = pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes)
       .localCheckpoint(eager = true)
     val codes = pqAssign(emb, codebook, dims, m)
       .withColumnRenamed("vec_id", "neighbor_id")

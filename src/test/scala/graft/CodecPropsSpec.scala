@@ -146,6 +146,30 @@ class CodecPropsSpec extends AnyFunSuite {
       "expected Long arithmetic to diverge from exact somewhere past the wrap point")
   }
 
+  test("vpin imbalance ×1e6 stays in the Decimal(38,0) domain across " +
+      "the full Long cent range while the Long product wraps") {
+    // the operator computes |B−S|·1e6 div (B+S) with the numerator cast
+    // to Decimal(38,0): for ANY bucket sums in the Long domain the
+    // numerator has ≤ 25 digits (far inside 38) and the quotient is a
+    // ratio in [0, 1e6] — always a valid Long. The same numerator in
+    // Long arithmetic wraps once |B−S| > ~9.2e12 cents, which a whale
+    // bucket at lamport scale reaches — the witness below proves the
+    // decimal cast is load-bearing, not defensive decoration
+    val pair = for {
+      b <- Gen.choose(1L, 4000000000000000000L)
+      s <- Gen.choose(0L, 4000000000000000000L)
+    } yield (b, s)
+    var longWrapped = false
+    check(Prop.forAll(pair) { case (b, s) =>
+      val num = (BigInt(b) - BigInt(s)).abs * 1000000
+      val ratio = num / (BigInt(b) + BigInt(s))
+      if (BigInt(math.abs(b - s) * 1000000L) != num) longWrapped = true
+      num < dec38Bound && ratio >= 0 && ratio <= 1000000
+    }, n = 500)
+    assert(longWrapped,
+      "expected the Long ×1e6 numerator to wrap somewhere in this domain")
+  }
+
   test("rate-spike decimal z-score predicate matches exact arithmetic " +
       "at 1e9-events-per-minute scale within the Decimal(38,0) domain") {
     // c·m − t and its square, and S·m − T², all accumulate in

@@ -38,7 +38,11 @@ class DeterminismSpec extends TestSparkSession {
     "q_events_triangles", "q_events_sandwich", "q_events_bollinger",
     "q_events_wallet_clusters", "q_events_momentum_ic",
     "q_events_leadlag_ic", "q_events_quantile_store",
-    "q_events_taint", "q_events_wash_pairs", "q_events_kcore")
+    "q_events_taint", "q_events_wash_pairs", "q_events_kcore",
+    // round 4: the three-level prefix sum must place every trade in the
+    // same equal-volume bucket regardless of partition boundaries, and
+    // the microstructure moments must stay bit-stable
+    "q_events_vpin", "q_events_roll_spread", "q_events_kyle_lambda")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -30,10 +30,7 @@ object Scratch {
       }
       println(f"[scratch] $name: min=${ts.min}%.2f s all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
-
-    val qs = if (args.nonEmpty) args.toSeq
-      else Seq("q_events_pagerank", "q_events_taint", "q_events_kcore",
-        "q_events_wallet_clusters", "q_events_triangles")
+    val qs = if (args.nonEmpty) args.toSeq else Seq("q_ann_pq_topk")
     qs.foreach(q => timeQ(q))
     spark.stop()
   }

@@ -692,9 +692,12 @@ object EventOps {
     * predecessors exist — and every stage is partitioned.
     */
   def ratePerMinute(events: DataFrame): DataFrame = {
+    // minutes-sized; materialized because the ordinal/offset/MA stages
+    // below consume it through multiple branches
     val perMin = events
       .groupBy(expr("unix_micros(ts) div 60000000").as("mb"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     // global ordinal: partition-local rank + exclusive bucket prefix
     val bucketed = perMin.withColumn("bk", expr("mb div 1440"))
     val wb = Window.partitionBy("bk").orderBy("mb")
@@ -1313,7 +1316,7 @@ object EventOps {
     val cum = parted.join(broadcast(offsets), "pid")
       .withColumn("cum", sum("n").over(wp) + col("off"))
       .select(col("bucket"), col("cum"))
-    val tot = merged.agg(sum("n").as("tot"))
+    val tot = parted.agg(sum("n").as("tot")) // reuse the checkpoint
     val ps = hists.sparkSession
       .createDataFrame(percents.map(Tuple1(_)))
       .toDF("pct")
@@ -1493,7 +1496,10 @@ object EventOps {
       .withColumn("day", expr("ts_us div 86400000000"))
     val wh = Window.partitionBy("hb").orderBy("ts_us", "event_id")
     val withLocal = t.withColumn("hcum", sum("cents").over(wh))
+    // hour totals feed both the in-day prefix and the day totals; the
+    // checkpoint (hours-sized) keeps the raw aggregate single-pass
     val hourTot = t.groupBy("day", "hb").agg(sum("cents").as("hn"))
+      .localCheckpoint()
     val wd = Window.partitionBy("day").orderBy("hb")
       .rowsBetween(Window.unboundedPreceding, -1)
     val hourOffInDay = hourTot.withColumn("hoff",
@@ -1589,12 +1595,15 @@ object EventOps {
   def washPairs(
       events: DataFrame,
       maxBucketWallets: Int = 1024): DataFrame = {
+    // materialized once: the side-count aggregate feeds both the hot-hour
+    // filter and the pair join — unmaterialized, the raw shuffle runs twice
     val sides = events
       .filter(col("event_type").isin("purchase", "view"))
       .groupBy(expr("unix_micros(ts) div 3600000000").as("mb"),
         col("user_id"))
       .agg(count(when(col("event_type") === "purchase", 1)).as("nb"),
         count(when(col("event_type") === "view", 1)).as("ns"))
+      .localCheckpoint()
     val sized = sides.groupBy("mb").agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBucketWallets).select("mb")
     val s = sides.join(sized, "mb")
@@ -1642,7 +1651,10 @@ object EventOps {
       .withColumn("day", expr("ts_us div 86400000000"))
     val wh = Window.partitionBy("hb").orderBy("ts_us", "event_id")
     val withLocal = t.withColumn("hcum", sum("cents").over(wh))
+    // hour totals feed both the in-day prefix and the day totals; the
+    // checkpoint (hours-sized) keeps the raw aggregate single-pass
     val hourTot = t.groupBy("day", "hb").agg(sum("cents").as("hn"))
+      .localCheckpoint()
     val wd = Window.partitionBy("day").orderBy("hb")
       .rowsBetween(Window.unboundedPreceding, -1)
     val hourOffInDay = hourTot.withColumn("hoff",

@@ -52,25 +52,28 @@ object GraphOps {
     * Both directions are present (the graph is symmetric); filter
     * `src < dst` for the undirected edge set.
     *
-    * Shape: ONE explicit repartition on (market, hour) feeds everything
-    * — `HashPartitioning(event_type, mb)` satisfies the clustering
-    * requirement of the 3-key distinct, the group-size count AND the
-    * membership join, so none of them re-exchanges, and ReuseExchange
-    * computes the shared scan+shuffle once across the two consumers.
-    * The pair fan-out is a map-side double-explode over per-group user
-    * lists collected AFTER the size filter (so the list is bounded by
-    * `maxGroupSize` — a corpus-wide hot hour never materializes its
-    * membership anywhere, same policy as before), replacing a self-join
-    * that re-shuffled the activity set twice more. Two shuffles
-    * end-to-end: the activity repartition and the final pair distinct
-    * (was effectively five, with the activity subtree evaluated twice). */
+    * Shape: the 3-key distinct runs FIRST (hashed on the full key, so
+    * map-side partials collapse a wallet's many same-hour events before
+    * anything ships — a group-key-first repartition would force a
+    * complete-mode aggregate that shuffles every raw row) and is
+    * `localCheckpoint`ed: the activity set feeds both the group-size
+    * count and the membership join, and without the materialization
+    * each consumer re-runs the scan + dedup shuffle (measured: the AQE
+    * stage cache does NOT dedupe the branches — column pruning gives
+    * them different canonical schemas). The pair fan-out is a map-side
+    * double-explode over per-group user lists collected AFTER the size
+    * filter (so the list is bounded by `maxGroupSize` — a corpus-wide
+    * hot hour never materializes its membership anywhere), replacing a
+    * self-join that re-shuffled the activity set twice more. One raw
+    * scan + one raw-sized shuffle total; everything after moves
+    * distinct-activity-sized data. */
   def coactivityEdges(events: DataFrame, maxGroupSize: Int): DataFrame = {
-    // distinct (market, hour, wallet) activity, clustered by group key
+    // distinct (market, hour, wallet) activity, materialized once
     val act = events.select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("mb"),
         col("user_id"))
-      .repartition(col("event_type"), col("mb"))
       .distinct()
+      .localCheckpoint()
     val sized = act.groupBy("event_type", "mb")
       .agg(count(lit(1)).as("gs"))
       .filter(col("gs") >= 2 && col("gs") <= maxGroupSize)

@@ -296,6 +296,7 @@ object Relational {
       (dec2("l_quantity") * 100).cast("bigint").as("qty_c"))
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(count(lit(1)).as("cnt"), sum("qty_c").as("sum_qty_c"))
+      .localCheckpoint() // part-sized; joined back against the same scan
     li.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("qty_c") * 5 * col("cnt") < col("sum_qty_c"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
@@ -485,6 +486,10 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
         .as("total_rev"))
+      // supplier-sized; feeds the max scalar AND the winner join — the
+      // lineitem scan + revenue shuffle would otherwise run twice
+      // (measured: AQE does not stage-cache the pruned branches)
+      .localCheckpoint()
     val top = revenue.agg(max("total_rev").as("max_rev"))
     revenue.join(broadcast(top), col("total_rev") === col("max_rev"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
@@ -572,6 +577,7 @@ object Relational {
       .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
         col("s_name"), col("s_acctbal"), col("n_name"))
       .agg(min(dec2("l_extendedprice")).as("supply_cost"))
+      .localCheckpoint() // (part, supplier)-sized; feeds min AND the join
     val minPerPart = cost.groupBy(col("p_partkey").as("mc_partkey"))
       .agg(min(col("supply_cost")).as("min_cost"))
     cost
@@ -628,6 +634,7 @@ object Relational {
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg((sum(dec2("l_extendedprice")) * 100).cast("bigint")
         .as("value_cents"))
+      .localCheckpoint() // part-sized; feeds the total scalar AND the join
     val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
     perPart.join(broadcast(total))
       .filter(col("value_cents") * 1000 > col("total_cents") * permille)
@@ -680,8 +687,11 @@ object Relational {
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
     val pairQty = li.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).cast("bigint").as("pair_qty"))
-    val partQty = li.groupBy(col("l_partkey").as("pq_partkey"))
-      .agg(sum(col("l_quantity")).cast("bigint").as("total_qty"))
+      .localCheckpoint() // pair-sized; feeds the part rollup AND the join
+    // part totals are the sums of the per-pair sums — derived from the
+    // materialized pair table instead of a second pass over lineitem
+    val partQty = pairQty.groupBy(col("l_partkey").as("pq_partkey"))
+      .agg(sum(col("pair_qty")).as("total_qty"))
     val natSupp = supplier
       .join(broadcast(nation.filter(col("n_name") === nationName)),
         col("s_nationkey") === col("n_nationkey"))

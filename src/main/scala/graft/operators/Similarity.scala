@@ -176,27 +176,42 @@ object Similarity {
     * classic fixed-size table (256 codes ≙ one byte per subspace code)
     * and assignment stays O(n·m·maxCodes) at any corpus size.
     */
+  /** (vec_id, sub, sv) rows for all `m` subspaces from ONE pass over the
+    * embedding table: posexplode over the in-row slice array — the union
+    * of m per-subspace selects scans the table m times instead. */
+  private def subspaces(emb: DataFrame, dims: Int, m: Int): DataFrame = {
+    val w = dims / m
+    emb.select(col("vec_id"),
+      posexplode(array((0 until m).map(sub =>
+        slice(col("embedding"), sub * w + 1, w)): _*)).as(Seq("sub", "sv")))
+  }
+
   def pqCodebook(emb: DataFrame, dims: Int, m: Int = 8,
       seedEvery: Int = 13, iters: Int = 2, maxCodes: Int = 256): DataFrame = {
     require(dims % m == 0, s"dims $dims must divide into $m subspaces")
-    val w = dims / m
-    val subs = (0 until m).map { sub =>
-      emb.select(col("vec_id"), lit(sub).as("sub"),
-        slice(col("embedding"), sub * w + 1, w).as("sv"))
-    }.reduce(_ unionByName _)
+    // materialized once: every Lloyd iteration's assign step re-reads the
+    // subspace rows — unmaterialized, each round re-derived the whole
+    // explode from the raw table
+    val subs = subspaces(emb, dims, m).localCheckpoint()
     var cb = subs.filter(col("vec_id") % seedEvery === 0 &&
         col("vec_id") < seedEvery.toLong * maxCodes)
       .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
-    val assignW = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("d2"), col("code"))
     (1 to iters).foreach { _ =>
+      // argmin by min_by hash aggregate: map-side partials reduce the
+      // n·m·codes candidate rows to one per (vector, subspace) BEFORE
+      // the shuffle — the former row_number window shuffled and sorted
+      // the full candidate fan-out every round. (d2, code) ordering
+      // keeps the tie-break deterministic.
       val assigned = subs.join(broadcast(cb), "sub")
         .select(col("vec_id"), col("sub"), col("code"), col("sv"),
           (vec_dot(col("sv"), col("sv"))
             - vec_dot(col("sv"), col("cw")) * 2
             + vec_dot(col("cw"), col("cw"))).as("d2"))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("sv")),
+          struct(col("d2"), col("code"))).as("am"))
+        .select(col("vec_id"), col("sub"),
+          col("am.code").as("code"), col("am.sv").as("sv"))
       // update step: exact fixed-grid means per (sub, code, component),
       // reassembled to float codeword vectors (same trick as kmeansFit)
       cb = assigned
@@ -238,20 +253,14 @@ object Similarity {
   /** Nearest-codeword assignment per (vector, subspace). */
   private def pqAssign(emb: DataFrame, codebook: DataFrame,
       dims: Int, m: Int): DataFrame = {
-    val w = dims / m
-    val subs = (0 until m).map { sub =>
-      emb.select(col("vec_id"), lit(sub).as("sub"),
-        slice(col("embedding"), sub * w + 1, w).as("sv"))
-    }.reduce(_ unionByName _)
-    val assignW = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("d2"), col("code"))
+    val subs = subspaces(emb, dims, m)
     subs.join(broadcast(codebook), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         (vec_dot(col("sv"), col("sv"))
           - vec_dot(col("sv"), col("cw")) * 2
           + vec_dot(col("cw"), col("cw"))).as("d2"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
       .select(col("vec_id"), col("sub"), col("code"))
   }
 

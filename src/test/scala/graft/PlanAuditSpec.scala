@@ -473,11 +473,17 @@ class PlanAuditSpec extends TestSparkSession {
       Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
       Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
     val plan = planOf(df)
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      "expected part + region-supplier broadcasts")
+    // the dim broadcasts + ship-cost aggregate run inside the one eager
+    // materialization of the (part, supplier) cost table (it feeds both
+    // the per-part min and the winner join-back — without the
+    // checkpoint that subtree evaluated twice); the visible plan is the
+    // reduced-table assembly and must stay keyed + windowless
+    assert(plan.contains("Scan ExistingRDD"),
+      "expected the materialized cost table as the leaf")
     assert(plan.contains("partial_min"),
-      "expected map-side partial min for the supply cost")
+      "expected map-side partial min for the per-part floor")
     assert(!plan.contains("WindowExec"), "no window needed for the min")
+    assert(!plan.contains("CartesianProduct"), "join-back must be keyed")
   }
 
   test("Q11 shape: scalar total is a 1-row broadcast, threshold in " +
@@ -513,10 +519,17 @@ class PlanAuditSpec extends TestSparkSession {
     val plan = planOf(df)
     assert(!plan.contains("WindowExec"),
       "dominance must not use a window rank")
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      "expected part-filter + nation-supplier broadcasts")
-    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
-      "expected the 1996 ship-date band pushed to the scan")
+    // the ship-date pushdown + part-filter broadcast run inside the one
+    // eager materialization of the pair-quantity table; part totals are
+    // the sums of the per-pair sums (no second lineitem pass), and the
+    // visible plan is pair-table joins with the nation-supplier
+    // broadcast still in place
+    assert(plan.contains("Scan ExistingRDD"),
+      "expected the materialized pair-quantity table as the leaf")
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the nation-supplier broadcast")
+    assert(plan.contains("pair_qty") && plan.contains("total_qty"),
+      "expected the integer dominance predicate on the pair rollup")
   }
 
   test("k-core peel round is keyed semi-joins + degree aggregate") {
@@ -527,6 +540,26 @@ class PlanAuditSpec extends TestSparkSession {
       "survivor filtering must ride the node equi-joins")
     assert(!plan.contains("WindowExec"),
       "degrees are keyed aggregates, not window counts")
+  }
+
+  test("coactivity edge build: three exchanges, explode fan-out, " +
+      "map-side partial dedup") {
+    // the builder's scale contract: the distinct activity set is
+    // materialized ONCE (the checkpoint leaf replaces the raw scan for
+    // both consumers — without it each branch re-runs scan + dedup
+    // shuffle, and the AQE stage cache does not dedupe them because
+    // column pruning gives the branches different canonical schemas),
+    // and the pair fan-out is a map-side double-explode, never a
+    // self-join re-shuffle
+    val plan = planOf(
+      GraphOps.coactivityEdges(Tables.events(spark, sfDir), 64))
+    assert(plan.contains("Generate explode"),
+      "pair fan-out must be the map-side double-explode")
+    assert(!plan.contains("FileScan"),
+      "both consumers must read the one materialized activity set, " +
+        "not re-scan the raw events:\n" + plan)
+    assert(plan.contains("Scan ExistingRDD"),
+      "expected the checkpointed activity leaf")
   }
 
   test("pagerank round in the broadcast regime never re-shuffles edges") {

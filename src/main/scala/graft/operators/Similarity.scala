@@ -146,16 +146,20 @@ object Similarity {
           .as("pairs"))
         .select(col("cell"),
           expr("transform(pairs, p -> cast(p.centroid as float))").as("cvec"))
-      val assignW = Window.partitionBy("vec_id")
-        .orderBy(col("d2"), col("cell"))
+      // argmin by min_by hash aggregate (deterministic (d2, cell)
+      // tie-break): map-side partials collapse the n·k fan-out to one
+      // row per vector before the shuffle — the row_number window
+      // shuffled and sorted every candidate row
       val assigned = emb.crossJoin(broadcast(cvecs))
         .select(col("vec_id"), col("embedding"), col("cell"),
           (vec_dot(col("embedding"), col("embedding"))
             - vec_dot(col("embedding"), col("cvec")) * 2
             + vec_dot(col("cvec"), col("cvec"))).as("d2"))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cell"), col("embedding")),
+          struct(col("d2"), col("cell"))).as("am"))
+        .select(col("vec_id"), col("am.embedding").as("embedding"),
+          col("am.cell").as("cell"))
       cents = centroids(assigned, "cell").localCheckpoint(eager = true)
     }
     cents
@@ -304,15 +308,18 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("n2").as("cn"))
     val e = withNorm(emb)
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
+    // nearest-cell argmax via min_by on (−ccos, cent_id): identical
+    // ordering to the former `ccos DESC, cent_id` window rank-1, with
+    // map-side partials instead of a full candidate shuffle + sort
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
         cos6("embedding", "ce", "n2", "cn").as("ccos"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
-        col("n2").as("nb"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("embedding"), col("n2")),
+        struct(-col("ccos"), col("cent_id"))).as("am"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("am.embedding").as("eb"), col("am.n2").as("nb"),
+        col("am.cent_id").as("cell"))
     val qW = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("cent_id"))
     val qCells = withNorm(queries)
       .select(col("vec_id").as("q_id"), col("embedding").as("ea"),

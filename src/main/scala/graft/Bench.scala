@@ -203,6 +203,10 @@ object Bench {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
       java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    }.failed.foreach { e =>
+      // the sidecar exists to make stdout truncation recoverable; a
+      // silently-missing file defeats that, so the failure must be loud
+      System.err.println(s"bench sidecar write failed: $e")
     }
     spark.stop()
   }

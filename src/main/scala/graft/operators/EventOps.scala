@@ -1434,7 +1434,10 @@ object EventOps {
     * sign test (the spread is only defined for negative covariance —
     * positive means momentum, not bounce) is exact too; one double cast
     * computes `2·√(−cov_num)/n`. Candle-table sized: two windows and one
-    * keyed aggregate.
+    * keyed aggregate. Exactness domain: the widest moment is
+    * `n·Σxy ≤ n²·Δpmax²`, so `n_hours · Δpmax < 10¹⁹` — a century of
+    * hourly candles (~10⁶) with hour-to-hour moves to 10¹² cents sits
+    * four orders inside it (witnessed in CodecPropsSpec).
     */
   def rollSpread(events: DataFrame): DataFrame = {
     val closes = events
@@ -1485,8 +1488,33 @@ object EventOps {
     * per 1e6 cents of net flow (`lambda_per_1e6`) so the magnitude
     * stays readable.
     */
-  def kyleLambda(events: DataFrame, bucketCents: Long = 100000L,
-      buyType: String = "purchase", sellType: String = "view"): DataFrame = {
+  /** Equal-volume bucket assignment shared by [[vpin]] and
+    * [[kyleLambda]] — the ONE definition of "the same buckets" both
+    * operators' docs promise (a drifting copy was the failure mode this
+    * helper exists to prevent). The trade stream in (ts, id) execution
+    * order is cut every `bucketCents` of traded value; the global
+    * cumulative-volume prefix is a three-level partitioned sum — an
+    * hour-partitioned running sum over trades, a day-partitioned running
+    * sum over hour totals (≤24 rows per partition), and a broadcast
+    * triangular prefix over day totals — never a global window. Whole
+    * trades land in the bucket of their LAST unit; zero-value prints
+    * drop.
+    *
+    * Exactness domain: every downstream Decimal(38,0) moment is bounded
+    * by the bucket geometry — per bucket, B+S ≤ bucketCents + the
+    * largest single print, so |q| = |B−S| shares that bound. The widest
+    * moment is n·Σq² ≤ n²·qmax², so the supported domain is
+    * `n_buckets · (bucketCents + maxPrint) < 10¹⁹`: e.g. 10⁷ buckets
+    * carrying whale prints at 10¹² cents, or 10¹⁴ buckets at the
+    * default 10⁵-cent geometry — past it the decimal sum NULLs while
+    * the HUGEINT oracle stays exact (choose bucketCents so the bucket
+    * count lands inside the bound; VPIN practice is ~50 buckets/day).
+    * The Long cumulative prefix `gcum` requires total corpus volume
+    * < 2⁶³ cents (~9·10¹⁶ dollars) — the one Long in the pipeline.
+    * Witnessed in CodecPropsSpec alongside the vpin imbalance-numerator
+    * bound. */
+  private def volumeBuckets(events: DataFrame, bucketCents: Long,
+      buyType: String, sellType: String): DataFrame = {
     val t = events
       .filter(col("event_type").isin(buyType, sellType))
       .select(tsUs.as("ts_us"), col("event_id"), col("event_type"),
@@ -1511,9 +1539,14 @@ object EventOps {
       .agg(coalesce(sum(col("b.dn")), lit(0L)).as("doff"))
     val offsets = hourOffInDay.join(broadcast(dayOff), "day")
       .select(col("hb"), (col("hoff") + col("doff")).as("off"))
-    val buckets = withLocal.join(broadcast(offsets), "hb")
+    withLocal.join(broadcast(offsets), "hb")
       .withColumn("gcum", col("hcum") + col("off"))
       .withColumn("bucket", expr(s"(gcum - 1) div $bucketCents"))
+  }
+
+  def kyleLambda(events: DataFrame, bucketCents: Long = 100000L,
+      buyType: String = "purchase", sellType: String = "view"): DataFrame = {
+    val buckets = volumeBuckets(events, bucketCents, buyType, sellType)
       .groupBy("bucket")
       .agg(
         (sum(when(col("event_type") === buyType, col("cents"))
@@ -1641,34 +1674,8 @@ object EventOps {
     * the ×1e6 product (the A66 exactness contract).
     */
   def vpin(events: DataFrame, bucketCents: Long = 100000L,
-      buyType: String = "purchase", sellType: String = "view"): DataFrame = {
-    val t = events
-      .filter(col("event_type").isin(buyType, sellType))
-      .select(tsUs.as("ts_us"), col("event_id"), col("event_type"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-      .filter(col("cents") > 0)
-      .withColumn("hb", expr("ts_us div 3600000000"))
-      .withColumn("day", expr("ts_us div 86400000000"))
-    val wh = Window.partitionBy("hb").orderBy("ts_us", "event_id")
-    val withLocal = t.withColumn("hcum", sum("cents").over(wh))
-    // hour totals feed both the in-day prefix and the day totals; the
-    // checkpoint (hours-sized) keeps the raw aggregate single-pass
-    val hourTot = t.groupBy("day", "hb").agg(sum("cents").as("hn"))
-      .localCheckpoint()
-    val wd = Window.partitionBy("day").orderBy("hb")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val hourOffInDay = hourTot.withColumn("hoff",
-      coalesce(sum("hn").over(wd), lit(0L)))
-    val dayTot = hourTot.groupBy("day").agg(sum("hn").as("dn"))
-    val dayOff = dayTot.as("a")
-      .join(dayTot.as("b"), col("b.day") < col("a.day"), "left")
-      .groupBy(col("a.day").as("day"))
-      .agg(coalesce(sum(col("b.dn")), lit(0L)).as("doff"))
-    val offsets = hourOffInDay.join(broadcast(dayOff), "day")
-      .select(col("hb"), (col("hoff") + col("doff")).as("off"))
-    withLocal.join(broadcast(offsets), "hb")
-      .withColumn("gcum", col("hcum") + col("off"))
-      .withColumn("bucket", expr(s"(gcum - 1) div $bucketCents"))
+      buyType: String = "purchase", sellType: String = "view"): DataFrame =
+    volumeBuckets(events, bucketCents, buyType, sellType)
       .groupBy("bucket")
       .agg(
         sum(when(col("event_type") === buyType, col("cents"))
@@ -1681,7 +1688,6 @@ object EventOps {
       .withColumn("imbalance_1e6",
         expr("cast((cast(abs(buy_cents - sell_cents) as decimal(38,0)) " +
           "* 1000000) div (buy_cents + sell_cents) as bigint)"))
-  }
 
   /** A12e: Bollinger-band breakouts over the daily close series —
     * candles whose close leaves the ±k·σ band around the trailing

@@ -25,8 +25,25 @@ object Similarity {
 
   import graft.functions.exprs.{vec_dot, vec_norm2, hyperplane_sig}
 
+  /** Cosine on the 1e-6 grid. `try_divide` (≡ `/` for any nonzero
+    * denominator, so every oracle-checked result is unchanged) makes a
+    * zero-norm embedding yield NULL instead of an ANSI DIVIDE_BY_ZERO
+    * that would kill the whole job — one poisoned row must not abort a
+    * 100 TB scan. The NULL then flows into [[argKey]]-guarded argmins. */
   private def cos6(ea: String, eb: String, na: String, nb: String) =
-    round(vec_dot(col(ea), col(eb)) / (sqrt(col(na)) * sqrt(col(nb))), 6)
+    round(try_divide(vec_dot(col(ea), col(eb)),
+      sqrt(col(na)) * sqrt(col(nb))), 6)
+
+  /** Argmin ordering-key guard: `min_by` IGNORES rows whose ordering key
+    * is NULL (a zero-norm embedding's cosine divides by zero → NULL) and
+    * Spark orders NaN largest — under the old row_number windows a NaN
+    * key won rank 1, and an all-NULL-key group dropped the vector from
+    * the assignment entirely. Coalescing to +MaxValue makes degenerate
+    * keys sort LAST deterministically: a degenerate vector still assigns
+    * (smallest cell/code id wins via the struct tie-break) instead of
+    * silently vanishing. */
+  private def argKey(c: org.apache.spark.sql.Column) =
+    coalesce(nanvl(c, lit(Double.MaxValue)), lit(Double.MaxValue))
 
   def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("n2", vec_norm2(col("embedding")))
@@ -157,7 +174,7 @@ object Similarity {
             + vec_dot(col("cvec"), col("cvec"))).as("d2"))
         .groupBy("vec_id")
         .agg(min_by(struct(col("cell"), col("embedding")),
-          struct(col("d2"), col("cell"))).as("am"))
+          struct(argKey(col("d2")), col("cell"))).as("am"))
         .select(col("vec_id"), col("am.embedding").as("embedding"),
           col("am.cell").as("cell"))
       cents = centroids(assigned, "cell").localCheckpoint(eager = true)
@@ -197,8 +214,17 @@ object Similarity {
     // subspace rows — unmaterialized, each round re-derived the whole
     // explode from the raw table
     val subs = subspaces(emb, dims, m).localCheckpoint()
-    var cb = subs.filter(col("vec_id") % seedEvery === 0 &&
-        col("vec_id") < seedEvery.toLong * maxCodes)
+    // Seed selection is RANK-capped, not id-value-capped: every
+    // `seedEvery`-th id qualifies and the first `maxCodes` qualifying
+    // ids in id order become codewords, via orderBy+limit (TakeOrdered —
+    // partial top-k per partition, no global sort). The former
+    // `vec_id < seedEvery·maxCodes` value cap assumed ids dense from 0;
+    // on sparse/offset id domains it yielded few or ZERO seeds and the
+    // whole PQ path silently returned empty.
+    val seedIds = emb.select(col("vec_id"))
+      .filter(col("vec_id") % seedEvery === 0)
+      .orderBy(col("vec_id")).limit(maxCodes)
+    var cb = subs.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
     (1 to iters).foreach { _ =>
       // argmin by min_by hash aggregate: map-side partials reduce the
@@ -213,7 +239,7 @@ object Similarity {
             + vec_dot(col("cw"), col("cw"))).as("d2"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min_by(struct(col("code"), col("sv")),
-          struct(col("d2"), col("code"))).as("am"))
+          struct(argKey(col("d2")), col("code"))).as("am"))
         .select(col("vec_id"), col("sub"),
           col("am.code").as("code"), col("am.sv").as("sv"))
       // update step: exact fixed-grid means per (sub, code, component),
@@ -264,7 +290,8 @@ object Similarity {
           - vec_dot(col("sv"), col("cw")) * 2
           + vec_dot(col("cw"), col("cw"))).as("d2"))
       .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .agg(min_by(col("code"), struct(argKey(col("d2")), col("code")))
+        .as("code"))
       .select(col("vec_id"), col("sub"), col("code"))
   }
 
@@ -316,7 +343,7 @@ object Similarity {
         cos6("embedding", "ce", "n2", "cn").as("ccos"))
       .groupBy("vec_id")
       .agg(min_by(struct(col("cent_id"), col("embedding"), col("n2")),
-        struct(-col("ccos"), col("cent_id"))).as("am"))
+        struct(argKey(-col("ccos")), col("cent_id"))).as("am"))
       .select(col("vec_id").as("neighbor_id"),
         col("am.embedding").as("eb"), col("am.n2").as("nb"),
         col("am.cent_id").as("cell"))

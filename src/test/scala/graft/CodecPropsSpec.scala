@@ -170,6 +170,44 @@ class CodecPropsSpec extends AnyFunSuite {
       "expected the Long ×1e6 numerator to wrap somewhere in this domain")
   }
 
+  test("kyle/roll Decimal(38,0) regression moments stay exact under the " +
+      "volume-bucket geometry bound while Long moments wrap") {
+    // kyleLambda's moments are Σq², Σq·Δp, n·Σqp − ΣqΣp, n·Σqq − (Σq)²
+    // over equal-volume buckets; rollSpread's are the same shapes over
+    // consecutive-hour candle moves. The bucket geometry bounds
+    // |q| ≤ bucketCents + largest single print, and the widest moment is
+    // n·Σq² ≤ n²·qmax² — so the documented domain is n·qmax < 10¹⁹
+    // (e.g. 10⁷ buckets of whale-print 10¹² magnitude). Inside it every
+    // decimal intermediate fits 38 digits, while ONE whale bucket's q²
+    // already wraps the Long domain (q = 10¹³ → q² = 10²⁶ ≫ 2⁶³).
+    val buckets = for {
+      n <- Gen.choose(2, 200)
+      qs <- Gen.containerOfN[List, Long](n,
+        Gen.choose(-20000000000000L, 20000000000000L))
+      dps <- Gen.containerOfN[List, Long](n,
+        Gen.choose(-10000000000000L, 10000000000000L))
+    } yield qs.zip(dps)
+    var longWrapped = false
+    check(Prop.forAll(buckets) { bs =>
+      val n = BigInt(bs.length)
+      val sq = bs.map(b => BigInt(b._1)).sum
+      val sp = bs.map(b => BigInt(b._2)).sum
+      val sqp = bs.map { case (q, p) => BigInt(q) * BigInt(p) }.sum
+      val sqq = bs.map { case (q, _) => BigInt(q) * BigInt(q) }.sum
+      val sqqL = bs.map { case (q, _) => q * q }.sum
+      if (BigInt(sqqL) != sqq) longWrapped = true
+      // the algebraic worst case at the documented ceiling — 10⁷ buckets
+      // × qmax 2·10¹³ gives n·qmax = 2·10²⁰... so pin the SUPPORTED
+      // ceiling n·qmax = 10¹⁹ exactly: n²·qmax² = 10³⁸ is the first
+      // excluded point, one bucket fewer fits
+      val atCeiling = (BigInt(10).pow(19) - 1).pow(2)
+      List(sqq, sqp, n * sqp - sq * sp, n * sqq - sq * sq, atCeiling)
+        .forall(_.abs < dec38Bound)
+    }, n = 300)
+    assert(longWrapped,
+      "expected Long Σq² to wrap on a whale bucket in this domain")
+  }
+
   test("rate-spike decimal z-score predicate matches exact arithmetic " +
       "at 1e9-events-per-minute scale within the Decimal(38,0) domain") {
     // c·m − t and its square, and S·m − T², all accumulate in

@@ -222,6 +222,37 @@ class DedupSimilaritySpec extends TestSparkSession {
     assert(recall >= 0.2, s"PQ ADC recall was $recall")
   }
 
+  test("PQ seeds survive sparse/offset id domains; degenerate embeddings " +
+      "still assign (the min_by NULL-key guard)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // offset the id domain far past seedEvery·maxCodes: the old value cap
+    // (`vec_id < 13·256`) yielded ZERO seeds here and the whole PQ path
+    // returned empty; the rank cap must produce a full codebook and a
+    // code for every vector
+    val shifted = emb.withColumn("vec_id", col("vec_id") + lit(1000000000L))
+    val n = shifted.count()
+    val cb = Similarity.pqCodebook(shifted, dims = 64)
+    assert(cb.count() > 0, "codebook must be non-empty on offset ids")
+    val codes = Similarity.pqEncode(shifted, dims = 64)
+    assert(codes.count() == n, "every offset-id vector gets a code")
+    // a zero-norm vector's cosine divides by zero → NULL ordering key;
+    // min_by must still assign it (deterministically, not drop the row)
+    val degenerate = emb.limit(20).withColumn("embedding",
+      expr("transform(embedding, v -> cast(0.0 as float))"))
+    val mixed = emb.filter(col("vec_id") >= 20).unionByName(
+      degenerate.withColumn("vec_id", col("vec_id")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + lit(5000L))
+    val assignedAll = Similarity.ivfTopK(mixed, queries, k = 5)
+    assert(assignedAll.count() > 0)
+    // the IVF cell assignment itself must cover every vector incl. the
+    // zero-norm ones: probe-all equals brute force only if nothing drops
+    val km = Similarity.kmeansFit(mixed, iters = 1)
+    val assignedN = km.filter(col("i") === 0).agg(sum("n")).head.getLong(0)
+    assert(assignedN == mixed.count(),
+      s"kmeans assigned $assignedN of ${mixed.count()} (degenerates dropped?)")
+  }
+
   test("int8 quantization: codes in range, round-half-away bound holds") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = Similarity.quantizeInt8(emb)

@@ -1663,6 +1663,8 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.ohlcAvailableNow(s, d)),
     "q_stream_wallet_volume" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.walletVolumeAvailableNow(s, d)),
+    "q_stream_realized_pnl" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.realizedPnlAvailableNow(s, d)),
     "q_stream_wire_egress" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.wireEgressAvailableNow(s, d)),
     "q_events_twap_1h" -> ((s, d) =>
@@ -4663,6 +4665,35 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                   AS cents
          FROM events GROUP BY 1""",
+    // identical formulation to q_events_realized_pnl: the streamed marks
+    // must EQUAL the batch marks, so both keys share one oracle shape
+    "q_stream_realized_pnl" ->
+      """WITH t AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events
+           WHERE user_id % 10 = 0
+             AND event_type IN ('purchase', 'view')),
+         c AS (
+           SELECT user_id, event_id, event_type, cents,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                         THEN cents ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_buy_cents,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_buy_n
+           FROM t)
+         SELECT user_id, event_id, cents AS sell_cents,
+                cum_buy_cents, cum_buy_n,
+                CASE WHEN cum_buy_n > 0
+                     THEN CAST(cents AS DOUBLE) -
+                          CAST(cum_buy_cents AS DOUBLE) /
+                          CAST(cum_buy_n AS DOUBLE) END AS pnl_cents
+         FROM c WHERE event_type = 'view'""",
     "q_stream_ohlc_1h" ->
       """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
                            event_type, CAST(value AS DECIMAL(18,2)) AS v,

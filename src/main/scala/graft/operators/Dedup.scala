@@ -321,7 +321,9 @@ object Dedup {
     * `maxIterations` is only a runaway backstop (label propagation on a
     * connected component of n nodes converges in <= n rounds).
     */
-  def canonicalize(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
+  def canonicalize(pairs: DataFrame, maxIterations: Int = 64,
+      broadcastNodeLimit: Long = GraphOps.DefaultBroadcastNodeLimit)
+      : DataFrame = {
     // Iterative algorithm: truncate lineage each round (localCheckpoint is
     // eager) — otherwise every iteration re-derives the whole upstream
     // pair pipeline and plan size grows combinatorially.
@@ -337,7 +339,7 @@ object Dedup {
     // never re-shuffles the edge list — same policy as the GraphOps
     // iteration loops; past the limit fall back to shuffle joins. The
     // count is one metadata-sized job against the fresh checkpoint.
-    val bcast = labels.count() <= 2L * 1000 * 1000
+    val bcast = labels.count() <= broadcastNodeLimit
     var converged = false
     var round = 0
     while (!converged && round < maxIterations) {

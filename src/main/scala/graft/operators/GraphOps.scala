@@ -43,8 +43,12 @@ object GraphOps {
     * ~32 MB beats re-sorting the edge list every round; past the limit
     * the loops fall back to the shuffle join. The node count is already
     * on the driver (the loops count it once for the rank seed), so the
-    * choice costs nothing extra. */
-  private val BroadcastNodeLimit = 2L * 1000 * 1000
+    * choice costs nothing extra. Every loop takes the limit as a
+    * parameter (default this constant) so the at-scale shuffle-join
+    * regime is testable: GraphOpsSpec forces the limit to 0 and pins
+    * bit-equality with the broadcast path — both regimes are the same
+    * integer arithmetic, only the join strategy differs. */
+  val DefaultBroadcastNodeLimit: Long = 2L * 1000 * 1000
 
   /** Directed co-activity edge list: (src, dst) for every ordered pair
     * of wallets active in the same (market, hour) group, groups larger
@@ -105,7 +109,8 @@ object GraphOps {
   def coactivityPagerank(
       events: DataFrame,
       iterations: Int = 10,
-      maxGroupSize: Int = 64): DataFrame = {
+      maxGroupSize: Int = 64,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
     // checkpoint the edge list BEFORE deriving degrees: it feeds both the
     // degree count and the annotated join, and an unmaterialized lineage
     // would re-run the whole activity build once per consumer
@@ -117,7 +122,7 @@ object GraphOps {
       return nodes.select(col("src").as("node"), col("deg"),
         col("deg").as("pr"))
     }
-    val bcast = n <= BroadcastNodeLimit
+    val bcast = n <= broadcastNodeLimit
     // degree-annotated edges: built once (broadcasting the node-sized
     // degree table keeps the build a map-side join), iterated many times
     val withDeg = edges
@@ -167,11 +172,12 @@ object GraphOps {
       events: DataFrame,
       iterations: Int = 10,
       maxGroupSize: Int = 64,
-      nSeeds: Int = 10): DataFrame = {
+      nSeeds: Int = 10,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
     val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
     val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val bcast = nodes.count() <= BroadcastNodeLimit
+    val bcast = nodes.count() <= broadcastNodeLimit
     val withDeg = edges
       .join(if (bcast) broadcast(nodes) else nodes, "src")
       .localCheckpoint()
@@ -237,7 +243,8 @@ object GraphOps {
       events: DataFrame,
       k: Int = 8,
       maxPeels: Int = 12,
-      maxGroupSize: Int = 64): DataFrame = {
+      maxGroupSize: Int = 64,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
     val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
     var survivors = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
@@ -247,7 +254,7 @@ object GraphOps {
     def gate(e: DataFrame, s: DataFrame): DataFrame = {
       def side(c: String) = {
         val r = s.withColumnRenamed("node", c)
-        if (nSurv <= BroadcastNodeLimit) broadcast(r) else r
+        if (nSurv <= broadcastNodeLimit) broadcast(r) else r
       }
       e.join(side("src"), Seq("src"), "left_semi")
         .join(side("dst"), Seq("dst"), "left_semi")
@@ -279,11 +286,13 @@ object GraphOps {
     * just mirror the wallet table). */
   def walletClusters(
       events: DataFrame,
-      maxGroupSize: Int = 16): DataFrame = {
+      maxGroupSize: Int = 16,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
     val pairs = coactivityEdges(events, maxGroupSize)
       .filter(col("src") < col("dst"))
       .select(col("src").as("d1"), col("dst").as("d2"))
-    val labels = Dedup.canonicalize(pairs)
+    val labels = Dedup.canonicalize(pairs,
+      broadcastNodeLimit = broadcastNodeLimit)
     val sizes = labels.groupBy("keep_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "keep_id")

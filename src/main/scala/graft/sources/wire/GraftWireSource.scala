@@ -27,9 +27,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale design: one [[InputPartition]] per frame file — files are the
   * unit of parallelism exactly as connections are in the reference; a
   * 1000-executor cluster reading a day of capture spreads files across
-  * executors with no coordination. Variable-length frames make byte-range
-  * splits unsafe (a split could land mid-frame), so parallelism comes
-  * from many files, the way the capture layer naturally produces them.
+  * executors with no coordination, and `estimateStatistics` reports the
+  * real byte size so Catalyst/AQE can cost joins against wire tables.
+  * Variable-length frames make BLIND byte-range splits unsafe (a split
+  * could land mid-frame), so a pathological single large file is split
+  * at EXACT frame boundaries instead: files larger than the
+  * `split.bytes` read option (default 128 MB, the
+  * `files.maxPartitionBytes` analog) get a planning-time header walk —
+  * header-only IO, `seek` past every payload, only for oversized files
+  * — that emits one partition per ~`split.bytes` of frames, each with
+  * its exact (startOffset, startFrameIdx, endOffset). The normal
+  * rotated-capture layout pays zero planning overhead; the walk is the
+  * escape hatch, not the primary path (capture should rotate files).
   * Column pruning is pushed into the reader: a `count(*)` or
   * metadata-only query skips payload materialization per frame.
   */
@@ -50,6 +59,59 @@ object GraftWireTable {
     StructField("file", StringType, nullable = false),
     StructField("frame_idx", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
+
+  /** Default frame-boundary split target for oversized files — the
+    * `spark.sql.files.maxPartitionBytes` analog. */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Partition plan for one frame file. Files at or under `splitBytes`
+    * are one partition with no IO at all (the rotated-capture fast
+    * path). An oversized file gets a header walk: read each 4-byte
+    * length, `seek` past the payload — so planning IO is headers only —
+    * and cut a partition at the first frame boundary past every
+    * `splitBytes` of accumulated frames. Cuts carry the exact byte
+    * offset AND frame index, so split readers produce bit-identical
+    * (file, frame_idx, payload) rows to the unsplit reader. A truncated
+    * tail header/payload ends the walk early exactly as the reader
+    * stops early — split planning never makes corrupt data fatal. */
+  def planFile(file: String, splitBytes: Long): Seq[GraftWirePartition] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    val total = fs.getFileStatus(p).getLen
+    if (total <= splitBytes)
+      return Seq(GraftWirePartition(file, 0L, 0L, Long.MaxValue))
+    val in = fs.open(p)
+    try {
+      val hdr = new Array[Byte](4)
+      val cuts = scala.collection.mutable.ArrayBuffer[(Long, Long)]((0L, 0L))
+      var pos = 0L
+      var idx = 0L
+      var nextCut = splitBytes
+      var halted = false
+      while (!halted && pos + 4 <= total) {
+        in.seek(pos)
+        in.readFully(hdr)
+        val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) |
+          ((hdr(2) & 0xff) << 16) | ((hdr(3) & 0xff) << 24)
+        val end = pos + 4 + len.toLong
+        if (len < 0 || end > total) halted = true // truncated/corrupt tail
+        else {
+          if (pos >= nextCut) {
+            cuts += ((pos, idx))
+            nextCut = pos + splitBytes
+          }
+          pos = end
+          idx += 1
+        }
+      }
+      cuts.zipAll(cuts.drop(1).map(c => Some(c)), (0L, 0L), None).map {
+        case ((off, fidx), Some((endOff, _))) =>
+          GraftWirePartition(file, off, fidx, endOff)
+        case ((off, fidx), None) =>
+          GraftWirePartition(file, off, fidx, Long.MaxValue)
+      }.toSeq
+    } finally in.close()
+  }
 
   /** Frame files under `path` — a directory, a single file, or a glob
     * (e.g. `out/batch_*`, the per-micro-batch egress layout). */
@@ -79,20 +141,22 @@ class GraftWireTable(path: String) extends Table with SupportsRead {
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftWireScanBuilder(path)
+    new GraftWireScanBuilder(path,
+      options.getLong("split.bytes", GraftWireTable.DefaultSplitBytes))
 }
 
-class GraftWireScanBuilder(path: String)
+class GraftWireScanBuilder(path: String, splitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftWireTable.Schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftWireScan(path, required)
+  override def build(): Scan = new GraftWireScan(path, required, splitBytes)
 }
 
-class GraftWireScan(path: String, required: StructType)
+class GraftWireScan(path: String, required: StructType,
+    splitBytes: Long = GraftWireTable.DefaultSplitBytes)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -117,7 +181,8 @@ class GraftWireScan(path: String, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftWireTable.listFrameFiles(path)
-      .map(f => GraftWirePartition(f): InputPartition).toArray
+      .flatMap(f => GraftWireTable.planFile(f, splitBytes))
+      .map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftWireReaderFactory(required)
@@ -169,31 +234,39 @@ class GraftWireMicroBatchStream(path: String, required: StructType)
   override def planInputPartitions(
       start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GraftWireOffset].files.toSet
+    // streaming stays one-partition-per-file: capture files arrive whole
+    // and rotated, so no trigger ever sees an oversized backlog file
     end.asInstanceOf[GraftWireOffset].files
       .filterNot(seen)
-      .map(f => GraftWirePartition(f): InputPartition).toArray
+      .map(f => GraftWirePartition(f, 0L, 0L, Long.MaxValue): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftWireReaderFactory(required)
 }
 
-case class GraftWirePartition(file: String) extends InputPartition
+/** One frame-aligned byte range of one file: frames whose HEADER starts
+  * in [startOffset, endOffset). Unsplit files use (0, 0, MaxValue). */
+case class GraftWirePartition(file: String, startOffset: Long,
+    startFrameIdx: Long, endOffset: Long) extends InputPartition
 
 class GraftWireReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftWireFrameReader(
-      partition.asInstanceOf[GraftWirePartition].file, required)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftWirePartition]
+    new GraftWireFrameReader(p, required)
+  }
 }
 
 /** Sequential frame reader: `[u32 LE length][payload]`*; a trailing
   * truncated frame ends the file early instead of failing the task
   * (untrusted capture data must never fail the job — the reference
   * length-checks every wire read the same way). */
-class GraftWireFrameReader(file: String, required: StructType)
+class GraftWireFrameReader(part: GraftWirePartition, required: StructType)
     extends PartitionReader[InternalRow] {
+  private val file = part.file
   private val needPayload = required.fieldNames.contains("payload")
   private val fileUtf8 = UTF8String.fromString(file)
   private val path = new Path(file)
@@ -202,9 +275,14 @@ class GraftWireFrameReader(file: String, required: StructType)
     // frames carry their own length guards; hadoop checksum sidecars would
     // make out-of-band capture appends unreadable
     fs.setVerifyChecksum(false)
-    new DataInputStream(new java.io.BufferedInputStream(fs.open(path)))
+    val raw = fs.open(path)
+    if (part.startOffset > 0) raw.seek(part.startOffset)
+    new DataInputStream(new java.io.BufferedInputStream(raw))
   }
-  private var idx = -1L
+  // byte position of the NEXT frame header; a frame belongs to this
+  // partition iff its header starts before endOffset
+  private var pos = part.startOffset
+  private var idx = part.startFrameIdx - 1L
   private var current: Array[Byte] = _
   private var done = false
 
@@ -217,7 +295,7 @@ class GraftWireFrameReader(file: String, required: StructType)
   }
 
   override def next(): Boolean = {
-    if (done) return false
+    if (done || pos >= part.endOffset) return false
     try {
       val len = readLenLE()
       if (len < 0) return false
@@ -225,6 +303,7 @@ class GraftWireFrameReader(file: String, required: StructType)
       try in.readFully(buf)
       catch { case _: EOFException => done = true; return false }
       current = buf
+      pos += 4L + len
       idx += 1
       true
     } catch { case _: EOFException => done = true; false }

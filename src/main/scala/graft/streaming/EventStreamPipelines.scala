@@ -734,6 +734,48 @@ object EventStreamPipelines {
         col("fin.cents").as("cents"))
   }
 
+  /** A17f driver surface: the streaming realized-PnL processor run to
+    * completion with availableNow over the events table, finished with
+    * the same average-cost basis projection as the batch A67 — the
+    * driver hash-checks it against the IDENTICAL DuckDB oracle. Within
+    * a batch the handler restores the (ts, id) total order; the
+    * availableNow file pass delivers the table once, so the streamed
+    * marks equal the batch marks exactly (the A17f spec additionally
+    * pins equality through multi-batch in-order replay). Same wallet
+    * decimation as the batch query so both feed one oracle. */
+  def realizedPnlAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_pnl_${memCounter.incrementAndGet()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val marks = realizedPnlStream(
+        eventsStream(spark, dir).filter(col("user_id") % 10 === 0))
+      val q = marks.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+      .select(col("user_id"), col("event_id"), col("sell_cents"),
+        col("cum_buy_cents"), col("cum_buy_n"),
+        when(col("cum_buy_n") > 0,
+          col("sell_cents").cast("double") -
+            col("cum_buy_cents").cast("double") /
+            col("cum_buy_n").cast("double")).as("pnl_cents"))
+  }
+
   /** A17: stateful sessionization with mapGroupsWithState (processing-time
     * timeout flushes idle wallets). Emits one running session summary per
     * wallet per trigger. */

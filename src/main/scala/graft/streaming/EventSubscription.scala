@@ -92,6 +92,50 @@ object EventSubscription {
       .start()
   }
 
+  /** A18: per-subscription drop accounting, folded from the query's
+    * recent progress — the live analog of the reference's dropped-event
+    * counters (`metrics.rs` bounded-queue drop accounting): every
+    * stateful operator counts the rows it SHED for arriving behind the
+    * watermark (`numRowsDroppedByWatermark`) and reports them per
+    * trigger, next to the total ingest the observe() metric carries.
+    * `recentProgress` is bounded
+    * (`spark.sql.streaming.numRecentProgressUpdates`, default 100), so
+    * long-running subscriptions should poll per trigger (e.g. from a
+    * `StreamingQueryListener`) for lossless accounting. */
+  final case class DropStats(
+      batches: Long, inputRows: Long, droppedLateRows: Long)
+
+  def dropStats(q: StreamingQuery): DropStats = {
+    val ps = q.recentProgress
+    DropStats(
+      batches = ps.length.toLong,
+      inputRows = ps.map(_.numInputRows).sum,
+      droppedLateRows =
+        ps.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum)
+  }
+
+  /** Windowed subscription: filters → watermark → per-(window, type)
+    * counts → callback. The stateful aggregate is where late-arrival
+    * shedding actually happens — rows behind the watermark are dropped
+    * there and counted into [[dropStats]]; the plain [[subscribe]] path
+    * has no stateful operator, so nothing is ever shed from it. */
+  def subscribeWindowed(events: DataFrame, config: SubscriptionConfig,
+      windowLen: String = "1 hour")(
+      onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val src = filtered(events, config)
+      .withWatermark("ts", config.watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val writer = src.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(config.triggerIntervalMs))
+      .foreachBatch(onBatch)
+    config.checkpointDir
+      .map(writer.option("checkpointLocation", _))
+      .getOrElse(writer)
+      .start()
+  }
+
   /** Open a parquet event directory as the subscription's source with the
     * config's ingest bound applied — the file-source analog of the
     * reference's per-connection bounded queue. */

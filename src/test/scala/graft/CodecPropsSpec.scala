@@ -74,7 +74,9 @@ class CodecPropsSpec extends AnyFunSuite {
         }
         out.close()
         val r = new GraftWireFrameReader(
-          f.getAbsolutePath, GraftWireTable.Schema)
+          graft.sources.wire.GraftWirePartition(
+            f.getAbsolutePath, 0L, 0L, Long.MaxValue),
+          GraftWireTable.Schema)
         val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Byte]]
         while (r.next()) got += r.get().getBinary(2).toSeq
         r.close()

@@ -38,6 +38,44 @@ class CodecSpec extends TestSparkSession {
     assert(total == ev.count(), "truncated tail frame must be skipped")
   }
 
+  test("graft-wire one-big-file layout: frame-boundary splits give sane " +
+      "parallelism, bit-identical rows, and real size statistics") {
+    import graft.sources.wire.{GraftWireWriter, GraftWireTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire_big")
+      .toString
+    val ev = Tables.events(spark, sfDir)
+    // force the pathological layout: ALL frames in one file
+    GraftWireWriter.writeFrames(
+      EventCodec.encodeTrade(ev).repartition(1), dir)
+    val whole = spark.read.format("graft-wire").load(dir)
+    // AQE sees the real byte size through estimateStatistics
+    val fileBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).map(_.length()).sum
+    assert(whole.queryExecution.optimizedPlan.stats.sizeInBytes
+      == BigInt(fileBytes), "scan statistics must report the file bytes")
+    // default split target (128 MB) leaves a small capture unsplit
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).head.toString
+    assert(GraftWireTable.planFile(file, GraftWireTable.DefaultSplitBytes)
+      .size == 1, "small file must stay one partition (no planning IO)")
+    // a tight split target fans the one file out across many partitions
+    val target = math.max(fileBytes / 8, 1L)
+    val parts = GraftWireTable.planFile(file, target)
+    assert(parts.size > 4,
+      s"expected >4 frame-aligned splits, got ${parts.size}")
+    val split = spark.read.format("graft-wire")
+      .option("split.bytes", target).load(dir)
+    assert(split.rdd.getNumPartitions == parts.size,
+      "planned splits must be the scan's partitions")
+    // split read ≡ unsplit read, including the per-file frame indexes
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("frame_idx"), md5(col("payload")))
+        .collect().map(_.toSeq).toSet
+    assert(rows(split) == rows(whole),
+      "frame-aligned splits must not change a single row")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("graft-wire micro-batch stream ingests files incrementally") {
     import graft.functions.CodecOps
     val dir = java.nio.file.Files.createTempDirectory("graft_wire_s")

@@ -42,7 +42,13 @@ class DeterminismSpec extends TestSparkSession {
     // round 4: the three-level prefix sum must place every trade in the
     // same equal-volume bucket regardless of partition boundaries, and
     // the microstructure moments must stay bit-stable
-    "q_events_vpin", "q_events_roll_spread", "q_events_kyle_lambda")
+    "q_events_vpin", "q_events_roll_spread", "q_events_kyle_lambda",
+    // round 5: the round-4 composites — block-meta wire frames, the
+    // CPMM/Bonk account rollup, and the timer-flushed streaming
+    // sessionizer (state merge + watermark arithmetic must not depend
+    // on the shuffle layout) — plus the streamed realized-PnL marks
+    "q_events_block_real", "q_events_pool_accounts",
+    "q_stream_session_timeout", "q_stream_realized_pnl")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -89,6 +89,24 @@ class GraphOpsSpec extends TestSparkSession {
       s"chain must fully unravel, got $out")
   }
 
+  test("shuffle-join fallback (broadcastNodeLimit = 0) is bit-identical " +
+      "to the broadcast regime on the real sf0.001 graph") {
+    // the >2M-node regime is what actually runs at 100 TB; forcing the
+    // limit to 0 exercises that join strategy under the same integer
+    // arithmetic, so results must be EQUAL, not approximately equal
+    val events = Tables.events(spark, sfDir)
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphOps.coactivityPagerank(events, broadcastNodeLimit = 0))
+      === rows(GraphOps.coactivityPagerank(events)), "pagerank")
+    assert(rows(GraphOps.seededPagerank(events, broadcastNodeLimit = 0))
+      === rows(GraphOps.seededPagerank(events)), "seeded pagerank")
+    assert(rows(GraphOps.kCore(events, broadcastNodeLimit = 0))
+      === rows(GraphOps.kCore(events)), "k-core")
+    assert(rows(GraphOps.walletClusters(events, broadcastNodeLimit = 0))
+      === rows(GraphOps.walletClusters(events)), "wallet clusters")
+  }
+
   test("hot group cap drops oversized market-hours before the fan-out") {
     // 70 wallets in one hour exceeds maxGroupSize=64 → no edges at all
     val out = GraphOps.triangleStats(cliqueEvents(70)

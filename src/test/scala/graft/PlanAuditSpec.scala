@@ -300,6 +300,36 @@ class PlanAuditSpec extends TestSparkSession {
       s"expected the token-count stage to be reused:\n${plan.take(3000)}")
   }
 
+  test("Q4/Q12/Q14 plan shapes are pinned: join strategy + aggregate " +
+      "count (round-4 bench wobble must not hide a real regression)") {
+    // Q4: the correlated EXISTS is ONE left-semi join carrying the
+    // cross-table date predicate, then one two-phase aggregate
+    val q4 = planOf(Relational.orderPriorityCheck(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir)))
+    assert(q4.contains("LeftSemi"), s"Q4 lost its semi join:\n${q4.take(2000)}")
+    assert("HashAggregate".r.findAllIn(q4).size == 2,
+      s"Q4 must aggregate exactly once (partial+final):\n${q4.take(2000)}")
+    assert(!q4.contains("NestedLoop") && !q4.contains("CartesianProduct"),
+      "Q4 must keep the date predicate inside the equi-join")
+    // Q12: one fact-fact equi-join (the band filter rides the join),
+    // one two-phase conditional aggregate
+    val q12 = planOf(Relational.latePriority(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir)))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(q12).nonEmpty, s"Q12 lost its equi-join:\n${q12.take(2000)}")
+    assert("HashAggregate".r.findAllIn(q12).size == 2,
+      s"Q12 must aggregate exactly once (partial+final):\n${q12.take(2000)}")
+    assert(!q12.contains("NestedLoop") && !q12.contains("CartesianProduct"),
+      "Q12 date band must not degrade the join to a nested loop")
+    // Q14: the part dim is explicitly broadcast; one two-phase aggregate
+    val q14 = planOf(Relational.promoShare(
+      Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir)))
+    assert(q14.contains("BroadcastHashJoin"),
+      s"Q14 lost the part broadcast:\n${q14.take(2000)}")
+    assert("HashAggregate".r.findAllIn(q14).size == 2,
+      s"Q14 must aggregate exactly once (partial+final):\n${q14.take(2000)}")
+  }
+
   test("Q13 shape aggregates orders before the customer join") {
     val plan = planOf(Relational.custOrderDistribution(
       Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)))

@@ -177,6 +177,43 @@ class StreamingExtensionsSpec extends TestSparkSession {
       .map(_.getString(0)).toSeq == Seq("pumpfun"))
   }
 
+  test("A18: dropStats counts late rows shed by the watermark, and zero " +
+      "on a clean stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def run(lateBatch: Boolean): EventSubscription.DropStats = {
+      val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val events = input.toDF().toDF("user_id", "ts", "event_type", "value")
+      // the callback must consume the whole frame (Spark validates that
+      // every stateful partition commits)
+      val q = EventSubscription.subscribeWindowed(events,
+        SubscriptionConfig(watermark = "10 minutes",
+          enableMetrics = true)) { (b, _) => b.count(): Unit }
+      // batch 1 at hour 10 advances the watermark to ~9:50
+      input.addData((1L, ts(600), "purchase", 1.0),
+        (2L, ts(601), "purchase", 2.0))
+      q.processAllAvailable()
+      // batch 2: either far behind the watermark (shed by the stateful
+      // agg and counted) or right at the head (processed, zero drops)
+      val lateMin = if (lateBatch) 0L else 602L
+      input.addData((3L, ts(lateMin), "purchase", 3.0))
+      q.processAllAvailable()
+      val stats = EventSubscription.dropStats(q)
+      q.stop()
+      stats
+    }
+    val late = run(lateBatch = true)
+    assert(late.inputRows == 3L)
+    assert(late.droppedLateRows == 1L,
+      s"expected exactly the late row counted as dropped, got $late")
+    val clean = run(lateBatch = false)
+    assert(clean.inputRows == 3L)
+    assert(clean.droppedLateRows == 0L,
+      s"clean stream must shed nothing, got $clean")
+  }
+
   test("config presets: lowLatency bounds ingest per trigger, " +
     "highThroughput does not") {
     // reference config.rs:151/174 — permits/backpressure presets mapped to

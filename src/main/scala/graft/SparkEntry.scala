@@ -2902,12 +2902,14 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                   AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2)
+                       AS DECIMAL(18,2)) AS DOUBLE)
                   AS sum_disc_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                          CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) *
-                         CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+                         CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2)
+                       AS DECIMAL(18,2)) AS DOUBLE)
                   AS sum_charge,
                 count(*) AS count_order,
                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
@@ -3699,8 +3701,9 @@ object SparkEntry {
          GROUP BY 1""",
     "q_tpch_q6_forecast" ->
       """SELECT count(*) AS n_items,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(l_discount AS DECIMAL(4,2))), 2)
+                       AS DECIMAL(18,2)) AS DOUBLE)
                   AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'

@@ -1621,10 +1621,16 @@ object EventOps {
     * between two accounts, the coordinated-bot shape the reference's
     * dev/bot tagging feeds on.
     *
-    * Shape: one keyed aggregate to per-(hour, wallet) side counts, one
-    * self-join on the hour bucket (fan-out quadratic in per-hour active
-    * wallets, so hot hours beyond `maxBucketWallets` are dropped
-    * first), one pair-keyed aggregate. All integers. */
+    * Shape: one keyed aggregate to per-(hour, wallet) side counts, then
+    * a DIRECTED buyers × sellers join per hour bucket — fan-out is
+    * |buyers|·|sellers|, the actual signal size, not all-active² (the
+    * earlier self-join of every active wallet against every active
+    * wallet went quadratic one decade up: measured 22 s at sf1.0 where
+    * each hour holds ~1000 active wallets, since the pair condition
+    * prunes AFTER the fan-out; the directed join builds only the rows
+    * whose condition already holds). Hot hours beyond `maxBucketWallets`
+    * active wallets still drop first. One pair-keyed aggregate over the
+    * directed rows; all integers. */
   def washPairs(
       events: DataFrame,
       maxBucketWallets: Int = 1024): DataFrame = {
@@ -1640,14 +1646,18 @@ object EventOps {
     val sized = sides.groupBy("mb").agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBucketWallets).select("mb")
     val s = sides.join(sized, "mb")
-    s.as("a").join(s.as("b"),
-        col("a.mb") === col("b.mb") &&
-          col("a.user_id") < col("b.user_id"))
-      .groupBy(col("a.user_id").as("wallet_a"),
-        col("b.user_id").as("wallet_b"))
-      .agg(
-        count(when(col("a.nb") > 0 && col("b.ns") > 0, 1)).as("hours_ab"),
-        count(when(col("b.nb") > 0 && col("a.ns") > 0, 1)).as("hours_ba"))
+    val buyers = s.filter(col("nb") > 0)
+      .select(col("mb"), col("user_id").as("bu"))
+    val sellers = s.filter(col("ns") > 0)
+      .select(col("mb"), col("user_id").as("se"))
+    buyers.join(sellers, Seq("mb"))
+      .filter(col("bu") =!= col("se"))
+      .select(least(col("bu"), col("se")).as("wallet_a"),
+        greatest(col("bu"), col("se")).as("wallet_b"),
+        (col("bu") < col("se")).as("is_ab"))
+      .groupBy("wallet_a", "wallet_b")
+      .agg(count(when(col("is_ab"), 1)).as("hours_ab"),
+        count(when(!col("is_ab"), 1)).as("hours_ba"))
       .filter(col("hours_ab") >= 1 && col("hours_ba") >= 1)
   }
 

@@ -102,10 +102,16 @@ object Relational {
       .agg(
         sum(dec2("l_quantity")).cast("double").as("sum_qty"),
         sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        // corpus-scale sums reduce to CENTS (scale 2) before the double
+        // cast: once a decimal's scaled integer passes 2^53 (~9e15 —
+        // sum_charge at scale 6 crosses it near a $28B sum, measured at
+        // sf1.0), DuckDB's int128→double→/10^scale DOUBLE-ROUNDS while
+        // Spark's BigDecimal rounds once, and the engines split by one
+        // ulp; at scale 2 both conversions are single correct roundings
+        round(sum(dec2("l_extendedprice") * oneMinus("l_discount")), 2)
           .cast("double").as("sum_disc_price"),
-        sum(dec2("l_extendedprice") * oneMinus("l_discount") *
-          onePlus("l_tax")).cast("double").as("sum_charge"),
+        round(sum(dec2("l_extendedprice") * oneMinus("l_discount") *
+          onePlus("l_tax")), 2).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
       .withColumn("avg_price",
@@ -347,7 +353,10 @@ object Relational {
         col("l_quantity") < 24)
       .filter(discC.between(5L, 7L))
       .agg(count(lit(1)).as("n_items"),
-        sum(dec2("l_extendedprice") * rate2("l_discount"))
+        // cents before the double cast — the whole corpus reduces to ONE
+        // row here, the first shape to cross the 2^53 scaled-decimal
+        // boundary as data grows (see pricingSummary)
+        round(sum(dec2("l_extendedprice") * rate2("l_discount")), 2)
           .cast("double").as("revenue"))
   }
 

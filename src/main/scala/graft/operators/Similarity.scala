@@ -208,12 +208,31 @@ object Similarity {
   }
 
   def pqCodebook(emb: DataFrame, dims: Int, m: Int = 8,
-      seedEvery: Int = 13, iters: Int = 2, maxCodes: Int = 256): DataFrame = {
+      seedEvery: Int = 13, iters: Int = 2, maxCodes: Int = 256,
+      trainEvery: Int = 0): DataFrame = {
     require(dims % m == 0, s"dims $dims must divide into $m subspaces")
     // materialized once: every Lloyd iteration's assign step re-reads the
     // subspace rows — unmaterialized, each round re-derived the whole
     // explode from the raw table
     val subs = subspaces(emb, dims, m).localCheckpoint()
+    // Classic PQ practice: Lloyd REFINEMENT runs on a deterministic
+    // sample (every `trainEvery`-th vector) — seeds still come from the
+    // full corpus and the final per-vector assignment (pqAssign) still
+    // covers everything. trainEvery = 0 (default) sizes the sample
+    // adaptively to ~16 training points per codeword, which makes the
+    // TRAINING cost constant in corpus size — measured at sf1.0 (20k
+    // vectors) full-corpus training made q_ann_pq_topk scale linearly;
+    // only the one unavoidable final encode pass stays O(n). Small
+    // corpora (sample target ≥ corpus) train on everything, so
+    // test-scale codebooks and recall are unchanged.
+    val sampleTarget = 16L * maxCodes
+    val effEvery: Long =
+      if (trainEvery > 0) trainEvery.toLong
+      else math.max(1L, emb.count() / sampleTarget)
+    val trainSubs =
+      if (effEvery <= 1L) subs
+      else subs.filter(pmod(col("vec_id"), lit(effEvery)) === 0)
+        .localCheckpoint()
     // Seed selection is RANK-capped, not id-value-capped: every
     // `seedEvery`-th id qualifies and the first `maxCodes` qualifying
     // ids in id order become codewords, via orderBy+limit (TakeOrdered —
@@ -232,7 +251,7 @@ object Similarity {
       // the shuffle — the former row_number window shuffled and sorted
       // the full candidate fan-out every round. (d2, code) ordering
       // keeps the tie-break deterministic.
-      val assigned = subs.join(broadcast(cb), "sub")
+      val assigned = trainSubs.join(broadcast(cb), "sub")
         .select(col("vec_id"), col("sub"), col("code"), col("sv"),
           (vec_dot(col("sv"), col("sv"))
             - vec_dot(col("sv"), col("cw")) * 2
@@ -271,8 +290,10 @@ object Similarity {
     * index in subspace `sub`.
     */
   def pqEncode(emb: DataFrame, dims: Int, m: Int = 8,
-      seedEvery: Int = 13, maxCodes: Int = 256): DataFrame =
-    pqAssign(emb, pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes),
+      seedEvery: Int = 13, maxCodes: Int = 256,
+      trainEvery: Int = 0): DataFrame =
+    pqAssign(emb, pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
+        trainEvery = trainEvery),
         dims, m)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
@@ -302,9 +323,11 @@ object Similarity {
     * the code pair, never on raw vectors.
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, dims: Int, k: Int,
-      m: Int = 8, seedEvery: Int = 13, maxCodes: Int = 256): DataFrame = {
+      m: Int = 8, seedEvery: Int = 13, maxCodes: Int = 256,
+      trainEvery: Int = 0): DataFrame = {
     val w = dims / m
-    val codebook = pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes)
+    val codebook = pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
+        trainEvery = trainEvery)
       .localCheckpoint(eager = true)
     val codes = pqAssign(emb, codebook, dims, m)
       .withColumnRenamed("vec_id", "neighbor_id")

@@ -10,9 +10,12 @@ object OneQ {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(name)(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/$name")
-    val w = new java.io.PrintWriter(s"$outDir/oracle_sql.json")
-    w.write(s"""{"$name": ${ujsonEscape(SparkEntry.oracleSql(name))}}""")
-    w.close(); spark.stop()
+    SparkEntry.oracleSql.get(name).foreach { sql =>
+      val w = new java.io.PrintWriter(s"$outDir/oracle_sql.json")
+      w.write(s"""{"$name": ${ujsonEscape(sql)}}""")
+      w.close()
+    }
+    spark.stop()
   }
   private def ujsonEscape(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

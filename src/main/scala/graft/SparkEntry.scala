@@ -2928,8 +2928,9 @@ object SparkEntry {
          GROUP BY 1, 2, 3""",
     "q_multijoin_nation_region" ->
       """SELECT r_name, n_name,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2)
+                       AS DECIMAL(18,2)) AS DOUBLE)
                   AS revenue,
                 count(*) AS n_items
          FROM lineitem
@@ -2975,8 +2976,9 @@ object SparkEntry {
          WHERE rk <= 3""",
     "q_vwap_lineitem" ->
       """SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mon,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(l_quantity AS DECIMAL(12,2))), 2)
+                       AS DECIMAL(18,2)) AS DOUBLE) /
                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS vwap,
                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                   AS total_qty
@@ -3731,10 +3733,14 @@ object SparkEntry {
            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              AND o_orderdate < TIMESTAMP '1998-01-01')
          SELECT o_year,
-                CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-                  / CAST(sum(volume) AS DOUBLE) AS mkt_share,
-                CAST(sum(volume) AS DOUBLE) AS total_volume
+                CAST(CAST(round(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume
+                              ELSE CAST(0 AS DECIMAL(12,2)) END), 2)
+                       AS DECIMAL(18,2)) AS DOUBLE)
+                  / CAST(CAST(round(sum(volume), 2) AS DECIMAL(18,2))
+                         AS DOUBLE) AS mkt_share,
+                CAST(CAST(round(sum(volume), 2) AS DECIMAL(18,2)) AS DOUBLE)
+                  AS total_volume
          FROM v GROUP BY 1""",
     "q_tpch_q15_topsupp" ->
       """WITH revenue AS (
@@ -3876,9 +3882,10 @@ object SparkEntry {
          LIMIT 20""",
     "q_tpch_q5_local" ->
       """SELECT n_name,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                          CAST(1 - CAST(l_discount AS DECIMAL(4,2))
-                              AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+                              AS DECIMAL(4,2))), 2)
+                       AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -4146,20 +4153,24 @@ object SparkEntry {
     "q_tpch_q14_promo" ->
       """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
                 CAST(month(l_shipdate) AS BIGINT) AS mon,
-                CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                CAST(CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN
                   CAST(l_extendedprice AS DECIMAL(12,2)) *
                   CAST(1 - CAST(l_discount AS DECIMAL(4,2))
-                       AS DECIMAL(4,2)) END) AS DOUBLE) AS promo_rev,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       AS DECIMAL(4,2)) END), 2)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS promo_rev,
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                   CAST(1 - CAST(l_discount AS DECIMAL(4,2))
-                       AS DECIMAL(4,2))) AS DOUBLE) AS total_rev,
-                coalesce(CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                       AS DECIMAL(4,2))), 2)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total_rev,
+                coalesce(CAST(CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN
                   CAST(l_extendedprice AS DECIMAL(12,2)) *
                   CAST(1 - CAST(l_discount AS DECIMAL(4,2))
-                       AS DECIMAL(4,2)) END) AS DOUBLE), 0.0) /
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       AS DECIMAL(4,2)) END), 2)
+                     AS DECIMAL(18,2)) AS DOUBLE), 0.0) /
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                   CAST(1 - CAST(l_discount AS DECIMAL(4,2))
-                       AS DECIMAL(4,2))) AS DOUBLE) AS promo_share
+                       AS DECIMAL(4,2))), 2)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS promo_share
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1, 2""",
     "q_tpch_q19_brackets" ->
@@ -4167,9 +4178,10 @@ object SparkEntry {
                 CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
                   AS qty_c FROM lineitem)
          SELECT count(*) AS n_items,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                   CAST(1 - CAST(l_discount AS DECIMAL(4,2))
-                       AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+                       AS DECIMAL(4,2))), 2)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS revenue
          FROM li JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
                 AND qty_c BETWEEN 100 AND 1500)

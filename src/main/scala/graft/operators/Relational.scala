@@ -140,7 +140,9 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        // cents before the double cast on every corpus-scale revenue
+        // sum (the 2^53 scaled-decimal contract — see pricingSummary)
+        round(sum(dec2("l_extendedprice") * oneMinus("l_discount")), 2)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
@@ -379,7 +381,7 @@ object Relational {
           col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+      .agg(round(sum(dec2("l_extendedprice") * oneMinus("l_discount")), 2)
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
@@ -395,10 +397,10 @@ object Relational {
       .groupBy(year(col("l_shipdate")).cast("bigint").as("yr"),
         month(col("l_shipdate")).cast("bigint").as("mon"))
       .agg(
-        sum(when(col("p_type") === "PROMO",
-          dec2("l_extendedprice") * oneMinus("l_discount")))
+        round(sum(when(col("p_type") === "PROMO",
+          dec2("l_extendedprice") * oneMinus("l_discount"))), 2)
           .cast("double").as("promo_rev"),
-        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        round(sum(dec2("l_extendedprice") * oneMinus("l_discount")), 2)
           .cast("double").as("total_rev"))
       .withColumn("promo_share",
         coalesce(col("promo_rev"), lit(0.0)) / col("total_rev"))
@@ -422,7 +424,7 @@ object Relational {
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .filter(bracket)
       .agg(count(lit(1)).as("n_items"),
-        sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        round(sum(dec2("l_extendedprice") * oneMinus("l_discount")), 2)
           .cast("double").as("revenue"))
   }
 
@@ -433,8 +435,8 @@ object Relational {
       .groupBy(year(col("l_shipdate")).cast("bigint").as("yr"),
         month(col("l_shipdate")).cast("bigint").as("mon"))
       .agg(
-        sum(dec2("l_extendedprice") * dec2("l_quantity")).cast("double")
-          .as("pv"),
+        round(sum(dec2("l_extendedprice") * dec2("l_quantity")), 2)
+          .cast("double").as("pv"),
         sum(dec2("l_quantity")).cast("double").as("total_qty"))
       .select(col("yr"), col("mon"),
         (col("pv") / col("total_qty")).as("vwap"), col("total_qty"))
@@ -477,9 +479,10 @@ object Relational {
         sum(dec2("l_extendedprice") * oneMinus("l_discount"))
           .as("total_vol"))
       .select(col("o_year"),
-        (col("home_vol").cast("double") / col("total_vol").cast("double"))
+        (round(col("home_vol"), 2).cast("double") /
+          round(col("total_vol"), 2).cast("double"))
           .as("mkt_share"),
-        col("total_vol").cast("double").as("total_volume"))
+        round(col("total_vol"), 2).cast("double").as("total_volume"))
   }
 
   /** B26 (TPC-H Q15 shape): top supplier(s) by quarterly revenue — the

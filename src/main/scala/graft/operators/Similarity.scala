@@ -93,33 +93,70 @@ object Similarity {
       bits: Int = 32, bands: Int = 8): DataFrame = {
     require(bits % bands == 0)
     val rows = bits / bands
-    // whole signature in one codegen'd pass per vector (identical bits to
-    // the exploded per-(component, plane) formulation this replaces, which
-    // needed a |dims| * bits row blowup plus a shuffle to reassemble);
-    // band b = `rows` consecutive signature bits, MSB-first within band
-    val sigs = emb.select(col("vec_id"),
+    // EXACT-DUP COLLAPSE FIRST. Identical embeddings share every band,
+    // so a group of k copies contributes C(k,2) candidate rows in ALL
+    // `bands` bands before dedup — measured 58 s at sf1.0 where every
+    // vector carries 10 exact copies. Banding therefore runs on ONE
+    // representative per distinct embedding; identity pairs emit
+    // directly at cos6 = 1.0 (exact after the 1e-6 rounding: a vector's
+    // dot with its own copy IS its squared norm), and each surviving
+    // representative pair expands back to its member pairs (cosine does
+    // not care which copy). Candidate generation is unchanged by
+    // construction — identical vectors have identical signatures — so
+    // recall/precision are those of the uncollapsed formulation while
+    // banding cost scales with DISTINCT content, the way exact-dedup-
+    // then-LSH composes in a curation pipeline. Zero-norm vectors have
+    // NULL cosine and never pair, exactly as before.
+    val groups = withNorm(emb)
+      .filter(col("n2") > 0)
+      .groupBy(col("embedding"), col("n2"))
+      .agg(min(col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+      .localCheckpoint()
+    // identity pairs: every (a < b) inside one group, cos exactly 1
+    val identity =
+      if (tau <= 1.0)
+        groups.filter(size(col("members")) >= 2)
+          .select(explode(col("members")).as("v1"), col("members"))
+          .select(col("v1"), explode(col("members")).as("v2"))
+          .filter(col("v1") < col("v2"))
+          .withColumn("cos6", lit(1.0))
+      else
+        groups.sparkSession.emptyDataFrame
+          .select(lit(0L).as("v1"), lit(0L).as("v2"), lit(1.0).as("cos6"))
+          .limit(0)
+    val reps = groups.select(col("rep"), col("embedding"), col("n2"))
+    val sigs = reps.select(col("rep"),
       hyperplane_sig(col("embedding"), bits).as("sig"))
     val bandVals = sigs
-      .select(col("vec_id"), col("sig"),
+      .select(col("rep"), col("sig"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
-      .select(col("vec_id"), col("band"),
+      .select(col("rep"), col("band"),
         expr(s"cast(shiftright(sig, band * $rows) & ${(1 << rows) - 1} as int)")
           .as("bv"))
     val cand = bandVals.as("a")
       .join(bandVals.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("r1"), col("b.rep").as("r2"))
       .distinct()
-    val e = withNorm(emb)
-      .select(col("vec_id"), col("embedding"), col("n2"))
-    cand
-      .join(e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
-        col("n2").as("na")), "v1")
-      .join(e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
-        col("n2").as("nb")), "v2")
-      .select(col("v1"), col("v2"), cos6("ea", "eb", "na", "nb").as("cos6"))
+    val repPairs = cand
+      .join(reps.select(col("rep").as("r1"), col("embedding").as("ea"),
+        col("n2").as("na")), "r1")
+      .join(reps.select(col("rep").as("r2"), col("embedding").as("eb"),
+        col("n2").as("nb")), "r2")
+      .select(col("r1"), col("r2"), cos6("ea", "eb", "na", "nb").as("cos6"))
       .filter(col("cos6") >= tau)
+    // expand representative pairs to member pairs (disjoint groups, so
+    // least/greatest restores the v1 < v2 normal form)
+    val cross = repPairs
+      .join(groups.select(col("rep").as("r1"), col("members").as("m1")), "r1")
+      .join(groups.select(col("rep").as("r2"), col("members").as("m2")), "r2")
+      .select(explode(col("m1")).as("va"), col("m2"), col("cos6"))
+      .select(col("va"), explode(col("m2")).as("vb"), col("cos6"))
+      .select(least(col("va"), col("vb")).as("v1"),
+        greatest(col("va"), col("vb")).as("v2"), col("cos6"))
+    identity.unionByName(cross)
   }
 
   /** IVF training step: per-group component means (one k-means iteration

@@ -222,6 +222,38 @@ class DedupSimilaritySpec extends TestSparkSession {
     assert(recall >= 0.2, s"PQ ADC recall was $recall")
   }
 
+  test("hyperplane LSH exact-dup collapse: identity pairs at cos 1, base " +
+      "pairs expand to every copy combination") {
+    val base = Tables.embeddings(spark, sfDir)
+    val off = 1000000L
+    val dup = base.unionByName(
+      base.withColumn("vec_id", col("vec_id") + lit(off)))
+    val tau = 0.8
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    val basePairs = pairs(Similarity.hyperplaneLshPairs(base, tau))
+    val dupAll = Similarity.hyperplaneLshPairs(dup, tau)
+    val dupPairs = pairs(dupAll)
+    // every vector pairs with its own copy, at exactly cos 1
+    val n = base.count()
+    val identity = dupAll.filter(col("v2") === col("v1") + off &&
+      col("v1") < off)
+    assert(identity.count() == n, "one identity pair per vector")
+    assert(identity.filter(col("cos6") =!= 1.0).count() == 0)
+    // a base pair (a, b) must surface for all four copy combinations —
+    // the expansion step may not lose (or invent) members
+    basePairs.foreach { case (a, b) =>
+      Seq((a, b), (a, b + off), (b, a + off), (a + off, b + off)).foreach {
+        case (x, y) =>
+          val p = (math.min(x, y), math.max(x, y))
+          assert(dupPairs.contains(p), s"missing expanded pair $p of ($a,$b)")
+      }
+    }
+    // and nothing below the threshold sneaks in
+    assert(dupAll.filter(col("cos6") < tau).count() == 0)
+  }
+
   test("PQ seeds survive sparse/offset id domains; degenerate embeddings " +
       "still assign (the min_by NULL-key guard)") {
     val emb = Tables.embeddings(spark, sfDir)

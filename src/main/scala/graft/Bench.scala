@@ -111,7 +111,17 @@ object Bench {
     "q_events_block_real",
     "q_events_vpin",
     "q_events_roll_spread",
-    "q_events_kyle_lambda")
+    "q_events_kyle_lambda",
+    // round-5 additions: the transcendental-boundary family, the exact
+    // CUSUM detector, graph link prediction, and retrieval scoring
+    "q_events_volatility",
+    "q_events_amihud",
+    "q_events_type_entropy",
+    "q_events_benford",
+    "q_events_cusum",
+    "q_events_neighbor_sim",
+    "q_docs_bm25",
+    "q_docs_unigram_lp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2059,6 +2059,25 @@ object SparkEntry {
           expr("cast(octet_length(frame) as bigint)").as("frame_len"),
           md5(col("frame")).as("frame_md5"))
     }),
+    // ---- round 5: microstructure risk, forensics, sequential detection,
+    //      graph link prediction, retrieval-grade text scoring ----
+    "q_events_volatility" -> ((s, d) =>
+      EventOps.rangeVolatility(Tables.events(s, d))),
+    "q_events_amihud" -> ((s, d) =>
+      EventOps.amihudDaily(Tables.events(s, d))),
+    "q_events_type_entropy" -> ((s, d) =>
+      EventOps.typeEntropy(Tables.events(s, d))),
+    "q_events_benford" -> ((s, d) =>
+      EventOps.benfordDigits(Tables.events(s, d))),
+    "q_events_cusum" -> ((s, d) =>
+      EventOps.cusumChangePoints(Tables.events(s, d))),
+    "q_events_neighbor_sim" -> ((s, d) =>
+      GraphOps.neighborSimilarity(Tables.events(s, d))),
+    "q_docs_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d),
+        Seq("spark", "window", "merge"))),
+    "q_docs_unigram_lp" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d))),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -5272,5 +5291,273 @@ object SparkEntry {
                       unnest(generate_series(0, length(text) // 256, 2))
                         AS frame_idx
                FROM documents)""",
+    // ---- round 5 ----
+    // Transcendental boundary contract (see EventOps.lnR6): every ln/exp
+    // is rounded to a fixed decimal quantum on BOTH engines before any
+    // aggregation; sums run in exact decimals; the closing arithmetic is
+    // IEEE doubles with identical literals and associativity.
+    "q_events_volatility" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                           event_type, CAST(value AS DECIMAL(18,2)) AS v,
+                           epoch_us(ts) AS tu, event_id
+                    FROM events),
+         w AS (SELECT *,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu, event_id) AS rna,
+                 row_number() OVER (PARTITION BY hb, event_type
+                                    ORDER BY tu DESC, event_id DESC) AS rnd
+               FROM b),
+         c AS (SELECT hb, event_type,
+                 CAST(max(CASE WHEN rna = 1 THEN v END) AS DOUBLE) AS open,
+                 CAST(max(CASE WHEN rnd = 1 THEN v END) AS DOUBLE) AS close,
+                 CAST(max(v) AS DOUBLE) AS high,
+                 CAST(min(v) AS DOUBLE) AS low
+               FROM w GROUP BY hb, event_type),
+         t AS (SELECT event_type, hb // 86400 AS db,
+                 CAST(round(ln(high / low), 6) AS DECIMAL(12,6)) AS lhl,
+                 CAST(round(ln(close / open), 6) AS DECIMAL(12,6)) AS lco,
+                 CAST(round(ln(high / open), 6) AS DECIMAL(12,6)) AS lho,
+                 CAST(round(ln(high / close), 6) AS DECIMAL(12,6)) AS lhc,
+                 CAST(round(ln(low / open), 6) AS DECIMAL(12,6)) AS llo,
+                 CAST(round(ln(low / close), 6) AS DECIMAL(12,6)) AS llc
+               FROM c WHERE low > 0 AND open > 0 AND close > 0),
+         a AS (SELECT event_type, db, count(*) AS n_bars,
+                 sum(lhl * lhl) AS s_hl2, sum(lco * lco) AS s_co2,
+                 sum(lho * lhc + llo * llc) AS s_rs
+               FROM t GROUP BY 1, 2)
+         SELECT event_type, db * 86400 AS day, n_bars,
+                CAST(s_hl2 AS DOUBLE) /
+                  (2.772588722239781 * CAST(n_bars AS DOUBLE)) AS park_var,
+                (0.5 * CAST(s_hl2 AS DOUBLE) -
+                 0.3862943611198906 * CAST(s_co2 AS DOUBLE)) /
+                  CAST(n_bars AS DOUBLE) AS gk_var,
+                CAST(s_rs AS DOUBLE) / CAST(n_bars AS DOUBLE) AS rs_var
+         FROM a""",
+    "q_events_amihud" ->
+      """WITH t AS (SELECT event_type, epoch_us(ts) // 86400000000 AS db,
+                           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                           epoch_us(ts) AS tu, event_id
+                    FROM events
+                    WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+         w AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, db
+                                    ORDER BY tu, event_id) AS rna,
+                 row_number() OVER (PARTITION BY event_type, db
+                                    ORDER BY tu DESC, event_id DESC) AS rnd
+               FROM t),
+         a AS (SELECT event_type, db,
+                 max(CASE WHEN rna = 1 THEN cents END) AS open_cents,
+                 max(CASE WHEN rnd = 1 THEN cents END) AS close_cents,
+                 CAST(sum(cents) AS BIGINT) AS volume_cents,
+                 count(*) AS n_trades
+               FROM w GROUP BY 1, 2)
+         SELECT event_type, db * 86400 AS day, open_cents, close_cents,
+                volume_cents, n_trades,
+                ((close_cents - open_cents) * 1000000) // open_cents
+                  AS ret_1e6,
+                CAST(abs(close_cents - open_cents) AS DOUBLE) * 100.0 /
+                  CAST(open_cents AS DOUBLE) /
+                  CAST(volume_cents AS DOUBLE) AS illiq
+         FROM a""",
+    "q_events_type_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         a AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+                 count(*) AS n_types,
+                 sum(CAST(cnt AS BIGINT) *
+                     CAST(round(ln(cnt), 6) AS DECIMAL(12,6))) AS s_clnc
+               FROM c GROUP BY 1)
+         SELECT user_id, n_events, n_types,
+                CAST(CAST(round(ln(n_events), 6) AS DECIMAL(12,6))
+                     AS DOUBLE) -
+                  CAST(s_clnc AS DOUBLE) / CAST(n_events AS DOUBLE)
+                  AS entropy,
+                CASE WHEN n_types > 1 THEN
+                  (CAST(CAST(round(ln(n_events), 6) AS DECIMAL(12,6))
+                        AS DOUBLE) -
+                   CAST(s_clnc AS DOUBLE) / CAST(n_events AS DOUBLE)) /
+                  CAST(CAST(round(ln(n_types), 6) AS DECIMAL(12,6))
+                       AS DOUBLE)
+                ELSE 0.0 END AS norm_entropy
+         FROM a""",
+    "q_events_benford" ->
+      """WITH d AS (SELECT event_type,
+                 CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS INT) AS digit
+               FROM events
+               WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+         g AS (SELECT event_type, digit, count(*) AS n
+               FROM d GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+               FROM g GROUP BY 1),
+         p AS (SELECT g.event_type, digit, n, total,
+                 CASE digit
+                   WHEN 1 THEN 0.3010299956639812
+                   WHEN 2 THEN 0.17609125905568124
+                   WHEN 3 THEN 0.12493873660829992
+                   WHEN 4 THEN 0.09691001300805642
+                   WHEN 5 THEN 0.07918124604762482
+                   WHEN 6 THEN 0.06694678963061322
+                   WHEN 7 THEN 0.05799194697768673
+                   WHEN 8 THEN 0.05115252244738129
+                   WHEN 9 THEN 0.04575749056067514
+                 END AS benford_p
+               FROM g JOIN t ON g.event_type = t.event_type)
+         SELECT event_type, digit, n, total,
+                CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+                benford_p,
+                CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - benford_p
+                  AS dev
+         FROM p""",
+    "q_events_cusum" ->
+      """WITH pm AS (SELECT event_type,
+                 (epoch_us(ts) // 60000000) * 60 AS minute, count(*) AS x
+               FROM events GROUP BY 1, 2),
+         sp AS (SELECT event_type,
+                 unnest(generate_series(min(minute), max(minute), 60))
+                   AS minute
+               FROM pm GROUP BY event_type),
+         f AS (SELECT sp.event_type, sp.minute, COALESCE(pm.x, 0) AS x
+               FROM sp LEFT JOIN pm
+                 ON sp.event_type = pm.event_type
+                    AND sp.minute = pm.minute),
+         st AS (SELECT event_type, count(*) AS m,
+                  CAST(sum(x) AS BIGINT) AS t,
+                  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+                FROM f GROUP BY 1),
+         j AS (SELECT f.event_type, f.minute, f.x, st.m, st.t, st.sxx,
+                 CAST(2 * st.m * f.x - 3 * st.t AS HUGEINT) AS dup,
+                 CAST(2 * st.m * f.x - st.t AS HUGEINT) AS ddn
+               FROM f JOIN st ON f.event_type = st.event_type),
+         pp AS (SELECT *, sum(dup) OVER w AS pup, sum(ddn) OVER w AS pdn
+                FROM j WINDOW w AS (PARTITION BY event_type
+                  ORDER BY minute ROWS UNBOUNDED PRECEDING)),
+         s AS (SELECT *,
+                 pup - least(CAST(0 AS HUGEINT), min(pup) OVER w) AS sup,
+                 greatest(CAST(0 AS HUGEINT), max(pdn) OVER w) - pdn
+                   AS sdn
+               FROM pp WINDOW w AS (PARTITION BY event_type
+                 ORDER BY minute ROWS UNBOUNDED PRECEDING)),
+         h AS (SELECT *,
+                 sup * sup > 100 * (CAST(m AS HUGEINT) * sxx -
+                   CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS hitup,
+                 sdn * sdn > 100 * (CAST(m AS HUGEINT) * sxx -
+                   CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS hitdn
+               FROM s),
+         l AS (SELECT *,
+                 COALESCE(lag(hitup) OVER (PARTITION BY event_type
+                   ORDER BY minute), false) AS prevup,
+                 COALESCE(lag(hitdn) OVER (PARTITION BY event_type
+                   ORDER BY minute), false) AS prevdn
+               FROM h)
+         SELECT event_type, minute,
+                CASE WHEN hitup AND NOT prevup THEN 'up'
+                     ELSE 'down' END AS side,
+                x AS rate,
+                CAST(CASE WHEN hitup AND NOT prevup THEN sup
+                          ELSE sdn END AS VARCHAR) AS cusum_scaled
+         FROM l
+         WHERE (hitup AND NOT prevup) OR (hitdn AND NOT prevdn)""",
+    "q_events_neighbor_sim" ->
+      """WITH act AS (
+           SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                           user_id
+           FROM events),
+         sized AS (
+           SELECT event_type, mb FROM act
+           GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 16),
+         und AS (
+           SELECT DISTINCT x.user_id AS src, y.user_id AS dst
+           FROM act x
+           JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
+           JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+           WHERE x.user_id < y.user_id),
+         e AS (SELECT src, dst FROM und
+               UNION ALL SELECT dst AS src, src AS dst FROM und),
+         deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         centers AS (SELECT node AS z,
+                 CAST(round(1.0 / deg, 9) AS DECIMAL(12,9)) AS ra_w
+               FROM deg WHERE deg <= 256),
+         wedges AS (
+           SELECT e1.src AS a, e2.dst AS b, c.ra_w
+           FROM e e1
+           JOIN e e2 ON e1.dst = e2.src
+           JOIN centers c ON e1.dst = c.z
+           WHERE e1.src < e2.dst),
+         pairs AS (
+           SELECT a, b, count(*) AS common, sum(ra_w) AS ra
+           FROM wedges GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p.a, p.b, p.common, da.deg AS deg_a, db.deg AS deg_b,
+                CAST(p.common AS DOUBLE) /
+                  CAST(da.deg + db.deg - p.common AS DOUBLE) AS jaccard,
+                CAST(p.ra AS DOUBLE) AS ra_score,
+                COALESCE(u.is_edge, false) AS is_edge
+         FROM pairs p
+         JOIN deg da ON p.a = da.node
+         JOIN deg db ON p.b = db.node
+         LEFT JOIN (SELECT src AS a, dst AS b, true AS is_edge FROM und) u
+           ON p.a = u.a AND p.b = u.b""",
+    "q_docs_bm25" ->
+      """WITH tk AS (
+           SELECT doc_id, token FROM (
+             SELECT doc_id,
+                    unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+           WHERE token <> ''),
+         lens AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+         corpus AS (SELECT count(*) AS n_docs,
+                 CAST(sum(len) AS BIGINT) AS l_total FROM lens),
+         m AS (SELECT doc_id, token, count(*) AS tf
+               FROM tk WHERE token IN ('spark', 'window', 'merge')
+               GROUP BY 1, 2),
+         dfc AS (SELECT token, count(DISTINCT doc_id) AS df
+                 FROM m GROUP BY 1),
+         sc AS (SELECT m.doc_id, m.tf,
+                  CAST(round(ln((CAST(n_docs AS DOUBLE) -
+                                 CAST(df AS DOUBLE) + 0.5) /
+                                (CAST(df AS DOUBLE) + 0.5)), 6)
+                       AS DECIMAL(12,6)) AS idf,
+                  lens.len, corpus.n_docs, corpus.l_total
+                FROM m
+                JOIN dfc ON m.token = dfc.token
+                JOIN lens ON m.doc_id = lens.doc_id
+                CROSS JOIN corpus),
+         s2 AS (SELECT doc_id, tf,
+                  CAST(round(CAST(idf AS DOUBLE) *
+                    (CAST(tf AS DOUBLE) * 2.2) /
+                    (CAST(tf AS DOUBLE) + 1.2 *
+                      (0.25 + 0.75 * CAST(len * n_docs AS DOUBLE) /
+                        CAST(l_total AS DOUBLE))), 9)
+                    AS DECIMAL(20,9)) AS score_t
+                FROM sc)
+         SELECT doc_id, count(*) AS n_terms,
+                CAST(sum(tf) AS BIGINT) AS n_hits,
+                CAST(sum(score_t) AS DOUBLE) AS bm25
+         FROM s2 GROUP BY 1
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_docs_unigram_lp" ->
+      """WITH tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM (
+             SELECT doc_id,
+                    unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+           WHERE token <> '' GROUP BY 1, 2),
+         vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
+                   FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS l_total FROM vocab),
+         lp AS (SELECT token,
+                  CAST(round(ln(CAST(cnt AS DOUBLE) /
+                                CAST(l_total AS DOUBLE)), 6)
+                       AS DECIMAL(12,6)) AS logp
+                FROM vocab CROSS JOIN tot),
+         a AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS len,
+                 count(*) AS n_distinct,
+                 sum(CAST(tf.tf AS BIGINT) * lp.logp) AS s
+               FROM tf JOIN lp ON tf.token = lp.token GROUP BY 1)
+         SELECT doc_id, len, n_distinct,
+                CAST(s AS DOUBLE) / CAST(len AS DOUBLE) AS avg_logp,
+                round(exp(-(CAST(s AS DOUBLE) / CAST(len AS DOUBLE))), 6)
+                  AS pseudo_ppl
+         FROM a""",
   )
 }

@@ -318,6 +318,14 @@ object exprs {
     col(DecodeCreateToken(ex(bin)))
   def rolling_min(s: Column, window: Int): Column =
     col(RollingHashMin(ex(s), Literal(window)))
+  /** The transcendental boundary (contract: operators/EventOps.lnR6):
+    * natural log rounded to a 1e-6 quantum and fixed as an exact decimal,
+    * so the one non-correctly-rounded operation never feeds a float sum
+    * and results stay bit-identical across engines. */
+  def ln_r6(x: Column): Column =
+    org.apache.spark.sql.functions
+      .round(org.apache.spark.sql.functions.log(x), 6)
+      .cast("decimal(12,6)")
   def trigrams(s: Column): Column = col(Trigrams(ex(s)))
   def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
   def vec_norm2(a: Column): Column = col(VecNorm2(ex(a)))

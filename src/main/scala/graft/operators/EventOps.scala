@@ -1748,4 +1748,234 @@ object EventOps {
         col("close_cents"), col("n").as("n_window"),
         when(col("d") > 0, lit("hi")).otherwise(lit("lo")).as("side"))
   }
+
+  /** Rounds a log-space double to 6 decimals and fixes it as an exact
+    * decimal — the repo's TRANSCENDENTAL BOUNDARY contract: `ln` is the
+    * one operation here that is not IEEE-correctly-rounded, so Spark's
+    * `Math.log` and the oracle engine's libm can disagree by 1 ulp
+    * (measured: 3 in 4000 over realistic ratios). Rounding each ln to a
+    * 1e-6 quantum collapses that divergence (disagreement would need the
+    * true value within ~1 ulp of a rounding boundary — measured 0 in
+    * 4000, expected ~1e-10 per evaluation), and casting the now-agreed
+    * double to a fixed-scale decimal makes every downstream sum exact,
+    * order-independent, and engine-reproducible. Nothing else in this
+    * repo may aggregate raw transcendental doubles. */
+  private def lnR6(x: org.apache.spark.sql.Column) =
+    graft.functions.exprs.ln_r6(x)
+
+  /** A90: range-based volatility estimators per (type, day) — Parkinson,
+    * Garman-Klass and Rogers-Satchell over the hourly [[ohlc1h]] candles
+    * (the OHLC consumers the reference's swap-price stream feeds:
+    * pumpfun/pumpswap event `price` fields exist to build exactly these
+    * daily risk numbers).
+    *
+    * Exactness: each candle's log-range terms go through [[lnR6]] (the
+    * transcendental boundary), squares/products of those decimals are
+    * exact (scale 12), the per-day sums are exact decimals, and the
+    * final estimators are IEEE double arithmetic on the agreed sums —
+    * bit-identical in any engine. Degenerate candles (a zero low/open/
+    * close from a zero-value print) are excluded before any log forms.
+    *
+    * Scale: candle-table sized input (one row per type-hour); one
+    * keyed aggregate to days. */
+  def rangeVolatility(events: DataFrame): DataFrame = {
+    val fourLn2 = 2.772588722239781 // 4·ln2, same literal in the oracle
+    val gkC = 0.3862943611198906 // 2·ln2 − 1
+    val bars = ohlc1h(events)
+      .filter(col("low") > 0.0 && col("open") > 0.0 && col("close") > 0.0)
+      .select(col("event_type"), expr("hb div 86400").as("db"),
+        lnR6(col("high") / col("low")).as("lhl"),
+        lnR6(col("close") / col("open")).as("lco"),
+        lnR6(col("high") / col("open")).as("lho"),
+        lnR6(col("high") / col("close")).as("lhc"),
+        lnR6(col("low") / col("open")).as("llo"),
+        lnR6(col("low") / col("close")).as("llc"))
+    bars.groupBy("event_type", "db")
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("lhl") * col("lhl")).as("s_hl2"),
+        sum(col("lco") * col("lco")).as("s_co2"),
+        sum(col("lho") * col("lhc") + col("llo") * col("llc")).as("s_rs"))
+      .select(col("event_type"), (col("db") * 86400).as("day"),
+        col("n_bars"),
+        (col("s_hl2").cast("double") /
+          (lit(fourLn2) * col("n_bars").cast("double"))).as("park_var"),
+        ((lit(0.5) * col("s_hl2").cast("double") -
+          lit(gkC) * col("s_co2").cast("double")) /
+          col("n_bars").cast("double")).as("gk_var"),
+        (col("s_rs").cast("double") / col("n_bars").cast("double"))
+          .as("rs_var"))
+  }
+
+  /** A91: Amihud illiquidity per (type, day) — |daily return| per dollar
+    * of daily volume (Amihud 2002), the price-impact-per-volume gauge
+    * that complements [[kyleLambda]]'s regression slope with a
+    * per-day ratio. Open/close are the day's first/last prints on the
+    * (ts, event_id) total order via `min_by`/`max_by` — one keyed
+    * aggregate, no window.
+    *
+    * Exactness: everything up to the final ratio is integer cents
+    * (`ret_1e6` is truncating-integer basis points ×100); the illiquidity
+    * itself is two sequential IEEE divisions of exactly-converted int64s
+    * (int64→double conversion is correctly rounded by spec), so the
+    * doubles are bit-identical cross-engine — no float sums anywhere. */
+  def amihudDaily(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("db"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        tsUs.as("tu"), col("event_id"))
+      .filter(col("cents") > 0)
+      .groupBy("event_type", "db")
+      .agg(
+        min_by(col("cents"), struct(col("tu"), col("event_id")))
+          .as("open_cents"),
+        max_by(col("cents"), struct(col("tu"), col("event_id")))
+          .as("close_cents"),
+        sum("cents").as("volume_cents"),
+        count(lit(1)).as("n_trades"))
+      .select(col("event_type"), (col("db") * 86400).as("day"),
+        col("open_cents"), col("close_cents"), col("volume_cents"),
+        col("n_trades"),
+        expr("((close_cents - open_cents) * 1000000) div open_cents")
+          .as("ret_1e6"),
+        (abs(col("close_cents") - col("open_cents")).cast("double") *
+          lit(100.0) / col("open_cents").cast("double") /
+          col("volume_cents").cast("double")).as("illiq"))
+
+  /** A92: per-wallet behavioral entropy — Shannon entropy of each
+    * wallet's event-type distribution (bots concentrate on one action;
+    * organic wallets spread). Uses the count identity
+    * `H = ln N − (Σ cᵢ·ln cᵢ)/N` so the only float work is one [[lnR6]]
+    * per distinct count value: integer-count × exact-decimal products
+    * sum exactly, and H forms in IEEE doubles at the end. Normalized
+    * entropy divides by ln(n_types) for a 0-1 evenness score.
+    *
+    * Scale: one shuffle to (wallet, type) counts, one node-sized
+    * aggregate — the same two-level shape as [[walletConcentration]]. */
+  def typeEntropy(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(sum("cnt").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("cnt") * lnR6(col("cnt"))).as("s_clnc"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (lnR6(col("n_events")).cast("double") -
+          col("s_clnc").cast("double") / col("n_events").cast("double"))
+          .as("entropy"),
+        when(col("n_types") > 1,
+          (lnR6(col("n_events")).cast("double") -
+            col("s_clnc").cast("double") / col("n_events").cast("double")) /
+            lnR6(col("n_types")).cast("double"))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+
+  /** A93: Benford first-digit audit per event type — organic trade
+    * values follow Benford's law; fabricated/wash values cluster on
+    * round leading digits (the forensic complement to
+    * [[roundNumberBias]]'s trailing-zero test). The leading digit is
+    * exact string arithmetic on integer cents (no log10 on data), the
+    * expected shares are the nine Benford constants as literals, and
+    * the only floats are per-row IEEE ratios of exact counts. */
+  def benfordDigits(events: DataFrame): DataFrame = {
+    val p = Map(1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val digits = events
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("event_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+      .groupBy("event_type", "digit")
+      .agg(count(lit(1)).as("n"))
+    val totals = digits.groupBy("event_type")
+      .agg(sum("n").as("total"))
+    val benfordP = p.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(col("digit") === d, lit(v)).otherwise(acc)
+    }
+    digits.join(broadcast(totals), "event_type")
+      .withColumn("share",
+        col("n").cast("double") / col("total").cast("double"))
+      .withColumn("benford_p", benfordP)
+      .withColumn("dev", col("share") - col("benford_p"))
+      .select("event_type", "digit", "n", "total", "share", "benford_p",
+        "dev")
+  }
+
+  /** A94: CUSUM change-point detection on the per-minute event rate —
+    * the sequential drift detector behind "did throughput shift?"
+    * (reference `metrics.rs` event counters exist to alarm on exactly
+    * this). Two-sided CUSUM with slack k = mean/2 and threshold h·σ.
+    *
+    * The max-reset recursion `S_t = max(0, S_{t−1} + d_t)` is not a
+    * window function, but its closed form is: S_t = P_t − min(0,
+    * min_{j≤t} P_j) for the prefix sums P of the drift terms — one
+    * running-sum window plus one running-min window, both partitioned
+    * per type over the minute spine. EXACT throughout: drift terms are
+    * scaled to integers (d′ = 2M·x − 3T absorbs mean + half-mean slack
+    * over M minutes and total T), and the threshold compare squares
+    * both sides — `S′² > h²·4·(M·Σx² − T²)` — in Decimal(38,0), so no
+    * float (let alone a σ square root) ever forms and detection is
+    * bit-identical in any engine. The zero-count minutes matter (a
+    * silent stream IS drift), so the spine is the full [min, max]
+    * `sequence()` per type, like [[ohlcGapFill]]'s candle spine.
+    *
+    * Output: excursion-start minutes (crossing after a non-crossing
+    * minute) per type and side, with the scaled statistic. */
+  def cusumChangePoints(events: DataFrame, h: Int = 5): DataFrame = {
+    val perMin = events
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 60000000) * 60").as("minute"))
+      .agg(count(lit(1)).as("x"))
+    val spine = perMin.groupBy("event_type")
+      .agg(min("minute").as("lo"), max("minute").as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 60)")).as("minute"))
+    val filled = spine.join(perMin, Seq("event_type", "minute"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint() // feeds totals AND the windows: one build
+    val stats = filled.groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("x").as("t"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+    val wOrd = Window.partitionBy("event_type").orderBy("minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = filled.join(broadcast(stats), "event_type")
+      // d′ scaled by 2M: x − mean − mean/2 (upper), x − mean + mean/2 (lower)
+      .withColumn("dUp",
+        lit(2L) * col("m") * col("x") - lit(3L) * col("t"))
+      .withColumn("dDn",
+        lit(2L) * col("m") * col("x") - col("t"))
+      .withColumn("pUp", sum(col("dUp").cast("decimal(38,0)")).over(wOrd))
+      .withColumn("pDn", sum(col("dDn").cast("decimal(38,0)")).over(wOrd))
+      .withColumn("sUp",
+        col("pUp") - least(lit(0).cast("decimal(38,0)"),
+          min("pUp").over(wOrd)))
+      .withColumn("sDn",
+        greatest(lit(0).cast("decimal(38,0)"), max("pDn").over(wOrd)) -
+          col("pDn"))
+    val thresh = (col("m").cast("decimal(38,0)") * col("sxx") -
+      col("t").cast("decimal(38,0)") * col("t")) *
+      lit(4L * h * h).cast("decimal(38,0)")
+    val flagged = joined
+      .withColumn("hitUp", col("sUp") * col("sUp") > thresh)
+      .withColumn("hitDn", col("sDn") * col("sDn") > thresh)
+    val wLag = Window.partitionBy("event_type").orderBy("minute")
+    flagged
+      .withColumn("prevUp",
+        coalesce(lag("hitUp", 1).over(wLag), lit(false)))
+      .withColumn("prevDn",
+        coalesce(lag("hitDn", 1).over(wLag), lit(false)))
+      .filter((col("hitUp") && !col("prevUp")) ||
+        (col("hitDn") && !col("prevDn")))
+      .select(col("event_type"), col("minute"),
+        when(col("hitUp") && !col("prevUp"), lit("up"))
+          .otherwise(lit("down")).as("side"),
+        col("x").as("rate"),
+        when(col("hitUp") && !col("prevUp"), col("sUp"))
+          .otherwise(col("sDn")).cast("decimal(38,0)")
+          .cast("string").as("cusum_scaled"))
+  }
 }

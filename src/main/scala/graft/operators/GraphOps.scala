@@ -344,4 +344,62 @@ object GraphOps {
           .otherwise(lit(0L)))
       .select(col("node"), col("deg"), col("tri"), col("cc_1e6"))
   }
+
+  /** A95: neighbor-overlap similarity and link prediction over the
+    * co-activity graph — for every wallet pair with ≥ `minCommon`
+    * shared co-actors: common-neighbor count, Jaccard overlap of
+    * neighborhoods, and the Resource-Allocation link score
+    * Σ_z 1/deg(z) (Zhou/Lü/Zhang 2009 — the exact-arithmetic sibling
+    * of Adamic-Adar, whose 1/ln deg weights would put a transcendental
+    * inside a float SUM; 1/deg is one IEEE division per distinct
+    * degree, fixed to an exact decimal before aggregation). `is_edge`
+    * separates "already co-active" from predicted links — the
+    * candidate feed for the reference's dev/bot cluster tagging that
+    * [[walletClusters]] hard-connects and this scores softly.
+    *
+    * Shape: wedge join through the shared neighbor z — fan-out is
+    * Σ_z deg(z)², so hub nodes past `maxDeg` are dropped from the
+    * WEDGE CENTER role first (they still count in their own
+    * neighborhoods' degrees): the same bounded-hot-key policy as
+    * [[triangleStats]], which caps exactly this quadratic. One
+    * pair-keyed aggregate; the edge probe and degree joins are
+    * node/edge-sized. */
+  def neighborSimilarity(
+      events: DataFrame,
+      maxGroupSize: Int = 16,
+      maxDeg: Int = 256,
+      minCommon: Int = 2): DataFrame = {
+    val und = coactivityEdges(events, maxGroupSize)
+      .filter(col("src") < col("dst"))
+      .localCheckpoint()
+    // both directions for the wedge walk; degree per node
+    val e = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val centers = deg.filter(col("deg") <= maxDeg)
+      .select(col("node").as("z"),
+        round(lit(1.0) / col("deg").cast("double"), 9)
+          .cast("decimal(12,9)").as("ra_w"))
+    val wedges = e.select(col("dst").as("z"), col("src").as("a"))
+      .join(e.select(col("src").as("z"), col("dst").as("b")), "z")
+      .filter(col("a") < col("b"))
+      .join(centers, "z")
+    val pairs = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum("ra_w").as("ra"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .join(und.select(col("src").as("a"), col("dst").as("b"),
+        lit(true).as("is_edge")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("common"), col("deg_a"),
+        col("deg_b"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+          .as("jaccard"),
+        col("ra").cast("double").as("ra_score"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"))
+  }
 }

@@ -429,4 +429,103 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
+
+  /** C45: BM25 top-k retrieval — score every document against a query
+    * term set with Okapi BM25 (k1 = 1.2, b = 0.75) and return the k
+    * best. This is the retrieval half of decontamination at scale:
+    * [[graft.operators.Dedup.contamination]] catches verbatim 13-gram
+    * hits; BM25 surfaces the *paraphrased* near-hits a curation run
+    * reviews next.
+    *
+    * Exactness: idf goes through the transcendental boundary
+    * (`ln_r6`, exact decimal); the tf normalization is IEEE arithmetic
+    * on exactly-converted integers (b = 0.75 and 1−b = 0.25 are exact
+    * binary, `len·N` stays well under 2^53, int64→double conversion is
+    * correctly rounded by spec) so each per-term score is bit-identical
+    * cross-engine; scores are fixed to 1e-9 decimals before the
+    * per-doc SUM, which is then exact and order-independent.
+    *
+    * Shape: tokens filter to the query set BEFORE any shuffle (the
+    * match table is query-terms-sized per doc); corpus length/df stats
+    * are one aggregate each and broadcast; top-k is
+    * TakeOrderedAndProject — no global sort. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
+      k: Int = 20): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    val k1 = 1.2
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint() // feeds doc lengths AND the query match: one pass
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("l_total"))
+    val matches = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = matches.groupBy("token")
+      .agg(countDistinct("doc_id").as("df"))
+    val scored = matches
+      .join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .join(broadcast(corpus))
+      .withColumn("idf", ln_r6(
+        (col("n_docs").cast("double") - col("df").cast("double") +
+          lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+      .withColumn("score_t", round(
+        col("idf").cast("double") *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(0.25) + lit(0.75) *
+              (col("len") * col("n_docs")).cast("double") /
+              col("l_total").cast("double"))), 9)
+        .cast("decimal(20,9)"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("n_hits"),
+        sum("score_t").cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** C46: unigram language-model scoring — each document's average
+    * per-token log-probability under the corpus's own unigram
+    * distribution, plus the perplexity-style `exp(−avg)` figure. The
+    * cheap "does this read like the corpus" quality filter (CCNet-style
+    * LM filtering with the LM reduced to unigrams): gibberish and
+    * boilerplate-stuffed docs sit far from the corpus distribution.
+    *
+    * Exactness: one `ln_r6` per distinct vocabulary word (cnt/total is
+    * an exact-int IEEE division); per-doc sums are integer-tf × exact
+    * decimal; the final ratio and the `exp` are per-row scalars, the
+    * exp going through the same round-6 boundary as every
+    * transcendental here.
+    *
+    * Shape: per-(doc, token) tf aggregate first, then a token-keyed
+    * join against the vocab table — the join carries distinct
+    * (doc, token) pairs, not token instances; stop-word keys are hot
+    * but bounded by doc count (AQE skew split covers the tail). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the vocab AND the per-doc sum: one pass
+    val vocab = tf.groupBy("token").agg(sum("tf").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("l_total"))
+    val logp = vocab.join(broadcast(total))
+      .select(col("token"),
+        ln_r6(col("cnt").cast("double") / col("l_total").cast("double"))
+          .as("logp"))
+    tf.join(logp, "token")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("len"), count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("logp")).as("s"))
+      .select(col("doc_id"), col("len"), col("n_distinct"),
+        (col("s").cast("double") / col("len").cast("double"))
+          .as("avg_logp"),
+        round(exp(-(col("s").cast("double") / col("len").cast("double"))),
+          6).as("pseudo_ppl"))
+  }
 }

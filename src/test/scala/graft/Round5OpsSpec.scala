@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Round-5 operators: range volatility, Amihud, behavioral entropy,
+  * Benford audit, CUSUM change points, neighbor similarity, BM25,
+  * unigram LM scoring. Each test pins a semantic invariant or a
+  * hand-computed value; cross-engine exactness is pinned by the DuckDB
+  * oracle gate (oracleSql entries), determinism by DeterminismSpec.
+  */
+class Round5OpsSpec extends TestSparkSession {
+
+  import spark.implicits._
+
+  private def events = Tables.events(spark, sfDir)
+  private def docs = Tables.documents(spark, sfDir)
+
+  // ---- A90 range volatility ----
+
+  test("rangeVolatility: estimators are non-negative and finite") {
+    val v = EventOps.rangeVolatility(events)
+    // each estimator is a mean of non-negative per-bar terms (RS terms
+    // are products of same-sign logs); the 1e-6 log rounding can push a
+    // degenerate bar's term below zero by at most the quantum
+    assert(v.filter(col("park_var") < -1e-6 || col("gk_var") < -1e-6 ||
+      col("rs_var") < -1e-6).count() == 0)
+    assert(v.filter(isnan(col("park_var")) || isnan(col("gk_var")) ||
+      isnan(col("rs_var"))).count() == 0)
+    assert(v.count() > 0)
+  }
+
+  test("rangeVolatility: hand-computed single-bar day") {
+    // one day, one hour, two trades: o=100.00 c=110.00 h=110 l=100
+    val ev = Seq(
+      ("e1", "2024-01-01 00:10:00", "u1", "t", 100.0),
+      ("e2", "2024-01-01 00:20:00", "u1", "t", 110.0))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.rangeVolatility(ev).collect()
+    assert(r.length == 1)
+    val lhl = math.rint(math.log(1.1) * 1e6) / 1e6 // the boundary round
+    val row = r(0)
+    assert(math.abs(row.getAs[Double]("park_var") -
+      lhl * lhl / 2.772588722239781) < 1e-12)
+    // o == l and c == h: RS terms are ln(h/o)·ln(h/c) + ln(l/o)·ln(l/c)
+    // = lhl·0 + 0·(−lhl) = 0
+    assert(row.getAs[Double]("rs_var") == 0.0)
+  }
+
+  // ---- A91 Amihud ----
+
+  test("amihudDaily: hand-computed two-trade day and invariants") {
+    val ev = Seq(
+      ("e1", "2024-01-01 01:00:00", "u1", "t", 200.0),
+      ("e2", "2024-01-01 05:00:00", "u1", "t", 250.0))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.amihudDaily(ev).collect()(0)
+    assert(r.getAs[Long]("open_cents") == 20000L)
+    assert(r.getAs[Long]("close_cents") == 25000L)
+    assert(r.getAs[Long]("volume_cents") == 45000L)
+    assert(r.getAs[Long]("ret_1e6") == 250000L) // +25% in 1e-6 units
+    // |ret| / dollar volume = 0.25 / 450.00
+    assert(math.abs(r.getAs[Double]("illiq") - 0.25 / 450.0) < 1e-15)
+    val full = EventOps.amihudDaily(events)
+    assert(full.filter(col("illiq") < 0).count() == 0)
+    assert(full.filter(col("open_cents") <= 0).count() == 0)
+  }
+
+  // ---- A92 behavioral entropy ----
+
+  test("typeEntropy: single-type wallet is exactly zero; uniform is ln k") {
+    val ev = (1 to 8).map(i =>
+      (s"e$i", "2024-01-01 00:00:00", if (i <= 4) "mono" else "duo",
+        if (i <= 4) "a" else (if (i % 2 == 0) "a" else "b"), 1.0))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val m = EventOps.typeEntropy(ev).collect()
+      .map(r => r.getAs[String]("user_id") -> r).toMap
+    // H = lnR6(N) − Σ c·lnR6(c)/N: one type ⇒ c = N ⇒ exactly 0
+    assert(m("mono").getAs[Double]("entropy") == 0.0)
+    assert(m("mono").getAs[Double]("norm_entropy") == 0.0)
+    // 2 types × 2 events: H = lnR6(4) − 4·lnR6(2)/4 = ln 2 at the quantum
+    assert(math.abs(m("duo").getAs[Double]("entropy") - math.log(2)) < 1e-5)
+    assert(math.abs(m("duo").getAs[Double]("norm_entropy") - 1.0) < 1e-5)
+    // real data: entropy bounded by ln(n_types)
+    val bad = EventOps.typeEntropy(events)
+      .filter(col("entropy") < -1e-9 ||
+        col("norm_entropy") > 1.0 + 1e-9).count()
+    assert(bad == 0)
+  }
+
+  // ---- A93 Benford ----
+
+  test("benfordDigits: digits 1-9, shares sum to one per type") {
+    val b = EventOps.benfordDigits(events)
+    assert(b.filter(col("digit") < 1 || col("digit") > 9).count() == 0)
+    val sums = b.groupBy("event_type")
+      .agg(sum("share").as("s"), sum("n").as("n"), first("total").as("t"))
+      .collect()
+    sums.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-9)
+      assert(r.getAs[Long]("n") == r.getAs[Long]("t"))
+    }
+    // benford_p constants sum to 1 across the nine digits
+    val p = b.select("digit", "benford_p").distinct().collect()
+      .map(_.getAs[Double]("benford_p")).sum
+    assert(math.abs(p - 1.0) < 1e-12)
+  }
+
+  // ---- A94 CUSUM ----
+
+  test("cusumChangePoints: flags an injected rate shift, silent on constant") {
+    def mk(rates: Seq[Int]): org.apache.spark.sql.DataFrame =
+      rates.zipWithIndex.flatMap { case (r, minute) =>
+        (0 until r).map(k => (s"e$minute-$k",
+          1704067200L + minute * 60L + k, "u", "t", 1.0))
+      }.toDF("event_id", "epoch", "user_id", "event_type", "value")
+        .withColumn("ts", expr("timestamp_seconds(epoch)")).drop("epoch")
+    // 60 quiet minutes at 2/min then 20 loud at 30/min: must alarm up
+    val shifted = mk(Seq.fill(60)(2) ++ Seq.fill(20)(30))
+    val hits = EventOps.cusumChangePoints(shifted).collect()
+    assert(hits.nonEmpty)
+    assert(hits.exists(_.getAs[String]("side") == "up"))
+    // alarm fires inside the loud regime, not the quiet one
+    val firstUp = hits.filter(_.getAs[String]("side") == "up")
+      .map(_.getAs[Long]("minute")).min
+    assert(firstUp >= 1704067200L + 60 * 60L)
+    // exactly constant rate: threshold and statistic both zero ⇒ silent
+    val flat = mk(Seq.fill(80)(3))
+    assert(EventOps.cusumChangePoints(flat).count() == 0)
+  }
+
+  // ---- A95 neighbor similarity ----
+
+  test("neighborSimilarity: star graph scores exactly") {
+    // one market-hour with wallets z,a,b,c co-active: complete graph K4
+    val ev = Seq("z", "a", "b", "c").zipWithIndex.map { case (u, i) =>
+      (s"e$i", "2024-01-01 00:00:00", u, "t", 1.0)
+    }.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = GraphOps.neighborSimilarity(ev, minCommon = 1).collect()
+    // K4: every pair has the other 2 nodes in common, deg 3 each
+    assert(r.length == 6)
+    r.foreach { row =>
+      assert(row.getAs[Long]("common") == 2L)
+      assert(row.getAs[Long]("deg_a") == 3L)
+      // jaccard = 2 / (3 + 3 − 2) = 0.5
+      assert(row.getAs[Double]("jaccard") == 0.5)
+      // ra = 2 · round(1/3, 9)
+      assert(math.abs(row.getAs[Double]("ra_score") -
+        2.0 * 0.333333333) < 1e-12)
+      assert(row.getAs[Boolean]("is_edge"))
+    }
+    // real data: bounds
+    val sim = GraphOps.neighborSimilarity(events)
+    assert(sim.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    assert(sim.filter(col("common") >
+      least(col("deg_a"), col("deg_b"))).count() == 0)
+  }
+
+  // ---- C45 BM25 ----
+
+  test("bm25TopK: the stuffed doc outranks the sparse one") {
+    val corpus = (Seq(
+      ("hit", "alpha beta alpha beta alpha beta alpha beta"),
+      ("sparse", "alpha gamma gamma gamma gamma gamma gamma gamma")) ++
+      (1 to 30).map(i => (s"bg$i", "gamma delta gamma delta")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(corpus, Seq("alpha", "beta"), k = 5)
+      .collect()
+    assert(r.head.getAs[String]("doc_id") == "hit")
+    assert(r.head.getAs[Long]("n_terms") == 2L)
+    assert(r.head.getAs[Double]("bm25") >
+      r(1).getAs[Double]("bm25"))
+    // real corpus: top-k size and finite scores
+    val real = TextAnalysis.bm25TopK(docs, Seq("spark", "window", "merge"))
+    val rows = real.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.forall(r2 => !r2.getAs[Double]("bm25").isNaN))
+  }
+
+  // ---- C46 unigram LM ----
+
+  test("unigramLogProb: common-token docs score higher, bounds hold") {
+    val corpus = ((1 to 20).map(i => (s"c$i", "the the the the cat")) ++
+      Seq(("rare", "zyx wvu tsr qpo nml")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(corpus).collect()
+      .map(x => x.getAs[String]("doc_id") -> x).toMap
+    assert(r("c1").getAs[Double]("avg_logp") >
+      r("rare").getAs[Double]("avg_logp"))
+    assert(r("c1").getAs[Long]("len") == 5L)
+    assert(r("c1").getAs[Long]("n_distinct") == 2L)
+    val real = TextAnalysis.unigramLogProb(docs)
+    assert(real.count() == docs.count())
+    assert(real.filter(col("avg_logp") > 0 ||
+      col("pseudo_ppl") < 1.0).count() == 0)
+  }
+}

@@ -121,7 +121,15 @@ object Bench {
     "q_events_cusum",
     "q_events_neighbor_sim",
     "q_docs_bm25",
-    "q_docs_unigram_lp")
+    "q_docs_unigram_lp",
+    "q_events_variance_ratio",
+    "q_events_winsorized",
+    "q_docs_pmi_bigrams",
+    "q_docs_source_kl",
+    "q_events_cusum_fixed",
+    "q_events_mad_outliers",
+    "q_docs_zipf",
+    "q_docs_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2078,6 +2078,24 @@ object SparkEntry {
         Seq("spark", "window", "merge"))),
     "q_docs_unigram_lp" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "q_events_variance_ratio" -> ((s, d) =>
+      EventOps.varianceRatio(Tables.events(s, d))),
+    "q_events_winsorized" -> ((s, d) =>
+      EventOps.winsorizedStats(Tables.events(s, d))),
+    "q_docs_pmi_bigrams" -> ((s, d) =>
+      TextAnalysis.pmiBigrams(Tables.documents(s, d))),
+    "q_docs_source_kl" -> ((s, d) =>
+      TextAnalysis.sourceKlDivergence(Tables.documents(s, d))),
+    "q_events_cusum_fixed" -> ((s, d) =>
+      EventOps.cusumFixed(Tables.events(s, d))),
+    "q_stream_cusum" -> ((s, d) =>
+      streaming.EventStreamPipelines.cusumAlarmsAvailableNow(s, d)),
+    "q_events_mad_outliers" -> ((s, d) =>
+      EventOps.madOutliers(Tables.events(s, d))),
+    "q_docs_zipf" -> ((s, d) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, d))),
+    "q_docs_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, d))),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -5559,5 +5577,232 @@ object SparkEntry {
                 round(exp(-(CAST(s AS DOUBLE) / CAST(len AS DOUBLE))), 6)
                   AS pseudo_ppl
          FROM a""",
+    "q_events_variance_ratio" ->
+      """WITH cl AS (
+           SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  epoch_us(ts) AS tu, event_id
+           FROM events),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, hb
+                   ORDER BY tu DESC, event_id DESC) AS rnd
+               FROM cl),
+         c AS (SELECT event_type, hb,
+                 max(CASE WHEN rnd = 1 THEN cents END) AS c
+               FROM r GROUP BY 1, 2),
+         spine AS (
+           SELECT event_type,
+                  unnest(generate_series(min(hb), max(hb), 3600)) AS hb
+           FROM c GROUP BY event_type),
+         f AS (SELECT s.event_type, s.hb,
+                 last_value(c.c IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hb
+                   ROWS UNBOUNDED PRECEDING) AS c
+               FROM spine s LEFT JOIN c
+                 ON s.event_type = c.event_type AND s.hb = c.hb),
+         d AS (SELECT event_type,
+                 CAST(c - lag(c, 1) OVER w AS HUGEINT) AS d1,
+                 CAST(c - lag(c, 4) OVER w AS HUGEINT) AS dk
+               FROM f WINDOW w AS (PARTITION BY event_type ORDER BY hb)),
+         m AS (SELECT event_type,
+                 CAST(count(d1) AS HUGEINT) AS n1,
+                 sum(d1) AS s1, sum(d1 * d1) AS q1,
+                 CAST(count(dk) AS HUGEINT) AS nk,
+                 sum(dk) AS sk, sum(dk * dk) AS qk
+               FROM d GROUP BY 1
+               HAVING count(d1) > 1 AND count(dk) > 1)
+         SELECT event_type, 4 AS k, CAST(n1 AS BIGINT) AS n_periods,
+                CASE WHEN n1 * q1 - s1 * s1 <> 0 THEN
+                  (CAST(nk * qk - sk * sk AS DOUBLE) /
+                   CAST(nk * nk AS DOUBLE)) /
+                  (4.0 * CAST(n1 * q1 - s1 * s1 AS DOUBLE) /
+                   CAST(n1 * n1 AS DOUBLE))
+                END AS vr
+         FROM m""",
+    "q_events_winsorized" ->
+      """WITH t AS (SELECT event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+               FROM events),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY cents, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM t),
+         b AS (SELECT event_type,
+                 min(cents) AS lo_cents, max(cents) AS hi_cents
+               FROM r
+               WHERE rk = -((-n * 1) // 100) OR rk = -((-n * 99) // 100)
+               GROUP BY 1)
+         SELECT t.event_type, count(*) AS n, b.lo_cents, b.hi_cents,
+                count(*) FILTER (WHERE cents < lo_cents) AS n_clip_lo,
+                count(*) FILTER (WHERE cents > hi_cents) AS n_clip_hi,
+                CAST(sum(greatest(lo_cents, least(hi_cents, cents)))
+                     AS BIGINT) AS clipped_cents,
+                CAST(CAST(sum(greatest(lo_cents, least(hi_cents, cents)))
+                          AS BIGINT) AS DOUBLE) / 100.0 /
+                  CAST(count(*) AS DOUBLE) AS winsorized_mean
+         FROM t JOIN b ON t.event_type = b.event_type
+         GROUP BY t.event_type, b.lo_cents, b.hi_cents""",
+    "q_docs_pmi_bigrams" ->
+      """WITH d AS (SELECT doc_id,
+                 string_split(lower(text), ' ') AS arr FROM documents),
+         uc AS (SELECT token, count(*) AS cnt
+                FROM (SELECT unnest(arr) AS token FROM d) GROUP BY 1),
+         tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM uc),
+         ba AS (SELECT arr[i] AS a, arr[i + 1] AS b, count(*) AS cnt_ab
+                FROM d, unnest(range(1, len(arr))) AS u(i)
+                GROUP BY 1, 2),
+         nt AS (SELECT CAST(sum(cnt_ab) AS BIGINT) AS n_total FROM ba),
+         bc AS (SELECT * FROM ba WHERE cnt_ab >= 5)
+         SELECT bc.a, bc.b, bc.cnt_ab,
+                ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+                CAST(CAST(CAST(round(ln(CAST(cnt_ab AS DOUBLE) /
+                       CAST(n_total AS DOUBLE)), 6) AS DECIMAL(12,6)) -
+                     CAST(round(ln(CAST(ua.cnt AS DOUBLE) /
+                       CAST(t_total AS DOUBLE)), 6) AS DECIMAL(12,6)) -
+                     CAST(round(ln(CAST(ub.cnt AS DOUBLE) /
+                       CAST(t_total AS DOUBLE)), 6) AS DECIMAL(12,6))
+                     AS DECIMAL(14,6)) AS DOUBLE) AS pmi
+         FROM bc
+         JOIN uc ua ON bc.a = ua.token
+         JOIN uc ub ON bc.b = ub.token
+         CROSS JOIN nt CROSS JOIN tt
+         ORDER BY pmi DESC, a, b LIMIT 50""",
+    "q_docs_source_kl" ->
+      """WITH ps AS (
+           SELECT source, token, count(*) AS cnt FROM (
+             SELECT source,
+                    unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+           WHERE token <> '' GROUP BY 1, 2),
+         v AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS g_cnt
+               FROM ps GROUP BY 1),
+         g AS (SELECT CAST(sum(g_cnt) AS BIGINT) AS t_c FROM v),
+         st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS t_s
+                FROM ps GROUP BY 1),
+         terms AS (
+           SELECT ps.source, st.t_s,
+             CAST(ps.cnt AS BIGINT) *
+               (CAST(round(ln(CAST(ps.cnt AS DOUBLE) /
+                  CAST(st.t_s AS DOUBLE)), 6) AS DECIMAL(12,6)) -
+                CAST(round(ln(CAST(v.g_cnt AS DOUBLE) /
+                  CAST(g.t_c AS DOUBLE)), 6) AS DECIMAL(12,6))) AS term
+           FROM ps
+           JOIN v ON ps.token = v.token
+           JOIN st ON ps.source = st.source
+           CROSS JOIN g)
+         SELECT source, t_s AS n_tokens, count(*) AS vocab_size,
+                CAST(sum(term) AS DOUBLE) / CAST(t_s AS DOUBLE) AS kl_nats
+         FROM terms GROUP BY source, t_s""",
+    "q_events_cusum_fixed" -> SparkEntry.cusumFixedOracle,
+    "q_stream_cusum" -> SparkEntry.cusumFixedOracle,
+    "q_events_mad_outliers" ->
+      """WITH t AS (SELECT event_type, event_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+         rm AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY cents, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM t),
+         med AS (SELECT event_type, cents AS med_cents FROM rm
+                 WHERE rk = (n + 1) // 2),
+         dev AS (SELECT t.event_type, t.event_id, t.cents, m.med_cents,
+                   abs(t.cents - m.med_cents) AS adev
+                 FROM t JOIN med m ON t.event_type = m.event_type),
+         rd AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY adev, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM dev),
+         mad AS (SELECT event_type, adev AS mad_cents FROM rd
+                 WHERE rk = (n + 1) // 2)
+         SELECT d.event_type, d.event_id, d.cents, d.med_cents,
+                md.mad_cents,
+                CAST(d.adev AS DOUBLE) / CAST(md.mad_cents AS DOUBLE)
+                  AS dev_ratio
+         FROM dev d JOIN mad md ON d.event_type = md.event_type
+         WHERE md.mad_cents > 0 AND d.adev > 5 * md.mad_cents""",
+    "q_docs_zipf" ->
+      """WITH tk AS (SELECT token, count(*) AS cnt FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+           WHERE token <> '' GROUP BY 1
+           ORDER BY cnt DESC, token LIMIT 1000),
+         rk AS (SELECT *,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS r
+               FROM tk),
+         xy AS (SELECT
+                 CAST(round(ln(r), 6) AS DECIMAL(12,6)) AS x,
+                 CAST(round(ln(cnt), 6) AS DECIMAL(12,6)) AS y
+               FROM rk),
+         m AS (SELECT count(*) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(CAST(round(sum(x * y), 6) AS DECIMAL(18,6))
+                      AS DOUBLE) AS sxy,
+                 CAST(CAST(round(sum(x * x), 6) AS DECIMAL(18,6))
+                      AS DOUBLE) AS sxx
+               FROM xy)
+         SELECT n AS n_tokens_used,
+                (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                  (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+                (sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                  (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) /
+                  CAST(n AS DOUBLE) AS intercept
+         FROM m""",
+    "q_docs_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, token FROM (
+             SELECT source,
+                    unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+           WHERE token <> ''),
+         sz AS (SELECT source, count(*) AS sz FROM st GROUP BY 1),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_common
+               FROM st a JOIN st b
+                 ON a.token = b.token AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b, p.n_common,
+                za.sz AS sz_a, zb.sz AS sz_b,
+                CAST(p.n_common AS DOUBLE) /
+                  CAST(za.sz + zb.sz - p.n_common AS DOUBLE) AS jaccard
+         FROM p
+         JOIN sz za ON p.source_a = za.source
+         JOIN sz zb ON p.source_b = zb.source""",
   )
+
+  /** A94b: one SQL, two queries — the batch plan and the availableNow
+    * transformWithState stream must both hash-match it (batch ≡ stream
+    * pinning, same convention as A8c/A17g). num=4, den=1, h·σ0·2·den=20.
+    */
+  private val cusumFixedOracle: String =
+    """WITH pm AS (SELECT event_type,
+             (epoch_us(ts) // 60000000) * 60 AS minute, count(*) AS x
+           FROM events GROUP BY 1, 2),
+       j AS (SELECT event_type, minute, x,
+               2 * x - 12 AS dup, 2 * x - 4 AS ddn
+             FROM pm),
+       pp AS (SELECT *, sum(dup) OVER w AS pup, sum(ddn) OVER w AS pdn
+              FROM j WINDOW w AS (PARTITION BY event_type
+                ORDER BY minute ROWS UNBOUNDED PRECEDING)),
+       s AS (SELECT *,
+               pup - least(0, min(pup) OVER w) AS sup,
+               greatest(0, max(pdn) OVER w) - pdn AS sdn
+             FROM pp WINDOW w AS (PARTITION BY event_type
+               ORDER BY minute ROWS UNBOUNDED PRECEDING)),
+       h AS (SELECT *, sup > 20 AS hitup, sdn > 20 AS hitdn FROM s),
+       l AS (SELECT *,
+               COALESCE(lag(hitup) OVER (PARTITION BY event_type
+                 ORDER BY minute), false) AS prevup,
+               COALESCE(lag(hitdn) OVER (PARTITION BY event_type
+                 ORDER BY minute), false) AS prevdn
+             FROM h)
+       SELECT event_type, minute,
+              CASE WHEN hitup AND NOT prevup THEN 'up'
+                   ELSE 'down' END AS side,
+              x AS rate,
+              CAST(CASE WHEN hitup AND NOT prevup THEN sup
+                        ELSE sdn END AS BIGINT) AS cusum_scaled
+       FROM l WHERE (hitup AND NOT prevup) OR (hitdn AND NOT prevdn)"""
 }

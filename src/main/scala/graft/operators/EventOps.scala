@@ -1978,4 +1978,185 @@ object EventOps {
           .otherwise(col("sDn")).cast("decimal(38,0)")
           .cast("string").as("cusum_scaled"))
   }
+
+  /** A94b (batch half): CUSUM against a FIXED reference rate — the
+    * online form of [[cusumChangePoints]] a live monitor actually runs:
+    * μ0 is a known target (num/den events per minute), not the
+    * whole-series mean, so the recursion needs no global pass and the
+    * identical arithmetic runs 1:1 inside the streaming
+    * `CusumProcessor` (availableNow ≡ this batch plan — the same
+    * batch≡stream pinning as A8c/A17f). Detection is over OBSERVED
+    * minutes (the spine variant A94 owns silent-minute semantics).
+    * Integer throughout: drift terms `2·den·x − 3·num` (upper, slack
+    * μ0/2) and `2·den·x − num` (lower); alarm when the max-reset
+    * statistic exceeds the caller's pre-scaled integer threshold
+    * (`h·σ0·2·den`). Closed form: S = P − min(0, running-min P). */
+  def cusumFixed(events: DataFrame, num: Long = 4L, den: Long = 1L,
+      threshScaled: Long = 20L): DataFrame = {
+    val perMin = events
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 60000000) * 60").as("minute"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("minute")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMin
+      .withColumn("dUp", lit(2L * den) * col("x") - lit(3L * num))
+      .withColumn("dDn", lit(2L * den) * col("x") - lit(num))
+      .withColumn("pUp", sum("dUp").over(wCum))
+      .withColumn("pDn", sum("dDn").over(wCum))
+      .withColumn("sUp",
+        col("pUp") - least(lit(0L), min("pUp").over(wCum)))
+      .withColumn("sDn",
+        greatest(lit(0L), max("pDn").over(wCum)) - col("pDn"))
+      .withColumn("hitUp", col("sUp") > lit(threshScaled))
+      .withColumn("hitDn", col("sDn") > lit(threshScaled))
+      .withColumn("prevUp", coalesce(lag("hitUp", 1).over(w), lit(false)))
+      .withColumn("prevDn", coalesce(lag("hitDn", 1).over(w), lit(false)))
+      .filter((col("hitUp") && !col("prevUp")) ||
+        (col("hitDn") && !col("prevDn")))
+      .select(col("event_type"), col("minute"),
+        when(col("hitUp") && !col("prevUp"), lit("up"))
+          .otherwise(lit("down")).as("side"),
+        col("x").as("rate"),
+        when(col("hitUp") && !col("prevUp"), col("sUp"))
+          .otherwise(col("sDn")).as("cusum_scaled"))
+  }
+
+  /** A96: Lo-MacKinlay variance-ratio test per type — VR(k) =
+    * Var(k-period Δ) / (k · Var(1-period Δ)) over the gap-filled hourly
+    * close series; VR ≈ 1 is a random walk, < 1 mean reversion, > 1
+    * momentum/trending (the regime gauge behind [[momentumIC]]'s
+    * cross-sectional signal). Price changes are CENT DIFFERENCES, not
+    * log returns, so every moment (Σd, Σd², ΣD, ΣD²) accumulates in
+    * Decimal(38,0) exactly and the ratio is one IEEE division of agreed
+    * integers — no transcendental boundary needed at all.
+    *
+    * Shape: candle-table input; the carry-forward spine (same
+    * construction as [[ohlcGapFill]], kept in integer cents) makes
+    * every lag land on a real hour, so `lag(k)` needs no gap predicate;
+    * two lag windows partitioned per type. */
+  def varianceRatio(events: DataFrame, k: Int = 4): DataFrame = {
+    val closes = events
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        tsUs.as("tu"), col("event_id"))
+      .groupBy("event_type", "hb")
+      .agg(max_by(col("cents"), struct(col("tu"), col("event_id")))
+        .as("c"))
+    val spine = closes.groupBy("event_type")
+      .agg(min("hb").as("lo"), max("hb").as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 3600)")).as("hb"))
+    val wFfill = Window.partitionBy("event_type").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = spine.join(closes, Seq("event_type", "hb"), "left")
+      .withColumn("c", last("c", ignoreNulls = true).over(wFfill))
+    val wLag = Window.partitionBy("event_type").orderBy("hb")
+    val diffs = filled
+      .withColumn("d", (col("c") - lag("c", 1).over(wLag))
+        .cast("decimal(38,0)"))
+      .withColumn("dk", (col("c") - lag("c", k).over(wLag))
+        .cast("decimal(38,0)"))
+    diffs.groupBy("event_type")
+      .agg(
+        count(col("d")).cast("decimal(38,0)").as("n1"),
+        sum(col("d")).as("s1"), sum(col("d") * col("d")).as("q1"),
+        count(col("dk")).cast("decimal(38,0)").as("nk"),
+        sum(col("dk")).as("sk"), sum(col("dk") * col("dk")).as("qk"))
+      .filter(col("n1") > 1 && col("nk") > 1)
+      .select(col("event_type"), lit(k).as("k"),
+        col("n1").cast("bigint").as("n_periods"),
+        when(col("n1") * col("q1") - col("s1") * col("s1") =!= 0,
+          ((col("nk") * col("qk") - col("sk") * col("sk")).cast("double") /
+            (col("nk") * col("nk")).cast("double")) /
+            (lit(k.toDouble) *
+              (col("n1") * col("q1") - col("s1") * col("s1"))
+                .cast("double") /
+              (col("n1") * col("n1")).cast("double")))
+          .as("vr"))
+  }
+
+  /** A98: MAD-based outlier labeling per type — the robust sibling of
+    * z-scores for wash/fat-finger value screens: a row is an outlier
+    * when |x − median| > k · MAD (median absolute deviation). Both
+    * medians are exact LOWER medians (rank `(n+1) div 2` on the
+    * (value, event_id) total order), so the thresholds are integers
+    * both engines pick identically — no interpolation, no floats until
+    * the per-row deviation ratio. Types whose MAD is zero (over half
+    * the values identical) emit nothing, by construction.
+    *
+    * Shape: two type-partitioned rank windows (values, then absolute
+    * deviations), thresholds broadcast back, one filter — the same
+    * per-type-sort bound as [[winsorizedStats]]. */
+  def madOutliers(events: DataFrame, k: Int = 5): DataFrame = {
+    val t = events.select(col("event_type"), col("event_id"),
+      expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val wMed = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val med = t
+      .withColumn("rk", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med_cents"))
+    val dev = t.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    val wMad = Window.partitionBy("event_type")
+      .orderBy(col("adev"), col("event_id"))
+    val mad = dev
+      .withColumn("rk", row_number().over(wMad))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("adev").as("mad_cents"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad_cents") > 0 &&
+        col("adev") > lit(k.toLong) * col("mad_cents"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        col("med_cents"), col("mad_cents"),
+        (col("adev").cast("double") / col("mad_cents").cast("double"))
+          .as("dev_ratio"))
+  }
+
+  /** A97: winsorized value statistics per type — the robust mean after
+    * clipping at exact integer-rank percentiles (default p1/p99), the
+    * whale-insensitive counterpart of [[valueStats]] (a single 1e9-cent
+    * print moves a plain mean; the winsorized one bounds any row's
+    * influence at the p99 threshold). Thresholds use the ceiling-rank
+    * convention `idx = ⌈n·p/100⌉` on the (value, event_id) total order
+    * — the same integer-rank percentile rule as
+    * [[equiDepthHistogram]], so both engines pick the identical row.
+    *
+    * Shape: one type-partitioned rank window (the per-type sort is the
+    * cost; same bound as every per-type-ordered operator here), the
+    * two threshold rows fished out by rank and broadcast back, one
+    * exact-decimal aggregate. */
+  def winsorizedStats(events: DataFrame, pLo: Int = 1, pHi: Int = 99)
+      : DataFrame = {
+    val t = events.select(col("event_type"),
+      expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+      col("event_id"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = t
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val bounds = ranked
+      .filter(col("rk") === expr(s"-((-n * $pLo) div 100)") ||
+        col("rk") === expr(s"-((-n * $pHi) div 100)"))
+      .groupBy("event_type")
+      .agg(min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+    t.join(broadcast(bounds), "event_type")
+      .withColumn("clipped",
+        greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first("lo_cents").as("lo_cents"),
+        first("hi_cents").as("hi_cents"),
+        count(when(col("cents") < col("lo_cents"), 1)).as("n_clip_lo"),
+        count(when(col("cents") > col("hi_cents"), 1)).as("n_clip_hi"),
+        sum(col("clipped")).as("clipped_cents"))
+      .withColumn("winsorized_mean",
+        col("clipped_cents").cast("double") / lit(100.0) /
+          col("n").cast("double"))
+  }
 }

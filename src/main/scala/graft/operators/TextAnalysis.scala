@@ -487,6 +487,88 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** C49: Zipf slope of the token frequency distribution — the
+    * corpus-health regression (natural text sits near slope −1;
+    * generated/templated corpora flatten or steepen): least squares of
+    * lnR6(freq) on lnR6(rank) over the top `topN` tokens. Both
+    * regressors go through the round-6 boundary, their products are
+    * exact decimals, the five regression sums are exact, and
+    * slope/intercept are IEEE doubles on agreed sums — the same recipe
+    * as [[graft.operators.EventOps.seriesCorrelation]] with logs made
+    * safe. Rank ties break on the token string, so the regression set
+    * is a total order both engines reproduce.
+    *
+    * Shape: one token-keyed aggregate, a top-N TakeOrdered (vocab-sized
+    * input, N rows out), a single-partition window ONLY over the N kept
+    * rows (bounded by `topN`, never corpus-sized), one scalar
+    * aggregate. */
+  def zipfSlope(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    val top = docs
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topN)
+    val ranked = top.withColumn("r",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    // the scale-12 product sums reduce to scale 6 before the double
+    // cast (the 2^53 contract: a decimal whose SCALED integer passes
+    // 2^53 double-rounds differently across engines), then the
+    // regression closes in IEEE doubles on the agreed sums
+    val m = ranked
+      .select(ln_r6(col("r")).as("x"), ln_r6(col("cnt")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("x").cast("double").as("sx"),
+        sum("y").cast("double").as("sy"),
+        expr("cast(cast(round(sum(x * y), 6) as decimal(18,6)) as double)")
+          .as("sxy"),
+        expr("cast(cast(round(sum(x * x), 6) as decimal(18,6)) as double)")
+          .as("sxx"))
+    m.select(col("n").as("n_tokens_used"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+      ((col("sy") -
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+        col("n").cast("double")).as("intercept"))
+  }
+
+  /** C50: pairwise source vocabulary overlap — Jaccard of the distinct
+    * token sets for every source pair, the corpus-mix diagnostic next
+    * to [[sourceKlDivergence]] (KL weighs frequency; this weighs pure
+    * coverage — a source can share every word yet diverge in usage, or
+    * vice versa). Token-keyed self-join: fan-out per token is the
+    * number of sources containing it (bounded by the source count, not
+    * document count), so the pair table never exceeds
+    * sources² · vocab. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .localCheckpoint() // feeds sizes AND the pair join: one tokenize
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("sz").as("sz_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("sz").as("sz_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("sz_a"), col("sz_b"),
+        (col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** C46: unigram language-model scoring — each document's average
     * per-token log-probability under the corpus's own unigram
     * distribution, plus the perplexity-style `exp(−avg)` figure. The
@@ -504,6 +586,102 @@ object TextAnalysis {
     * join against the vocab table — the join carries distinct
     * (doc, token) pairs, not token instances; stop-word keys are hot
     * but bounded by doc count (AQE skew split covers the tail). */
+  /** C47: pointwise mutual information over adjacent-token bigrams —
+    * the collocation detector ("new york" vs chance co-occurrence), the
+    * classic first step of phrase mining / tokenizer-merge analysis
+    * over a training corpus. PMI(a,b) = ln p(ab) − ln p(a) − ln p(b)
+    * with bigram probability over the N adjacent pairs and unigram
+    * probabilities over the T tokens: each ln goes through the round-6
+    * boundary, so the PMI itself is a SUM OF THREE EXACT DECIMALS —
+    * bit-identical cross-engine with no float arithmetic at all.
+    *
+    * Tokenization: the raw single-space split, positions from
+    * `posexplode` + one doc-partitioned `lead` window (a higher-order
+    * filter lambda would run interpreted per token — the repo's
+    * HOF rule). Count tables are token-keyed aggregates; the bigram
+    * join against two broadcast-sized unigram maps ships counts, not
+    * text. Output: bigrams seen ≥ `minCount` times, strongest first
+    * under a total (pmi, a, b) order. */
+  def pmiBigrams(docs: DataFrame, minCount: Int = 5,
+      k: Int = 50): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+      .localCheckpoint() // unigrams AND bigrams read it: one tokenize pass
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val t = uni.agg(sum("cnt").as("t_total"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigAll = toks
+      .withColumn("next", lead("token", 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("token").as("a"), col("next").as("b"))
+      .agg(count(lit(1)).as("cnt_ab"))
+      .localCheckpoint() // the pair total must count ALL bigrams, not
+    val n = bigAll.agg(sum("cnt_ab").as("n_total")) // just frequent ones
+    val big = bigAll.filter(col("cnt_ab") >= minCount)
+    big
+      .join(broadcast(n))
+      .join(broadcast(uni.select(col("token").as("a"),
+        col("cnt").as("cnt_a"))), "a")
+      .join(broadcast(uni.select(col("token").as("b"),
+        col("cnt").as("cnt_b"))), "b")
+      .join(broadcast(t))
+      .select(col("a"), col("b"), col("cnt_ab"), col("cnt_a"),
+        col("cnt_b"),
+        (ln_r6(col("cnt_ab").cast("double") /
+            col("n_total").cast("double")) -
+          ln_r6(col("cnt_a").cast("double") /
+            col("t_total").cast("double")) -
+          ln_r6(col("cnt_b").cast("double") /
+            col("t_total").cast("double")))
+          .cast("decimal(14,6)").cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** C48: per-source KL divergence from the corpus token distribution —
+    * the data-mix drift gauge per slice (which source's language is
+    * furthest from the blend it feeds?), the directed sibling of C39's
+    * symmetric L1 drift. KL(P_s ‖ P_c) = Σ_t p_s(t)·(ln p_s(t) −
+    * ln p_c(t)) computed from counts as
+    * `Σ c_st·(lnR6(c_st/T_s) − lnR6(c_t/T_c)) / T_s`: integer-count ×
+    * exact-decimal sums, one closing IEEE division. Every term has
+    * c_t ≥ c_st ≥ 1 so no zero-probability guard is needed — the
+    * smoothing question never arises for a slice of its own corpus.
+    *
+    * Shape: two token-keyed aggregates (per-source and global), one
+    * join of the per-source table against the broadcast-sized vocab
+    * totals, one source-keyed rollup. */
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    val perSrc = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the vocab rollup AND the KL terms
+    val vocab = perSrc.groupBy("token").agg(sum("cnt").as("g_cnt"))
+    val gTot = vocab.agg(sum("g_cnt").as("t_c"))
+    val sTot = perSrc.groupBy("source").agg(sum("cnt").as("t_s"))
+    perSrc
+      .join(broadcast(vocab), "token")
+      .join(broadcast(sTot), "source")
+      .join(broadcast(gTot))
+      .withColumn("term",
+        col("cnt") * (ln_r6(col("cnt").cast("double") /
+            col("t_s").cast("double")) -
+          ln_r6(col("g_cnt").cast("double") / col("t_c").cast("double"))))
+      .groupBy("source")
+      .agg(first("t_s").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum("term").as("s"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        (col("s").cast("double") / col("n_tokens").cast("double"))
+          .as("kl_nats"))
+  }
+
   def unigramLogProb(docs: DataFrame): DataFrame = {
     import graft.functions.exprs.ln_r6
     val tf = docs

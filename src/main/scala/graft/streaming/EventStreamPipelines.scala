@@ -504,6 +504,91 @@ object EventStreamPipelines {
     }
   }
 
+  /** A94b (stream half): the live CUSUM drift monitor — per-type state
+    * is two longs + two edge flags, input minutes fold through the SAME
+    * integer recursion as `EventOps.cusumFixed`'s closed form
+    * (S = max(0, S + d); lower side mirrors with −d), alarms emit on
+    * the rising edge per side. Per-trigger memory is the key's rows in
+    * that trigger (sorted to restore minute order — the
+    * RealizedPnlProcessor caveat: bound triggers via
+    * `maxOffsetsPerTrigger`); a minute split across triggers would
+    * split its count, so exactness ≡ batch holds under event-time-
+    * complete triggers (availableNow over a capture = one batch). */
+  class CusumProcessor(num: Long, den: Long, threshScaled: Long)
+      extends StatefulProcessor[String, (String, Long),
+        (String, Long, String, Long, Long)] {
+    @transient private var st: ValueState[(Long, Long, Boolean, Boolean)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Boolean, Boolean)]("cusum",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Boolean, Boolean)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues)
+        : Iterator[(String, Long, String, Long, Long)] = {
+      var (sUp, sDn, prevUp, prevDn) =
+        if (st.exists()) st.get() else (0L, 0L, false, false)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, String, Long, Long)]
+      val counts = rows.toArray.groupBy(_._2).view.mapValues(_.length.toLong)
+      counts.keys.toArray.sorted.foreach { minute =>
+        val x = counts(minute)
+        sUp = math.max(0L, sUp + (2L * den * x - 3L * num))
+        sDn = math.max(0L, sDn + (num - 2L * den * x))
+        val hitUp = sUp > threshScaled
+        val hitDn = sDn > threshScaled
+        if (hitUp && !prevUp) out += ((key, minute, "up", x, sUp))
+        else if (hitDn && !prevDn) out += ((key, minute, "down", x, sDn))
+        prevUp = hitUp; prevDn = hitDn
+      }
+      st.update((sUp, sDn, prevUp, prevDn))
+      out.iterator
+    }
+  }
+
+  /** A94b driver: events → per-minute alarm rows. */
+  def cusumAlarmStream(events: DataFrame, num: Long = 4L, den: Long = 1L,
+      threshScaled: Long = 20L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 60000000) * 60").as("minute"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor(num, den, threshScaled),
+        TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders
+          .product[(String, Long, String, Long, Long)])
+      .toDF("event_type", "minute", "side", "rate", "cusum_scaled")
+  }
+
+  /** A94b availableNow harness (oracle ≡ EventOps.cusumFixed's SQL). */
+  def cusumAlarmsAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_cusum_${memCounter.incrementAndGet()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = cusumAlarmStream(eventsStream(spark, dir)).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+  }
+
   /** A17f driver: decoded trades → per-sell integer PnL rows. */
   def realizedPnlStream(events: DataFrame,
       buyType: String = "purchase", sellType: String = "view"): DataFrame = {

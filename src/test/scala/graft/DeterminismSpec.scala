@@ -48,7 +48,16 @@ class DeterminismSpec extends TestSparkSession {
     // sessionizer (state merge + watermark arithmetic must not depend
     // on the shuffle layout) — plus the streamed realized-PnL marks
     "q_events_block_real", "q_events_pool_accounts",
-    "q_stream_session_timeout", "q_stream_realized_pnl")
+    "q_stream_session_timeout", "q_stream_realized_pnl",
+    // round 5: the transcendental-boundary family (rounded-ln decimal
+    // sums must be layout-independent), the exact CUSUM windows, and the
+    // wedge-join link scores
+    "q_events_volatility", "q_events_amihud", "q_events_type_entropy",
+    "q_events_benford", "q_events_cusum", "q_events_neighbor_sim",
+    "q_docs_bm25", "q_docs_unigram_lp", "q_events_variance_ratio",
+    "q_events_winsorized", "q_docs_pmi_bigrams", "q_docs_source_kl",
+    "q_events_cusum_fixed", "q_stream_cusum", "q_events_mad_outliers",
+    "q_docs_zipf", "q_docs_source_overlap")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

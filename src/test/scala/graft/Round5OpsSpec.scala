@@ -182,6 +182,173 @@ class Round5OpsSpec extends TestSparkSession {
     assert(rows.forall(r2 => !r2.getAs[Double]("bm25").isNaN))
   }
 
+  // ---- A96 variance ratio ----
+
+  test("varianceRatio: trending walk > 1, oscillating series = 0") {
+    def series(cs: Seq[Long]): org.apache.spark.sql.DataFrame =
+      cs.zipWithIndex.map { case (c, h) =>
+        (s"e$h", 1704067200L + h * 3600L, "u", "t", c / 100.0)
+      }.toDF("event_id", "epoch", "user_id", "event_type", "value")
+        .withColumn("ts", expr("timestamp_seconds(epoch)")).drop("epoch")
+    // perfect oscillation: every 4-hour change is exactly zero => VR = 0
+    val osc = series(Seq.tabulate(40)(i => 10000L + (i % 2) * 100))
+    assert(EventOps.varianceRatio(osc).collect()(0)
+      .getAs[Double]("vr") == 0.0)
+    // constant drift: Var(d) = 0 => guard yields NULL, never a div-by-0
+    val linRow = EventOps.varianceRatio(
+      series(Seq.tabulate(40)(i => 10000L + i * 100))).collect()(0)
+    assert(linRow.isNullAt(linRow.fieldIndex("vr")))
+    // block momentum (10 up, 10 down, repeat): positive short-lag
+    // autocorrelation of the steps => VR well above 1
+    val trend = series(Seq.tabulate(40)(i =>
+      10000L + (if (i % 20 < 10) i % 20 else 20 - i % 20) * 100))
+    assert(EventOps.varianceRatio(trend).collect()(0)
+      .getAs[Double]("vr") > 1.0)
+    assert(EventOps.varianceRatio(events).filter(col("vr") < 0).count() == 0)
+  }
+
+  // ---- A97 winsorized stats ----
+
+  test("winsorizedStats: thresholds, clip counts, bounded mean") {
+    // 100 rows 1..100 cents: p1 -> rank 1 (1 cent), p99 -> rank 99
+    val ev = (1 to 100).map(i =>
+      (f"e$i%03d", "2024-01-01 00:00:00", "u", "t", i / 100.0))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.winsorizedStats(ev).collect()(0)
+    assert(r.getAs[Long]("lo_cents") == 1L)
+    assert(r.getAs[Long]("hi_cents") == 99L)
+    assert(r.getAs[Long]("n_clip_lo") == 0L)
+    assert(r.getAs[Long]("n_clip_hi") == 1L) // the 100-cent row clips
+    // mean of 1..99 plus one clipped 99: 5049 cents over 100 rows
+    assert(r.getAs[Double]("winsorized_mean") == 5049.0 / 100.0 / 100.0)
+    val real = EventOps.winsorizedStats(events).collect()
+    real.foreach { x =>
+      assert(x.getAs[Long]("lo_cents") <= x.getAs[Long]("hi_cents"))
+      val m = x.getAs[Double]("winsorized_mean") * 100.0
+      assert(m >= x.getAs[Long]("lo_cents") - 1e-9 &&
+        m <= x.getAs[Long]("hi_cents") + 1e-9)
+    }
+  }
+
+  // ---- C47 PMI bigrams ----
+
+  test("pmiBigrams: a glued phrase dominates chance pairs") {
+    val corpus = ((1 to 30).map(i => (s"p$i", "new york is big today")) ++
+      (1 to 30).map(i => (s"q$i", "old china is far today")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.pmiBigrams(corpus, minCount = 5, k = 10).collect()
+    val top = r.head
+    // 'new york' and 'old china' only ever co-occur as phrases
+    assert(Set(("new", "york"), ("old", "china"))
+      .contains((top.getAs[String]("a"), top.getAs[String]("b"))))
+    // every returned pair satisfies the min-count floor
+    assert(r.forall(_.getAs[Long]("cnt_ab") >= 5L))
+    // 'is big' (p=1/2 given 'is') scores below the deterministic phrases
+    val isBig = r.find(x => x.getAs[String]("a") == "is" &&
+      x.getAs[String]("b") == "big")
+    assert(isBig.forall(_.getAs[Double]("pmi") < top.getAs[Double]("pmi")))
+  }
+
+  // ---- C48 per-source KL ----
+
+  test("sourceKlDivergence: uniform slice ~0, skewed slice positive") {
+    val corpus = ((1 to 20).map(i => (s"a$i", "sa", "x y z w")) ++
+      (1 to 20).map(i => (s"b$i", "sb", "x y z w")) ++
+      (1 to 20).map(i => (s"c$i", "sc", "x x x x")))
+      .toDF("doc_id", "source", "text")
+    val m = TextAnalysis.sourceKlDivergence(corpus).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats"))
+      .toMap
+    // sa and sb match each other but not the blend (sc skews it), so
+    // all we pin: the skewed source diverges strictly more
+    assert(m("sc") > m("sa"))
+    assert(m("sa") == m("sb")) // identical slices, identical divergence
+    // real corpus: KL is non-negative up to the ln-rounding quantum
+    assert(TextAnalysis.sourceKlDivergence(docs)
+      .filter(col("kl_nats") < -1e-5).count() == 0)
+  }
+
+  // ---- A94b fixed-reference CUSUM: batch ≡ stream ----
+
+  test("cusumFixed: availableNow stream emits bit-identical alarms") {
+    val batch = EventOps.cusumFixed(events).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val stream = streaming.EventStreamPipelines
+      .cusumAlarmsAvailableNow(spark, sfDir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(batch == stream)
+    // the recursion matches the closed form on a hand-built drift: 12
+    // quiet minutes at 1/min push the lower side (4 − 2·1 = +2/min)
+    // past 20 at minute 11 (s=22); the alarm is a single rising edge
+    val quiet = (0 until 12).map(m =>
+      (s"e$m", 1704067200L + m * 60L, "u", "t", 1.0))
+      .toDF("event_id", "epoch", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(epoch)")).drop("epoch")
+    val alarms = EventOps.cusumFixed(quiet).collect()
+    assert(alarms.length == 1)
+    assert(alarms(0).getAs[String]("side") == "down")
+    assert(alarms(0).getAs[Long]("minute") == 1704067200L + 10 * 60L)
+    assert(alarms(0).getAs[Long]("cusum_scaled") == 22L)
+  }
+
+  // ---- A98 MAD outliers ----
+
+  test("madOutliers: hand-computed thresholds, zero-MAD silence") {
+    // values 1..9 plus a 100x whale: median 5 (of 10 via lower median),
+    // MAD = lower-median of |x-5| = {4,3,2,1,0,1,2,3,4,995} sorted ->
+    // rank 5 of 10 -> 2; whale dev 995 > 5*2
+    val ev = ((1 to 9).map(i => (s"e$i", i.toDouble)) :+ ("w", 1000.0))
+      .map { case (id, v) => (id, "2024-01-01 00:00:00", "u", "t", v) }
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.madOutliers(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("event_id") == "w")
+    assert(r(0).getAs[Long]("med_cents") == 500L)
+    assert(r(0).getAs[Long]("mad_cents") == 200L)
+    // a constant column has MAD 0: nothing emitted, no division by zero
+    val const = (1 to 8).map(i =>
+      (s"c$i", "2024-01-01 00:00:00", "u", "t", 7.0))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    assert(EventOps.madOutliers(const).count() == 0)
+  }
+
+  // ---- C49 Zipf slope ----
+
+  test("zipfSlope: exact power law recovers its exponent") {
+    // freq = 1000 / rank for ranks 1..10 => slope -1 up to ln rounding
+    val corpus = (1 to 10).flatMap(r =>
+      Seq.fill(1000 / r)(s"t$r")).zipWithIndex
+      .map { case (t, i) => (s"d$i", t) }.toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(corpus).collect()(0)
+    assert(row.getAs[Long]("n_tokens_used") == 10L)
+    assert(math.abs(row.getAs[Double]("slope") - (-1.0)) < 0.01)
+    val real = TextAnalysis.zipfSlope(docs).collect()(0)
+    assert(!real.getAs[Double]("slope").isNaN)
+  }
+
+  // ---- C50 source overlap ----
+
+  test("sourceOverlap: identical sources hit jaccard 1, disjoint absent") {
+    val corpus = Seq(
+      ("d1", "sa", "x y z"), ("d2", "sb", "z y x"),
+      ("d3", "sc", "p q r"), ("d4", "sd", "x p"))
+      .toDF("doc_id", "source", "text")
+    val m = TextAnalysis.sourceOverlap(corpus).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> r.getAs[Double]("jaccard")).toMap
+    assert(m(("sa", "sb")) == 1.0)
+    assert(!m.contains(("sa", "sc"))) // zero overlap pairs never emit
+    assert(m(("sa", "sd")) == 1.0 / 4.0) // {x} over {x,y,z,p}
+    // real corpus: jaccard bounded, pair orientation canonical
+    val real = TextAnalysis.sourceOverlap(docs)
+    assert(real.filter(col("jaccard") <= 0 || col("jaccard") > 1)
+      .count() == 0)
+    assert(real.filter(col("source_a") >= col("source_b")).count() == 0)
+  }
+
   // ---- C46 unigram LM ----
 
   test("unigramLogProb: common-token docs score higher, bounds hold") {

@@ -129,7 +129,9 @@ object Bench {
     "q_events_cusum_fixed",
     "q_events_mad_outliers",
     "q_docs_zipf",
-    "q_docs_source_overlap")
+    "q_docs_source_overlap",
+    "q_events_stickiness",
+    "q_events_hill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2096,6 +2096,10 @@ object SparkEntry {
       TextAnalysis.zipfSlope(Tables.documents(s, d))),
     "q_docs_source_overlap" -> ((s, d) =>
       TextAnalysis.sourceOverlap(Tables.documents(s, d))),
+    "q_events_stickiness" -> ((s, d) =>
+      EventOps.stickiness(Tables.events(s, d))),
+    "q_events_hill" -> ((s, d) =>
+      EventOps.hillTail(Tables.events(s, d))),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -5770,6 +5774,44 @@ object SparkEntry {
          FROM p
          JOIN sz za ON p.source_a = za.source
          JOIN sz zb ON p.source_b = zb.source""",
+    "q_events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS db FROM events),
+         dau AS (SELECT db, count(*) AS dau FROM ud GROUP BY 1),
+         wau AS (SELECT db, count(*) AS wau FROM (
+           SELECT DISTINCT user_id, db + i AS db
+           FROM ud, unnest(range(0, 7)) AS u(i)) GROUP BY 1),
+         mau AS (SELECT db, count(*) AS mau FROM (
+           SELECT DISTINCT user_id, db + i AS db
+           FROM ud, unnest(range(0, 30)) AS u(i)) GROUP BY 1)
+         SELECT d.db * 86400 AS day, d.dau, w.wau, m.mau,
+                CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE)
+                  AS stickiness
+         FROM dau d
+         JOIN wau w ON d.db = w.db
+         JOIN mau m ON d.db = m.db""",
+    "q_events_hill" ->
+      """WITH t AS (SELECT event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+               FROM events
+               WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY cents DESC, event_id DESC) AS rk
+               FROM t),
+         th AS (SELECT event_type,
+                 CAST(round(ln(cents), 6) AS DECIMAL(12,6)) AS ln_thresh,
+                 cents AS x_k1_cents
+               FROM r WHERE rk = 101),
+         s AS (SELECT r.event_type, count(*) AS k_used,
+                 max(th.x_k1_cents) AS x_k1_cents,
+                 sum(CAST(round(ln(r.cents), 6) AS DECIMAL(12,6)) -
+                     th.ln_thresh) AS s
+               FROM r JOIN th ON r.event_type = th.event_type
+               WHERE r.rk <= 100 GROUP BY 1)
+         SELECT event_type, k_used, x_k1_cents,
+                CAST(k_used AS DOUBLE) / CAST(s AS DOUBLE) AS alpha
+         FROM s""",
   )
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow

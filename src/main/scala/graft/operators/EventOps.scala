@@ -2077,6 +2077,77 @@ object EventOps {
           .as("vr"))
   }
 
+  /** A99: DAU/WAU/MAU stickiness — the engagement ratio dashboard over
+    * the wallet-activity stream (DAU/MAU is the classic product-health
+    * number; for wallets it separates a protocol's daily core from
+    * monthly tourists). EXACT trailing distincts: a distinct-over-range
+    * window doesn't exist, so each (user, active-day) row fans out to
+    * the ≤ `windowDays` future days it covers, dedupes, and counts —
+    * coverage fan-out is user-days × 37, a bounded constant factor on
+    * a table that is already the distinct compaction of the raw events
+    * (at 100 TB user-days ≪ events; the fan-out ships longs). Only
+    * days inside the observed range emit (no spine extrapolation).
+    *
+    * Shape: one distinct on (user, day), two bounded explodes, three
+    * keyed counts, broadcast-joined on the day key. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("db"))
+      .distinct()
+      .localCheckpoint() // three consumers; the distinct runs once
+    val dau = ud.groupBy("db").agg(count(lit(1)).as("dau"))
+    def trailing(days: Int, name: String) = ud
+      .select(col("user_id"),
+        explode(expr(s"sequence(db, db + ${days - 1})")).as("db"))
+      .distinct()
+      .groupBy("db").agg(count(lit(1)).as(name))
+    // the inner join on DAU days bounds output to observed-activity
+    // days (coverage rows past the data range never find a DAU match)
+    dau
+      .join(trailing(7, "wau"), "db")
+      .join(trailing(30, "mau"), "db")
+      .select((col("db") * 86400).as("day"), col("dau"), col("wau"),
+        col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double"))
+          .as("stickiness"))
+  }
+
+  /** A100: Hill tail-index estimator per type — the power-law exponent
+    * of the value distribution's upper tail (whale-heaviness in one
+    * number: α ≈ 1 is extreme concentration, α > 2 has finite
+    * variance). α̂ = k / Σᵢ₌₁..k (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) over the top-k
+    * order statistics on the (cents, event_id) total order; the log
+    * spacings go through the round-6 boundary so the sum is exact and
+    * the estimator is one IEEE division.
+    *
+    * Shape: the same per-type rank window as [[winsorizedStats]]
+    * (top-(k+1) filter immediately after), a broadcast join of the
+    * k+1-th threshold, one keyed aggregate. */
+  def hillTail(events: DataFrame, k: Int = 100): DataFrame = {
+    val t = events.select(col("event_type"),
+      expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+      col("event_id"))
+      .filter(col("cents") > 0)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").desc, col("event_id").desc)
+    val ranked = t.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k + 1)
+      .localCheckpoint() // top-(k+1) per type: metadata-sized
+    val thresh = ranked.filter(col("rk") === k + 1)
+      .select(col("event_type"), lnR6(col("cents")).as("ln_thresh"),
+        col("cents").as("x_k1_cents"))
+    ranked.filter(col("rk") <= k)
+      .join(broadcast(thresh), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("k_used"),
+        first("x_k1_cents").as("x_k1_cents"),
+        sum(lnR6(col("cents")) - col("ln_thresh")).as("s"))
+      .select(col("event_type"), col("k_used"), col("x_k1_cents"),
+        (col("k_used").cast("double") / col("s").cast("double"))
+          .as("alpha"))
+  }
+
   /** A98: MAD-based outlier labeling per type — the robust sibling of
     * z-scores for wash/fat-finger value screens: a row is an outlier
     * when |x − median| > k · MAD (median absolute deviation). Both

@@ -57,7 +57,8 @@ class DeterminismSpec extends TestSparkSession {
     "q_docs_bm25", "q_docs_unigram_lp", "q_events_variance_ratio",
     "q_events_winsorized", "q_docs_pmi_bigrams", "q_docs_source_kl",
     "q_events_cusum_fixed", "q_stream_cusum", "q_events_mad_outliers",
-    "q_docs_zipf", "q_docs_source_overlap")
+    "q_docs_zipf", "q_docs_source_overlap", "q_events_stickiness",
+    "q_events_hill")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -659,4 +659,75 @@ class PlanAuditSpec extends TestSparkSession {
     assert("windowspecdefinition\\(db[,)]".r.findFirstIn(plan).isEmpty,
       "global (unpartitioned) window crept in")
   }
+
+  // ---- round-5 additions ----
+
+  test("bm25 top-k is TakeOrdered over keyed aggregates, dims broadcast") {
+    val df = TextAnalysis.bm25TopK(Tables.documents(spark, sfDir),
+      Seq("spark", "window", "merge"))
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not be a global sort")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), // 1-row corpus stats
+      "df/corpus stats must broadcast into the score join")
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no broadcast anywhere in:\n${plan.take(2000)}")
+  }
+
+  test("pmi bigrams: no interpreted higher-order functions, count " +
+      "tables broadcast") {
+    // the checkpointed count tables hide the upstream tokenize plan, so
+    // audit the adjacency fragment the operator is built from directly
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+    val adj = toks.withColumn("next",
+      lead("token", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")))
+    val adjPlan = planOf(adj)
+    assert(!adjPlan.contains("ArrayFilter") &&
+      !adjPlan.contains("transform("),
+      "per-token lambdas run interpreted — must stay explode+window")
+    assert(adjPlan.contains("windowspecdefinition(doc_id"),
+      "bigram adjacency must be the doc-partitioned lead window")
+    val plan = planOf(TextAnalysis.pmiBigrams(Tables.documents(spark, sfDir)))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k collocations must not globally sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "unigram count maps must broadcast into the score join")
+  }
+
+  test("winsorized/MAD rank thresholds broadcast back to the fact scan") {
+    for (df <- Seq(EventOps.winsorizedStats(Tables.events(spark, sfDir)),
+      EventOps.madOutliers(Tables.events(spark, sfDir)))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        "type-level thresholds are metadata-sized — must broadcast")
+      assert(plan.contains("windowspecdefinition(event_type"),
+        "rank windows must be partitioned per type")
+    }
+  }
+
+  test("cusum windows are type-partitioned; fixed variant needs no " +
+      "global pass") {
+    val plan = planOf(EventOps.cusumFixed(Tables.events(spark, sfDir)))
+    assert(plan.contains("windowspecdefinition(event_type"),
+      "prefix/extremum windows must partition per type")
+    assert("windowspecdefinition\\(minute[,)]".r.findFirstIn(plan).isEmpty,
+      "an unpartitioned minute window crept in")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("volatility estimators stay one keyed aggregate over candles") {
+    val plan = planOf(EventOps.rangeVolatility(Tables.events(spark, sfDir)))
+    // candles (min_by/max_by hash agg) then the day rollup: exactly two
+    // aggregate pairs (partial+final each), no window, no join
+    assert(!plan.contains("WindowExec"),
+      "OHLC must come from min_by/max_by aggregates, not rank windows")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      "the candle → day pipeline is aggregate-only")
+  }
 }

@@ -315,6 +315,54 @@ class Round5OpsSpec extends TestSparkSession {
     assert(EventOps.madOutliers(const).count() == 0)
   }
 
+  // ---- A99 stickiness ----
+
+  test("stickiness: ratios ordered, single-user hand case exact") {
+    val ev = (0 until 31).map(d =>
+      (s"e$d", 1704067200L + d * 86400L, "solo", "t", 1.0))
+      .toDF("event_id", "epoch", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(epoch)")).drop("epoch")
+    val rows = EventOps.stickiness(ev).collect()
+    assert(rows.length == 31)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") == 1L && r.getAs[Long]("wau") == 1L &&
+        r.getAs[Long]("mau") == 1L)
+      assert(r.getAs[Double]("stickiness") == 1.0)
+    }
+    val real = EventOps.stickiness(events)
+    assert(real.filter(col("dau") > col("wau") ||
+      col("wau") > col("mau")).count() == 0)
+    assert(real.filter(col("stickiness") <= 0 ||
+      col("stickiness") > 1).count() == 0)
+  }
+
+  // ---- A100 Hill tail index ----
+
+  test("hillTail: scale-free, and squaring the tail halves alpha") {
+    val base = EventOps.hillTail(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("alpha")).toMap
+    assert(base.values.forall(a => a > 0 && !a.isNaN))
+    // Hill is scale-invariant: a 10x price level shift moves alpha only
+    // by the ln-rounding quantum
+    val scaled = EventOps.hillTail(
+      events.withColumn("value", col("value") * 10)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("alpha")).toMap
+    base.foreach { case (t, a) =>
+      assert(math.abs(scaled(t) - a) < 1e-2, s"$t: $a vs ${scaled(t)}")
+    }
+    // squaring values doubles every log spacing: alpha halves (the
+    // cents rounding of value^2 perturbs the spacings only in the ulps)
+    val sq = EventOps.hillTail(
+      events.withColumn("value", col("value") * col("value"))).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("alpha")).toMap
+    base.foreach { case (t, a) =>
+      assert(math.abs(sq(t) - a / 2) < 0.05 * a, s"$t: $a vs ${sq(t)}")
+    }
+  }
+
   // ---- C49 Zipf slope ----
 
   test("zipfSlope: exact power law recovers its exponent") {

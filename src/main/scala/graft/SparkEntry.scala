@@ -1995,6 +1995,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 64, 5)
     }),
+    "q_ann_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), 64, 5)
+    }),
     "q_ann_ivf_centroids" -> ((s, d) =>
       Similarity.centroids(
         Tables.embeddings(s, d).select(col("label"), col("embedding")),

@@ -378,10 +378,93 @@ object Similarity {
       })
     val rankW = Window.partitionBy("q_id")
       .orderBy(col("adc_d2"), col("neighbor_id"))
+    // each of the m table lookups fixes to an exact 1e-9 decimal before
+    // the sum: a raw double sum of the lookups is partial-aggregation-
+    // order dependent (ulp drift across layouts/plans) — caught by the
+    // IVF-PQ full-probe equality pin
     codes.join(qTable, Seq("sub", "code"))
       .filter(col("neighbor_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("neighbor_id"))
-      .agg(sum("d2").as("adc_d2"))
+      .agg(sum(round(col("d2"), 9).cast("decimal(25,9)")).cast("double")
+        .as("adc_d2"))
+      .withColumn("rk", row_number().over(rankW).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
+
+  /** C51: IVF-PQ composite — the standard billion-vector index shape
+    * (FAISS IVF*,PQ*): a coarse inverted file bounds WHICH vectors a
+    * query scores, product-quantization codes bound WHAT is stored and
+    * how each candidate is scored (m table lookups, no raw vector).
+    * This composes the two existing scale paths end-to-end: [[ivfTopK]]
+    * alone still reads raw vectors in probed cells; [[pqTopK]] alone
+    * ADC-scans the WHOLE corpus. Here the ADC join runs only over the
+    * probed cells' code rows — per-query cost is
+    * probes · cell-size · m lookups against a broadcast table.
+    *
+    * Codes quantize raw vectors, not per-cell residuals (residual PQ
+    * buys accuracy at the cost of a per-cell codebook family; with the
+    * shared-codebook variant the codebook, codes and ADC table are all
+    * identical to [[pqTopK]]'s, which yields the exactness pin below).
+    * Invariant (spec-pinned): with `probes` ≥ the cell count the
+    * candidate set is the full corpus and the ranking is BIT-IDENTICAL
+    * to [[pqTopK]] — the composite's only approximation over PQ is the
+    * probe bound, exactly as designed. */
+  def ivfpqTopK(emb: DataFrame, queries: DataFrame, dims: Int, k: Int,
+      m: Int = 8, probes: Int = 2, centEvery: Int = 97,
+      seedEvery: Int = 13, maxCodes: Int = 256,
+      trainEvery: Int = 0): DataFrame = {
+    val w = dims / m
+    val cents = withNorm(emb.filter(col("vec_id") % centEvery === 0))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("n2").as("cn"))
+      .localCheckpoint(eager = true)
+    // inverted file: nearest cell per base vector (same argmin shape
+    // and tie-break as ivfTopK, but only (id, cell) survives — the PQ
+    // codes are the stored representation, never the raw vector)
+    val e = withNorm(emb)
+    val invFile = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cos6("embedding", "ce", "n2", "cn").as("ccos"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), struct(argKey(-col("ccos")),
+        col("cent_id"))).as("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val codebook = pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
+        trainEvery = trainEvery)
+      .localCheckpoint(eager = true)
+    val codes = pqAssign(emb, codebook, dims, m)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    // query side: probe cells by coarse cosine, then the same ADC
+    // lookup table as pqTopK
+    val qW = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val qCells = withNorm(queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("ea"),
+        col("n2").as("na"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("ea"), col("na"), col("cent_id"),
+        cos6("ea", "ce", "na", "cn").as("qcos"))
+      .withColumn("rn", row_number().over(qW))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("ea"), col("cent_id").as("cell"))
+    val qTable = queries
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .crossJoin(broadcast(codebook))
+      .select(col("q_id"), col("sub"), col("code"), {
+        val qs = slice(col("embedding"), col("sub") * w + 1, lit(w))
+        (vec_dot(qs, qs) - vec_dot(qs, col("cw")) * 2
+          + vec_dot(col("cw"), col("cw"))).as("d2")
+      })
+    val rankW = Window.partitionBy("q_id")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    qCells.select(col("q_id"), col("cell"))
+      .join(invFile, "cell") // candidates: probed cells only
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .join(codes, "neighbor_id")
+      .join(qTable, Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("neighbor_id"))
+      .agg(sum(round(col("d2"), 9).cast("decimal(25,9)")).cast("double")
+        .as("adc_d2"))
       .withColumn("rk", row_number().over(rankW).cast("bigint"))
       .filter(col("rk") <= k)
   }

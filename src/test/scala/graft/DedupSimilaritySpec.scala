@@ -222,6 +222,29 @@ class DedupSimilaritySpec extends TestSparkSession {
     assert(recall >= 0.2, s"PQ ADC recall was $recall")
   }
 
+  test("IVF-PQ composite: full-probe ranking is bit-identical to pure " +
+      "PQ; bounded probes keep useful recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_d2"))
+    // probes >= cell count => candidate set is the whole corpus and the
+    // ONLY difference vs pqTopK vanishes: exact same rows, ranks, dists
+    val full = Similarity.ivfpqTopK(emb, queries, dims = 64, k = 5,
+      probes = Int.MaxValue).collect().map(key).toSet
+    val pq = Similarity.pqTopK(emb, queries, dims = 64, k = 5)
+      .collect().map(key).toSet
+    assert(full == pq, "full-probe IVF-PQ must equal pure PQ ADC")
+    // bounded probes: recall against the PQ ranking it approximates
+    val probed = Similarity.ivfpqTopK(emb, queries, dims = 64, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pqPairs = pq.map(t => (t._1, t._3))
+    val recall = probed.intersect(pqPairs).size.toDouble / pqPairs.size
+    assert(recall >= 0.2, s"probed IVF-PQ recall vs PQ was $recall")
+  }
+
   test("hyperplane LSH exact-dup collapse: identity pairs at cos 1, base " +
       "pairs expand to every copy combination") {
     val base = Tables.embeddings(spark, sfDir)

@@ -58,7 +58,11 @@ class DeterminismSpec extends TestSparkSession {
     "q_events_winsorized", "q_docs_pmi_bigrams", "q_docs_source_kl",
     "q_events_cusum_fixed", "q_stream_cusum", "q_events_mad_outliers",
     "q_docs_zipf", "q_docs_source_overlap", "q_events_stickiness",
-    "q_events_hill")
+    "q_events_hill",
+    // the ADC distance sum is decimal-fixed per lookup since round 5 —
+    // before that a raw double sum drifted by ulps across layouts
+    // (caught by the IVF-PQ full-probe equality pin)
+    "q_ann_pq_topk", "q_ann_ivfpq_topk")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

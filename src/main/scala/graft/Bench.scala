@@ -132,7 +132,8 @@ object Bench {
     "q_docs_source_overlap",
     "q_events_stickiness",
     "q_events_hill",
-    "q_ann_ivfpq_topk")
+    "q_ann_ivfpq_topk",
+    "q_events_spearman")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2104,6 +2104,8 @@ object SparkEntry {
       EventOps.stickiness(Tables.events(s, d))),
     "q_events_hill" -> ((s, d) =>
       EventOps.hillTail(Tables.events(s, d))),
+    "q_events_spearman" -> ((s, d) =>
+      EventOps.spearmanCorrelation(Tables.events(s, d))),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -5815,6 +5817,30 @@ object SparkEntry {
                WHERE r.rk <= 100 GROUP BY 1)
          SELECT event_type, k_used, x_k1_cents,
                 CAST(k_used AS DOUBLE) / CAST(s AS DOUBLE) AS alpha
+         FROM s""",
+    "q_events_spearman" ->
+      """WITH hourly AS (
+           SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                       AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.hb, a.x AS x, b.x AS y
+               FROM hourly a JOIN hourly b
+                 ON a.hb = b.hb AND a.event_type < b.event_type),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY type_a, type_b
+                   ORDER BY x, hb) AS rx,
+                 row_number() OVER (PARTITION BY type_a, type_b
+                   ORDER BY y, hb) AS ry
+               FROM j),
+         s AS (SELECT type_a, type_b, count(*) AS n,
+                 sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sd2
+               FROM r GROUP BY 1, 2 HAVING count(*) > 1)
+         SELECT type_a, type_b, n AS n_hours,
+                1.0 - 6.0 * CAST(sd2 AS DOUBLE) /
+                  CAST(CAST(n AS HUGEINT) *
+                       (CAST(n AS HUGEINT) * n - 1) AS DOUBLE) AS rho
          FROM s""",
   )
 

@@ -1261,6 +1261,49 @@ object EventOps {
            .cast("double")))).as("corr"))
   }
 
+  /** A101: Spearman rank correlation between type pairs' hourly volume
+    * series — the robust sibling of [[seriesCorrelation]]'s Pearson
+    * (whale hours dominate a covariance; ranks cap any hour's influence
+    * at 1). Ranks are `row_number` on the (volume, hour) total order —
+    * deterministic distinct ranks, so the no-ties identity
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) is EXACT: d is an integer difference,
+    * Σd² accumulates in Decimal(38,0), and ρ is one IEEE division.
+    * (Textbook Spearman averages tied ranks; the deterministic
+    * tie-break on the hour key is the reproducible variant, documented
+    * — same convention as every rank percentile here.)
+    *
+    * Shape: the same hour-aligned pair join as [[seriesCorrelation]],
+    * then two pair-partitioned rank windows (pair-series sized) and
+    * one keyed aggregate. */
+  def spearmanCorrelation(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("x"))
+    val joined = hourly.as("a")
+      .join(hourly.as("b"), col("a.hb") === col("b.hb") &&
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"), col("a.hb").as("hb"),
+        col("a.x").as("x"), col("b.x").as("y"))
+    val wx = Window.partitionBy("type_a", "type_b")
+      .orderBy(col("x"), col("hb"))
+    val wy = Window.partitionBy("type_a", "type_b")
+      .orderBy(col("y"), col("hb"))
+    joined
+      .withColumn("d",
+        (row_number().over(wx) - row_number().over(wy)).cast("long"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("sd2"))
+      .filter(col("n") > 1)
+      .select(col("type_a"), col("type_b"), col("n").as("n_hours"),
+        (lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+          (col("n").cast("decimal(38,0)") *
+            (col("n").cast("decimal(38,0)") * col("n") - 1))
+            .cast("double")).as("rho"))
+  }
+
   /** A5c: mergeable per-day histogram store — the DETERMINISTIC quantile
     * analog of the A26c sketch store: per day, integer-cent values fold
     * into fixed-width buckets (`cents div bucketCents`), and any day

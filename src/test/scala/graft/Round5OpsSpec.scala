@@ -363,6 +363,29 @@ class Round5OpsSpec extends TestSparkSession {
     }
   }
 
+  // ---- A101 Spearman ----
+
+  test("spearmanCorrelation: monotone pairs hit exactly ±1") {
+    // two series over the same hours: y strictly increases with x for
+    // type pair (p,q) => rho exactly 1; z strictly decreases => -1
+    val ev = (0 until 20).flatMap { h =>
+      val ts = 1704067200L + h * 3600L
+      Seq((s"p$h", ts, "u", "p", (h + 1) * 10.0),
+        (s"q$h", ts, "u", "q", (h + 1) * 7.0),
+        (s"z$h", ts, "u", "z", (20 - h) * 5.0))
+    }.toDF("event_id", "epoch", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(epoch)")).drop("epoch")
+    val m = EventOps.spearmanCorrelation(ev).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        -> r.getAs[Double]("rho")).toMap
+    assert(m(("p", "q")) == 1.0)
+    assert(m(("p", "z")) == -1.0)
+    assert(m(("q", "z")) == -1.0)
+    // real data: rho bounded
+    assert(EventOps.spearmanCorrelation(events)
+      .filter(col("rho") < -1.0 || col("rho") > 1.0).count() == 0)
+  }
+
   // ---- C49 Zipf slope ----
 
   test("zipfSlope: exact power law recovers its exponent") {

@@ -133,7 +133,9 @@ object Bench {
     "q_events_stickiness",
     "q_events_hill",
     "q_ann_ivfpq_topk",
-    "q_events_spearman")
+    "q_events_spearman",
+    "q_ann_hard_negatives",
+    "q_docs_mixture_alloc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2106,6 +2106,12 @@ object SparkEntry {
       EventOps.hillTail(Tables.events(s, d))),
     "q_events_spearman" -> ((s, d) =>
       EventOps.spearmanCorrelation(Tables.events(s, d))),
+    "q_ann_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10))
+    }),
+    "q_docs_mixture_alloc" -> ((s, d) =>
+      TextAnalysis.temperatureMixture(Tables.documents(s, d))),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -5842,6 +5848,77 @@ object SparkEntry {
                   CAST(CAST(n AS HUGEINT) *
                        (CAST(n AS HUGEINT) * n - 1) AS DOUBLE) AS rho
          FROM s""",
+    "q_ann_hard_negatives" ->
+      """WITH dims AS (
+           SELECT vec_id, label,
+                  CAST(unnest(generate_series(1, 64)) - 1 AS BIGINT) AS i,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000,
+                       0) AS BIGINT) AS v6
+           FROM embeddings),
+         scales AS (
+           SELECT vec_id, max(abs(v6)) AS s6 FROM dims GROUP BY 1),
+         codes AS (
+           SELECT d.vec_id, d.label, d.i, s.s6,
+                  CASE WHEN s.s6 = 0 THEN 0
+                       ELSE CAST(sign(d.v6) AS BIGINT) *
+                            ((254 * abs(d.v6) + s.s6) // (2 * s.s6)) END
+                    AS q
+           FROM dims d JOIN scales s ON d.vec_id = s.vec_id),
+         scored AS (
+           SELECT a.vec_id AS q_id, a.label AS anchor_label,
+                  b.vec_id AS neighbor_id, b.label AS neg_label,
+                  CAST(sum(a.q * b.q) AS HUGEINT)
+                    * max(a.s6) * max(b.s6) AS dot_scaled
+           FROM codes a JOIN codes b ON a.i = b.i
+                AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+                AND a.label <> b.label
+           GROUP BY 1, 2, 3, 4),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot_scaled DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, anchor_label, neighbor_id, neg_label,
+                CAST(dot_scaled AS VARCHAR) AS dot_scaled, rk
+         FROM ranked WHERE rk > 2 AND rk <= 7""",
+    "q_docs_mixture_alloc" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  least(CAST(len(string_split(text, ' ')) AS DOUBLE) /
+                        100.0, 1.0) *
+                  (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                              AS DOUBLE) /
+                         CAST(length(text) AS DOUBLE)) *
+                  (0.5 + CAST(len(regexp_extract_all(text,
+                                '\b(the|a|of|to|and)\b')) AS DOUBLE) /
+                         CAST(len(string_split(text, ' ')) AS DOUBLE))
+                    AS qs
+           FROM documents),
+         s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 sum(CAST(round(qs, 9) AS DECIMAL(18,9))) AS qsum
+               FROM q GROUP BY 1),
+         w AS (SELECT *, CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 AS avg_quality FROM s),
+         w2 AS (SELECT *,
+                 CAST(round(exp(2.0 *
+                   CAST(CAST(round(ln(avg_quality), 6) AS DECIMAL(12,6))
+                        AS DOUBLE)), 6) AS DECIMAL(18,6)) AS weight6
+               FROM w),
+         t AS (SELECT sum(weight6) AS wtot FROM w2),
+         a AS (SELECT source, n_docs, n_tokens, avg_quality,
+                 CAST(weight6 AS DOUBLE) AS weight,
+                 CAST((CAST(1000000 AS HUGEINT) *
+                       CAST(weight6 * 1000000 AS BIGINT)) //
+                      CAST(wtot * 1000000 AS BIGINT) AS BIGINT)
+                   AS alloc_tokens
+               FROM w2 CROSS JOIN t)
+         SELECT source, n_docs, n_tokens, avg_quality, weight,
+                alloc_tokens FROM a
+         UNION ALL
+         SELECT NULL, 0, 0, NULL, NULL,
+                1000000 - (SELECT CAST(sum(alloc_tokens) AS BIGINT)
+                           FROM a)""",
   )
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow

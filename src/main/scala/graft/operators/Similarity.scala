@@ -571,6 +571,48 @@ object Similarity {
         col("dot_scaled").cast("string").as("dot_scaled"), col("rk"))
   }
 
+  /** C53: contrastive hard-negative mining — for each anchor vector,
+    * the most-similar vectors with a DIFFERENT label, skipping the
+    * `skip` hardest (top-band "false negatives" in contrastive
+    * practice are often unlabeled positives; the skip band drops
+    * them). This is the training-pair generator for embedding-model
+    * fine-tuning, runnable on the 4× int8 store: scores are the same
+    * exact integer `(Σ q·q')·s·s'` rank keys as [[int8TopK]], so the
+    * mined set is bit-stable and SQL-oracled — a sampled negative is
+    * reproducible across reruns and engines, which is what makes a
+    * training set auditable.
+    *
+    * Shape: one dimension-keyed join of quantized codes (the int8TopK
+    * shape), label filter BEFORE ranking, per-anchor rank window over
+    * candidate rows. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int = 5,
+      skip: Int = 2, labelCol: String = "label"): DataFrame = {
+    val labels = emb.select(col("vec_id"), col(labelCol))
+    val nc = quantizeInt8(emb)
+      .join(labels, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("i"),
+        col("s6").as("sn"), col("q").as("qn"),
+        col(labelCol).as("neg_label"))
+    val qc = quantizeInt8(queries)
+      .join(queries.select(col("vec_id"), col(labelCol)), "vec_id")
+      .select(col("vec_id").as("q_id"), col("i"), col("s6").as("sq"),
+        col("q").as("qq"), col(labelCol).as("anchor_label"))
+    val scores = qc.join(nc, "i")
+      .filter(col("q_id") =!= col("neighbor_id") &&
+        col("anchor_label") =!= col("neg_label"))
+      .groupBy("q_id", "anchor_label", "neighbor_id", "neg_label")
+      .agg((sum((col("qq") * col("qn")).cast("bigint"))
+        .cast("decimal(38,0)") * max("sq") * max("sn"))
+        .as("dot_scaled"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dot_scaled").desc, col("neighbor_id"))
+    scores.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") > skip && col("rk") <= skip + k)
+      .select(col("q_id"), col("anchor_label"), col("neighbor_id"),
+        col("neg_label"),
+        col("dot_scaled").cast("string").as("dot_scaled"), col("rk"))
+  }
+
   /** C40: semantic dedup (SemDeDup-style): embeddings are first grouped
     * into clusters (here the precomputed cluster id; at scale the
     * [[kmeansFit]] assignment), then within each cluster a vector is

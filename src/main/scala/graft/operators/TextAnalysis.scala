@@ -487,6 +487,56 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** C52: temperature-scaled mixture allocation — the "how many tokens
+    * from each source" solver a training-mix run starts from: source
+    * weight ∝ (mean quality)^τ (τ = 1 samples proportional to quality,
+    * τ → 0 flattens to uniform, τ > 1 sharpens toward the best
+    * sources), allocations split a token budget by exact integer
+    * division. The power goes through the transcendental boundary as
+    * `exp(τ·ln q̄)`; per-doc quality scores and the per-source weights
+    * are fixed to decimals before every sum, so allocations are exact
+    * integers any engine reproduces, and they never exceed the budget
+    * (truncating division; the remainder is reported as one
+    * `unallocated` row with source NULL).
+    *
+    * Shape: one doc-keyed projection (the C9 quality formula), one
+    * source-keyed aggregate, one broadcast total — source table
+    * sized. */
+  def temperatureMixture(docs: DataFrame, tau: Double = 2.0,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    val perDoc = quality(docs)
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tok").cast("bigint").as("n_tok"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val perSrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum(round(col("quality_score"), 9).cast("decimal(18,9)"))
+          .as("qsum"))
+      .withColumn("avg_quality",
+        col("qsum").cast("double") / col("n_docs").cast("double"))
+      .withColumn("weight6",
+        round(exp(lit(tau) * ln_r6(col("avg_quality")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+    val total = perSrc.agg(sum("weight6").as("wtot"))
+    val alloc = perSrc.join(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_quality"), col("weight6").cast("double").as("weight"),
+        // exact integer split: floor(budget · w / Σw) with both weights
+        // lifted to the 1e-6 integer grid (truncating div of positives
+        // — the one division form both engines agree on)
+        expr(s"cast((cast($budgetTokens as decimal(38,0)) * " +
+          "cast(weight6 * 1000000 as bigint)) div " +
+          "cast(wtot * 1000000 as bigint) as bigint)").as("alloc_tokens"))
+    val spent = alloc.agg(sum("alloc_tokens").as("s"))
+    alloc.unionByName(
+      spent.select(lit(null).cast("string").as("source"),
+        lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
+        lit(null).cast("double").as("avg_quality"),
+        lit(null).cast("double").as("weight"),
+        (lit(budgetTokens) - col("s")).as("alloc_tokens")))
+  }
+
   /** C49: Zipf slope of the token frequency distribution — the
     * corpus-health regression (natural text sits near slope −1;
     * generated/templated corpora flatten or steepen): least squares of

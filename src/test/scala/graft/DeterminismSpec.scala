@@ -62,7 +62,8 @@ class DeterminismSpec extends TestSparkSession {
     // the ADC distance sum is decimal-fixed per lookup since round 5 —
     // before that a raw double sum drifted by ulps across layouts
     // (caught by the IVF-PQ full-probe equality pin)
-    "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_events_spearman")
+    "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_events_spearman",
+    "q_ann_hard_negatives", "q_docs_mixture_alloc")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

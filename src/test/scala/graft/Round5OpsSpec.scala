@@ -420,6 +420,56 @@ class Round5OpsSpec extends TestSparkSession {
     assert(real.filter(col("source_a") >= col("source_b")).count() == 0)
   }
 
+  // ---- C52 temperature mixture ----
+
+  test("temperatureMixture: budget conserved exactly, sharpening works") {
+    val corpus = ((1 to 20).map(i =>
+      (i.toLong, "rich", "the story of a great and long journey begins " +
+        "with the first of many steps to come")) ++
+      (21 to 40).map(i => (i.toLong, "poor", "x! y! z! q!")))
+      .toDF("doc_id", "source", "text")
+    def allocOf(tau: Double) = TextAnalysis
+      .temperatureMixture(corpus, tau = tau, budgetTokens = 10000L)
+      .collect()
+      .map(r => Option(r.getAs[String]("source")).getOrElse("__rest") ->
+        r.getAs[Long]("alloc_tokens")).toMap
+    val a1 = allocOf(1.0)
+    // exact conservation: allocations + remainder == budget
+    assert(a1.values.sum == 10000L)
+    assert(a1("rich") > a1("poor"))
+    // higher temperature sharpens toward the high-quality source
+    val a4 = allocOf(4.0)
+    assert(a4.values.sum == 10000L)
+    assert(a4("rich") > a1("rich"))
+    // real corpus: one remainder row, everything non-negative
+    val real = TextAnalysis.temperatureMixture(docs).collect()
+    assert(real.count(_.isNullAt(0)) == 1)
+    assert(real.forall(_.getAs[Long]("alloc_tokens") >= 0L))
+  }
+
+  // ---- C53 hard negatives ----
+
+  test("hardNegatives: cross-label only, skip band enforced") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.filter(col("vec_id") < 10)
+    val r = operators.Similarity.hardNegatives(emb, anchors).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Int]("anchor_label") !=
+        row.getAs[Int]("neg_label"))
+      val rk = row.getAs[Long]("rk")
+      assert(rk > 2 && rk <= 7, s"rank $rk outside the mining band")
+    }
+    // the skip band: rk 1-2 of the same cross-label ranking are absent,
+    // and each anchor mines at most k distinct negatives
+    val perAnchor = r.groupBy(_.getAs[Long]("q_id"))
+    perAnchor.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length ==
+        rows.length)
+      assert(rows.length <= 5)
+    }
+  }
+
   // ---- C46 unigram LM ----
 
   test("unigramLogProb: common-token docs score higher, bounds hold") {

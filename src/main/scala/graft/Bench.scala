@@ -135,7 +135,9 @@ object Bench {
     "q_ann_ivfpq_topk",
     "q_events_spearman",
     "q_ann_hard_negatives",
-    "q_docs_mixture_alloc")
+    "q_docs_mixture_alloc",
+    "q_events_edge_growth",
+    "q_ann_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2112,6 +2112,12 @@ object SparkEntry {
     }),
     "q_docs_mixture_alloc" -> ((s, d) =>
       TextAnalysis.temperatureMixture(Tables.documents(s, d))),
+    "q_events_edge_growth" -> ((s, d) =>
+      GraphOps.edgeGrowth(Tables.events(s, d))),
+    "q_ann_rrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.rrfFusion(emb, emb.filter(col("vec_id") < 10))
+    }),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -5919,6 +5925,87 @@ object SparkEntry {
          SELECT NULL, 0, 0, NULL, NULL,
                 1000000 - (SELECT CAST(sum(alloc_tokens) AS BIGINT)
                            FROM a)""",
+    "q_events_edge_growth" ->
+      """WITH act AS (
+           SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                           user_id
+           FROM events),
+         sized AS (
+           SELECT event_type, mb FROM act
+           GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 16),
+         dp AS (
+           SELECT DISTINCT x.mb // 24 AS db, x.user_id AS a,
+                           y.user_id AS b
+           FROM act x
+           JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
+           JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+           WHERE x.user_id < y.user_id),
+         fs AS (SELECT a, b, min(db) AS first_db FROM dp GROUP BY 1, 2)
+         SELECT dp.db * 86400 AS day, count(*) AS n_pairs,
+                count(*) FILTER (WHERE dp.db = fs.first_db) AS n_new,
+                CAST(count(*) FILTER (WHERE dp.db = fs.first_db)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_ratio
+         FROM dp JOIN fs ON dp.a = fs.a AND dp.b = fs.b
+         GROUP BY dp.db""",
+    "q_ann_rrf" ->
+      """WITH x AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, sum(v * v) AS n2 FROM x GROUP BY 1),
+         qx AS (SELECT * FROM x WHERE vec_id < 10),
+         d AS (SELECT qx.vec_id AS q_id, x.vec_id AS neighbor_id,
+                      sum(qx.v * x.v) AS dot
+               FROM qx JOIN x ON qx.i = x.i AND qx.vec_id <> x.vec_id
+               GROUP BY 1, 2),
+         cosr AS (SELECT q_id, neighbor_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY
+                      round(dot / (sqrt(nq.n2) * sqrt(nn.n2)), 6) DESC,
+                      neighbor_id) AS rk
+                  FROM d JOIN n nq ON q_id = nq.vec_id
+                         JOIN n nn ON neighbor_id = nn.vec_id),
+         dims AS (
+           SELECT vec_id,
+                  CAST(unnest(generate_series(1, 64)) - 1 AS BIGINT) AS i,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000,
+                       0) AS BIGINT) AS v6
+           FROM embeddings),
+         scales AS (
+           SELECT vec_id, max(abs(v6)) AS s6 FROM dims GROUP BY 1),
+         codes AS (
+           SELECT dm.vec_id, dm.i, s.s6,
+                  CASE WHEN s.s6 = 0 THEN 0
+                       ELSE CAST(sign(dm.v6) AS BIGINT) *
+                            ((254 * abs(dm.v6) + s.s6) // (2 * s.s6)) END
+                    AS q
+           FROM dims dm JOIN scales s ON dm.vec_id = s.vec_id),
+         i8 AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    CAST(sum(a.q * b.q) AS HUGEINT)
+                      * max(a.s6) * max(b.s6) DESC, b.vec_id) AS rk
+                FROM codes a JOIN codes b ON a.i = b.i
+                     AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+                GROUP BY a.vec_id, b.vec_id),
+         pool AS (
+           SELECT q_id, neighbor_id,
+                  CAST(round(1.0 / (60.0 + CAST(rk AS DOUBLE)), 9)
+                       AS DECIMAL(12,9)) AS t
+           FROM cosr WHERE rk <= 10
+           UNION ALL
+           SELECT q_id, neighbor_id,
+                  CAST(round(1.0 / (60.0 + CAST(rk AS DOUBLE)), 9)
+                       AS DECIMAL(12,9)) AS t
+           FROM i8 WHERE rk <= 10),
+         fused AS (
+           SELECT q_id, neighbor_id, count(*) AS n_lists,
+                  sum(t) AS rrf
+           FROM pool GROUP BY 1, 2),
+         rr AS (SELECT q_id, neighbor_id, n_lists,
+                  CAST(rrf AS DOUBLE) AS rrf,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf DESC, neighbor_id) AS rk
+                FROM fused)
+         SELECT q_id, neighbor_id, n_lists, rrf, rk FROM rr
+         WHERE rk <= 5""",
   )
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow

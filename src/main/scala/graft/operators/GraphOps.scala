@@ -345,6 +345,49 @@ object GraphOps {
       .select(col("node"), col("deg"), col("tri"), col("cc_1e6"))
   }
 
+  /** A102: co-activity edge formation over time — per day: how many
+    * wallet pairs were co-active, how many for the FIRST time, and the
+    * new-edge ratio. A bot ring spinning up shows as a new-edge burst
+    * (many first-time pairings at once); organic growth accretes
+    * gradually — the temporal complement to [[walletClusters]]'s static
+    * components. Exact integers end to end.
+    *
+    * Shape: the same size-capped group fan-out as [[coactivityEdges]]
+    * but keyed per day (pairs dedupe within each day), one min-day
+    * aggregate per pair for first-seen, one day-keyed rollup — pair
+    * volume is bounded by the group cap exactly like every graph
+    * operator here. */
+  def edgeGrowth(events: DataFrame, maxGroupSize: Int = 16): DataFrame = {
+    val act = events.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("mb"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val sized = act.groupBy("event_type", "mb")
+      .agg(count(lit(1)).as("gs"))
+      .filter(col("gs") >= 2 && col("gs") <= maxGroupSize)
+      .select(col("event_type"), col("mb"))
+    val dayPairs = act.join(sized, Seq("event_type", "mb"))
+      .groupBy("event_type", "mb")
+      .agg(collect_list(col("user_id")).as("us"))
+      .select(expr("mb div 24").as("db"),
+        explode(col("us")).as("a"), col("us"))
+      .select(col("db"), col("a"), explode(col("us")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint() // feeds first-seen AND the day rollup
+    val firstSeen = dayPairs.groupBy("a", "b")
+      .agg(min("db").as("first_db"))
+    dayPairs.join(firstSeen, Seq("a", "b"))
+      .groupBy("db")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("db") === col("first_db"), 1)).as("n_new"))
+      .select((col("db") * 86400).as("day"), col("n_pairs"),
+        col("n_new"),
+        (col("n_new").cast("double") / col("n_pairs").cast("double"))
+          .as("new_ratio"))
+  }
+
   /** A95: neighbor-overlap similarity and link prediction over the
     * co-activity graph — for every wallet pair with ≥ `minCommon`
     * shared co-actors: common-neighbor count, Jaccard overlap of

@@ -571,6 +571,38 @@ object Similarity {
         col("dot_scaled").cast("string").as("dot_scaled"), col("rk"))
   }
 
+  /** C54: reciprocal-rank fusion of two retrieval rankings — the
+    * standard zero-tuning way to combine heterogeneous scorers
+    * (Cormack et al.: RRF(d) = Σᵣ 1/(c + rank_r(d)) with c = 60); here
+    * the FP32 cosine ranking and the int8 quantized-MIPS ranking fuse,
+    * so the operator doubles as a live audit of how much the 4×
+    * compression perturbs retrieval order. Each reciprocal term is one
+    * IEEE division of exact integers fixed to a 1e-9 decimal, the
+    * fusion score is an exact decimal sum (order-independent), and the
+    * final rank has a total tie-break — fully SQL-oracled, unusual for
+    * a fusion operator.
+    *
+    * Shape: two rankings (each top-`poolK` per anchor), a full outer
+    * union keyed on (anchor, candidate), one keyed aggregate, one
+    * per-anchor rank window over ≤ 2·poolK rows. */
+  def rrfFusion(emb: DataFrame, queries: DataFrame, k: Int = 5,
+      poolK: Int = 10, c: Int = 60): DataFrame = {
+    def terms(r: DataFrame) = r.select(col("q_id"), col("neighbor_id"),
+      round(lit(1.0) / (lit(c.toDouble) + col("rk").cast("double")), 9)
+        .cast("decimal(12,9)").as("t"))
+    val fused = terms(bruteForceTopK(emb, queries, poolK))
+      .unionByName(terms(
+        int8TopK(emb, queries, poolK).drop("dot_scaled")))
+      .groupBy("q_id", "neighbor_id")
+      .agg(count(lit(1)).as("n_lists"), sum("t").as("rrf"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("n_lists"),
+        col("rrf").cast("double").as("rrf"), col("rk"))
+  }
+
   /** C53: contrastive hard-negative mining — for each anchor vector,
     * the most-similar vectors with a DIFFERENT label, skipping the
     * `skip` hardest (top-band "false negatives" in contrastive

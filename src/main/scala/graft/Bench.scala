@@ -137,7 +137,8 @@ object Bench {
     "q_ann_hard_negatives",
     "q_docs_mixture_alloc",
     "q_events_edge_growth",
-    "q_ann_rrf")
+    "q_ann_rrf",
+    "q_multimodal_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2118,6 +2118,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.rrfFusion(emb, emb.filter(col("vec_id") < 10))
     }),
+    "q_multimodal_dedup" -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaDedup(Tables.documents(s, d))),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -6006,6 +6008,30 @@ object SparkEntry {
                 FROM fused)
          SELECT q_id, neighbor_id, n_lists, rrf, rk FROM rr
          WHERE rk <= 5""",
+    "q_multimodal_dedup" ->
+      """WITH f AS (
+           SELECT DISTINCT doc_id,
+                  md5(substring(text, fi * 256 + 1, 256)) AS h
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) // 256))
+                     AS fi
+                 FROM documents)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM f GROUP BY 1),
+         keep AS (SELECT h FROM f GROUP BY h HAVING count(*) <= 64),
+         k AS (SELECT f.doc_id, f.h FROM f JOIN keep ON f.h = keep.h),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_common
+               FROM k a JOIN k b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b, p.n_common,
+                za.sz AS n_a, zb.sz AS n_b,
+                CAST(p.n_common AS DOUBLE) /
+                  CAST(za.sz + zb.sz - p.n_common AS DOUBLE) AS jaccard
+         FROM p
+         JOIN sz za ON p.doc_a = za.doc_id
+         JOIN sz zb ON p.doc_b = zb.doc_id
+         WHERE 5 * p.n_common >= 1 * (za.sz + zb.sz - p.n_common)""",
   )
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow

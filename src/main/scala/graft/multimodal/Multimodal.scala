@@ -102,4 +102,55 @@ object Multimodal {
         }
       })
   }
+
+  /** C55: perceptual media dedup — near-duplicate assets by FRAME-HASH
+    * set overlap: each asset's fixed-size frames hash to md5 digests
+    * (with a real codec these are perceptual frame fingerprints; the
+    * byte-slice stub keeps the plumbing byte-exact and oracle-able),
+    * assets sharing hashed frames pair through a digest join, and the
+    * near-dup verdict is frame-set Jaccard ≥ τ — the re-encoded /
+    * re-muxed copy detector, which C12's whole-asset digests miss the
+    * moment one byte of container metadata differs.
+    *
+    * Scale shape (the [[graft.operators.Dedup.ngramJaccard]] recipe on
+    * media): 16-byte digests shuffle, payload bytes never do; pair
+    * fan-out is bounded by `maxHashDf` (an intro/outro frame shared by
+    * thousands of assets is a stop-gram, not a join key); the τ
+    * threshold compares as an exact integer cross-multiplication
+    * (`τDen·common ≥ τNum·union`), so the verdict is engine-exact. */
+  def mediaDedup(docs: DataFrame, maxHashDf: Int = 64,
+      tauNum: Int = 1, tauDen: Int = 5,
+      frameSize: Int = StubCodec.FrameSize): DataFrame = {
+    val frames = withPayload(docs)
+      .withColumn("nf",
+        expr(s"octet_length(payload) div $frameSize + 1"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, nf - 1)")).as("fi"), col("payload"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(payload, fi * $frameSize + 1, $frameSize)"))
+          .as("h"))
+      .distinct()
+      .localCheckpoint() // sizes, hot-filter and the pair join share it
+    val sizes = frames.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val keep = frames.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxHashDf).select("h")
+    val kept = frames.join(keep, "h")
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("n_b")),
+        "doc_b")
+      .filter(lit(tauDen.toLong) * col("n_common") >=
+        lit(tauNum.toLong) * (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
 }

@@ -64,7 +64,7 @@ class DeterminismSpec extends TestSparkSession {
     // (caught by the IVF-PQ full-probe equality pin)
     "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_events_spearman",
     "q_ann_hard_negatives", "q_docs_mixture_alloc",
-    "q_events_edge_growth", "q_ann_rrf")
+    "q_events_edge_growth", "q_ann_rrf", "q_multimodal_dedup")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

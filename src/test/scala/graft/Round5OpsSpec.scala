@@ -525,6 +525,33 @@ class Round5OpsSpec extends TestSparkSession {
     }
   }
 
+  // ---- C55 media dedup ----
+
+  test("mediaDedup: re-muxed copy found, distinct content silent") {
+    val body = ("frame" * 200).take(700) // spans 3 frames of 256 bytes
+    val corpus = Seq(
+      (1L, "HDR-AAAA" + body), // same content, different "container"
+      (2L, "HDR-BBBB" + body), //   header bytes => whole-asset md5 differs
+      (3L, "totally different payload " * 30))
+      .toDF("doc_id", "text")
+    val pairs = graft.multimodal.Multimodal.mediaDedup(corpus).collect()
+    // only the re-muxed pair (1,2) survives; 3 shares nothing
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L &&
+      pairs(0).getAs[Long]("doc_b") == 2L)
+    // the shifted header means frame BOUNDARIES align (both headers are
+    // 8 bytes) so interior frames hash equal; jaccard is high but < 1
+    val j = pairs(0).getAs[Double]("jaccard")
+    assert(j > 0.2 && j < 1.0)
+    // whole-asset digests would have missed it:
+    assert(corpus.select(md5(col("text").cast("binary"))).distinct()
+      .count() == 3)
+    // real corpus: verdicts respect the threshold
+    val real = graft.multimodal.Multimodal
+      .mediaDedup(Tables.documents(spark, sfDir)).collect()
+    real.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.2 - 1e-12))
+  }
+
   // ---- C46 unigram LM ----
 
   test("unigramLogProb: common-token docs score higher, bounds hold") {

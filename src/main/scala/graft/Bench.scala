@@ -138,7 +138,12 @@ object Bench {
     "q_docs_mixture_alloc",
     "q_events_edge_growth",
     "q_ann_rrf",
-    "q_multimodal_dedup")
+    "q_multimodal_dedup",
+    "q_events_slippage",
+    "q_events_beta",
+    "q_events_seasonal_anomalies",
+    "q_embeddings_outliers",
+    "q_docs_split_leakage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2120,6 +2120,16 @@ object SparkEntry {
     }),
     "q_multimodal_dedup" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDedup(Tables.documents(s, d))),
+    "q_events_slippage" -> ((s, d) =>
+      EventOps.vwapSlippage(Tables.events(s, d))),
+    "q_events_beta" -> ((s, d) =>
+      EventOps.marketBeta(Tables.events(s, d))),
+    "q_events_seasonal_anomalies" -> ((s, d) =>
+      EventOps.seasonalAnomalies(Tables.events(s, d))),
+    "q_embeddings_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, d))),
+    "q_docs_split_leakage" -> ((s, d) =>
+      Dedup.splitLeakage(Tables.documents(s, d))),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -6032,6 +6042,151 @@ object SparkEntry {
          JOIN sz za ON p.doc_a = za.doc_id
          JOIN sz zb ON p.doc_b = zb.doc_id
          WHERE 5 * p.n_common >= 1 * (za.sz + zb.sz - p.n_common)""",
+    "q_events_slippage" ->
+      """WITH t AS (SELECT event_type,
+                 (epoch_us(ts) // 3600000000) * 3600 AS hour,
+                 CAST(CAST(round(value * 100, 0) AS BIGINT)
+                      AS DECIMAL(38,0)) AS c,
+                 CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+                      AS DECIMAL(38,0)) AS q
+               FROM events
+               WHERE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 0),
+         tot AS (SELECT event_type, hour, sum(q) AS kk, sum(c * q) AS cc
+                 FROM t GROUP BY 1, 2)
+         SELECT t.event_type, t.hour, count(*) AS n_fills,
+                CAST(tot.kk AS BIGINT) AS total_qty,
+                CAST(tot.cc AS DOUBLE) / CAST(tot.kk AS DOUBLE)
+                  AS vwap_cents,
+                CAST(sum(t.q * abs(t.c * tot.kk - tot.cc)) AS DOUBLE) /
+                  CAST(tot.kk * tot.kk AS DOUBLE) AS slip_cents
+         FROM t JOIN tot
+           ON t.event_type = tot.event_type AND t.hour = tot.hour
+         GROUP BY t.event_type, t.hour, tot.kk, tot.cc""",
+    "q_events_beta" ->
+      """WITH hourly AS (SELECT event_type,
+                 (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                      AS DECIMAL(38,0)) AS x
+               FROM events GROUP BY 1, 2),
+         market AS (SELECT hb, sum(x) AS m FROM hourly GROUP BY 1),
+         mom AS (SELECT h.event_type,
+                   CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   sum(h.x) AS sx, sum(mk.m) AS sm,
+                   sum(h.x * mk.m) AS sxm, sum(mk.m * mk.m) AS smm
+                 FROM hourly h JOIN market mk ON h.hb = mk.hb
+                 GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+                CAST(n * sxm - sx * sm AS DOUBLE) /
+                  CAST(n * smm - sm * sm AS DOUBLE) AS beta,
+                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) -
+                  (CAST(n * sxm - sx * sm AS DOUBLE) /
+                   CAST(n * smm - sm * sm AS DOUBLE)) *
+                  (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS alpha_cents
+         FROM mom""",
+    "q_events_seasonal_anomalies" ->
+      """WITH ph AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+                 count(*) AS c
+               FROM events GROUP BY 1, 2),
+         h AS (SELECT *, hb % 24 AS hod FROM ph),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hod
+                   ORDER BY c, hb) AS rk,
+                 count(*) OVER (PARTITION BY event_type, hod) AS nd
+               FROM h),
+         base AS (SELECT event_type, hod, c AS baseline
+                  FROM r WHERE rk = (nd + 1) // 2)
+         SELECT h.event_type, h.hb * 3600 AS hour, h.hod, h.c AS n,
+                b.baseline
+         FROM h JOIN base b
+           ON h.event_type = b.event_type AND h.hod = b.hod
+         WHERE h.c > b.baseline * 2""",
+    "q_embeddings_outliers" ->
+      """WITH comp AS (SELECT vec_id, label,
+                 CAST(unnest(generate_series(1, 64)) AS BIGINT) AS pos,
+                 CAST(CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000, 0) AS BIGINT) AS DECIMAL(38,0)) AS x6
+               FROM embeddings),
+         cent AS (SELECT label, pos, sum(x6) AS s6,
+                    CAST(count(*) AS DECIMAL(38,0)) AS n
+                  FROM comp GROUP BY 1, 2),
+         d2 AS (SELECT c.vec_id, c.label,
+                  sum((ct.n * c.x6 - ct.s6) * (ct.n * c.x6 - ct.s6))
+                    AS d2num
+                FROM comp c
+                JOIN cent ct ON c.label = ct.label AND c.pos = ct.pos
+                GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY label
+                   ORDER BY d2num, vec_id) AS rk,
+                 count(*) OVER (PARTITION BY label) AS nv,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY d2num DESC, vec_id) AS far_rk
+               FROM d2),
+         med AS (SELECT label, d2num AS med
+                 FROM r WHERE rk = (nv + 1) // 2)
+         SELECT r.label, r.far_rk, r.vec_id,
+                CAST(r.d2num AS DOUBLE) / CAST(m.med AS DOUBLE)
+                  AS dist_ratio
+         FROM r JOIN med m ON r.label = m.label
+         WHERE r.far_rk <= 5""",
+    "q_docs_split_leakage" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM p
+                   JOIN sz s1 ON d1 = s1.doc_id
+                   JOIN sz s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE) /
+                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         canon AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM (
+             WITH RECURSIVE reach(a, b) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+             SELECT a, b FROM reach)
+           GROUP BY a),
+         m AS (SELECT doc_id, cluster,
+                 CASE WHEN CAST(strpos('0123456789abcdef',
+                        substring(md5('split' || CAST(doc_id AS VARCHAR)),
+                          1, 1)) - 1 AS INT) * 16 +
+                      CAST(strpos('0123456789abcdef',
+                        substring(md5('split' || CAST(doc_id AS VARCHAR)),
+                          2, 1)) - 1 AS INT) < 204 THEN 'train'
+                      WHEN CAST(strpos('0123456789abcdef',
+                        substring(md5('split' || CAST(doc_id AS VARCHAR)),
+                          1, 1)) - 1 AS INT) * 16 +
+                      CAST(strpos('0123456789abcdef',
+                        substring(md5('split' || CAST(doc_id AS VARCHAR)),
+                          2, 1)) - 1 AS INT) < 230 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM canon),
+         leaky AS (SELECT cluster, count(DISTINCT split) AS n_splits
+                   FROM m GROUP BY 1 HAVING count(DISTINCT split) > 1)
+         SELECT m.cluster, m.doc_id, m.split,
+                CASE WHEN CAST(strpos('0123456789abcdef',
+                       substring(md5('split' || CAST(m.cluster AS VARCHAR)),
+                         1, 1)) - 1 AS INT) * 16 +
+                     CAST(strpos('0123456789abcdef',
+                       substring(md5('split' || CAST(m.cluster AS VARCHAR)),
+                         2, 1)) - 1 AS INT) < 204 THEN 'train'
+                     WHEN CAST(strpos('0123456789abcdef',
+                       substring(md5('split' || CAST(m.cluster AS VARCHAR)),
+                         1, 1)) - 1 AS INT) * 16 +
+                     CAST(strpos('0123456789abcdef',
+                       substring(md5('split' || CAST(m.cluster AS VARCHAR)),
+                         2, 1)) - 1 AS INT) < 230 THEN 'val'
+                     ELSE 'test' END AS healed_split,
+                l.n_splits
+         FROM m JOIN leaky l ON m.cluster = l.cluster""",
   )
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow

@@ -454,4 +454,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** C57: near-dup split-leakage audit + heal — THE classic eval bug:
+    * [[graft.operators.Sampling.hashSplit]] assigns splits per document,
+    * so two near-duplicates can land in train AND test and the eval
+    * silently scores memorization. This operator finds every near-dup
+    * cluster (the [[canonicalize]] transitive closure over
+    * [[ngramJaccard]] pairs) whose members straddle ≥2 splits, and emits
+    * those documents with the HEALED assignment — the whole cluster
+    * takes its canonical (lowest-id) member's split, the deterministic
+    * repair a pipeline can apply idempotently. Split buckets reuse
+    * hashSplit's exact md5 arithmetic, so audit and split can never
+    * drift.
+    *
+    * Shape: the pair+label-propagation pipeline bounds everything (see
+    * canonicalize); past it, one cluster-count-sized distinct-split
+    * aggregate (leaky ids broadcast back), and the healed split arrives
+    * by joining the cluster id against the same md5 expression evaluated
+    * on the canonical id — a projection, not another corpus join. */
+  def splitLeakage(docs: DataFrame, tau: Double = 0.5,
+      trainBuckets: Int = 204, valBuckets: Int = 26): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val bucket = conv(substring(md5(concat(lit("split"),
+        c.cast("string")).cast("binary")), 1, 2), 16, 10).cast("int")
+      when(bucket < trainBuckets, "train")
+        .when(bucket < trainBuckets + valBuckets, "val")
+        .otherwise("test")
+    }
+    val member = canonicalize(ngramJaccard(docs, tau))
+      .select(col("doc_id"), col("keep_id").as("cluster"),
+        splitOf(col("doc_id")).as("split"))
+      .localCheckpoint() // paired-doc sized; aggregated + filtered below
+    val leaky = member.groupBy("cluster")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1)
+    member.join(broadcast(leaky), "cluster")
+      .select(col("cluster"), col("doc_id"), col("split"),
+        splitOf(col("cluster")).as("healed_split"), col("n_splits"))
+  }
 }

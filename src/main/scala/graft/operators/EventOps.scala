@@ -2273,4 +2273,118 @@ object EventOps {
         col("clipped_cents").cast("double") / lit(100.0) /
           col("n").cast("double"))
   }
+
+  /** A103: execution slippage vs the hourly size-weighted VWAP — the
+    * per-venue execution-quality report (how far, in cents, the average
+    * filled unit printed from the hour's volume-weighted price). Size
+    * comes from the payload `k` field ([[jsonProps]]'s extraction), so
+    * the benchmark is a true VWAP, not [[twap1h]]'s time weighting.
+    * With per-hour totals K = Σq and C = Σ c·q, each fill's deviation
+    * from VWAP C/K is kept rational: the hour's size-weighted absolute
+    * deviation is Σ q·|c·K − C| / K² — every term an exact
+    * Decimal(38,0) product (c·K ~ 10¹⁶ at lamport magnitudes, ×q and
+    * summed stays ≪ 10³⁸), with IEEE division only in the final
+    * projection.
+    *
+    * Shape: one keyed aggregate builds the (type, hour) totals —
+    * calendar-bounded (types × hours, ~10⁵ rows/decade), so they
+    * broadcast back — then one more keyed aggregate over the same key.
+    * Two shuffles of map-side-combined partials; fills never shuffle
+    * twice. */
+  def vwapSlippage(events: DataFrame): DataFrame = {
+    val t = events.select(col("event_type"),
+      expr("(unix_micros(ts) div 3600000000) * 3600").as("hour"),
+      expr("cast(round(value * 100, 0) as bigint)")
+        .cast("decimal(38,0)").as("c"),
+      expr("cast(regexp_extract(props, '[0-9]+', 0) as bigint)")
+        .cast("decimal(38,0)").as("q"))
+      .filter(col("q") > 0)
+    val tot = t.groupBy("event_type", "hour")
+      .agg(sum("q").as("kk"), sum(col("c") * col("q")).as("cc"))
+    t.join(broadcast(tot), Seq("event_type", "hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_fills"),
+        first("kk").as("kk"), first("cc").as("cc"),
+        sum(col("q") * abs(col("c") * col("kk") - col("cc"))).as("dev"))
+      .select(col("event_type"), col("hour"), col("n_fills"),
+        col("kk").cast("bigint").as("total_qty"),
+        (col("cc").cast("double") / col("kk").cast("double"))
+          .as("vwap_cents"),
+        (col("dev").cast("double") /
+          (col("kk") * col("kk")).cast("double")).as("slip_cents"))
+  }
+
+  /** A104: market beta per type — the OLS slope (and intercept) of a
+    * type's hourly cent-volume on the whole market's hourly total, the
+    * systematic-exposure companion of [[seriesCorrelation]]'s
+    * correlation (β answers "how many cents does this type move per
+    * market cent", which a unit-free ρ cannot). Moments accumulate in
+    * Decimal(38,0) under the kyleLambda exactness contract (n·Σxm at
+    * decade scale ~10³⁷ — inside precision 38; past that ANSI-off
+    * nulls, documented not silent-wrong), β = (nΣxm − ΣxΣm)/(nΣmm −
+    * (Σm)²) is one IEEE division of exact integers, and
+    * α = Σx/n − β·Σm/n closes in doubles with a shared literal
+    * expression tree both engines evaluate identically. Hours where
+    * the type printed nothing are skipped (same common-hours
+    * convention as seriesCorrelation, documented: β is conditional on
+    * the type being active).
+    *
+    * Shape: one keyed hourly aggregate (checkpointed once — the market
+    * series and the per-type join both read it), the hour-count-sized
+    * market series broadcast back, one keyed moment aggregate. */
+  def marketBeta(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)"))
+        .cast("decimal(38,0)").as("x"))
+      .localCheckpoint() // two consumers: market totals + the moment join
+    val market = hourly.groupBy("hb").agg(sum("x").as("m"))
+    val mom = hourly.join(broadcast(market), "hb")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum(col("x") * col("m")).as("sxm"),
+        sum(col("m") * col("m")).as("smm"))
+    val num = (col("n") * col("sxm") - col("sx") * col("sm"))
+      .cast("double")
+    val den = (col("n") * col("smm") - col("sm") * col("sm"))
+      .cast("double")
+    mom.select(col("event_type"), col("n").cast("bigint").as("n_hours"),
+        (num / den).as("beta"),
+        (col("sx").cast("double") / col("n").cast("double") -
+          (num / den) *
+            (col("sm").cast("double") / col("n").cast("double")))
+          .as("alpha_cents"))
+  }
+
+  /** A105: seasonality-adjusted anomaly detection — hours whose event
+    * count exceeds `mult` × the type's hour-of-day median baseline.
+    * [[rateSpikes]] z-scores against a single global mean, so a 9 am
+    * rush looks anomalous every day; this baseline is the exact lower
+    * median of the SAME clock slot across days (rank `(n+1) div 2` on
+    * the (count, hour) total order — the madOutliers convention), so
+    * only departures from the diurnal pattern fire. The verdict is an
+    * integer compare — no floats anywhere.
+    *
+    * Shape: one keyed hourly count (checkpointed — ranked and joined),
+    * a (type × 24)-slot rank window whose partitions are day-count
+    * sized, the tiny baseline table broadcast back, one filter. */
+  def seasonalAnomalies(events: DataFrame, mult: Int = 2): DataFrame = {
+    val perHour = events.groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hod", expr("hb % 24"))
+      .localCheckpoint()
+    val slot = Window.partitionBy("event_type", "hod")
+    val baseline = perHour
+      .withColumn("rk",
+        row_number().over(slot.orderBy(col("c"), col("hb"))))
+      .withColumn("nd", count(lit(1)).over(slot))
+      .filter(col("rk") === expr("(nd + 1) div 2"))
+      .select(col("event_type"), col("hod"), col("c").as("baseline"))
+    perHour.join(broadcast(baseline), Seq("event_type", "hod"))
+      .filter(col("c") > col("baseline") * mult)
+      .select(col("event_type"), (col("hb") * 3600).as("hour"),
+        col("hod"), col("c").as("n"), col("baseline"))
+  }
 }

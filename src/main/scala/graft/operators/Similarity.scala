@@ -674,4 +674,54 @@ object Similarity {
     emb.select(col("vec_id"), col(clusterCol).as("cluster"))
       .join(dropped, Seq("vec_id"), "left_anti")
   }
+
+  /** C56: per-label embedding outliers — the mislabeled-data /
+    * off-distribution pruning probe: each vector's squared distance to
+    * its label centroid, reported as the top-k farthest per label with
+    * the ratio to the label's median distance. Entirely exact integer
+    * arithmetic: components land on the 1e-6 grid (x₆ = round(10⁶x) —
+    * float→double is exact, so both engines grid identically), the
+    * centroid stays RATIONAL as (Σx₆, n) per dimension — never a
+    * lossy mean — and the squared distance numerator
+    * Σ_d (n·x₆ − S₆)² ≡ n²·‖x − μ‖² accumulates in Decimal(38,0)
+    * (n·x₆ ~ 10¹⁵ at 10⁹ vectors/label, squared 10³⁰, ×128 dims —
+    * inside precision 38). Medians are exact lower medians on the
+    * (d², vec_id) total order; ranks and ratios compare integers, so
+    * the flagged set is bit-identical across engines and layouts.
+    *
+    * Shape: one posexplode pass → a (label × dim)-sized centroid
+    * aggregate (tiny — broadcasts back), one keyed per-vector distance
+    * aggregate, two label-partitioned rank windows (label-population
+    * sized, the same bound as every per-type-ordered operator), one
+    * broadcast threshold join. */
+  def embeddingOutliers(emb: DataFrame, topK: Int = 5): DataFrame = {
+    val comp = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        expr("cast(round(cast(x as double) * 1000000, 0) as bigint)")
+          .cast("decimal(38,0)").as("x6"))
+    val cent = comp.groupBy("label", "pos")
+      .agg(sum("x6").as("s6"), count(lit(1)).cast("decimal(38,0)").as("n"))
+    val d2 = comp.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("n") * col("x6") - col("s6")) *
+        (col("n") * col("x6") - col("s6"))).as("d2num"))
+      .localCheckpoint() // vector-count sized; ranked twice below
+    val byLabel = Window.partitionBy("label")
+    val med = d2
+      .withColumn("rk",
+        row_number().over(byLabel.orderBy(col("d2num"), col("vec_id"))))
+      .withColumn("nv", count(lit(1)).over(byLabel))
+      .filter(col("rk") === expr("(nv + 1) div 2"))
+      .select(col("label"), col("d2num").as("med"))
+    d2
+      .withColumn("far_rk", row_number().over(
+        byLabel.orderBy(col("d2num").desc, col("vec_id"))))
+      .filter(col("far_rk") <= topK)
+      .join(broadcast(med), "label")
+      .select(col("label"), col("far_rk").cast("bigint").as("far_rk"),
+        col("vec_id"),
+        (col("d2num").cast("double") / col("med").cast("double"))
+          .as("dist_ratio"))
+  }
 }

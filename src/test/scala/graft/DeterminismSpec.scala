@@ -64,7 +64,12 @@ class DeterminismSpec extends TestSparkSession {
     // (caught by the IVF-PQ full-probe equality pin)
     "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_events_spearman",
     "q_ann_hard_negatives", "q_docs_mixture_alloc",
-    "q_events_edge_growth", "q_ann_rrf", "q_multimodal_dedup")
+    "q_events_edge_growth", "q_ann_rrf", "q_multimodal_dedup",
+    // round 5 batch 2: VWAP deviation totals, market-beta moments, the
+    // hour-of-day median baseline, the rational-centroid distance ranks
+    // and the split-leakage heal must not depend on the shuffle layout
+    "q_events_slippage", "q_events_beta", "q_events_seasonal_anomalies",
+    "q_embeddings_outliers", "q_docs_split_leakage")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -569,4 +569,110 @@ class Round5OpsSpec extends TestSparkSession {
     assert(real.filter(col("avg_logp") > 0 ||
       col("pseudo_ppl") < 1.0).count() == 0)
   }
+
+  // ---- A103 VWAP slippage ----
+
+  test("vwapSlippage: hand-computed two-fill hour") {
+    // c=10000,q=1 and c=20000,q=3 → K=4, C=70000, vwap=17500,
+    // slip = (1·|40000−70000| + 3·|80000−70000|) / 16 = 3750
+    val ev = Seq(
+      ("e1", "2024-01-01 00:10:00", "u1", "t", 100.0, "{\"k\": 1}"),
+      ("e2", "2024-01-01 00:20:00", "u1", "t", 200.0, "{\"k\": 3}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.vwapSlippage(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("total_qty") == 4L)
+    assert(r(0).getAs[Double]("vwap_cents") == 17500.0)
+    assert(r(0).getAs[Double]("slip_cents") == 3750.0)
+    // real corpus: slippage is a weighted mean |deviation| — never
+    // negative, and zero only for single-print hours
+    val real = EventOps.vwapSlippage(events)
+    assert(real.count() > 0)
+    assert(real.filter(col("slip_cents") < 0).count() == 0)
+  }
+
+  // ---- A104 market beta ----
+
+  test("marketBeta: a lone type IS the market — beta 1, alpha 0") {
+    val ev = Seq(
+      ("e1", "2024-01-01 00:10:00", "u1", "t", 100.0, "{}"),
+      ("e2", "2024-01-01 01:20:00", "u1", "t", 300.0, "{}"),
+      ("e3", "2024-01-01 02:20:00", "u1", "t", 250.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.marketBeta(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_hours") == 3L)
+    assert(math.abs(r(0).getAs[Double]("beta") - 1.0) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("alpha_cents")) < 1e-9)
+    // real corpus: betas sum weighted by nothing in particular, but
+    // every type shares hours with the market, so |beta| stays modest
+    val real = EventOps.marketBeta(events).collect()
+    assert(real.length > 0)
+    real.foreach(x => assert(!x.getAs[Double]("beta").isNaN))
+  }
+
+  // ---- A105 seasonal anomalies ----
+
+  test("seasonalAnomalies: only the burst day of a stable slot fires") {
+    // hod 0 across 5 days: counts 1,1,1,1,9 → median 1, day-5 fires
+    val rows = (1 to 4).map(d =>
+      (s"e$d", f"2024-01-0$d%d 00:30:00", "u1", "t", 1.0, "{}")) ++
+      (1 to 9).map(i =>
+        (s"b$i", s"2024-01-05 00:0$i:00", "u1", "t", 1.0, "{}"))
+    val ev = rows
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.seasonalAnomalies(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n") == 9L)
+    assert(r(0).getAs[Long]("baseline") == 1L)
+    assert(r(0).getAs[Long]("hod") == 0L)
+    // every flagged hour beats its slot baseline by the multiplier
+    val real = EventOps.seasonalAnomalies(events)
+    assert(real.filter(col("n") <= col("baseline") * 2).count() == 0)
+  }
+
+  // ---- C56 embedding outliers ----
+
+  test("embeddingOutliers: hand-computed 1-d label + ranked real corpus") {
+    // x6 = 0, 0, 3e6 → d2num = 9e12, 9e12, 36e12; median (rank 2) 9e12
+    val emb = Seq(
+      (1L, Seq(0.0f), 0), (2L, Seq(0.0f), 0), (3L, Seq(3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingOutliers(emb).collect()
+      .sortBy(_.getAs[Long]("far_rk"))
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("vec_id") == 3L)
+    assert(r(0).getAs[Double]("dist_ratio") == 4.0)
+    assert(r(1).getAs[Double]("dist_ratio") == 1.0)
+    // real corpus: one top-k block per label, ratios ordered ≥ 1 at
+    // rank 1 (the max can't sit below the median)
+    val real = Similarity.embeddingOutliers(
+      Tables.embeddings(spark, sfDir)).collect()
+    val byLabel = real.groupBy(_.getAs[Int]("label"))
+    byLabel.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val r1 = rows.filter(_.getAs[Long]("far_rk") == 1L)
+      r1.foreach(x => assert(x.getAs[Double]("dist_ratio") >= 1.0))
+    }
+  }
+
+  // ---- C57 split leakage ----
+
+  test("splitLeakage: flagged clusters straddle splits; heal is canonical") {
+    val r = Dedup.splitLeakage(docs).collect()
+    assert(r.length > 0)
+    r.foreach(x => assert(x.getAs[Long]("n_splits") >= 2L))
+    // the heal is idempotent: every member of a cluster gets the same
+    // healed split, and it equals the canonical member's own split
+    r.groupBy(_.getAs[Long]("cluster")).foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[String]("healed_split")).distinct.length == 1)
+      rows.find(_.getAs[Long]("doc_id") == cid).foreach { canonRow =>
+        assert(canonRow.getAs[String]("split") ==
+          canonRow.getAs[String]("healed_split"))
+      }
+    }
+  }
 }

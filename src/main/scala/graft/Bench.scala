@@ -143,7 +143,11 @@ object Bench {
     "q_events_beta",
     "q_events_seasonal_anomalies",
     "q_embeddings_outliers",
-    "q_docs_split_leakage")
+    "q_docs_split_leakage",
+    "q_events_churn",
+    "q_events_rfm",
+    "q_docs_effective_tokens",
+    "q_docs_bigram_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2130,6 +2130,14 @@ object SparkEntry {
       Similarity.embeddingOutliers(Tables.embeddings(s, d))),
     "q_docs_split_leakage" -> ((s, d) =>
       Dedup.splitLeakage(Tables.documents(s, d))),
+    "q_events_churn" -> ((s, d) =>
+      EventOps.walletChurn(Tables.events(s, d))),
+    "q_events_rfm" -> ((s, d) =>
+      EventOps.walletRfm(Tables.events(s, d))),
+    "q_docs_effective_tokens" -> ((s, d) =>
+      Dedup.effectiveTokens(Tables.documents(s, d))),
+    "q_docs_bigram_entropy" -> ((s, d) =>
+      TextAnalysis.bigramEntropy(Tables.documents(s, d))),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -6187,6 +6195,127 @@ object SparkEntry {
                      ELSE 'test' END AS healed_split,
                 l.n_splits
          FROM m JOIN leaky l ON m.cluster = l.cluster""",
+    "q_events_churn" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                 epoch_us(ts) // 604800000000 AS wk FROM events),
+         fw AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1),
+         j AS (SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                 coalesce(c.wk, p.pwk) AS wk, c.cur, p.prv
+               FROM (SELECT user_id, wk, 1 AS cur FROM uw) c
+               FULL OUTER JOIN
+                 (SELECT user_id, wk + 1 AS pwk, 1 AS prv FROM uw) p
+                 ON c.user_id = p.user_id AND c.wk = p.pwk),
+         jf AS (SELECT j.*, f.first_wk FROM j
+                JOIN fw f ON j.user_id = f.user_id)
+         SELECT wk * 604800 AS week,
+           count(CASE WHEN cur = 1 AND prv IS NULL AND wk = first_wk
+             THEN 1 END) AS new_wallets,
+           count(CASE WHEN cur = 1 AND prv = 1 THEN 1 END) AS retained,
+           count(CASE WHEN cur = 1 AND prv IS NULL AND wk > first_wk
+             THEN 1 END) AS resurrected,
+           count(CASE WHEN cur IS NULL AND prv = 1 THEN 1 END)
+             AS churned,
+           count(CASE WHEN cur = 1 AND prv IS NULL AND wk = first_wk
+             THEN 1 END) +
+           count(CASE WHEN cur = 1 AND prv = 1 THEN 1 END) +
+           count(CASE WHEN cur = 1 AND prv IS NULL AND wk > first_wk
+             THEN 1 END) AS active
+         FROM jf GROUP BY wk""",
+    "q_events_rfm" ->
+      """WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS monetary_cents
+               FROM events GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM per),
+         r AS (SELECT per.*,
+                 row_number() OVER (ORDER BY last_us, user_id) AS rr,
+                 row_number() OVER (ORDER BY n_events, user_id) AS rf,
+                 row_number() OVER (ORDER BY monetary_cents, user_id)
+                   AS rm
+               FROM per)
+         SELECT user_id, last_us, n_events, monetary_cents,
+                CAST(((rr - 1) * 5) // nn.n + 1 AS INT) AS r_score,
+                CAST(((rf - 1) * 5) // nn.n + 1 AS INT) AS f_score,
+                CAST(((rm - 1) * 5) // nn.n + 1 AS INT) AS m_score,
+                CAST((((rr - 1) * 5) // nn.n + 1) * 100 +
+                     (((rf - 1) * 5) // nn.n + 1) * 10 +
+                     (((rm - 1) * 5) // nn.n + 1) AS INT) AS rfm
+         FROM r CROSS JOIN nn""",
+    "q_docs_effective_tokens" ->
+      """WITH tk AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+         ex AS (SELECT min(doc_id) AS keep_id FROM documents
+                GROUP BY md5(text)),
+         t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+         ti AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM p
+                   JOIN sz s1 ON d1 = s1.doc_id
+                   JOIN sz s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE) /
+                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         canon AS (SELECT a AS doc_id, least(a, min(b)) AS ck FROM (
+             WITH RECURSIVE reach(a, b) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+             SELECT a, b FROM reach)
+           GROUP BY a),
+         nonkeep AS (SELECT doc_id FROM canon WHERE ck <> doc_id),
+         kept AS (SELECT keep_id AS doc_id FROM ex
+                  WHERE keep_id NOT IN (SELECT doc_id FROM nonkeep)),
+         raw AS (SELECT source, count(*) AS raw_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS raw_tokens
+                 FROM tk GROUP BY 1),
+         kk AS (SELECT source, count(*) AS kept_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+                FROM tk JOIN kept USING (doc_id) GROUP BY 1)
+         SELECT raw.source, raw_docs, raw_tokens, kept_docs,
+                kept_tokens,
+                CAST(raw_tokens AS DOUBLE) / CAST(kept_tokens AS DOUBLE)
+                  AS inflation
+         FROM raw JOIN kk ON raw.source = kk.source""",
+    "q_docs_bigram_entropy" ->
+      """WITH toks AS (SELECT doc_id, source, i AS pos, ws[i] AS token
+               FROM (SELECT doc_id, source,
+                       string_split(lower(text), ' ') AS ws
+                     FROM documents),
+                    unnest(generate_series(1, len(ws))) AS u(i)
+               WHERE ws[i] <> ''),
+         nx AS (SELECT source, doc_id, pos, token,
+                  lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS next
+                FROM toks),
+         big AS (SELECT source, token AS a, next AS b, count(*) AS c_ab
+                 FROM nx WHERE next IS NOT NULL GROUP BY 1, 2, 3),
+         pref AS (SELECT source, a, CAST(sum(c_ab) AS BIGINT) AS c_a
+                  FROM big GROUP BY 1, 2),
+         terms AS (SELECT big.source, big.c_ab,
+             CAST(big.c_ab AS BIGINT) *
+               CAST(round(ln(CAST(big.c_ab AS DOUBLE) /
+                 CAST(pref.c_a AS DOUBLE)), 6) AS DECIMAL(12,6)) AS term
+           FROM big JOIN pref
+             ON big.source = pref.source AND big.a = pref.a)
+         SELECT source, CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+                count(*) AS n_bigram_types,
+                -CAST(sum(term) AS DOUBLE) / CAST(sum(c_ab) AS DOUBLE)
+                  AS h_cond_nats,
+                round(exp(-CAST(sum(term) AS DOUBLE) /
+                  CAST(sum(c_ab) AS DOUBLE)), 6) AS branching_factor
+         FROM terms GROUP BY 1""",
   )
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow

@@ -492,4 +492,35 @@ object Dedup {
       .select(col("cluster"), col("doc_id"), col("split"),
         splitOf(col("cluster")).as("healed_split"), col("n_splits"))
   }
+
+  /** C58: effective-token accounting after dedup — the epoch-inflation
+    * report a training run reads before setting its data mix: per
+    * source, raw docs/tokens vs the docs/tokens surviving BOTH exact
+    * dedup and near-dup canonicalization ([[dedupedCorpus]]'s survivor
+    * set), and the inflation factor raw/kept — how many times the
+    * average surviving token would be replayed per epoch if the corpus
+    * shipped undeduped. Token counts are integers end to end; the one
+    * division is the final double.
+    *
+    * Shape: the survivor set is doc ids only (the dedupedCorpus
+    * pipeline bounds the cost); token counts come from one codegen'd
+    * `size(split(..))` scan — the text itself is never shuffled, the
+    * (doc_id, source, n_tokens) triples are. Two keyed aggregates. */
+  def effectiveTokens(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .localCheckpoint() // raw totals AND the survivor join read it
+    val kept = dedupedCorpus(docs, tau)
+    val raw = toks.groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"), sum("n_tokens").as("raw_tokens"))
+    val k = toks.join(kept, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("n_tokens").as("kept_tokens"))
+    raw.join(k, Seq("source"))
+      .select(col("source"), col("raw_docs"), col("raw_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        (col("raw_tokens").cast("double") /
+          col("kept_tokens").cast("double")).as("inflation"))
+  }
 }

@@ -2387,4 +2387,94 @@ object EventOps {
       .select(col("event_type"), (col("hb") * 3600).as("hour"),
         col("hod"), col("c").as("n"), col("baseline"))
   }
+
+  /** A106: weekly growth accounting — each week's active wallets
+    * decomposed into NEW (first week ever), RETAINED (also active last
+    * week) and RESURRECTED (active before, silent last week), plus the
+    * CHURNED count (active last week, silent now). The standard
+    * active-base bridge: active_t = new + retained + resurrected and
+    * churned_t = active_{t−1} − retained_t — both identities pinned in
+    * the spec. [[retention]]/[[cohortRetention]] follow a signup cohort
+    * forward; this is the period-over-period bridge an operating review
+    * reads. Pure integer set algebra — no floats anywhere.
+    *
+    * Shape: one (user, week) distinct (checkpointed — three readers),
+    * a user-keyed first-week aggregate, one full-outer self-align on
+    * (user, week+1), one keyed count. Everything shuffles on user_id
+    * once; weekly output is calendar-bounded. */
+  def walletChurn(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+      .localCheckpoint()
+    val firstWk = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
+    val cur = uw.withColumn("cur", lit(1))
+    val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"))
+      .withColumn("prv", lit(1))
+    cur.join(prev, Seq("user_id", "wk"), "full_outer")
+      .join(firstWk, Seq("user_id"))
+      .groupBy("wk")
+      .agg(
+        count(when(col("cur") === 1 && col("prv").isNull &&
+          col("wk") === col("first_wk"), 1)).as("new_wallets"),
+        count(when(col("cur") === 1 && col("prv") === 1, 1))
+          .as("retained"),
+        count(when(col("cur") === 1 && col("prv").isNull &&
+          col("wk") > col("first_wk"), 1)).as("resurrected"),
+        count(when(col("cur").isNull && col("prv") === 1, 1))
+          .as("churned"))
+      .select((col("wk") * 604800).as("week"), col("new_wallets"),
+        col("retained"), col("resurrected"), col("churned"),
+        (col("new_wallets") + col("retained") + col("resurrected"))
+          .as("active"))
+  }
+
+  /** A107: RFM wallet scoring — recency / frequency / monetary
+    * quintiles (1-5) per wallet, the standard segmentation input for
+    * retention campaigns and whale desks. Scores are EXACT integer
+    * quintiles of the global rank: score = ((rank−1)·5) div n + 1 on
+    * the (metric, user_id) total order — no ntile tie ambiguity, no
+    * percentile interpolation, bit-identical across engines.
+    *
+    * Shape: one user-keyed aggregate, then three global ranks — each
+    * the terasort shape ([[graft.operators.Sampling.shuffleOrder]]):
+    * range exchange on the metric, per-partition row_number, triangular
+    * partition offsets. NO unpartitioned window anywhere — at 10⁹
+    * wallets each rank is a range sort, not a one-task funnel. */
+  def walletRfm(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id")
+      .agg(max(tsUs).as("last_us"), count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100, 0) as bigint)"))
+          .as("monetary_cents"))
+      .localCheckpoint() // three rank passes + the final join read it
+    val n = per.count()
+    def score(metric: String): DataFrame = {
+      val parted = per.select(col("user_id"), col(metric))
+        .repartitionByRange(col(metric), col("user_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // freeze range boundaries for both passes
+      val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+      val w = Window.partitionBy("pid")
+        .orderBy(col(metric), col("user_id"))
+      parted.join(broadcast(offsets), "pid")
+        .withColumn("rk", row_number().over(w) + col("off"))
+        .select(col("user_id"),
+          expr(s"cast(((rk - 1) * 5) div $n + 1 as int)")
+            .as(s"${metric.take(1)}_score"))
+    }
+    per
+      .join(score("last_us"), "user_id")
+      .join(score("n_events"), "user_id")
+      .join(score("monetary_cents"), "user_id")
+      .select(col("user_id"),
+        col("last_us"), col("n_events"), col("monetary_cents"),
+        col("l_score").as("r_score"), col("n_score").as("f_score"),
+        col("m_score"),
+        (col("l_score") * 100 + col("n_score") * 10 + col("m_score"))
+          .as("rfm"))
+  }
 }

@@ -756,4 +756,50 @@ object TextAnalysis {
         round(exp(-(col("s").cast("double") / col("len").cast("double"))),
           6).as("pseudo_ppl"))
   }
+
+  /** C59: per-source bigram conditional entropy — H(next | prev) under
+    * the source's own bigram counts, the corpus-predictability gauge
+    * that separates natural prose (≈ 2-4 nats) from boilerplate /
+    * template spam (→ 0) and shuffled-token noise (→ unigram entropy).
+    * Sibling of [[pmiBigrams]] (pointwise, top-k) and [[zipfSlope]]
+    * (marginal ranks): this is the single summary number per slice.
+    * H = −(1/T)·Σ c_ab·lnR6(c_ab/c_a) — each log fixed to an exact
+    * 1e-6 decimal under the transcendental-boundary contract
+    * (C48's integer × decimal term shape), T and the counts integers,
+    * one IEEE division at the close; `round(exp(·), 6)` branching
+    * factor as in [[unigramLogProb]].
+    *
+    * Shape: one tokenize pass, one doc-partitioned lead window
+    * (document-sized partitions), a (source, a, b)-keyed count, prefix
+    * totals re-keyed on (source, a), one keyed close. Token pairs
+    * shuffle once; text never re-shuffles. */
+  def bigramEntropy(docs: DataFrame): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = toks
+      .withColumn("next", lead("token", 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("source"), col("token").as("a"), col("next").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint() // prefix totals AND the entropy sum read it
+    val pref = big.groupBy("source", "a").agg(sum("c_ab").as("c_a"))
+    big.join(pref, Seq("source", "a"))
+      .withColumn("term",
+        col("c_ab") * ln_r6(col("c_ab").cast("double") /
+          col("c_a").cast("double")))
+      .groupBy("source")
+      .agg(sum("c_ab").as("t"), count(lit(1)).as("n_bigram_types"),
+        sum("term").as("s"))
+      .select(col("source"), col("t").as("n_bigrams"),
+        col("n_bigram_types"),
+        (-(col("s").cast("double")) / col("t").cast("double"))
+          .as("h_cond_nats"),
+        round(exp(-(col("s").cast("double")) / col("t").cast("double")),
+          6).as("branching_factor"))
+  }
 }

@@ -69,7 +69,11 @@ class DeterminismSpec extends TestSparkSession {
     // hour-of-day median baseline, the rational-centroid distance ranks
     // and the split-leakage heal must not depend on the shuffle layout
     "q_events_slippage", "q_events_beta", "q_events_seasonal_anomalies",
-    "q_embeddings_outliers", "q_docs_split_leakage")
+    "q_embeddings_outliers", "q_docs_split_leakage",
+    // growth-accounting set algebra, terasort-shaped RFM ranks, the
+    // dedup token accounting and the bigram-entropy decimal sums
+    "q_events_churn", "q_events_rfm", "q_docs_effective_tokens",
+    "q_docs_bigram_entropy")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

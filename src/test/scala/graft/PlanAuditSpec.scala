@@ -730,4 +730,28 @@ class PlanAuditSpec extends TestSparkSession {
       !plan.contains("BroadcastHashJoin"),
       "the candle → day pipeline is aggregate-only")
   }
+
+  test("RFM ranks are pid-windowed behind range exchanges, totals join " +
+      "back broadcast in slippage") {
+    val rfm = EventOps.walletRfm(Tables.events(spark, sfDir))
+    val rfmPlan = planOf(rfm)
+    // every rank window must be keyed by the frozen partition id — a
+    // global (empty-partition-spec) quintile window would funnel 10⁹
+    // wallets through one task
+    assert(rfmPlan.contains("windowspecdefinition(pid"),
+      "expected pid-keyed rank windows")
+    assert(!rfmPlan.contains("windowspecdefinition(last_us") &&
+      !rfmPlan.contains("windowspecdefinition(n_events") &&
+      !rfmPlan.contains("windowspecdefinition(monetary"),
+      "an unpartitioned metric window crept in")
+    val slip = EventOps.vwapSlippage(Tables.events(spark, sfDir))
+    val slipPlan = planOf(slip)
+    // the (type, hour) totals are calendar-bounded — they must come
+    // back as a broadcast, never a shuffle of the fill stream
+    assert("BroadcastHashJoin|BroadcastExchange".r
+      .findAllIn(slipPlan).size >= 1,
+      "expected the hourly totals broadcast back to fills")
+    assert(slipPlan.contains("partial_sum"),
+      "expected map-side partial aggregation of the deviation terms")
+  }
 }

@@ -659,6 +659,105 @@ class Round5OpsSpec extends TestSparkSession {
     }
   }
 
+  // ---- A106 growth accounting ----
+
+  test("walletChurn: hand-computed bridge + identities on real data") {
+    // u1: w0,w1  u2: w0  u3: w0,w2
+    val ev = Seq(
+      ("e1", "2024-01-01 10:00:00", "u1"), ("e2", "2024-01-08 10:00:00", "u1"),
+      ("e3", "2024-01-01 11:00:00", "u2"),
+      ("e4", "2024-01-01 12:00:00", "u3"), ("e5", "2024-01-15 10:00:00", "u3"))
+      .toDF("event_id", "tss", "user_id")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .withColumn("event_type", lit("t")).withColumn("value", lit(1.0))
+    val r = EventOps.walletChurn(ev).collect()
+      .map(x => x.getAs[Long]("week") -> x).toMap
+    val wks = r.keys.toSeq.sorted
+    assert(wks.length == 4)
+    def row(i: Int) = r(wks(i))
+    assert(row(0).getAs[Long]("new_wallets") == 3L &&
+      row(0).getAs[Long]("active") == 3L)
+    assert(row(1).getAs[Long]("retained") == 1L &&
+      row(1).getAs[Long]("churned") == 2L &&
+      row(1).getAs[Long]("active") == 1L)
+    assert(row(2).getAs[Long]("resurrected") == 1L &&
+      row(2).getAs[Long]("churned") == 1L)
+    assert(row(3).getAs[Long]("churned") == 1L &&
+      row(3).getAs[Long]("active") == 0L)
+    // bridge identity on the real corpus: churned_t = active_{t-1} − retained_t
+    val real = EventOps.walletChurn(events).collect()
+      .sortBy(_.getAs[Long]("week"))
+    real.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getAs[Long]("churned") ==
+          prev.getAs[Long]("active") - cur.getAs[Long]("retained"))
+      case _ =>
+    }
+  }
+
+  // ---- A107 RFM scoring ----
+
+  test("walletRfm: quintiles are balanced, monotone, in range") {
+    val r = EventOps.walletRfm(events).collect()
+    assert(r.nonEmpty)
+    val n = r.length.toLong
+    for (f <- Seq("r_score", "f_score", "m_score")) {
+      val scores = r.map(_.getAs[Int](f))
+      assert(scores.forall(s => s >= 1 && s <= 5))
+      // exact-rank quintiles: bucket sizes differ by at most 1
+      val sizes = scores.groupBy(identity).values.map(_.length.toLong)
+      assert(sizes.max - sizes.min <= 1, s"$f sizes $sizes")
+    }
+    // the top-monetary wallet must score m=5
+    val top = r.maxBy(x => (x.getAs[Long]("monetary_cents"),
+      x.getAs[Long]("user_id")))
+    assert(top.getAs[Int]("m_score") == 5)
+    assert(r.forall(x => x.getAs[Int]("rfm") ==
+      x.getAs[Int]("r_score") * 100 + x.getAs[Int]("f_score") * 10 +
+        x.getAs[Int]("m_score")))
+  }
+
+  // ---- C58 effective tokens ----
+
+  test("effectiveTokens: exact dup halves the kept side; inflation ≥ 1") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, "alpha beta gamma delta", "s"),
+      (3L, "wholly unrelated words here", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.effectiveTokens(d).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("raw_docs") == 3L)
+    assert(r(0).getAs[Long]("kept_docs") == 2L)
+    assert(r(0).getAs[Long]("raw_tokens") == 12L)
+    assert(r(0).getAs[Long]("kept_tokens") == 8L)
+    assert(r(0).getAs[Double]("inflation") == 1.5)
+    val real = Dedup.effectiveTokens(docs).collect()
+    real.foreach { x =>
+      assert(x.getAs[Long]("kept_tokens") <= x.getAs[Long]("raw_tokens"))
+      assert(x.getAs[Double]("inflation") >= 1.0)
+    }
+  }
+
+  // ---- C59 bigram conditional entropy ----
+
+  test("bigramEntropy: deterministic text → 0; hand-computed branch") {
+    val det = Seq((1L, "a b a b a b a b a", "s")).toDF("doc_id", "text", "source")
+    val r0 = TextAnalysis.bigramEntropy(det).collect()(0)
+    assert(r0.getAs[Double]("h_cond_nats") == 0.0)
+    assert(r0.getAs[Double]("branching_factor") == 1.0)
+    // "a b a c": H = (2/3)·ln2 with the rounded-ln boundary
+    val h = Seq((1L, "a b a c", "s")).toDF("doc_id", "text", "source")
+    val r1 = TextAnalysis.bigramEntropy(h).collect()(0)
+    assert(math.abs(r1.getAs[Double]("h_cond_nats") -
+      2.0 * 0.693147 / 3.0) < 1e-9)
+    val real = TextAnalysis.bigramEntropy(docs).collect()
+    real.foreach { x =>
+      assert(x.getAs[Double]("h_cond_nats") >= 0.0)
+      assert(x.getAs[Long]("n_bigrams") >= x.getAs[Long]("n_bigram_types"))
+    }
+  }
+
   // ---- C57 split leakage ----
 
   test("splitLeakage: flagged clusters straddle splits; heal is canonical") {

@@ -2138,6 +2138,16 @@ object SparkEntry {
       Dedup.effectiveTokens(Tables.documents(s, d))),
     "q_docs_bigram_entropy" -> ((s, d) =>
       TextAnalysis.bigramEntropy(Tables.documents(s, d))),
+    "q_events_stationary_mix" -> ((s, d) =>
+      EventOps.stationaryTypeMix(Tables.events(s, d))),
+    "q_events_last_digit" -> ((s, d) =>
+      EventOps.lastDigitUniformity(Tables.events(s, d))),
+    "q_stream_seasonal" -> ((s, d) =>
+      streaming.EventStreamPipelines.seasonalAvailableNow(s, d)),
+    "q_ann_mmr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 10))
+    }),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -6091,22 +6101,8 @@ object SparkEntry {
                    CAST(n * smm - sm * sm AS DOUBLE)) *
                   (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS alpha_cents
          FROM mom""",
-    "q_events_seasonal_anomalies" ->
-      """WITH ph AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
-                 count(*) AS c
-               FROM events GROUP BY 1, 2),
-         h AS (SELECT *, hb % 24 AS hod FROM ph),
-         r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hod
-                   ORDER BY c, hb) AS rk,
-                 count(*) OVER (PARTITION BY event_type, hod) AS nd
-               FROM h),
-         base AS (SELECT event_type, hod, c AS baseline
-                  FROM r WHERE rk = (nd + 1) // 2)
-         SELECT h.event_type, h.hb * 3600 AS hour, h.hod, h.c AS n,
-                b.baseline
-         FROM h JOIN base b
-           ON h.event_type = b.event_type AND h.hod = b.hod
-         WHERE h.c > b.baseline * 2""",
+    "q_events_seasonal_anomalies" -> SparkEntry.seasonalOracle,
+    "q_stream_seasonal" -> SparkEntry.seasonalOracle,
     "q_embeddings_outliers" ->
       """WITH comp AS (SELECT vec_id, label,
                  CAST(unnest(generate_series(1, 64)) AS BIGINT) AS pos,
@@ -6316,12 +6312,82 @@ object SparkEntry {
                 round(exp(-CAST(sum(term) AS DOUBLE) /
                   CAST(sum(c_ab) AS DOUBLE)), 6) AS branching_factor
          FROM terms GROUP BY 1""",
+    "q_events_stationary_mix" -> SparkEntry.stationaryOracle,
+    "q_events_last_digit" ->
+      """WITH d AS (SELECT event_type, cents % 10 AS digit,
+                 CAST(count(*) AS DECIMAL(38,0)) AS o
+               FROM (SELECT event_type,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                     FROM events)
+               WHERE cents > 0 GROUP BY 1, 2)
+         SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+                count(*) AS n_digits,
+                CAST(CAST(100 AS DECIMAL(38,0)) * sum(o * o) -
+                     CAST(10 AS DECIMAL(38,0)) * sum(o) * sum(o)
+                     AS DOUBLE) /
+                CAST(CAST(10 AS DECIMAL(38,0)) * sum(o) AS DOUBLE)
+                  AS chi2
+         FROM d GROUP BY 1""",
   )
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow
     * transformWithState stream must both hash-match it (batch ≡ stream
     * pinning, same convention as A8c/A17g). num=4, den=1, h·σ0·2·den=20.
     */
+  /** A105/A105b: one SQL, two queries — the batch seasonal detector and
+    * the stream-static availableNow pair must both hash-match it (the
+    * A94b batch ≡ stream convention). mult = 2. */
+  private val seasonalOracle: String =
+    """WITH ph AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+       h AS (SELECT *, hb % 24 AS hod FROM ph),
+       r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hod
+               ORDER BY c, hb) AS rk,
+             count(*) OVER (PARTITION BY event_type, hod) AS nd
+           FROM h),
+       base AS (SELECT event_type, hod, c AS baseline
+                FROM r WHERE rk = (nd + 1) // 2)
+       SELECT h.event_type, h.hb * 3600 AS hour, h.hod, h.c AS n,
+              b.baseline
+       FROM h JOIN base b
+         ON h.event_type = b.event_type AND h.hod = b.hod
+       WHERE h.c > b.baseline * 2"""
+
+  /** A108: the stationary-mix oracle unrolls the 10 integer power
+    * steps as plain CTEs (same convention as [[pagerankOracle]]) —
+    * every step is the identical truncating arithmetic as the Spark
+    * loop, so the fixed point is bit-identical. */
+  private lazy val stationaryOracle: String = {
+    val steps = (1 to 10).map { i =>
+      s""", p$i AS (SELECT ty.t, coalesce(i.s, CAST(0 AS BIGINT)) AS pr
+         FROM ty LEFT JOIN (
+           SELECT tm.b AS t,
+                  CAST(sum((p.pr * tm.p6) // 1000000) AS BIGINT) AS s
+           FROM tm JOIN p${i - 1} p ON tm.a = p.t GROUP BY 1) i
+           ON ty.t = i.t)"""
+    }.mkString
+    s"""WITH st AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type FROM events),
+       nx AS (SELECT event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id) AS b
+             FROM st),
+       c AS (SELECT a, b, count(*) AS c FROM nx
+             WHERE b IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT a, CAST(sum(c) AS BIGINT) AS tot
+               FROM c GROUP BY 1),
+       tm AS (SELECT c.a, c.b, (c.c * 1000000) // tot.tot AS p6
+              FROM c JOIN tot ON c.a = tot.a),
+       ty AS (SELECT a AS t FROM tot),
+       kk AS (SELECT count(*) AS k FROM ty),
+       p0 AS (SELECT t, 1000000000000 // kk.k AS pr
+              FROM ty CROSS JOIN kk)$steps
+       SELECT t AS event_type, pr,
+              CAST(pr AS DOUBLE) / 1000000000000 AS share
+       FROM p10"""
+  }
+
   private val cusumFixedOracle: String =
     """WITH pm AS (SELECT event_type,
              (epoch_us(ts) // 60000000) * 60 AS minute, count(*) AS x

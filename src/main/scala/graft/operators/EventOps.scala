@@ -2370,22 +2370,33 @@ object EventOps {
     * a (type × 24)-slot rank window whose partitions are day-count
     * sized, the tiny baseline table broadcast back, one filter. */
   def seasonalAnomalies(events: DataFrame, mult: Int = 2): DataFrame = {
-    val perHour = events.groupBy(col("event_type"),
+    val perHour = hourlyCounts(events).localCheckpoint()
+    perHour.join(broadcast(seasonalBaseline(perHour)),
+        Seq("event_type", "hod"))
+      .filter(col("c") > col("baseline") * mult)
+      .select(col("event_type"), (col("hb") * 3600).as("hour"),
+        col("hod"), col("c").as("n"), col("baseline"))
+  }
+
+  /** (type, hour-bucket, hour-of-day, count) spine shared by the batch
+    * detector and the streaming pair. */
+  private[graft] def hourlyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("hb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("hod", expr("hb % 24"))
-      .localCheckpoint()
+
+  /** The hour-of-day median baseline table (types × 24 — broadcastable
+    * anywhere), exposed so the STREAMING detector can score live hours
+    * against the same slot medians the batch path uses. */
+  private[graft] def seasonalBaseline(perHour: DataFrame): DataFrame = {
     val slot = Window.partitionBy("event_type", "hod")
-    val baseline = perHour
+    perHour
       .withColumn("rk",
         row_number().over(slot.orderBy(col("c"), col("hb"))))
       .withColumn("nd", count(lit(1)).over(slot))
       .filter(col("rk") === expr("(nd + 1) div 2"))
       .select(col("event_type"), col("hod"), col("c").as("baseline"))
-    perHour.join(broadcast(baseline), Seq("event_type", "hod"))
-      .filter(col("c") > col("baseline") * mult)
-      .select(col("event_type"), (col("hb") * 3600).as("hour"),
-        col("hod"), col("c").as("n"), col("baseline"))
   }
 
   /** A106: weekly growth accounting — each week's active wallets
@@ -2476,5 +2487,91 @@ object EventOps {
         col("m_score"),
         (col("l_score") * 100 + col("n_score") * 10 + col("m_score"))
           .as("rfm"))
+  }
+
+  /** A108: stationary type mix of the per-user behavior chain — the
+    * long-run share of each event type under the Markov chain
+    * [[typeTransitions]] counts (where user journeys settle, vs the
+    * raw frequency mix [[countsByType]] reports; the gap between the
+    * two is the drift a funnel analysis chases). Ten power-iteration
+    * steps in pure integer arithmetic under the PageRank contract:
+    * transition probabilities fix to the 1e-6 grid
+    * (p₆ = (c·10⁶) div rowTotal — c·10⁶ wraps a long once one ordered
+    * pair exceeds ~9·10¹² transitions, documented like the A56 moment
+    * domain), mass flows as (π·p₆) div 10⁶ with π on a 10¹² scale, so
+    * every step is truncating-exact and the fixed point is
+    * bit-identical to the oracle's unrolled CTEs. Types with no
+    * outgoing transition (only ever a user's final event) leave the
+    * chain, documented; truncation leaks ≤ 10⁻⁶ relative mass/step.
+    *
+    * Shape: one lead window (user-partitioned) + one keyed count build
+    * the type × type matrix — TINY (k² rows) at any corpus size — so
+    * every iteration is a broadcast join over metadata-sized state;
+    * the corpus is read exactly once. */
+  def stationaryTypeMix(events: DataFrame, iterations: Int = 10)
+      : DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val steps = events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // row totals + the matrix read it
+    val tot = steps.groupBy("a").agg(sum("c").as("tot"))
+    val tm = steps.join(broadcast(tot), "a")
+      .select(col("a"), col("b"), expr("(c * 1000000) div tot").as("p6"))
+      .localCheckpoint()
+    val types = tot.select(col("a").as("t")).localCheckpoint()
+    val k = types.count() // metadata-sized action on the tiny type set
+    if (k == 0)
+      return types.select(col("t").as("event_type"),
+        lit(0L).as("pr"), lit(0.0).as("share"))
+    val scale = 1000000000000L
+    var pi = types.select(col("t"), lit(scale / k).as("pr"))
+    for (i <- 1 to iterations) {
+      val inc = tm.join(broadcast(pi), col("a") === col("t"))
+        .select(col("b"), expr("(pr * p6) div 1000000").as("m"))
+        .groupBy("b").agg(sum("m").as("inc"))
+      pi = types.join(broadcast(inc), col("t") === col("b"), "left_outer")
+        .select(col("t"), coalesce(col("inc"), lit(0L)).as("pr"))
+      if (i % 3 == 0 || i == iterations) pi = pi.localCheckpoint()
+    }
+    pi.select(col("t").as("event_type"), col("pr"),
+      (col("pr").cast("double") / lit(scale.toDouble)).as("share"))
+  }
+
+  /** A109: last-digit uniformity audit — the χ² statistic of the cent
+    * amounts' final digit per type, [[benfordDigits]]' forensic
+    * complement: first digits follow Benford on organic magnitudes,
+    * LAST digits of genuine prices are near-uniform, and operator-set
+    * wash amounts (round numbers, fixed ticket sizes) crater specific
+    * digits. Absent digits are real evidence, so the statistic
+    * completes the support: χ² = [Σ_obs((10·o_d − n)² − n²) + 10·n²]
+    * / (10n) — every term an exact Decimal(38,0) product (n² wraps a
+    * long past ~3·10⁹ rows per type), one IEEE division at the close.
+    *
+    * Shape: two keyed aggregates ((type, digit) then type) with
+    * map-side partials; digits-per-type is ≤ 10 rows. */
+  def lastDigitUniformity(events: DataFrame): DataFrame = {
+    val d = events
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .filter(col("cents") > 0)
+      .groupBy(col("event_type"), expr("cents % 10").as("digit"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+    d.groupBy("event_type")
+      .agg(sum("o").as("n"), count(lit(1)).as("nd"),
+        sum(col("o") * col("o")).as("oo"))
+      .select(col("event_type"), col("n").cast("bigint").as("n"),
+        col("nd").as("n_digits"),
+        // Σ(10o−n)² = 100·Σo² − 20n·Σo + nd·n² over observed digits;
+        // absent digits add (10−nd)·n²  ⇒ total = 100Σo² − 20n² + 10n²
+        ((lit(100).cast("decimal(38,0)") * col("oo") -
+          lit(10).cast("decimal(38,0)") * col("n") * col("n"))
+          .cast("double") /
+          (lit(10).cast("decimal(38,0)") * col("n")).cast("double"))
+          .as("chi2"))
   }
 }

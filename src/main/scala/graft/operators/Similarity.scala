@@ -724,4 +724,65 @@ object Similarity {
         (col("d2num").cast("double") / col("med").cast("double"))
           .as("dist_ratio"))
   }
+
+  /** C60: MMR diverse top-k selection (Carbonell-Goldstein maximal
+    * marginal relevance, λ = 1/2) — the retrieval/ICL-example selector
+    * that stops a result list collapsing onto near-duplicates: each
+    * step takes argmax of λ·rel(v,q) − (1−λ)·max_{s∈selected}
+    * sim(v,s). With λ = 1/2 the argmax key doubles into
+    * rel₆ − maxsim₆ — two 1e-6-grid integers — so every greedy pick is
+    * an exact compare with an id tie-break: the selection sequence is
+    * bit-stable across engines and layouts (pinned in DeterminismSpec;
+    * greedy sequences are not SQL-expressible, so this is a rows+spec
+    * operator like the sketch family).
+    *
+    * Shape: the candidate pool is the top-`nCandidates` relevance hits
+    * per query ([[bruteForceTopK]] here; the IVF probe at scale) — the
+    * greedy loop then touches only queries × nCandidates rows, every
+    * join broadcast, k−1 metadata-sized rounds. The corpus is scanned
+    * once, by candidate generation. */
+  def mmrSelect(emb: DataFrame, queries: DataFrame, k: Int = 5,
+      nCandidates: Int = 20): DataFrame = {
+    val pool = bruteForceTopK(emb, queries, nCandidates)
+      .select(col("q_id"), col("neighbor_id"),
+        expr("cast(round(cos6 * 1000000) as bigint)").as("rel6"))
+      .filter(col("rel6").isNotNull) // zero-norm guard, as in the argmins
+      .join(withNorm(emb).select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("n2").as("cn")), "neighbor_id")
+      .localCheckpoint() // queries × nCandidates rows; looped below
+    var selected = pool.groupBy("q_id")
+      .agg(max_by(col("neighbor_id"),
+        struct(col("rel6"), (-col("neighbor_id")).as("nid"))).as("vec_id"))
+      .select(col("q_id"), lit(1).as("step"), col("vec_id"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val selEmb = selected.join(pool.select(col("q_id"),
+          col("neighbor_id").as("vec_id"), col("ce").as("se"),
+          col("cn").as("sn")).distinct(),
+        Seq("q_id", "vec_id"))
+      val maxSim = pool.join(broadcast(selEmb.drop("step")), Seq("q_id"))
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          round(cos6("ce", "se", "cn", "sn") * 1000000, 0)
+            .cast("bigint").as("sim6"))
+        .groupBy("q_id", "neighbor_id").agg(max("sim6").as("msim6"))
+      val next = pool
+        .join(selected.select(col("q_id"),
+          col("vec_id").as("neighbor_id")), Seq("q_id", "neighbor_id"),
+          "left_anti")
+        .join(broadcast(maxSim), Seq("q_id", "neighbor_id"))
+        .withColumn("score2", col("rel6") - col("msim6"))
+        .groupBy("q_id")
+        .agg(max_by(col("neighbor_id"),
+          struct(col("score2"), (-col("neighbor_id")).as("nid")))
+          .as("vec_id"))
+        .select(col("q_id"), lit(step).as("step"), col("vec_id"))
+      selected = selected.union(next).localCheckpoint()
+    }
+    selected.join(pool.select(col("q_id"),
+        col("neighbor_id").as("vec_id"), col("rel6")),
+      Seq("q_id", "vec_id"))
+      .select(col("q_id"), col("step"), col("vec_id"),
+        (col("rel6").cast("double") / lit(1e6)).as("relevance"))
+  }
 }

@@ -307,6 +307,40 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A105b: STREAMING seasonal anomaly alerts — live hours scored
+    * against the hour-of-day median baseline
+    * ([[graft.operators.EventOps.seasonalAnomalies]]'s slot medians,
+    * computed batch-side and broadcast into the stream: the
+    * stream-static shape of [[streamStaticEnrichment]], with a tiny
+    * types × 24 dimension). Streaming state is one count per
+    * (window, type); the availableNow run proves exact parity with the
+    * batch detector's DuckDB oracle — the same SQL pins both.
+    */
+  def seasonalAvailableNow(spark: SparkSession, dir: String,
+      mult: Int = 2): DataFrame = {
+    val name = s"graft_stream_seasonal_${memCounter.incrementAndGet()}"
+    import graft.operators.EventOps
+    val baseline = EventOps.seasonalBaseline(
+      EventOps.hourlyCounts(graft.Tables.events(spark, dir)))
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .withColumn("hb", expr("unix_timestamp(window.start) div 3600"))
+      .withColumn("hod", expr("hb % 24"))
+      .join(broadcast(baseline), Seq("event_type", "hod"))
+      .filter(col("c") > col("baseline") * lit(mult))
+      .select(col("event_type"), (col("hb") * 3600).as("hour"),
+        col("hod"), col("c").as("n"), col("baseline"))
+  }
+
   /** A12b: streaming OHLC — the reference's per-window price metrics as a
     * live windowed aggregate. open/close are `min_by`/`max_by` over the
     * total (ts, event_id) order, so the streaming aggregation state is one

@@ -147,7 +147,16 @@ object Bench {
     "q_events_churn",
     "q_events_rfm",
     "q_docs_effective_tokens",
-    "q_docs_bigram_entropy")
+    "q_docs_bigram_entropy",
+    // round-6 additions: the four round-5 stragglers (registered last
+    // round but unbenched) plus the LSH-fed dedup-report variants that
+    // are the 100 TB path for the two most expensive r5 entries
+    "q_events_stationary_mix",
+    "q_events_last_digit",
+    "q_stream_seasonal",
+    "q_ann_mmr",
+    "q_docs_split_leakage_lsh",
+    "q_docs_effective_tokens_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -108,6 +108,10 @@ object SparkEntry {
       streaming.EventStreamPipelines.sessionNativeAvailableNow(s, d)),
     "q_stream_session_timeout" -> ((s, d) =>
       streaming.EventStreamPipelines.sessionTimeoutAvailableNow(s, d)),
+    "q_stream_type_counts" -> ((s, d) =>
+      streaming.EventStreamPipelines.typeCountsAvailableNow(s, d)),
+    "q_stream_recent_trades" -> ((s, d) =>
+      streaming.EventStreamPipelines.recentTradesAvailableNow(s, d)),
     "q_events_asof_tolerance" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
@@ -2148,6 +2152,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 10))
     }),
+    // the 100 TB variants of the two dedup-composing reports: identical
+    // downstream pipeline fed by LSH candidates instead of the exact
+    // quadratic inverted-index join (no SQL oracle — MinHash banding is
+    // engine-specific; DedupSimilaritySpec pins recall vs the exact feed)
+    "q_docs_split_leakage_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.splitLeakage(docs, pairs = Some(Dedup.lshPairs(docs)))
+    }),
+    "q_docs_effective_tokens_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.effectiveTokens(docs, pairs = Some(Dedup.lshPairs(docs)))
+    }),
   )
 
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
@@ -2746,6 +2762,21 @@ object SparkEntry {
                 max(ts_us) + 1800000000 AS end_us,
                 count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
          FROM c GROUP BY user_id, sid""",
+    // MapState counters, monotone across batches: final value per
+    // (wallet, type) = the plain batch count
+    "q_stream_type_counts" ->
+      "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    // event-time-ordered bounded ring: last 5 trades per wallet on the
+    // (ts, event_id) total order
+    "q_stream_recent_trades" ->
+      """WITH t AS (SELECT user_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+             FROM events)
+         SELECT user_id, count(*) AS n_recent,
+                CAST(sum(cents) AS BIGINT) AS recent_cents
+         FROM t WHERE rk <= 5 GROUP BY 1""",
     // timer-flushed sessionizer, single-batch availableNow semantics:
     // non-final sessions close inline (by_timeout=0); a wallet's final
     // session emits iff its end+gap timer (ms) is behind the final
@@ -6095,10 +6126,10 @@ object SparkEntry {
                  GROUP BY 1)
          SELECT event_type, CAST(n AS BIGINT) AS n_hours,
                 CAST(n * sxm - sx * sm AS DOUBLE) /
-                  CAST(n * smm - sm * sm AS DOUBLE) AS beta,
+                  nullif(CAST(n * smm - sm * sm AS DOUBLE), 0) AS beta,
                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) -
                   (CAST(n * sxm - sx * sm AS DOUBLE) /
-                   CAST(n * smm - sm * sm AS DOUBLE)) *
+                   nullif(CAST(n * smm - sm * sm AS DOUBLE), 0)) *
                   (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS alpha_cents
          FROM mom""",
     "q_events_seasonal_anomalies" -> SparkEntry.seasonalOracle,

@@ -120,7 +120,8 @@ object Dedup {
     * [[minhashLsh]]; this operator is the exactness baseline.
     */
   def ngramJaccard(
-      docs: DataFrame, tau: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+      docs: DataFrame, tau: Double, maxDocFreq: Option[Int] = None,
+      maxPairs: Option[Long] = None): DataFrame = {
     val grams = withTrigrams(docs)
     val gAll = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     // stop-gram removal: drop grams shared by more than maxDocFreq docs —
@@ -130,6 +131,21 @@ object Dedup {
       val hot = gAll.groupBy("g").count().filter(col("count") > cap)
         .select("g")
       gAll.join(broadcast(hot), Seq("g"), "left_anti")
+    }
+    // Circuit breaker: the inverted-index join fans out Σ_g df·(df−1)/2
+    // rows — quadratic in per-gram document frequency. The estimate is
+    // one cheap gram-count aggregate; past the cap the operator REFUSES
+    // loudly (with the actual number and the two escape hatches) instead
+    // of grinding into an OOM four stages later. Like maxDocFreq this is
+    // opt-in: None preserves the exact-oracle default.
+    maxPairs.foreach { cap =>
+      val est = g.groupBy("g").count()
+        .agg(coalesce(sum(expr("count * (count - 1) div 2")), lit(0L)))
+        .first().getLong(0)
+      require(est <= cap,
+        s"ngramJaccard: estimated inverted-index pair fan-out $est exceeds " +
+          s"maxPairs=$cap; cap gram document frequency (maxDocFreq) or use " +
+          "minhashLsh for candidate generation at this scale")
     }
     val sizes =
       grams.select(col("doc_id"), size(col("grams")).cast("bigint").as("n"))
@@ -371,10 +387,23 @@ object Dedup {
     * Composes the canonicalization labels; singletons (docs in no pair)
     * are excluded — they never entered the pair graph.
     */
-  def clusterSizes(docs: DataFrame, tau: Double = 0.5): DataFrame =
-    canonicalize(ngramJaccard(docs, tau))
+  def clusterSizes(docs: DataFrame, tau: Double = 0.5,
+      pairs: Option[DataFrame] = None): DataFrame =
+    canonicalize(pairs.getOrElse(ngramJaccard(docs, tau)))
       .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** The 100 TB candidate-pair source for the composing reports
+    * ([[clusterSizes]], [[dedupedCorpus]], [[splitLeakage]],
+    * [[effectiveTokens]]): MinHash-LSH candidates (cost ∝ true
+    * near-dups), projected to the (d1, d2) shape the exact
+    * [[ngramJaccard]] default emits. Candidates are exact-verified
+    * inside minhashLsh, so the only divergence from the exact pair set
+    * is LSH false negatives — the documented recall trade every
+    * at-scale dedup makes. */
+  def lshPairs(docs: DataFrame, tau: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashLsh(docs, tau, numHashes, bands).select("d1", "d2")
 
   /** C13b: the end-to-end dedup pipeline a training-data run would ship —
     * the corpus surviving BOTH exact dedup (one keeper per
@@ -383,9 +412,10 @@ object Dedup {
     * pass with the pair+label-propagation pipeline; the final anti-join
     * streams (no extra shuffle beyond its key exchange).
     */
-  def dedupedCorpus(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+  def dedupedCorpus(docs: DataFrame, tau: Double = 0.5,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val keepExact = exactDocs(docs).select(col("keep_id").as("doc_id"))
-    val nonKeepers = canonicalize(ngramJaccard(docs, tau))
+    val nonKeepers = canonicalize(pairs.getOrElse(ngramJaccard(docs, tau)))
       .filter(col("keep_id") =!= col("doc_id")).select("doc_id")
     keepExact.join(nonKeepers, Seq("doc_id"), "left_anti")
   }
@@ -471,9 +501,14 @@ object Dedup {
     * canonicalize); past it, one cluster-count-sized distinct-split
     * aggregate (leaky ids broadcast back), and the healed split arrives
     * by joining the cluster id against the same md5 expression evaluated
-    * on the canonical id — a projection, not another corpus join. */
+    * on the canonical id — a projection, not another corpus join.
+    * `pairs` injects the candidate-pair source: default is the exact
+    * [[ngramJaccard]] (the oracle path); at 100 TB pass [[lshPairs]] so
+    * the report rides the LSH candidate pipeline instead of the
+    * quadratic inverted-index join. */
   def splitLeakage(docs: DataFrame, tau: Double = 0.5,
-      trainBuckets: Int = 204, valBuckets: Int = 26): DataFrame = {
+      trainBuckets: Int = 204, valBuckets: Int = 26,
+      pairs: Option[DataFrame] = None): DataFrame = {
     def splitOf(c: org.apache.spark.sql.Column) = {
       val bucket = conv(substring(md5(concat(lit("split"),
         c.cast("string")).cast("binary")), 1, 2), 16, 10).cast("int")
@@ -481,7 +516,7 @@ object Dedup {
         .when(bucket < trainBuckets + valBuckets, "val")
         .otherwise("test")
     }
-    val member = canonicalize(ngramJaccard(docs, tau))
+    val member = canonicalize(pairs.getOrElse(ngramJaccard(docs, tau)))
       .select(col("doc_id"), col("keep_id").as("cluster"),
         splitOf(col("doc_id")).as("split"))
       .localCheckpoint() // paired-doc sized; aggregated + filtered below
@@ -506,11 +541,12 @@ object Dedup {
     * pipeline bounds the cost); token counts come from one codegen'd
     * `size(split(..))` scan — the text itself is never shuffled, the
     * (doc_id, source, n_tokens) triples are. Two keyed aggregates. */
-  def effectiveTokens(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+  def effectiveTokens(docs: DataFrame, tau: Double = 0.5,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
       .localCheckpoint() // raw totals AND the survivor join read it
-    val kept = dedupedCorpus(docs, tau)
+    val kept = dedupedCorpus(docs, tau, pairs)
     val raw = toks.groupBy("source")
       .agg(count(lit(1)).as("raw_docs"), sum("n_tokens").as("raw_tokens"))
     val k = toks.join(kept, "doc_id")

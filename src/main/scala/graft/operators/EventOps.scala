@@ -2347,8 +2347,13 @@ object EventOps {
         sum(col("m") * col("m")).as("smm"))
     val num = (col("n") * col("sxm") - col("sx") * col("sm"))
       .cast("double")
-    val den = (col("n") * col("smm") - col("sm") * col("sm"))
-      .cast("double")
+    // den = 0 when a type is active in exactly one hour or the market
+    // total is constant over its active hours — degenerate regression.
+    // Engines disagree on 0/0 (NaN vs NULL vs error), so both sides pin
+    // NULL: here via the guard, in the oracle via nullif. alpha inherits
+    // the NULL through arithmetic propagation.
+    val den = nullif(
+      (col("n") * col("smm") - col("sm") * col("sm")).cast("double"), lit(0d))
     mom.select(col("event_type"), col("n").cast("bigint").as("n_hours"),
         (num / den).as("beta"),
         (col("sx").cast("double") / col("n").cast("double") -

@@ -742,8 +742,16 @@ object Similarity {
     * join broadcast, k−1 metadata-sized rounds. The corpus is scanned
     * once, by candidate generation. */
   def mmrSelect(emb: DataFrame, queries: DataFrame, k: Int = 5,
-      nCandidates: Int = 20): DataFrame = {
-    val pool = bruteForceTopK(emb, queries, nCandidates)
+      nCandidates: Int = 20,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    // Injectable candidate generator: any (q_id, neighbor_id, cos6)
+    // frame — [[bruteForceTopK]] by default (the small-scale oracle),
+    // [[ivfTopK]] at scale. A full-probe IVF feed selects the IDENTICAL
+    // sequence (pinned in Round6OpsSpec): the greedy loop only
+    // sees the 1e-6-grid rel6, which both generators compute with the
+    // same exact arithmetic.
+    val pool = candidates
+      .getOrElse(bruteForceTopK(emb, queries, nCandidates))
       .select(col("q_id"), col("neighbor_id"),
         expr("cast(round(cos6 * 1000000) as bigint)").as("rel6"))
       .filter(col("rel6").isNotNull) // zero-norm guard, as in the argmins

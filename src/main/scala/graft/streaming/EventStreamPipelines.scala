@@ -689,6 +689,123 @@ object EventStreamPipelines {
     }
   }
 
+  /** A17e end-to-end: the per-wallet per-type MapState counters run to
+    * completion with availableNow. Counters are order-independent within
+    * a batch and monotone across batches, so the final value per
+    * (wallet, type) — extracted with max() exactly as
+    * [[walletVolumeAvailableNow]] does — must equal the batch
+    * `GROUP BY user_id, event_type` count; the driver oracle-checks the
+    * whole MapState read-modify-write path against that SQL. */
+  def typeCountsAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_tc_${memCounter.incrementAndGet()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = eventsStream(spark, dir)
+        .select(col("user_id").cast("long"), col("event_type"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeCountsProcessor, TimeMode.None(),
+          OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[(Long, String, Long)])
+        .toDF("user_id", "event_type", "n")
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+      .groupBy("user_id", "event_type").agg(max("n").as("n"))
+  }
+
+  /** A17d, event-time-ordered: the bounded recent-trades ring with the
+    * deterministic ordering the driver oracle needs. The in-memory
+    * [[RecentTradesProcessor]] keeps arrival order (fine for a live
+    * feed, but arrival order is shuffle-dependent); this variant stores
+    * (ts_us, event_id, cents) triples and re-sorts prev ++ batch on the
+    * (ts, id) total order before truncating, so "last `keep` trades" is
+    * event-time last-K regardless of task interleaving — and equals the
+    * batch `row_number() OVER (ORDER BY ts DESC, event_id DESC) <= K`
+    * under in-order replay. State stays capped at `keep` triples/key. */
+  class RecentTradesOrderedProcessor(keep: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long, Long),
+        (Long, Int, Long)] {
+    @transient private var recent: ListState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long, Long)]("recent",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Int, Long)] = {
+      val prev =
+        if (recent.exists()) recent.get().toArray
+        else Array.empty[(Long, Long, Long)]
+      val all = (prev ++ rows.map(r => (r._2, r._3, r._4)))
+        .sortBy(t => (t._1, t._2))
+      val bounded = all.takeRight(keep)
+      recent.put(bounded)
+      Iterator.single((key, bounded.length, bounded.map(_._3).sum))
+    }
+  }
+
+  /** A17d end-to-end: the event-time-ordered recent-trades ring run to
+    * completion with availableNow — each wallet's final (n_recent,
+    * recent_cents) over its last `keep` trades, driver-oracled against
+    * the batch top-K-by-(ts, id) window formulation. */
+  def recentTradesAvailableNow(spark: SparkSession, dir: String,
+      keep: Int = 5): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_rt_${memCounter.incrementAndGet()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = eventsStream(spark, dir)
+        .select(col("user_id").cast("long"),
+          expr("unix_micros(ts)").as("ts_us"),
+          col("event_id").cast("long"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new RecentTradesOrderedProcessor(keep),
+          TimeMode.None(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[(Long, Int, Long)])
+        .toDF("user_id", "n_recent", "recent_cents")
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+      .select(col("user_id"), col("n_recent").cast("long").as("n_recent"),
+        col("recent_cents"))
+  }
+
   /** A17g: event-time TIMERS on the new API — the capability
     * `flatMapGroupsWithState` exposes as `EventTimeTimeout` and the
     * reference's idle-wallet session flush needs: a wallet whose open

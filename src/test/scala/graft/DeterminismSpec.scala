@@ -73,7 +73,13 @@ class DeterminismSpec extends TestSparkSession {
     // growth-accounting set algebra, terasort-shaped RFM ranks, the
     // dedup token accounting and the bigram-entropy decimal sums
     "q_events_churn", "q_events_rfm", "q_docs_effective_tokens",
-    "q_docs_bigram_entropy")
+    "q_docs_bigram_entropy",
+    // round 6: the iterative stationary-mix fixed point, the chi-square
+    // decimal sums, the streamed seasonal pipeline, the greedy MMR
+    // selection sequence (not SQL-expressible — layout independence IS
+    // its cross-engine gate), and the LSH-fed dedup reports
+    "q_events_stationary_mix", "q_events_last_digit", "q_stream_seasonal",
+    "q_ann_mmr", "q_docs_split_leakage_lsh", "q_docs_effective_tokens_lsh")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

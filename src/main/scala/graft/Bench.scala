@@ -156,7 +156,16 @@ object Bench {
     "q_stream_seasonal",
     "q_ann_mmr",
     "q_docs_split_leakage_lsh",
-    "q_docs_effective_tokens_lsh")
+    "q_docs_effective_tokens_lsh",
+    // round-6 operators: FIFO lot matching, diurnal concentration,
+    // LIX readability, term burstiness, and the two promoted
+    // transformWithState pipelines
+    "q_events_fifo_match",
+    "q_events_diurnal",
+    "q_docs_readability",
+    "q_docs_burstiness",
+    "q_stream_type_counts",
+    "q_stream_recent_trades")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -185,14 +194,37 @@ object Bench {
     // pure JIT noise
     operators.Dedup.minhashLsh(Tables.documents(spark, sfDir).limit(100), 0.5)
       .write.format("noop").mode("overwrite").save()
+    // subset runs (the sf10 spot-checks time five heavy plans without
+    // paying for the full sweep); unset = the full headline list
+    val headlineRun = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(o => { val s = o.split(",").map(_.trim).toSet
+        headline.filter(s.contains) })
+      .getOrElse(headline)
+    // peak-heap accounting for the scale sidecars: JVM memory-pool peaks
+    // are reset before each run, so per-query peak ≈ the query's real
+    // high-water mark (shared structures like the block manager smear a
+    // floor across queries, but OOM headroom is exactly what this audits)
+    val trackPeak = sys.env.contains("SPARK_GRAFT_PEAKMEM")
+    val peaks = scala.collection.mutable.Map.empty[String, Long]
+    def heapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    }
     // a failed query must be unmistakable in the JSON (sentinel -1),
     // never a small elapsed-until-crash number that looks like a pass.
     def once(name: String): Double =
       try {
+        if (trackPeak) heapPools.foreach(_.resetPeakUsage())
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (trackPeak) {
+          val p = heapPools.map(_.getPeakUsage.getUsed).sum
+          peaks(name) = math.max(peaks.getOrElse(name, 0L), p)
+        }
+        dt
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
@@ -203,7 +235,7 @@ object Bench {
     // standalone reruns always fast). Back-to-back repeats can both land
     // inside one window — a full sweep apart they cannot, so min(sweep1,
     // sweep2) measures the engine rather than the noisy neighbor.
-    val sweep1 = headline.map(n => n -> once(n))
+    val sweep1 = headlineRun.map(n => n -> once(n))
     var results = sweep1.map { case (name, a) =>
       name -> (if (a < 0) a else math.min(a, once(name)))
     }
@@ -241,8 +273,13 @@ object Bench {
     // judge) can read directly — round 3's BENCH json lost its head to a
     // bounded tail window; 3-decimal timings keep the line short and the
     // sidecar file makes truncation recoverable.
+    val peakJson =
+      if (peaks.isEmpty) ""
+      else peaks.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + (v >> 20) }
+        .mkString(""","peak_heap_mb":{""", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calib)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calib)},"queries":$qs,"failed":$failed$peakJson,"sf":"$sfDir"}"""
     println(json)
     scala.util.Try {
       val p = java.nio.file.Paths.get(

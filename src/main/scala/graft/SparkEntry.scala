@@ -2152,6 +2152,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 10))
     }),
+    "q_events_fifo_match" -> ((s, d) =>
+      EventOps.fifoMatches(Tables.events(s, d))),
+    "q_events_diurnal" -> ((s, d) =>
+      EventOps.diurnalConcentration(Tables.events(s, d))),
+    "q_docs_readability" -> ((s, d) =>
+      TextAnalysis.lixReadability(Tables.documents(s, d))),
+    "q_docs_burstiness" -> ((s, d) =>
+      TextAnalysis.termBurstiness(Tables.documents(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
     // downstream pipeline fed by LSH candidates instead of the exact
     // quadratic inverted-index join (no SQL oracle — MinHash banding is
@@ -2762,6 +2770,92 @@ object SparkEntry {
                 max(ts_us) + 1800000000 AS end_us,
                 count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
          FROM c GROUP BY user_id, sid""",
+    // FIFO lot matching via the parenthesis-matching closed form: the
+    // unmatched-sell count in any prefix is max(0, running-max excess)
+    "q_events_fifo_match" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               event_type,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS nb
+             FROM events WHERE event_type IN ('purchase', 'view')),
+         buys AS (SELECT user_id,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS lot,
+                    event_id AS buy_id, ts_us AS buy_ts_us
+                  FROM t WHERE event_type = 'purchase'),
+         s1 AS (SELECT user_id, event_id, ts_us, nb,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS k
+                FROM t WHERE event_type = 'view'),
+         s2 AS (SELECT *, k - nb AS excess,
+                  max(k - nb) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prior_max
+                FROM s1),
+         m AS (SELECT user_id,
+                 k - greatest(coalesce(prior_max, 0), 0) AS lot,
+                 event_id AS sell_id, ts_us AS sell_ts_us
+               FROM s2
+               WHERE excess <= greatest(coalesce(prior_max, 0), 0))
+         SELECT m.user_id, m.lot, b.buy_id, m.sell_id, b.buy_ts_us,
+                m.sell_ts_us, m.sell_ts_us - b.buy_ts_us AS holding_us
+         FROM m JOIN buys b
+           ON m.user_id = b.user_id AND m.lot = b.lot""",
+    // Herfindahl over the 24 hour-of-day slots + deterministic peak
+    "q_events_diurnal" ->
+      """WITH h AS (SELECT event_type,
+               (epoch_us(ts) // 3600000000) % 24 AS hod, count(*) AS c
+             FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, hod AS peak_hod, c AS peak_c,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY c DESC, hod) AS rk
+               FROM h),
+         a AS (SELECT event_type, CAST(sum(c) AS DECIMAL(38,0)) AS n,
+                 sum(CAST(c AS DECIMAL(38,0)) * c) AS cc
+               FROM h GROUP BY 1)
+         SELECT a.event_type, CAST(a.n AS BIGINT) AS n,
+                CAST(a.cc AS DOUBLE) / CAST(a.n * a.n AS DOUBLE)
+                  AS hhi_hod,
+                p.peak_hod,
+                CAST(p.peak_c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  AS peak_share
+         FROM a JOIN p ON a.event_type = p.event_type AND p.rk = 1""",
+    // LIX on per-source integer totals; punctuation-free source -> NULL
+    "q_docs_readability" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS n_words,
+                CAST(sum(length(regexp_replace(text, '[^.!?]', '', 'g')))
+                  AS BIGINT) AS n_sentences,
+                CAST(sum(len(regexp_extract_all(text, '[^ ]{7,}')))
+                  AS BIGINT) AS n_long,
+                CAST(sum(len(string_split(text, ' '))) AS DOUBLE) /
+                  CAST(nullif(sum(length(regexp_replace(text, '[^.!?]',
+                    '', 'g'))), 0) AS DOUBLE) +
+                  100.0 *
+                  CAST(sum(len(regexp_extract_all(text, '[^ ]{7,}')))
+                    AS DOUBLE) /
+                  CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                  AS lix
+         FROM documents GROUP BY 1""",
+    // Church-Gale burstiness cf/df of the top-50 cf terms
+    "q_docs_burstiness" ->
+      """WITH tok AS (SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS token
+             FROM documents),
+         tc AS (SELECT token, doc_id, count(*) AS c FROM tok
+                WHERE token <> '' GROUP BY 1, 2),
+         agg AS (SELECT token, CAST(sum(c) AS BIGINT) AS cf,
+                   count(*) AS df
+                 FROM tc GROUP BY 1)
+         SELECT token, cf, df,
+                CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+         FROM agg ORDER BY cf DESC, token LIMIT 50""",
     // MapState counters, monotone across batches: final value per
     // (wallet, type) = the plain batch count
     "q_stream_type_counts" ->

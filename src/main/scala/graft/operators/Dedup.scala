@@ -42,16 +42,32 @@ object Dedup {
     */
   def ngramContainment(docs: DataFrame, tau: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    // same exact-dup collapse as [[ngramJaccard]] (identical gram sets
+    // contain each other fully — containment 1.0 exactly — and a
+    // representative pair's containment transfers to every member pair)
     val grams = withTrigrams(docs)
-    val gAll = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val groups = grams.groupBy("grams")
+      .agg(min("doc_id").as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint()
+    val identity = groups.filter(size(col("members")) >= 2)
+      .select(size(col("grams")).cast("bigint").as("n"),
+        explode(col("members")).as("d1"), col("members"))
+      .select(col("d1"), explode(col("members")).as("d2"), col("n"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("n").as("inter"),
+        col("n").as("n1"), col("n").as("n2"), lit(1.0).as("containment"))
+      .filter(lit(1.0) >= tau)
+    val reps = groups.select(col("rep").as("doc_id"), col("grams"))
+    val gAll = reps.select(col("doc_id"), explode(col("grams")).as("g"))
     val g = maxDocFreq.fold(gAll) { cap =>
       val hot = gAll.groupBy("g").count().filter(col("count") > cap)
         .select("g")
       gAll.join(broadcast(hot), Seq("g"), "left_anti")
     }
     val sizes =
-      grams.select(col("doc_id"), size(col("grams")).cast("bigint").as("n"))
-    g.as("a")
+      reps.select(col("doc_id"), size(col("grams")).cast("bigint").as("n"))
+    val repPairs = g.as("a")
       .join(g.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -64,8 +80,22 @@ object Dedup {
         col("inter").cast("double") /
           least(col("n1"), col("n2")).cast("double"))
       .filter(col("containment") >= tau)
-      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+    val memb = groups.select(col("rep"), col("members"))
+    val cross = repPairs
+      .join(memb.withColumnRenamed("rep", "d1")
+        .withColumnRenamed("members", "m1"), "d1")
+      .join(memb.withColumnRenamed("rep", "d2")
+        .withColumnRenamed("members", "m2"), "d2")
+      .select(explode(col("m1")).as("a"), col("m2"), col("inter"),
+        col("n1"), col("n2"), col("containment"))
+      .select(col("a"), explode(col("m2")).as("b"), col("inter"),
+        col("n1"), col("n2"), col("containment"))
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"), col("inter"),
+        when(col("a") < col("b"), col("n1")).otherwise(col("n2")).as("n1"),
+        when(col("a") < col("b"), col("n2")).otherwise(col("n1")).as("n2"),
         col("containment"))
+    identity.unionByName(cross)
   }
 
   /** C25: incremental ingest dedup — a new batch against an existing
@@ -118,26 +148,59 @@ object Dedup {
     * The inverted-index join keys on the gram, so common grams fan out —
     * at scale cap gram document-frequency (stop-gram removal) or use
     * [[minhashLsh]]; this operator is the exactness baseline.
+    *
+    * EXACT-DUP COLLAPSE FIRST (the same move as the hyperplane-LSH
+    * path, and for the same measured reason): identical trigram SETS
+    * join in every shared gram, so a group of k copies fans out
+    * k²·|grams| intermediate rows before the pair aggregate — at
+    * sf1.0, where every document carries 10 exact copies, the
+    * uncollapsed join OOM'd an 8 GB heap under harness concurrency.
+    * The quadratic join therefore runs on ONE representative per
+    * distinct gram set; identical-set members pair directly at
+    * jac = 1.0 exactly (inter = n1 = n2 = |grams|), and each
+    * surviving representative pair expands to its member pairs with
+    * the SAME inter/n/jac (Jaccard only reads the gram sets, which
+    * are equal by construction). Output is bit-identical to the
+    * uncollapsed formulation — the DuckDB oracle is unchanged — while
+    * join cost scales with DISTINCT content, the way exact-dedup-
+    * then-near-dup composes in a real curation pipeline.
     */
   def ngramJaccard(
       docs: DataFrame, tau: Double, maxDocFreq: Option[Int] = None,
       maxPairs: Option[Long] = None): DataFrame = {
     val grams = withTrigrams(docs)
-    val gAll = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    // stop-gram removal: drop grams shared by more than maxDocFreq docs —
-    // they contribute little to Jaccard but quadratic join fan-out; this
-    // bounds inverted-index skew at scale (approximation documented)
+    val groups = grams.groupBy("grams")
+      .agg(min("doc_id").as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint() // identity pairs, the rep join and the member
+                         // expansion all read it
+    // identical gram sets: every (a < b) inside one group, jac exactly 1
+    val identity = groups.filter(size(col("members")) >= 2)
+      .select(size(col("grams")).cast("bigint").as("n"),
+        explode(col("members")).as("d1"), col("members"))
+      .select(col("d1"), explode(col("members")).as("d2"), col("n"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("n").as("inter"),
+        col("n").as("n1"), col("n").as("n2"), lit(1.0).as("jac"))
+      .filter(lit(1.0) >= tau)
+    val reps = groups.select(col("rep").as("doc_id"), col("grams"))
+    val gAll = reps.select(col("doc_id"), explode(col("grams")).as("g"))
+    // stop-gram removal: drop grams shared by more than maxDocFreq
+    // representatives — they contribute little to Jaccard but quadratic
+    // join fan-out; this bounds inverted-index skew at scale
+    // (approximation documented)
     val g = maxDocFreq.fold(gAll) { cap =>
       val hot = gAll.groupBy("g").count().filter(col("count") > cap)
         .select("g")
       gAll.join(broadcast(hot), Seq("g"), "left_anti")
     }
     // Circuit breaker: the inverted-index join fans out Σ_g df·(df−1)/2
-    // rows — quadratic in per-gram document frequency. The estimate is
-    // one cheap gram-count aggregate; past the cap the operator REFUSES
-    // loudly (with the actual number and the two escape hatches) instead
-    // of grinding into an OOM four stages later. Like maxDocFreq this is
-    // opt-in: None preserves the exact-oracle default.
+    // rows — quadratic in per-gram representative frequency. The
+    // estimate is one cheap gram-count aggregate; past the cap the
+    // operator REFUSES loudly (with the actual number and the two
+    // escape hatches) instead of grinding into an OOM four stages
+    // later. Like maxDocFreq this is opt-in: None preserves the
+    // exact-oracle default.
     maxPairs.foreach { cap =>
       val est = g.groupBy("g").count()
         .agg(coalesce(sum(expr("count * (count - 1) div 2")), lit(0L)))
@@ -148,20 +211,37 @@ object Dedup {
           "minhashLsh for candidate generation at this scale")
     }
     val sizes =
-      grams.select(col("doc_id"), size(col("grams")).cast("bigint").as("n"))
+      reps.select(col("doc_id"), size(col("grams")).cast("bigint").as("n"))
     val inter = g.as("a")
       .join(g.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jac",
         col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jac") >= tau)
-      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"), col("jac"))
+    // expand representative pairs to member pairs (groups are disjoint;
+    // least/greatest restores the d1 < d2 normal form, n1/n2 follow)
+    val memb = groups.select(col("rep"), col("members"))
+    val cross = repPairs
+      .join(memb.withColumnRenamed("rep", "d1")
+        .withColumnRenamed("members", "m1"), "d1")
+      .join(memb.withColumnRenamed("rep", "d2")
+        .withColumnRenamed("members", "m2"), "d2")
+      .select(explode(col("m1")).as("a"), col("m2"), col("inter"),
+        col("n1"), col("n2"), col("jac"))
+      .select(col("a"), explode(col("m2")).as("b"), col("inter"),
+        col("n1"), col("n2"), col("jac"))
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"), col("inter"),
+        when(col("a") < col("b"), col("n1")).otherwise(col("n2")).as("n1"),
+        when(col("a") < col("b"), col("n2")).otherwise(col("n1")).as("n2"),
+        col("jac"))
+    identity.unionByName(cross)
   }
 
   /** C2: MinHash + LSH near-dup detection.

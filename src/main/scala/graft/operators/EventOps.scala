@@ -2579,4 +2579,88 @@ object EventOps {
           (lit(10).cast("decimal(38,0)") * col("n")).cast("double"))
           .as("chi2"))
   }
+
+  /** A110: FIFO trade matching — each sell consumes the OLDEST
+    * unconsumed unit-size buy of its wallet (the inventory engine
+    * behind holding-period and tax-lot reports; [[realizedPnl]] marks
+    * against the running AVERAGE cost, this recovers the individual
+    * lot). A sell arriving with empty inventory is a short and stays
+    * unmatched — the parenthesis-matching closed form makes that a
+    * window expression, not a recursion: with sells ranked k and
+    * `nb` = buys strictly before, excess = k − nb, the unmatched count
+    * in any prefix is max(0, running-max excess), so sell k is matched
+    * iff its excess does NOT set a new positive record, and then pairs
+    * with buy number k − unmatchedBefore. Every quantity is an integer
+    * rank/count; the buy is PROVABLY earlier (inventory ≥ 1 at the
+    * sell), so holding_us ≥ 0 by construction.
+    *
+    * Shape: two user-partitioned window passes over the filtered
+    * stream (rank + running max — no self-join), then one equi-join of
+    * matched sells to buys on (user, lot rank): all shuffles key on
+    * user_id; nothing global. */
+  def fifoMatches(events: DataFrame,
+      buyType: String = "purchase", sellType: String = "view"): DataFrame = {
+    val ordered = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val t = events
+      .filter(col("event_type").isin(buyType, sellType))
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+        col("event_type"))
+      .withColumn("nb",
+        sum(when(col("event_type") === buyType, 1L).otherwise(0L))
+          .over(ordered.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow - 1)))
+      .withColumn("nb", coalesce(col("nb"), lit(0L)))
+      .localCheckpoint() // buys and sells branch from one windowed pass
+    val buys = t.filter(col("event_type") === buyType)
+      .withColumn("lot", row_number().over(ordered).cast("bigint"))
+      .select(col("user_id"), col("lot"),
+        col("event_id").as("buy_id"), col("ts_us").as("buy_ts_us"))
+    val sellW = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sells = t.filter(col("event_type") === sellType)
+      .withColumn("k", row_number().over(sellW).cast("bigint"))
+      .withColumn("excess", col("k") - col("nb"))
+      .withColumn("prior_max",
+        max("excess").over(sellW.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow - 1)))
+      .withColumn("unmatched_before",
+        greatest(coalesce(col("prior_max"), lit(0L)), lit(0L)))
+      // a sell whose excess beats every prior positive record finds the
+      // inventory empty — it opens a short, not a lot closure
+      .filter(col("excess") <= col("unmatched_before"))
+      .select(col("user_id"), (col("k") - col("unmatched_before")).as("lot"),
+        col("event_id").as("sell_id"), col("ts_us").as("sell_ts_us"))
+    sells.join(buys, Seq("user_id", "lot"))
+      .select(col("user_id"), col("lot"), col("buy_id"), col("sell_id"),
+        col("buy_ts_us"), col("sell_ts_us"),
+        (col("sell_ts_us") - col("buy_ts_us")).as("holding_us"))
+  }
+
+  /** A111: diurnal concentration — how much of a type's activity piles
+    * onto few clock-hours: Herfindahl over the 24 hour-of-day slots
+    * (uniform → 1/24, single-hour bot → 1) plus the peak slot and its
+    * share. [[seasonalAnomalies]] flags individual hours against the
+    * diurnal baseline; this scores the SHAPE of the baseline itself —
+    * the "is this type organic or cron-driven" triage number. Exact
+    * integer counts and Σc² products; two double divisions at the
+    * output boundary.
+    *
+    * Shape: one (type, hod) keyed count with map-side partials, then a
+    * ≤24-row-per-type aggregate (max_by for the peak, min-hod
+    * tie-break via the struct order). */
+  def diurnalConcentration(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(sum("c").cast("decimal(38,0)").as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("cc"),
+        max_by(col("hod"), struct(col("c"), -col("hod"))).as("peak_hod"),
+        max(struct(col("c"), -col("hod"))).getField("c").as("peak_c"))
+      .select(col("event_type"), col("n").cast("bigint").as("n"),
+        (col("cc").cast("double") /
+          (col("n") * col("n")).cast("double")).as("hhi_hod"),
+        col("peak_hod"),
+        (col("peak_c").cast("double") / col("n").cast("double"))
+          .as("peak_share"))
 }

@@ -802,4 +802,65 @@ object TextAnalysis {
         round(exp(-(col("s").cast("double")) / col("t").cast("double")),
           6).as("branching_factor"))
   }
+
+  /** C61: LIX readability per source (Björnsson's läsbarhetsindex —
+    * words/sentence + 100·longwords/words, long = ≥7 chars): the
+    * audience-difficulty screen a curation mix reads next to C6's
+    * mechanical quality ratios (LIX ~25 easy prose, ~60 bureaucratic).
+    * Integer-exact by construction: sentence ends are `.!?` character
+    * counts, long tokens are non-overlapping `[^ ]{7,}` regex matches —
+    * both count identically on any engine — summed per source as plain
+    * longs; the two divisions are IEEE at the output boundary, with a
+    * punctuation-free source yielding NULL via the nullif guard rather
+    * than an engine-specific ÷0.
+    *
+    * Shape: one codegen'd projection per document (three counts, no
+    * explode — the token array never materializes), one keyed aggregate
+    * with map-side partials. The text column is scanned once and never
+    * shuffled. */
+  def lixReadability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("w"),
+        length(regexp_replace(col("text"), "[^.!?]", "")).cast("bigint")
+          .as("s"),
+        size(expr("regexp_extract_all(text, '[^ ]{7,}', 0)")).cast("bigint")
+          .as("lw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("s").as("n_sentences"), sum("lw").as("n_long"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_long"),
+        (col("n_words").cast("double") /
+          nullif(col("n_sentences"), lit(0L)).cast("double") +
+          lit(100.0) * col("n_long").cast("double") /
+            col("n_words").cast("double")).as("lix"))
+
+  /** C62: term burstiness (Church-Gale cf/df) — for the top `k`
+    * collection-frequency terms: a term appearing 1000 times spread
+    * over 900 documents is topical vocabulary; 1000 times inside 40
+    * documents is boilerplate, spam, or a template artifact. The
+    * cf/df ratio separates them where raw frequency (C12 topTokens)
+    * and document frequency alone cannot — the screen that catches
+    * "rare-looking" template junk before it dominates a mixture.
+    * cf and df are exact integer aggregates off ONE tokenize pass
+    * (df via a per-(doc, term) distinct); burstiness is the single
+    * IEEE division at the boundary; top-k is deterministic on
+    * (cf DESC, term).
+    *
+    * Shape: explode once, two keyed aggregates (term-keyed counts with
+    * map-side partials), TakeOrderedAndProject for the k rows — no
+    * global sort materializes. */
+  def termBurstiness(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("token")
+      .agg(sum("c").as("cf"), count(lit(1)).as("df"))
+      .select(col("token"), col("cf"), col("df"),
+        (col("cf").cast("double") / col("df").cast("double"))
+          .as("burstiness"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(k)
 }

@@ -79,7 +79,12 @@ class DeterminismSpec extends TestSparkSession {
     // selection sequence (not SQL-expressible — layout independence IS
     // its cross-engine gate), and the LSH-fed dedup reports
     "q_events_stationary_mix", "q_events_last_digit", "q_stream_seasonal",
-    "q_ann_mmr", "q_docs_split_leakage_lsh", "q_docs_effective_tokens_lsh")
+    "q_ann_mmr", "q_docs_split_leakage_lsh", "q_docs_effective_tokens_lsh",
+    // round 6 operators: lot matching must pair identically on any
+    // layout; the concentration/readability/burstiness divisions ride
+    // exact integer aggregates
+    "q_events_fifo_match", "q_events_diurnal", "q_docs_readability",
+    "q_docs_burstiness")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -144,6 +144,79 @@ class Round6OpsSpec extends TestSparkSession {
     assert(r("B") == (500000000000L, 0.5))
   }
 
+  // ---- A110 FIFO matching ----
+
+  test("fifoMatches: hand-computed lots; shorts and excess sells unmatched") {
+    // per-user sequence S B B S S S B S (S = view/sell, B = purchase):
+    //   v1: empty inventory -> short, unmatched
+    //   v2 -> b1, v3 -> b2 (in FIFO order)
+    //   v4: inventory empty again -> unmatched
+    //   v5 -> b3
+    val ev = Seq(
+      ("v1", 1, "view"), ("b1", 2, "purchase"), ("b2", 3, "purchase"),
+      ("v2", 4, "view"), ("v3", 5, "view"), ("v4", 6, "view"),
+      ("b3", 7, "purchase"), ("v5", 8, "view"))
+      .map { case (id, t, ty) => (id, s"2024-01-01 00:00:0$t", "u1", ty, 1.0) }
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val m = EventOps.fifoMatches(ev).collect()
+      .map(r => (r.getAs[String]("sell_id"), r.getAs[String]("buy_id"),
+        r.getAs[Long]("lot"))).toSet
+    assert(m == Set(("v2", "b1", 1L), ("v3", "b2", 2L), ("v5", "b3", 3L)))
+  }
+
+  test("fifoMatches: holding periods are non-negative on real data") {
+    val m = EventOps.fifoMatches(Tables.events(spark, sfDir))
+    assert(m.filter(col("holding_us") < 0).count() == 0)
+    assert(m.count() > 0)
+  }
+
+  // ---- A111 diurnal concentration ----
+
+  test("diurnalConcentration: hand-computed HHI, min-hod peak tie-break") {
+    val ev = (Seq((0, "x"), (0, "x"), (0, "x"), (5, "x")) ++
+      Seq((3, "y"), (3, "y"), (7, "y"), (7, "y")))
+      .zipWithIndex.map { case ((h, ty), i) =>
+        (s"e$i", s"2024-01-01 %02d:30:00".format(h), "u1", ty, 1.0) }
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.diurnalConcentration(ev).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2),
+        x.getLong(3), x.getDouble(4))).toMap
+    assert(r("x") == (4L, 0.625, 0L, 0.75))   // 3²+1² over 4²
+    assert(r("y") == (4L, 0.5, 3L, 0.5))      // tie 2/2 -> smaller hod
+  }
+
+  // ---- C61 readability ----
+
+  test("lixReadability: hand-computed counts and guard") {
+    val d = Seq(
+      (1L, "the cat sat. elephants gallop! ok", "s", "en", 33),
+      (2L, "no punctuation here", "bare", "en", 19))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val r = TextAnalysis.lixReadability(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s = r("s")
+    assert(s.getAs[Long]("n_words") == 6 && s.getAs[Long]("n_sentences") == 2
+      && s.getAs[Long]("n_long") == 2)
+    assert(s.getAs[Double]("lix") == 3.0 + 200.0 / 6.0)
+    assert(r("bare").isNullAt(r("bare").fieldIndex("lix"))) // 0 sentences
+  }
+
+  // ---- C62 term burstiness ----
+
+  test("termBurstiness: cf/df separates concentrated from spread terms") {
+    val d = Seq(
+      (1L, "a a b", "s", "en", 5),
+      (2L, "a c c c", "s", "en", 7))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val r = TextAnalysis.termBurstiness(d, k = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    // top-2 by (cf desc, token): a (cf 3, df 2) then c (cf 3, df 1)
+    assert(r.toSeq == Seq(("a", 3L, 2L, 1.5), ("c", 3L, 1L, 3.0)))
+  }
+
   // ---- A109 last-digit uniformity ----
 
   test("lastDigitUniformity: uniform digits -> 0; one digit -> 9n/n = 90") {

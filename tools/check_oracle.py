@@ -21,6 +21,17 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 n_pass = n_fail = 0
+# CORRECTNESS-style JSON sidecar (same shape as the driver's artifact)
+results = {}
+
+
+def record(name, **kw):
+    base = dict(rows_match=None, schema_match=None, hash_match=None,
+                spark_rows=None, oracle_rows=None, err=None)
+    base.update(kw)
+    results[name] = base
+
+
 for name in sorted(oracle):
     try:
         exp = con.execute(oracle[name]).df()
@@ -67,9 +78,36 @@ for name in sorted(oracle):
                 break
         if ok:
             print(f"PASS {name} ({len(exp)} rows)"); n_pass += 1
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=True, spark_rows=len(got),
+                   oracle_rows=len(exp))
         else:
             n_fail += 1
+            record(name, rows_match=len(exp) == len(got),
+                   schema_match=list(exp.columns) == list(got.columns),
+                   hash_match=False, spark_rows=len(got),
+                   oracle_rows=len(exp), err="mismatch")
     except Exception as ex:
         print(f"FAIL {name}: {type(ex).__name__}: {ex}"); n_fail += 1
+        record(name, err=f"{type(ex).__name__}: {ex}")
+
+# queries dumped by Verify but carrying no SQL oracle (sketch family):
+# rows-only accounting, the driver's `no_oracle` convention
+for d in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name in results:
+        continue
+    try:
+        files = glob.glob(f"{d}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else None
+        record(name, spark_rows=n, err="no_oracle")
+    except Exception as ex:
+        record(name, err=f"{type(ex).__name__}: {ex}")
+
+json_out = os.environ.get("GRAFT_JSON_OUT")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out} ({len(results)} queries)")
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)

@@ -8,7 +8,10 @@ star; nation/region stay fixed (TPC-H keeps dims constant across SF).
 Timestamps are left unchanged — scaling densifies the same time span,
 which is exactly how event-rate growth looks in production.
 
-Usage: make_sf1.py [K] [SRC] [DST]   (defaults: 10 sf0.1 /tmp/sf1.0)
+Usage: make_sf1.py [K] [SRC] [DST] [tables]
+  (defaults: 10 sf0.1 /tmp/sf1.0 all; tables = comma list to generate a
+   subset, e.g. "region,nation,events,documents,embeddings" for the sf10
+   spot-checks that never touch the TPC-H facts)
 """
 import sys
 
@@ -17,8 +20,10 @@ import duckdb
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 DST = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1.0"
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 con = duckdb.connect()
+con.execute(f"PRAGMA threads={int(__import__('os').environ.get('MAKE_SF_THREADS', '8'))}")
 con.execute(f"CREATE TABLE ks AS SELECT unnest(range({K})) AS k")
 
 
@@ -76,6 +81,8 @@ import os
 
 os.makedirs(DST, exist_ok=True)
 for t, q in jobs.items():
+    if ONLY is not None and t not in ONLY:
+        continue
     sql = q.format(t=src(t))
     con.execute(
         f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")

@@ -754,4 +754,36 @@ class PlanAuditSpec extends TestSparkSession {
     assert(slipPlan.contains("partial_sum"),
       "expected map-side partial aggregation of the deviation terms")
   }
+
+  test("round-6 operators keep their scale shapes: user-keyed FIFO " +
+    "windows, top-k without a global sort, no explode in readability") {
+    val fifo = EventOps.fifoMatches(Tables.events(spark, sfDir))
+    val fifoPlan = planOf(fifo)
+    // every window/join stage must key on user_id; a single-partition
+    // exchange would funnel the whole trade stream through one task
+    assert(fifoPlan.contains("hashpartitioning(user_id"),
+      "expected user-keyed exchanges")
+    assert(!fifoPlan.contains("Exchange SinglePartition"),
+      "a global exchange crept into the FIFO pipeline")
+
+    val burst = TextAnalysis.termBurstiness(Tables.documents(spark, sfDir))
+    assert(planOf(burst).contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrderedAndProject, not a global sort")
+
+    val lix = TextAnalysis.lixReadability(Tables.documents(spark, sfDir))
+    val lixPlan = planOf(lix)
+    // the three counts are per-row projections: no Generate (explode)
+    // may materialize the token array, and the aggregate must combine
+    // map-side
+    assert(!lixPlan.contains("Generate "), "explode crept into LIX")
+    assert(lixPlan.contains("partial_sum") ||
+      lixPlan.contains("partial_count"), "expected partial aggregation")
+
+    val di = EventOps.diurnalConcentration(Tables.events(spark, sfDir))
+    val diPlan = planOf(di)
+    assert(diPlan.contains("partial_sum") || diPlan.contains("partial_count"),
+      "expected map-side partials in the (type, hod) count")
+    assert(!diPlan.contains("windowspecdefinition"),
+      "diurnal concentration must not use windows")
+  }
 }

@@ -6283,7 +6283,7 @@ object SparkEntry {
                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
              SELECT a, b FROM reach)
            GROUP BY a),
-         m AS (SELECT doc_id, cluster,
+         m AS MATERIALIZED (SELECT doc_id, cluster,
                  CASE WHEN CAST(strpos('0123456789abcdef',
                         substring(md5('split' || CAST(doc_id AS VARCHAR)),
                           1, 1)) - 1 AS INT) * 16 +

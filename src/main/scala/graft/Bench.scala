@@ -165,7 +165,10 @@ object Bench {
     "q_docs_readability",
     "q_docs_burstiness",
     "q_stream_type_counts",
-    "q_stream_recent_trades")
+    "q_stream_recent_trades",
+    "q_events_absorption",
+    "q_docs_dup_flow",
+    "q_docs_curriculum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2154,6 +2154,12 @@ object SparkEntry {
     }),
     "q_events_fifo_match" -> ((s, d) =>
       EventOps.fifoMatches(Tables.events(s, d))),
+    "q_events_absorption" -> ((s, d) =>
+      EventOps.absorptionProbabilities(Tables.events(s, d))),
+    "q_docs_dup_flow" -> ((s, d) =>
+      Dedup.crossSourceDupFlow(Tables.documents(s, d))),
+    "q_docs_curriculum" -> ((s, d) =>
+      Sampling.curriculumBins(Tables.documents(s, d))),
     "q_events_diurnal" -> ((s, d) =>
       EventOps.diurnalConcentration(Tables.events(s, d))),
     "q_docs_readability" -> ((s, d) =>
@@ -2211,6 +2217,44 @@ object SparkEntry {
        SELECT d.src AS node, CAST(d.deg AS BIGINT) AS deg,
               CAST(p.pr AS BIGINT) AS pr
        FROM d JOIN p10 p ON d.src = p.node"""
+  }
+
+  /** Absorption-probability oracle: 10 unrolled value-iteration CTEs
+    * under the A108/A71 integer contract — p₆-grid transitions from
+    * non-absorbing types, per-edge truncating (p6·p) // 10⁶ flow,
+    * target pinned to 10¹², trap to 0 — bit-identical to the Spark
+    * loop's Long arithmetic. */
+  private lazy val absorptionOracle: String = {
+    val steps = (1 to 10).map { k =>
+      s""", p$k AS (
+         SELECT ty.t,
+                CASE WHEN ty.t = 'purchase' THEN 1000000000000
+                     WHEN ty.t = 'error' THEN 0
+                     ELSE COALESCE(s.v, 0) END AS p
+         FROM ty LEFT JOIN (
+           SELECT tm.a AS t, sum((tm.p6 * p.p) // 1000000) AS v
+           FROM tm JOIN p${k - 1} p ON tm.b = p.t
+           GROUP BY 1) s ON ty.t = s.t)"""
+    }.mkString
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                          event_type FROM events),
+       nx AS (SELECT event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS nt
+              FROM e),
+       st AS (SELECT event_type AS a, nt AS b, count(*) AS c FROM nx
+              WHERE nt IS NOT NULL
+                AND event_type NOT IN ('purchase', 'error')
+              GROUP BY 1, 2),
+       tot AS (SELECT a, sum(c) AS tot FROM st GROUP BY 1),
+       tm AS (SELECT st.a, st.b, (st.c * 1000000) // tot.tot AS p6
+              FROM st JOIN tot ON st.a = tot.a),
+       ty AS (SELECT DISTINCT event_type AS t FROM events),
+       p0 AS (SELECT t, CASE WHEN t = 'purchase' THEN 1000000000000
+                             ELSE 0 END AS p FROM ty)
+       $steps
+       SELECT t AS event_type, CAST(p AS BIGINT) AS p,
+              CAST(p AS DOUBLE) / 1e12 AS prob FROM p10"""
   }
 
   /** Seeded-PageRank oracle: identical CTE unrolling to
@@ -2770,6 +2814,47 @@ object SparkEntry {
                 max(ts_us) + 1800000000 AS end_us,
                 count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
          FROM c GROUP BY user_id, sid""",
+    "q_events_absorption" -> SparkEntry.absorptionOracle,
+    // near-dup pairs aggregated to the source level; the pairs CTE is
+    // the exact C4 formulation the other dedup oracles share
+    "q_docs_dup_flow" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM ti),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM p
+                   JOIN sz s1 ON d1 = s1.doc_id
+                   JOIN sz s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE) /
+                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5)
+         SELECT least(da.source, db.source) AS source_a,
+                greatest(da.source, db.source) AS source_b,
+                count(*) AS n_pairs
+         FROM pairs
+         JOIN documents da ON pairs.d1 = da.doc_id
+         JOIN documents db ON pairs.d2 = db.doc_id
+         GROUP BY 1, 2""",
+    // equal-population length stages on the exact (n_tokens, doc_id)
+    // global rank — the RFM quintile arithmetic
+    "q_docs_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+                 row_number() OVER (ORDER BY n_tokens, doc_id) AS rk,
+                 count(*) OVER () AS n
+               FROM t)
+         SELECT doc_id, n_tokens,
+                CAST(((rk - 1) * 10) // n + 1 AS INT) AS stage
+         FROM r""",
     // FIFO lot matching via the parenthesis-matching closed form: the
     // unmatched-sell count in any prefix is max(0, running-max excess)
     "q_events_fifo_match" ->

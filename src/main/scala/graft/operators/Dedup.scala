@@ -500,6 +500,32 @@ object Dedup {
     keepExact.join(nonKeepers, Seq("doc_id"), "left_anti")
   }
 
+  /** C63: cross-source duplication flow — the near-dup pair graph
+    * aggregated to the source level: how many near-dup pairs live
+    * inside each source and between each source pair (C20's
+    * dupProvenance counts EXACT head-digest copies; this is its
+    * near-dup sibling over the verified pair set — the "who mirrors
+    * whom" matrix that decides which feed gets de-prioritized).
+    * Candidate-pair source injectable like the other composing
+    * reports: exact C4 by default, [[lshPairs]] at scale.
+    *
+    * Shape: the pair pipeline bounds everything; past it, two joins
+    * that move (doc_id, source) pairs only and one keyed aggregate
+    * over a sources²-bounded result. */
+  def crossSourceDupFlow(docs: DataFrame, tau: Double = 0.5,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(ngramJaccard(docs, tau)).select("d1", "d2")
+    val src = docs.select(col("doc_id"), col("source"))
+    p.join(src.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("source", "s1"), "d1")
+      .join(src.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("source", "s2"), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** C31: decontaminated corpus materialization — C23's flags applied:
     * documents whose benchmark trigram overlap reaches `tau` are removed
     * and the survivors flow on (the filter step a training pipeline

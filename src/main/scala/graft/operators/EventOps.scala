@@ -2580,6 +2580,59 @@ object EventOps {
           .as("chi2"))
   }
 
+  /** A112: absorption probability — for every event type, the chance a
+    * user journey starting there reaches `target` before `trap` under
+    * the [[typeTransitions]] Markov chain (the funnel question "does a
+    * session at state X convert or die?", answered from structure
+    * instead of path counting — [[funnel]] counts one fixed path, this
+    * scores every state against ALL paths). `target`/`trap` are made
+    * absorbing by dropping their outgoing transitions; `iterations`
+    * value-iteration steps under the A108 integer contract (p₆ grid
+    * transitions, 10¹² probability scale, per-edge truncating
+    * `(p6·p) div 10⁶` flow) make p_k(t) = P(absorb at target within k
+    * steps) — monotone in k, bit-identical to the oracle's unrolled
+    * CTEs. Dangling non-absorbing types (no outflow) stay at 0,
+    * documented; truncation under-counts by ≤ 10⁻⁶ relative per step.
+    *
+    * Shape: identical to A108 — the k²-row matrix iterates under
+    * broadcast joins; the corpus is read once. */
+  def absorptionProbabilities(events: DataFrame,
+      target: String = "purchase", trap: String = "error",
+      iterations: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val steps = events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .filter(!col("event_type").isin(target, trap))
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // row totals + the matrix read it
+    val tot = steps.groupBy("a").agg(sum("c").as("tot"))
+    val tm = steps.join(broadcast(tot), "a")
+      .select(col("a"), col("b"), expr("(c * 1000000) div tot").as("p6"))
+      .localCheckpoint()
+    val types = events.select(col("event_type").as("t")).distinct()
+      .localCheckpoint()
+    val scale = 1000000000000L
+    var p = types.select(col("t"),
+      when(col("t") === target, lit(scale)).otherwise(lit(0L)).as("p"))
+    for (i <- 1 to iterations) {
+      val inc = tm.join(broadcast(p), col("b") === col("t"))
+        .select(col("a"), expr("(p6 * p) div 1000000").as("m"))
+        .groupBy("a").agg(sum("m").as("np"))
+      p = types.join(broadcast(inc), col("t") === col("a"), "left_outer")
+        .select(col("t"),
+          when(col("t") === target, lit(scale))
+            .when(col("t") === trap, lit(0L))
+            .otherwise(coalesce(col("np"), lit(0L))).as("p"))
+      if (i % 3 == 0 || i == iterations) p = p.localCheckpoint()
+    }
+    p.select(col("t").as("event_type"), col("p"),
+      (col("p").cast("double") / lit(1e12)).as("prob"))
+  }
+
   /** A110: FIFO trade matching — each sell consumes the OLDEST
     * unconsumed unit-size buy of its wallet (the inventory engine
     * behind holding-period and tax-lot reports; [[realizedPnl]] marks

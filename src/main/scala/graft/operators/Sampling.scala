@@ -224,4 +224,40 @@ object Sampling {
       .select(col("doc_id"), col("score"), col("tokens").cast("bigint")
         .as("tokens"), col("cum_tokens"))
   }
+
+  /** C64: curriculum stage assignment — every document binned into
+    * `nBins` equal-population stages by token count (short-to-long is
+    * the standard length curriculum; the stage column is what a
+    * training run orders its epochs by). The bin boundary is EXACT
+    * global-rank arithmetic, stage = ((rank−1)·nBins) div n + 1, on
+    * the (n_tokens, doc_id) total order — the same quintile contract
+    * as the RFM scores, so ties split deterministically and both
+    * engines agree without any percentile interpolation.
+    *
+    * Shape: the rank is the terasort shape — range exchange on
+    * (n_tokens, doc_id), per-partition row_number, triangular offsets
+    * from the broadcast partition counts — NO unpartitioned window at
+    * 10⁹ documents; token counts come from one codegen'd projection
+    * (text never shuffles — the range exchange moves (id, count)
+    * pairs). */
+  def curriculumBins(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .localCheckpoint() // count + the frozen range exchange read it
+    val n = toks.count()
+    val parted = toks.repartitionByRange(col("n_tokens"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // freeze range boundaries for both passes
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    val w = Window.partitionBy("pid").orderBy(col("n_tokens"), col("doc_id"))
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("rk", row_number().over(w) + col("off"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cast(((rk - 1) * $nBins) div $n + 1 as int)").as("stage"))
+  }
 }

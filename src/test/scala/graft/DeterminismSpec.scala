@@ -84,7 +84,10 @@ class DeterminismSpec extends TestSparkSession {
     // layout; the concentration/readability/burstiness divisions ride
     // exact integer aggregates
     "q_events_fifo_match", "q_events_diurnal", "q_docs_readability",
-    "q_docs_burstiness")
+    "q_docs_burstiness",
+    // batch 2: the absorption fixed point, the source-level dup matrix
+    // and the terasort-shaped curriculum ranks
+    "q_events_absorption", "q_docs_dup_flow", "q_docs_curriculum")
 
   private def runAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -217,6 +217,52 @@ class Round6OpsSpec extends TestSparkSession {
     assert(r.toSeq == Seq(("a", 3L, 2L, 1.5), ("c", 3L, 1L, 3.0)))
   }
 
+  // ---- A112 absorption probability ----
+
+  test("absorptionProbabilities: hand-computed 50/50 fork and chained state") {
+    // u1: A -> purchase, u2: A -> error  ⇒ P(A) = 1/2 exactly
+    // u3: B -> A (B always walks into A) ⇒ P(B) = P(A) = 1/2
+    val ev = Seq(
+      ("e1", 1, "u1", "A"), ("e2", 2, "u1", "purchase"),
+      ("e3", 1, "u2", "A"), ("e4", 2, "u2", "error"),
+      ("e5", 1, "u3", "B"), ("e6", 2, "u3", "A"))
+      .map { case (id, t, u, ty) =>
+        (id, s"2024-01-01 00:00:0$t", u, ty, 1.0) }
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = EventOps.absorptionProbabilities(ev).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("purchase") == (1000000000000L, 1.0))
+    assert(r("error") == (0L, 0.0))
+    assert(r("A") == (500000000000L, 0.5))
+    assert(r("B") == (500000000000L, 0.5))
+  }
+
+  // ---- C63 cross-source dup flow ----
+
+  test("crossSourceDupFlow: near-dup pair lands in the right source cell") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps high", "wiki", "en", 30),
+      (2L, "the quick brown fox jumps high", "crawl", "en", 30),
+      (3L, "completely different words entirely here now", "crawl", "en", 44))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val r = Dedup.crossSourceDupFlow(d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r == Set(("crawl", "wiki", 1L)))
+  }
+
+  // ---- C64 curriculum bins ----
+
+  test("curriculumBins: equal-population stages on the exact rank order") {
+    val d = Seq(
+      (1L, "a", "s", "en", 1), (2L, "a b", "s", "en", 3),
+      (3L, "a b c", "s", "en", 5), (4L, "a b c d", "s", "en", 7))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val r = Sampling.curriculumBins(d, nBins = 2).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2))
+  }
+
   // ---- A109 last-digit uniformity ----
 
   test("lastDigitUniformity: uniform digits -> 0; one digit -> 9n/n = 90") {

@@ -70,6 +70,161 @@ object VecOps {
     sig
   }
 
+  /** Nearest-PQ-codeword argmin for one subvector: scans `codes.length`
+    * codewords stored row-major in `flat` (length = codes·w) and returns
+    * the code with the smallest d2 = sv·sv − 2·sv·cw + cw·cw, ties to
+    * the smaller code id. Bit-identical to the former broadcast-join +
+    * `min_by(code, struct(argKey(d2), code))` formulation: every dot
+    * accumulates in index-order doubles exactly like [[dot]], d2
+    * associates as ((svv − svc·2) + cc), and a NaN d2 maps to
+    * +MaxValue (the argKey guard) so degenerate subvectors still pick
+    * the smallest codeword instead of vanishing. One compiled pass
+    * per (vector, subspace) — the join fanned out n·m·|codes| rows
+    * through a hash aggregate (the measured sf10 scale-limiter).
+    * A length-mismatched subvector (former NULL-d2 path) also keys
+    * every codeword at MaxValue → smallest code id, as before. */
+  def pqArgmin(sv: ArrayData, flat: Array[Float], codes: Array[Long])
+      : java.lang.Long = {
+    val w = sv.numElements()
+    val k = codes.length
+    if (k == 0) return null
+    if (w == 0 || flat.length != k.toLong * w) {
+      // mismatch ⇒ all keys MaxValue ⇒ tie-break picks the min code id
+      var best = codes(0)
+      var c = 1
+      while (c < k) {
+        if (codes(c) < best) best = codes(c); c += 1
+      }
+      return best
+    }
+    // hoist the subvector to primitive doubles once: the inner loops
+    // then run on primitive arrays only (the ArrayData accessor call
+    // per element dominated the first cut of this kernel)
+    val vv = new Array[Double](w)
+    var svv = 0.0
+    var i = 0
+    while (i < w) {
+      val x = sv.getFloat(i).toDouble; vv(i) = x; svv += x * x; i += 1
+    }
+    var found = false
+    var bestKey = Double.MaxValue
+    var bestCode = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      var svc = 0.0
+      var cc = 0.0
+      val off = c * w
+      var j = 0
+      while (j < w) {
+        val b = flat(off + j).toDouble
+        svc += vv(j) * b
+        cc += b * b
+        j += 1
+      }
+      val d2 = svv - svc * 2 + cc
+      val key = if (java.lang.Double.isNaN(d2)) Double.MaxValue else d2
+      val code = codes(c)
+      if (!found || key < bestKey || (key == bestKey && code < bestCode)) {
+        found = true; bestKey = key; bestCode = code
+      }
+      c += 1
+    }
+    bestCode
+  }
+
+  /** Nearest-IVF-cell argmax-cosine for one vector: scans `ids.length`
+    * centroids (row-major floats in `flat`, their exact VecNorm2 values
+    * in `norms`) and returns the centroid id with the LARGEST 1e-6-grid
+    * cosine, ties to the smaller id. Bit-identical to the former
+    * crossJoin + `min_by(cent_id, struct(argKey(-cos6), cent_id))`
+    * formulation, term by term: index-order double dots ([[dot]]),
+    * denom = sqrt(na)·sqrt(cn) in that order, try_divide's NULL on a
+    * zero denominator, Spark Round's HALF_UP-via-BigDecimal.valueOf
+    * with NaN/Infinity passthrough, and the argKey(−cos) → MaxValue
+    * guard. One compiled pass per vector — the crossJoin fanned
+    * n·cells rows (412M at sf10) through a hash aggregate. */
+  /** Spark Round(double, 6) semantics: NaN/Infinity pass through,
+    * otherwise HALF_UP on the shortest-decimal representation
+    * (BigDecimal.valueOf). ~300 ns per call — kept OFF the hot path. */
+  private def round6(r: Double): Double =
+    if (java.lang.Double.isNaN(r) || java.lang.Double.isInfinite(r)) r
+    else java.math.BigDecimal.valueOf(r)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def cellArgmin(v: ArrayData, flat: Array[Float], norms: Array[Double],
+      ids: Array[Long]): java.lang.Long = {
+    val w = v.numElements()
+    val k = ids.length
+    if (k == 0) return null
+    val mismatch = w == 0 || flat.length != k.toLong * w
+    // hoist the vector to primitive doubles once (see pqArgmin)
+    val vv = new Array[Double](w)
+    var na = 0.0
+    var i = 0
+    while (i < w) {
+      val x = v.getFloat(i).toDouble; vv(i) = x; na += x * x; i += 1
+    }
+    val sna = math.sqrt(na)
+    // Pass 1: RAW cosines (no rounding — BigDecimal.valueOf at ~300 ns
+    // × cells × vectors dominated the first cut). Rounding to the 1e-6
+    // grid is monotone non-decreasing (shortest-decimal mapping
+    // preserves double order, HALF_UP is monotone), so the rounded
+    // winner's raw cosine sits within one grid step of the raw max —
+    // only that sliver needs exact rounding in pass 2.
+    val rs = new Array[Double](k)
+    var rmax = Double.NegativeInfinity
+    var anyValid = false
+    var c = 0
+    while (c < k) {
+      rs(c) = Double.NaN // NULL-cos sentinel (mismatch / zero denom / NaN)
+      if (!mismatch) {
+        val off = c * w
+        var dt = 0.0
+        var j = 0
+        while (j < w) {
+          dt += vv(j) * flat(off + j).toDouble
+          j += 1
+        }
+        val denom = sna * math.sqrt(norms(c))
+        if (denom != 0.0) {
+          val r = dt / denom
+          if (!java.lang.Double.isNaN(r)) {
+            rs(c) = r
+            anyValid = true
+            if (r > rmax) rmax = r
+          }
+        }
+      }
+      c += 1
+    }
+    if (!anyValid) {
+      // every key is the argKey MaxValue guard: tie-break -> min id
+      var best = ids(0)
+      var m = 1
+      while (m < k) { if (ids(m) < best) best = ids(m); m += 1 }
+      return best
+    }
+    // Pass 2: exact Spark rounding only for raw cosines within 1e-5 of
+    // the raw max (a 10x-generous bound on the 1e-6 grid step); the
+    // (rounded DESC, id ASC) winner is unchanged from the exhaustive
+    // formulation by monotonicity.
+    val cut = rmax - 1e-5
+    var bestRound = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    c = 0
+    while (c < k) {
+      val r = rs(c)
+      if (!java.lang.Double.isNaN(r) && r >= cut) {
+        val v6 = round6(r)
+        if (v6 > bestRound || (v6 == bestRound && ids(c) < bestId)) {
+          bestRound = v6; bestId = ids(c)
+        }
+      }
+      c += 1
+    }
+    bestId
+  }
+
   private val Space = UTF8String.fromString(" ")
 
   /** 64-bit SimHash band values over distinct whitespace tokens of

@@ -233,6 +233,69 @@ case class HyperplaneSig(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-PQ-codeword argmin (see [[VecOps.pqArgmin]]): subvector ×
+  * row-major codeword matrix × code ids → winning code id, in one
+  * compiled pass. Replaces the broadcast-join + min_by formulation
+  * whose n·m·|codes| row fan-out was the measured sf10 scale-limiter;
+  * arithmetic, NaN guard and tie-break are bit-identical. */
+case class PqArgmin(child: Expression, flat: Array[Float],
+    codes: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_argmin"
+  override protected def nullSafeEval(sv: Any): Any =
+    VecOps.pqArgmin(
+      sv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      flat, codes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the codebook rides as primitive-array reference objects: element
+    // reads in the kernel's hot loop stay unboxed array indexing (a
+    // boxed ArrayData literal cost ~100x in the first cut)
+    val f = ctx.addReferenceObj("pqFlat", flat, "float[]")
+    val cd = ctx.addReferenceObj("pqCodes", codes, "long[]")
+    nullSafeCodeGen(ctx, ev, sv => {
+      val tmp = ctx.freshName("code")
+      s"""java.lang.Long $tmp = graft.functions.VecOps.pqArgmin($sv, $f, $cd);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqArgmin =
+    copy(child = newChild)
+}
+
+/** Nearest-IVF-cell argmax-cosine (see [[VecOps.cellArgmin]]): vector ×
+  * row-major centroid matrix × centroid norms × centroid ids → winning
+  * cell id in one compiled pass, replacing the n·cells crossJoin +
+  * min_by whose fan-out dominated the sf10 IVF-PQ wall time. */
+case class CellArgmin(child: Expression, flat: Array[Float],
+    norms: Array[Double], ids: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cell_argmin"
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.cellArgmin(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      flat, norms, ids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("centFlat", flat, "float[]")
+    val n = ctx.addReferenceObj("centNorms", norms, "double[]")
+    val id = ctx.addReferenceObj("centIds", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("cell")
+      s"""java.lang.Long $tmp = graft.functions.VecOps.cellArgmin($v, $f, $n, $id);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): CellArgmin =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a document as four 16-bit band values (see
   * [[VecOps.simhashBands]]): one compiled pass instead of a
   * per-(token, bit) explode + two shuffles. */
@@ -328,6 +391,14 @@ object exprs {
       .cast("decimal(12,6)")
   def trigrams(s: Column): Column = col(Trigrams(ex(s)))
   def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
+
+  def pq_argmin(sv: Column, flat: Array[Float],
+      codes: Array[Long]): Column =
+    col(PqArgmin(ex(sv), flat, codes))
+
+  def cell_argmin(v: Column, flat: Array[Float], norms: Array[Double],
+      ids: Array[Long]): Column =
+    col(CellArgmin(ex(v), flat, norms, ids))
   def vec_norm2(a: Column): Column = col(VecNorm2(ex(a)))
   def hyperplane_sig(v: Column, bits: Int): Column =
     col(HyperplaneSig(ex(v), Literal(bits)))

@@ -237,6 +237,33 @@ object Similarity {
   /** (vec_id, sub, sv) rows for all `m` subspaces from ONE pass over the
     * embedding table: posexplode over the in-row slice array — the union
     * of m per-subspace selects scans the table m times instead. */
+  /** Kernel-dense per-row stages (PQ encode, coarse cell assignment)
+    * are pure CPU: give them at least the session's default parallelism
+    * in input splits. At test scale DuckDB writes the whole table as
+    * 1-2 parquet row groups, which would serialize tens of GFLOPs of
+    * argmin onto two cores; at production scale the scan already
+    * yields enough splits and this is a no-op. */
+  private def widen(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
+  /** Collected (row-major float matrix, exact VecNorm2 values, ids)
+    * literals from a centroid frame — cells are codebook-sized, so the
+    * literals are KBs and ride inside the codegen'd [[graft.functions.
+    * CellArgmin]]. Sorted by id for a reproducible matrix layout (the
+    * argmin result is order-independent — full compare + id
+    * tie-break). Production note: like the broadcast it replaces, this
+    * assumes a bounded cell count (fixed-K coarse quantizer), not the
+    * grow-with-n `centEvery` sampling the tests use. */
+  private def centLits(cents: DataFrame) = {
+    val rows = cents.select(col("cent_id"), col("ce"), col("cn"))
+      .collect().sortBy(_.getLong(0))
+    (rows.flatMap(_.getSeq[Float](1)),
+      rows.map(_.getDouble(2)),
+      rows.map(_.getLong(0)))
+  }
+
   private def subspaces(emb: DataFrame, dims: Int, m: Int): DataFrame = {
     val w = dims / m
     emb.select(col("vec_id"),
@@ -338,19 +365,44 @@ object Similarity {
       .select(col("vec_id"),
         expr("transform(pairs, p -> cast(p.code as int))").as("codes"))
 
-  /** Nearest-codeword assignment per (vector, subspace). */
+  /** Nearest-codeword assignment per (vector, subspace).
+    *
+    * The codebook is codes-sized (m × ≤maxCodes rows): collected once
+    * and shipped as a row-major float-matrix LITERAL per subspace into
+    * ONE codegen'd argmin ([[graft.functions.PqArgmin]]) per
+    * (vector, subspace). The former broadcast join fanned
+    * n·m·|codes| rows through a min_by hash aggregate — 409M rows and
+    * 300+ s at sf10, the measured encode scale-limiter — while the
+    * literal matrix is ≤ 256·w floats (8 KB) per subspace, smaller
+    * than the broadcast it replaces. Arithmetic, NaN guard and
+    * tie-break are bit-identical (pinned: the refactor reproduced the
+    * exact pre-change parquet bytes at sf0.01, and the full-probe ≡ PQ
+    * equality spec still holds). */
   private def pqAssign(emb: DataFrame, codebook: DataFrame,
       dims: Int, m: Int): DataFrame = {
-    val subs = subspaces(emb, dims, m)
-    subs.join(broadcast(codebook), "sub")
-      .select(col("vec_id"), col("sub"), col("code"),
-        (vec_dot(col("sv"), col("sv"))
-          - vec_dot(col("sv"), col("cw")) * 2
-          + vec_dot(col("cw"), col("cw"))).as("d2"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(argKey(col("d2")), col("code")))
-        .as("code"))
-      .select(col("vec_id"), col("sub"), col("code"))
+    import graft.functions.exprs.pq_argmin
+    val w = dims / m
+    val rows = codebook.select(col("sub"), col("code"), col("cw")).collect()
+    if (rows.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0).as("sub"), lit(0L).as("code"))
+        .limit(0)
+    val bySub = rows.groupBy(_.getInt(0))
+    val codeCols = (0 until m).map { sub =>
+      bySub.get(sub) match {
+        case Some(rs) =>
+          val entries = rs.map(r => (r.getLong(1),
+            r.getSeq[Float](2).toArray)).sortBy(_._1)
+          pq_argmin(slice(col("embedding"), sub * w + 1, w),
+            entries.flatMap(_._2), entries.map(_._1))
+        case None => lit(null).cast("bigint") // no codewords: the old
+                                              // inner join dropped the
+                                              // subspace — filtered below
+      }
+    }
+    widen(emb).select(col("vec_id"),
+        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+      .filter(col("code").isNotNull)
   }
 
   /** C7f query side: asymmetric-distance (ADC) top-k over PQ codes. The
@@ -418,17 +470,18 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("n2").as("cn"))
       .localCheckpoint(eager = true)
-    // inverted file: nearest cell per base vector (same argmin shape
-    // and tie-break as ivfTopK, but only (id, cell) survives — the PQ
-    // codes are the stored representation, never the raw vector)
-    val e = withNorm(emb)
-    val invFile = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        cos6("embedding", "ce", "n2", "cn").as("ccos"))
-      .groupBy("vec_id")
-      .agg(min_by(col("cent_id"), struct(argKey(-col("ccos")),
-        col("cent_id"))).as("cell"))
-      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    // inverted file: nearest cell per base vector (same argmin and
+    // tie-break as ivfTopK, but only (id, cell) survives — the PQ
+    // codes are the stored representation, never the raw vector).
+    // One codegen'd cellArgmin per vector against the collected
+    // centroid-matrix literal — the former crossJoin fanned n·cells
+    // rows (412M at sf10) through a hash aggregate.
+    val (cf, cnorms, cids) = centLits(cents)
+    val invFile = widen(emb)
+      .select(col("vec_id").as("neighbor_id"),
+        graft.functions.exprs.cell_argmin(col("embedding"), cf, cnorms,
+          cids).as("cell"))
+      .filter(col("cell").isNotNull)
     val codebook = pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
         trainEvery = trainEvery)
       .localCheckpoint(eager = true)
@@ -478,18 +531,18 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("n2").as("cn"))
     val e = withNorm(emb)
-    // nearest-cell argmax via min_by on (−ccos, cent_id): identical
-    // ordering to the former `ccos DESC, cent_id` window rank-1, with
-    // map-side partials instead of a full candidate shuffle + sort
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
-        cos6("embedding", "ce", "n2", "cn").as("ccos"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cent_id"), col("embedding"), col("n2")),
-        struct(argKey(-col("ccos")), col("cent_id"))).as("am"))
+    // nearest-cell argmax in ONE codegen'd pass per vector against the
+    // collected centroid-matrix literal (identical ordering/tie-break
+    // to the former crossJoin + min_by on (−ccos, cent_id), which
+    // itself matched the `ccos DESC, cent_id` window rank-1) — no
+    // n·cells fan-out, no aggregate
+    val (cf, cnorms, cids) = centLits(cents)
+    val assigned = widen(e)
       .select(col("vec_id").as("neighbor_id"),
-        col("am.embedding").as("eb"), col("am.n2").as("nb"),
-        col("am.cent_id").as("cell"))
+        col("embedding").as("eb"), col("n2").as("nb"),
+        graft.functions.exprs.cell_argmin(col("embedding"), cf, cnorms,
+          cids).as("cell"))
+      .filter(col("cell").isNotNull)
     val qW = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("cent_id"))
     val qCells = withNorm(queries)
       .select(col("vec_id").as("q_id"), col("embedding").as("ea"),

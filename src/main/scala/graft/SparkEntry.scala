@@ -2533,15 +2533,25 @@ object SparkEntry {
                   count(*) FILTER (event_type = 'purchase') AS nb,
                   count(*) FILTER (event_type = 'view') AS ns
            FROM t GROUP BY 1, 2),
-         sized AS (SELECT mb FROM w GROUP BY 1 HAVING count(*) <= 1024),
-         s AS (SELECT w.* FROM w JOIN sized USING (mb)),
+         bu AS (
+           SELECT mb, user_id FROM (
+             SELECT mb, user_id, row_number() OVER (PARTITION BY mb
+               ORDER BY nb DESC, user_id) AS rk
+             FROM w WHERE nb > 0) WHERE rk <= 1024),
+         se AS (
+           SELECT mb, user_id FROM (
+             SELECT mb, user_id, row_number() OVER (PARTITION BY mb
+               ORDER BY ns DESC, user_id) AS rk
+             FROM w WHERE ns > 0) WHERE rk <= 1024),
          pr AS (
-           SELECT a.user_id AS wallet_a, b.user_id AS wallet_b,
-                  CAST(count(*) FILTER (a.nb > 0 AND b.ns > 0)
+           SELECT least(bu.user_id, se.user_id) AS wallet_a,
+                  greatest(bu.user_id, se.user_id) AS wallet_b,
+                  CAST(count(*) FILTER (bu.user_id < se.user_id)
                        AS BIGINT) AS hours_ab,
-                  CAST(count(*) FILTER (b.nb > 0 AND a.ns > 0)
+                  CAST(count(*) FILTER (bu.user_id > se.user_id)
                        AS BIGINT) AS hours_ba
-           FROM s a JOIN s b ON a.mb = b.mb AND a.user_id < b.user_id
+           FROM bu JOIN se ON bu.mb = se.mb
+             AND bu.user_id <> se.user_id
            GROUP BY 1, 2)
          SELECT wallet_a, wallet_b, hours_ab, hours_ba
          FROM pr WHERE hours_ab >= 1 AND hours_ba >= 1""",

@@ -38,7 +38,11 @@ object Dedup {
     * document scores low because the union is big); containment scores
     * the overlap against the SMALLER gram set, which is exactly the
     * excerpt/quote case a curation run needs to catch. Same inverted-index
-    * join shape (and stop-gram cap) as [[ngramJaccard]].
+    * join shape (and stop-gram cap) as [[ngramJaccard]], including its
+    * `maxDocFreq` semantics: gram document frequency counts
+    * distinct-gram-set REPRESENTATIVES (exact copies don't vote a gram
+    * hot) and identity pairs bypass stop-gram removal; exact-oracle
+    * output only with `maxDocFreq = None`.
     */
   def ngramContainment(docs: DataFrame, tau: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
@@ -160,10 +164,22 @@ object Dedup {
     * jac = 1.0 exactly (inter = n1 = n2 = |grams|), and each
     * surviving representative pair expands to its member pairs with
     * the SAME inter/n/jac (Jaccard only reads the gram sets, which
-    * are equal by construction). Output is bit-identical to the
-    * uncollapsed formulation — the DuckDB oracle is unchanged — while
-    * join cost scales with DISTINCT content, the way exact-dedup-
-    * then-near-dup composes in a real curation pipeline.
+    * are equal by construction). With `maxDocFreq = None` (the
+    * default) output is bit-identical to the uncollapsed formulation —
+    * the DuckDB oracle is unchanged — while join cost scales with
+    * DISTINCT content, the way exact-dedup-then-near-dup composes in
+    * a real curation pipeline.
+    *
+    * With `maxDocFreq` SET the collapse changes the approximation's
+    * semantics versus the pre-collapse operator (both are documented
+    * approximations, not the exact oracle): gram document frequency is
+    * counted over distinct-gram-set REPRESENTATIVES, so a gram hot
+    * only because of exact copies no longer trips the cap; and
+    * identity pairs (jac = 1.0) bypass stop-gram removal entirely.
+    * Both shifts are deliberate — exact copies shouldn't vote a gram
+    * into the stop list, and identical documents are dups no matter
+    * which grams are hot. [[ngramContainment]] inherits the same
+    * representative-df semantics through the shared collapse.
     */
   def ngramJaccard(
       docs: DataFrame, tau: Double, maxDocFreq: Option[Int] = None,

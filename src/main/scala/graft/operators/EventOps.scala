@@ -1671,14 +1671,31 @@ object EventOps {
     * wallet went quadratic one decade up: measured 22 s at sf1.0 where
     * each hour holds ~1000 active wallets, since the pair condition
     * prunes AFTER the fan-out; the directed join builds only the rows
-    * whose condition already holds). Hot hours beyond `maxBucketWallets`
-    * active wallets still drop first. One pair-keyed aggregate over the
-    * directed rows; all integers. */
+    * whose condition already holds).
+    *
+    * Hot hours DEGRADE, never drop: each (hour, side) keeps its
+    * `maxBucketWallets` most-active wallets (side count desc, wallet id
+    * tie-break — a rank-limit window Spark plans as WindowGroupLimit,
+    * top-N per partition map-side, never a full per-hour sort). Wash
+    * rings concentrate exactly in the densest market-hours, so the old
+    * drop-the-whole-hour cap deleted the signal where it lives; the
+    * top-N rule bounds fan-out at maxBucketWallets² per hour while
+    * keeping the heaviest — i.e. the most wash-like — wallets in play.
+    *
+    * The pair aggregate REPARTITIONS the directed rows by pair key
+    * before grouping: pair keys are nearly unique (~50M directed rows
+    * → ~48M distinct pairs at sf1.0), so a map-side partial aggregate
+    * builds a huge hash table that reduces nothing, falls back to
+    * sort-and-spill, and dominates the query (measured 33 s of a 28 s
+    * total at sf1.0; repartition-first is 9-12 s end to end at any
+    * post-shuffle partition count — Scratch `wash_profile`). After the
+    * exchange every copy of a key is in one task, so the same partial
+    * aggregate collapses fully. All integers. */
   def washPairs(
       events: DataFrame,
       maxBucketWallets: Int = 1024): DataFrame = {
-    // materialized once: the side-count aggregate feeds both the hot-hour
-    // filter and the pair join — unmaterialized, the raw shuffle runs twice
+    // materialized once: the side-count aggregate feeds both ranked side
+    // tables — unmaterialized, the raw event shuffle runs twice
     val sides = events
       .filter(col("event_type").isin("purchase", "view"))
       .groupBy(expr("unix_micros(ts) div 3600000000").as("mb"),
@@ -1686,18 +1703,32 @@ object EventOps {
       .agg(count(when(col("event_type") === "purchase", 1)).as("nb"),
         count(when(col("event_type") === "view", 1)).as("ns"))
       .localCheckpoint()
-    val sized = sides.groupBy("mb").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxBucketWallets).select("mb")
-    val s = sides.join(sized, "mb")
-    val buyers = s.filter(col("nb") > 0)
-      .select(col("mb"), col("user_id").as("bu"))
-    val sellers = s.filter(col("ns") > 0)
-      .select(col("mb"), col("user_id").as("se"))
+    val nPart = math.max(256,
+      events.sparkSession.sessionState.conf.numShufflePartitions)
+    // EXPLICIT hour repartition before the rank windows: the wallet-hour
+    // table is tiny (~400k rows at sf1.0) so AQE coalesces its exchange
+    // to ONE partition — but the downstream join fans those rows out
+    // 140× (54.6M), and the window, join, and shuffle write all share
+    // that stage. AQE sizes by map INPUT and cannot see output blow-up,
+    // so the whole fan-out ran in a single task (measured 31.6 s of the
+    // 34 s total). An explicit partition count opts the exchange out of
+    // coalescing; one fan-out task then covers ~nHours/nPart hours,
+    // worst case one hour = maxBucketWallets² rows.
+    val sidesP = sides.repartition(nPart, col("mb"))
+    def topSide(n: org.apache.spark.sql.Column, out: String) =
+      sidesP.filter(n > 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("mb")).orderBy(n.desc, col("user_id"))))
+      .filter(col("rk") <= maxBucketWallets)
+      .select(col("mb"), col("user_id").as(out))
+    val buyers = topSide(col("nb"), "bu")
+    val sellers = topSide(col("ns"), "se")
     buyers.join(sellers, Seq("mb"))
       .filter(col("bu") =!= col("se"))
       .select(least(col("bu"), col("se")).as("wallet_a"),
         greatest(col("bu"), col("se")).as("wallet_b"),
         (col("bu") < col("se")).as("is_ab"))
+      .repartition(nPart, col("wallet_a"), col("wallet_b"))
       .groupBy("wallet_a", "wallet_b")
       .agg(count(when(col("is_ab"), 1)).as("hours_ab"),
         count(when(!col("is_ab"), 1)).as("hours_ba"))

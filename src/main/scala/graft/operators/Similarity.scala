@@ -253,9 +253,9 @@ object Similarity {
     * literals are KBs and ride inside the codegen'd [[graft.functions.
     * CellArgmin]]. Sorted by id for a reproducible matrix layout (the
     * argmin result is order-independent — full compare + id
-    * tie-break). Production note: like the broadcast it replaces, this
-    * assumes a bounded cell count (fixed-K coarse quantizer), not the
-    * grow-with-n `centEvery` sampling the tests use. */
+    * tie-break). The bounded-cell-count assumption the literal relies
+    * on is enforced upstream by [[ivfCoarseCentroids]]' `maxCells` cap
+    * (or by the caller-supplied fixed-K centroid table). */
   private def centLits(cents: DataFrame) = {
     val rows = cents.select(col("cent_id"), col("ce"), col("cn"))
       .collect().sortBy(_.getLong(0))
@@ -263,6 +263,58 @@ object Similarity {
       rows.map(_.getDouble(2)),
       rows.map(_.getLong(0)))
   }
+
+  /** Bounded coarse quantizer for the IVF family. Returns the
+    * (cent_id, ce, cn) centroid table the cell argmin and the query
+    * probe share; the contract is that its row count NEVER grows with
+    * the corpus:
+    *
+    *  - below the cap the historical sampling is reproduced exactly —
+    *    every `centEvery`-th vector id becomes a cell, so all committed
+    *    sf0.01/sf1.0 outputs are bit-identical;
+    *  - once `n / centEvery` would exceed `maxCells`, the stride widens
+    *    adaptively to `ceil(n / maxCells)` (the same
+    *    constant-training-cost trick as [[pqCodebook]]'s `trainEvery`),
+    *    keeping cells spread across the WHOLE id range rather than a
+    *    prefix, and a rank cap (`orderBy` + `limit` — TakeOrdered, no
+    *    global sort) hard-bounds the count on irregular id domains.
+    *
+    * Without the cap, cell count grew ∝ corpus and coarse assignment
+    * was O(n²/centEvery) — measured 1.0 s at sf1.0 → 38.1 s at sf10
+    * (38× for 10×), the quadratic-cells signature; capped, assignment
+    * is O(n·maxCells) — linear in the corpus at any scale.
+    *
+    * For a TRAINED quantizer instead of the deterministic sample, pass
+    * [[kmeansFit]] output through [[ivfCentroidTable]] and hand it to
+    * `ivfTopK`/`ivfpqTopK` via `centroids` — the centroid table is the
+    * API boundary, so any fixed-K quantizer plugs in. */
+  def ivfCoarseCentroids(emb: DataFrame, centEvery: Int = 97,
+      maxCells: Int = 256): DataFrame = {
+    val n = emb.count()
+    val effEvery: Long =
+      if (n / centEvery <= maxCells) centEvery.toLong
+      else (n + maxCells - 1) / maxCells
+    val ids = emb.select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(effEvery)) === 0)
+      .orderBy(col("vec_id")).limit(maxCells)
+    withNorm(emb.join(broadcast(ids), "vec_id"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("n2").as("cn"))
+  }
+
+  /** Reassemble [[kmeansFit]] output — (cell, i, n, centroid) component
+    * rows — into the (cent_id, ce, cn) table `ivfTopK`/`ivfpqTopK`
+    * accept as an injectable coarse quantizer. |k|·dims rows in, |k|
+    * rows out: one narrow groupBy, metadata-sized. */
+  def ivfCentroidTable(kmeansCents: DataFrame): DataFrame =
+    withNorm(kmeansCents
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("i"), col("centroid"))))
+          .as("pairs"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(pairs, p -> cast(p.centroid as float))")
+            .as("embedding")))
+      .select(col("cent_id"), col("embedding").as("ce"), col("n2").as("cn"))
 
   private def subspaces(emb: DataFrame, dims: Int, m: Int): DataFrame = {
     val w = dims / m
@@ -464,11 +516,11 @@ object Similarity {
   def ivfpqTopK(emb: DataFrame, queries: DataFrame, dims: Int, k: Int,
       m: Int = 8, probes: Int = 2, centEvery: Int = 97,
       seedEvery: Int = 13, maxCodes: Int = 256,
-      trainEvery: Int = 0): DataFrame = {
+      trainEvery: Int = 0, maxCells: Int = 256,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val w = dims / m
-    val cents = withNorm(emb.filter(col("vec_id") % centEvery === 0))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-        col("n2").as("cn"))
+    val cents = centroids
+      .getOrElse(ivfCoarseCentroids(emb, centEvery, maxCells))
       .localCheckpoint(eager = true)
     // inverted file: nearest cell per base vector (same argmin and
     // tie-break as ivfTopK, but only (id, cell) survives — the PQ
@@ -522,14 +574,19 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** C7: IVF-style ANN: deterministic coarse centroids (every 97th vector),
-    * one-time nearest-cell assignment, queries probe `probes` cells.
+  /** C7: IVF-style ANN — one-time nearest-cell assignment against a
+    * BOUNDED coarse quantizer ([[ivfCoarseCentroids]] by default: the
+    * historical every-`centEvery`-th sampling below `maxCells` cells,
+    * adaptive stride above it; or any caller-supplied fixed-K centroid
+    * table, e.g. [[kmeansFit]] via [[ivfCentroidTable]]). Queries probe
+    * `probes` cells.
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      probes: Int = 2, centEvery: Int = 97): DataFrame = {
-    val cents = withNorm(emb.filter(col("vec_id") % centEvery === 0))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-        col("n2").as("cn"))
+      probes: Int = 2, centEvery: Int = 97, maxCells: Int = 256,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids
+      .getOrElse(ivfCoarseCentroids(emb, centEvery, maxCells))
+      .localCheckpoint(eager = true)
     val e = withNorm(emb)
     // nearest-cell argmax in ONE codegen'd pass per vector against the
     // collected centroid-matrix literal (identical ordering/tie-break

@@ -742,15 +742,19 @@ object EventStreamPipelines {
     * under in-order replay. State stays capped at `keep` triples/key. */
   class RecentTradesOrderedProcessor(keep: Int)
       extends StatefulProcessor[Long, (Long, Long, Long, Long),
-        (Long, Int, Long)] {
+        (Long, Int, Long, Long)] {
     @transient private var recent: ListState[(Long, Long, Long)] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var emitted: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       recent = getHandle.getListState[(Long, Long, Long)]("recent",
         org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
         TTLConfig.NONE)
+      emitted = getHandle.getValueState[Long]("emitted",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long, Long)],
-        timerValues: TimerValues): Iterator[(Long, Int, Long)] = {
+        timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
       val prev =
         if (recent.exists()) recent.get().toArray
         else Array.empty[(Long, Long, Long)]
@@ -758,7 +762,13 @@ object EventStreamPipelines {
         .sortBy(t => (t._1, t._2))
       val bounded = all.takeRight(keep)
       recent.put(bounded)
-      Iterator.single((key, bounded.length, bounded.map(_._3).sum))
+      // per-key emission sequence: Append mode emits one snapshot per
+      // micro-batch, so a multi-batch source leaves stale rows in the
+      // sink; the strictly increasing seq lets readers keep the FINAL
+      // snapshot per key with a max_by instead of assuming one batch
+      val seq = (if (emitted.exists()) emitted.get() else 0L) + 1L
+      emitted.update(seq)
+      Iterator.single((key, bounded.length, bounded.map(_._3).sum, seq))
     }
   }
 
@@ -784,8 +794,8 @@ object EventStreamPipelines {
         .groupByKey(_._1)
         .transformWithState(new RecentTradesOrderedProcessor(keep),
           TimeMode.None(), OutputMode.Append(),
-          org.apache.spark.sql.Encoders.product[(Long, Int, Long)])
-        .toDF("user_id", "n_recent", "recent_cents")
+          org.apache.spark.sql.Encoders.product[(Long, Int, Long, Long)])
+        .toDF("user_id", "n_recent", "recent_cents", "seq")
       val q = out.writeStream
         .format("memory")
         .queryName(name)
@@ -801,9 +811,17 @@ object EventStreamPipelines {
           "spark.sql.streaming.stateStore.providerClass")
       }
     }
+    // keep each wallet's FINAL snapshot: Append mode leaves one row per
+    // (key, micro-batch) in the sink, so a multi-batch availableNow run
+    // (several source files / low maxFilesPerTrigger) would otherwise
+    // surface stale earlier snapshots alongside the final one
     spark.table(name)
-      .select(col("user_id"), col("n_recent").cast("long").as("n_recent"),
-        col("recent_cents"))
+      .groupBy("user_id")
+      .agg(max(struct(col("seq"), col("n_recent"), col("recent_cents")))
+        .as("fin"))
+      .select(col("user_id"),
+        col("fin.n_recent").cast("long").as("n_recent"),
+        col("fin.recent_cents").as("recent_cents"))
   }
 
   /** A17g: event-time TIMERS on the new API — the capability

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Round-7 surfaces: the BOUNDED IVF coarse quantizer (adaptive cell
+  * cap + injectable centroid table — the fix for the measured
+  * quadratic-cells scaling at sf10) and its compatibility pins.
+  */
+class Round7OpsSpec extends TestSparkSession {
+
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("ivfCoarseCentroids: below the cap the historical every-Nth " +
+      "sample is reproduced exactly") {
+    val got = Similarity.ivfCoarseCentroids(emb, centEvery = 97,
+        maxCells = 256)
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    val want = emb.filter(col("vec_id") % 97 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty,
+      s"expected the legacy centEvery sample, got ${got.size} cells")
+  }
+
+  test("ivfCoarseCentroids: above the cap cell count is bounded and " +
+      "centroids spread across the whole id range") {
+    // 500 vectors, centEvery = 1 → uncapped would be 500 cells
+    val cents = Similarity.ivfCoarseCentroids(emb, centEvery = 1,
+        maxCells = 16)
+      .select("cent_id").collect().map(_.getLong(0))
+    assert(cents.length <= 16, s"cap violated: ${cents.length} cells")
+    assert(cents.length >= 12, s"cap too loose a bound: ${cents.length}")
+    // adaptive stride (not a prefix take): cells must reach well past
+    // the first maxCells ids
+    val n = emb.count()
+    assert(cents.max >= n / 2,
+      s"centroids clustered in the id prefix: max id ${cents.max} of $n")
+  }
+
+  test("ivfTopK: full probe against a tightly capped quantizer still " +
+      "equals brute force (cells change candidates, never scores)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos6"))
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(key).toSet
+    val capped = Similarity.ivfTopK(emb, queries, 5,
+        probes = Int.MaxValue, centEvery = 1, maxCells = 16)
+      .collect().map(key).toSet
+    assert(capped == brute && brute.nonEmpty)
+  }
+
+  test("ivfTopK: a kmeansFit-trained injectable quantizer plugs in and " +
+      "covers the corpus") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val trained = Similarity.ivfCentroidTable(
+      Similarity.kmeansFit(emb, iters = 1))
+    val nq = queries.count()
+    val got = Similarity.ivfTopK(emb, queries, 5,
+      centroids = Some(trained))
+    // every query must fill its whole top-5: the trained assignment
+    // covered every base vector, so probed cells are never empty
+    assert(got.count() == nq * 5)
+    // and full-probe over the trained cells is still exact
+    def pair(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+    val full = Similarity.ivfTopK(emb, queries, 5,
+        probes = Int.MaxValue, centroids = Some(trained))
+      .collect().map(pair).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(pair).toSet
+    assert(full == brute)
+  }
+
+  test("washPairs: a planted ring in an over-cap hour is still caught " +
+      "(hot hours degrade to their heaviest wallets, never drop)") {
+    // two ring wallets (1, 2) are the HEAVIEST traders in two hours that
+    // both exceed the cap; 50 one-trade background wallets per hour push
+    // each (hour, side) well past maxBucketWallets = 16
+    val h1 = 0L; val h2 = 3600L
+    val ring = Seq.tabulate(10)(i => (h1 + i, 1L, "purchase")) ++
+      Seq.tabulate(10)(i => (h1 + i, 2L, "view")) ++
+      Seq.tabulate(10)(i => (h2 + i, 2L, "purchase")) ++
+      Seq.tabulate(10)(i => (h2 + i, 1L, "view"))
+    val bg = for {
+      h <- Seq(h1, h2); w <- 100L to 149L
+      r <- Seq((h + w, w, "purchase"), (h + w, w, "view"))
+    } yield r
+    val ev = (ring ++ bg).toDF("sec", "user_id", "event_type")
+      .select(expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"), col("event_type"))
+    val got = EventOps.washPairs(ev, maxBucketWallets = 16)
+      .collect().map(r => (r.getAs[Long]("wallet_a"),
+        r.getAs[Long]("wallet_b"), r.getAs[Long]("hours_ab"),
+        r.getAs[Long]("hours_ba"))).toSet
+    // the ring survives with exact direction counts (1 buys/2 sells in
+    // h1; reversed in h2)
+    assert(got.contains((1L, 2L, 1L, 1L)),
+      s"planted ring lost; got ${got.take(5)}")
+    // and the cap still binds: per (hour, side) rank keeps ids 100..114
+    // of the nb=1 background (user_id tie-break), so 115+ never pair
+    val overCap = got.filter(p => p._1 >= 115L || p._2 >= 115L)
+    assert(overCap.isEmpty, s"beyond-cap wallets leaked: $overCap")
+  }
+
+  test("ivfpqTopK: full probe with the capped quantizer is still " +
+      "bit-identical to pure PQ ADC") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_d2"))
+    val full = Similarity.ivfpqTopK(emb, queries, dims = 64, k = 5,
+      probes = Int.MaxValue, centEvery = 1, maxCells = 16)
+      .collect().map(key).toSet
+    val pq = Similarity.pqTopK(emb, queries, dims = 64, k = 5)
+      .collect().map(key).toSet
+    assert(full == pq && pq.nonEmpty)
+  }
+}

@@ -19,8 +19,12 @@ class SurveyCoverageSpec extends AnyFunSuite {
       assert(from >= 0 && to > from, "SURVEY.md must contain §2 and §3")
       survey.substring(from, to)
     }
+    // whole-token match: substring containment would let a name that is
+    // a prefix of another listed name pass vacuously (q_foo "covered"
+    // by a q_foo_lsh row), defeating the drift guard
+    val tokens = "[A-Za-z0-9_]+".r.findAllIn(s2).toSet
     val missing = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(s2.contains)
+      .filterNot(tokens.contains)
     assert(missing.isEmpty,
       s"queries registered but missing from SURVEY §2: " +
         missing.mkString(", "))

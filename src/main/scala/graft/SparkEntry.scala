@@ -112,6 +112,14 @@ object SparkEntry {
       streaming.EventStreamPipelines.typeCountsAvailableNow(s, d)),
     "q_stream_recent_trades" -> ((s, d) =>
       streaming.EventStreamPipelines.recentTradesAvailableNow(s, d)),
+    "q_stream_session_closures" -> ((s, d) =>
+      streaming.EventStreamPipelines.sessionClosuresAvailableNow(s, d)),
+    "q_stream_dedup_replay" -> ((s, d) =>
+      streaming.EventStreamPipelines.dedupReplayAvailableNow(s, d)),
+    "q_stream_hist_ingest" -> ((s, d) =>
+      streaming.EventStreamPipelines.histIngestAvailableNow(s, d)),
+    "q_stream_sketch_ingest" -> ((s, d) =>
+      streaming.EventStreamPipelines.sketchIngestAvailableNow(s, d)),
     "q_events_asof_tolerance" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
@@ -2824,6 +2832,56 @@ object SparkEntry {
                 max(ts_us) + 1800000000 AS end_us,
                 count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
          FROM c GROUP BY user_id, sid""",
+    // closed sessions = the batch session islands minus each wallet's
+    // final (still-open) session; same gap boundary as the batch oracle
+    // (merge at diff <= gap, close strictly beyond)
+    "q_stream_session_closures" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                              WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                 ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f),
+         s AS (SELECT user_id, sid, min(ts_us) AS start_us,
+                      max(ts_us) AS end_us,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM g GROUP BY 1, 2),
+         fin AS (SELECT user_id, max(sid) AS maxsid FROM s GROUP BY 1)
+         SELECT s.user_id, s.start_us, s.end_us, s.n_events
+         FROM s JOIN fin USING (user_id) WHERE s.sid < fin.maxsid""",
+    // the replayed-source dedup must reduce the twice-delivered table
+    // to exactly the once-delivered counts
+    "q_stream_dedup_replay" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1""",
+    // streamed histogram partials answer EXACTLY the batch quantile
+    // store (histogram addition is exact) — same oracle as
+    // q_events_quantile_store
+    "q_stream_hist_ingest" ->
+      """WITH h AS (
+           SELECT epoch_us(ts) // 86400000000 AS db,
+                  CAST(round(value * 100) AS BIGINT) // 100 AS bucket,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT bucket, sum(n) AS n FROM h GROUP BY 1),
+         c AS (SELECT a.bucket, CAST(sum(b.n) AS BIGINT) AS cum
+               FROM m a JOIN m b ON b.bucket <= a.bucket GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM m),
+         p AS (SELECT unnest([50, 90, 99]) AS pct)
+         SELECT p.pct, t.tot AS n_rows,
+                (min(c.bucket) + 1) * 100 - 1 AS upper_cents
+         FROM p CROSS JOIN t
+         JOIN c ON c.cum * 100 >= p.pct * t.tot
+         GROUP BY 1, 2""",
+    // the sketch store's EXACT columns (per-day event counts summed
+    // across batch partials, read back after compaction); the HLL
+    // estimate stays spec-pinned like the rest of the sketch family
+    "q_stream_sketch_ingest" ->
+      """SELECT epoch_us(ts) // 86400000000 AS db,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1""",
     "q_events_absorption" -> SparkEntry.absorptionOracle,
     // near-dup pairs aggregated to the source level; the pairs CTE is
     // the exact C4 formulation the other dedup oracles share

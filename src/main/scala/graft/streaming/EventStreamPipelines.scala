@@ -477,6 +477,118 @@ object EventStreamPipelines {
       }
   }
 
+  /** A17b driver surface: [[sessionClosuresStream]] run to completion
+    * with availableNow. Closed sessions are exactly the batch session
+    * islands MINUS each wallet's final (still-open) session — a plain
+    * SQL quantity, so the flatMapGroupsWithState emission semantics get
+    * a DuckDB hash check instead of only a spec. */
+  def sessionClosuresAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_sc_${memCounter.incrementAndGet()}"
+    val q = sessionClosuresStream(eventsStream(spark, dir)).toDF()
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events").cast("long").as("n_events"))
+  }
+
+  /** A16 driver surface: watermarked [[dedupStream]] against a REPLAYED
+    * source — the events table delivered twice as two identical files,
+    * one micro-batch each (`maxFilesPerTrigger = 1`). Every batch-2 row
+    * is either late (behind the watermark batch 1 advanced — dropped
+    * before the dedup state is even consulted) or a duplicate id the
+    * signature state rejects, so the deduped per-type counts equal the
+    * plain batch counts over the table delivered ONCE. That is the
+    * reference signature-cache contract (`event_processor.rs` dedup)
+    * as an oracle-checkable equation. */
+  def dedupReplayAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_ddr_${memCounter.incrementAndGet()}"
+    val inc = s"${System.getProperty("java.io.tmpdir")}/graft_ddr_" +
+      s"${memCounter.incrementAndGet()}"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.coalesce(1).write.mode("append").parquet(inc)
+    ev.coalesce(1).write.mode("append").parquet(inc)
+    val src = graft.Tables.tzNormalize(spark.readStream
+      .schema(spark.read.parquet(inc).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inc))
+    val counts = dedupStream(src)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name).localCheckpoint(eager = true)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(inc)))
+    out
+  }
+
+  /** A5d driver surface: [[HistogramIngest]] end to end — the events
+    * table split into two incoming files, ingested one micro-batch
+    * each into per-batch histogram partials, then answered through the
+    * READ path ([[HistogramIngest.dailyHistograms]] →
+    * `EventOps.quantilesFromHistograms`). Histogram addition is exact,
+    * so the streamed store shares `q_events_quantile_store`'s oracle
+    * verbatim. */
+  def histIngestAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_hi_" +
+      s"${memCounter.incrementAndGet()}"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    ev.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val q = HistogramIngest.start(spark, s"$base/in", s"$base/hists",
+      s"$base/ckpt", spark.read.parquet(s"$base/in").schema)
+    q.processAllAvailable(); q.stop()
+    val out = graft.operators.EventOps.quantilesFromHistograms(
+        HistogramIngest.dailyHistograms(spark, s"$base/hists"),
+        Long.MinValue, Long.MaxValue)
+      .localCheckpoint(eager = true)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+    out
+  }
+
+  /** A26d driver surface: [[SketchIngest]] end to end — two-file
+    * incoming, one micro-batch each, per-batch HLL partials, COMPACT
+    * folds the partials, and the read path reports per-day rows. The
+    * oracle checks the EXACT columns (day bucket, event count summed
+    * across partials — the store/replay/compaction plumbing); the HLL
+    * estimate itself stays spec-pinned with its error bound, like the
+    * rest of the sketch family. */
+  def sketchIngestAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_si_" +
+      s"${memCounter.incrementAndGet()}"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    ev.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val q = SketchIngest.start(spark, s"$base/in", s"$base/sketches",
+      s"$base/ckpt", spark.read.parquet(s"$base/in").schema)
+    q.processAllAvailable(); q.stop()
+    SketchIngest.compact(spark, s"$base/sketches")
+    val out = SketchIngest.dailySketches(spark, s"$base/sketches")
+      .select(col("db"), col("n_events"))
+      .localCheckpoint(eager = true)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+    out
+  }
+
   /** A17c: the reference's `track_volume` per-wallet accumulator on the
     * NEW arbitrary-state API (`transformWithState`, Spark 4): explicit
     * `ValueState` per key, processor-scoped lifecycle, RocksDB-backed at

@@ -76,6 +76,63 @@ class Round7OpsSpec extends TestSparkSession {
     assert(full == brute)
   }
 
+  test("hyperplane LSH recall >= 0.8 on a planted near-dup embedding set") {
+    // plant deterministic near-dups: each base vector gets a jittered
+    // copy at cos ~0.95-0.99 (seeded per-id perturbation, no run-to-run
+    // variance). This is the regime banding exists for — the old 0.2
+    // gate on tau=0.3 real-corpus pairs would pass near-broken banding.
+    val base = emb.select("vec_id", "embedding").limit(100).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray))
+    val planted = base.flatMap { case (id, v) =>
+      val rnd = new scala.util.Random(id)
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum)
+      val jitter = (norm * 0.12 / math.sqrt(v.length)).toFloat
+      val copy = v.map(x => x + (rnd.nextFloat() * 2f - 1f) * jitter)
+      Seq((id, v.toSeq), (id + 1000000L, copy.toSeq))
+    }.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val tau = 0.9
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosinePairs(planted, tau))
+    val lsh = pairs(Similarity.hyperplaneLshPairs(planted, tau))
+    assert(lsh.subsetOf(exact), "LSH emitted a non-exact pair")
+    // every planted (id, id+1e6) pair should be in the exact truth set
+    assert(base.count(b => exact.contains((b._1, b._1 + 1000000L))) >= 90,
+      "planted jitter drifted below tau — perturbation too large")
+    val recall = if (exact.isEmpty) 1.0 else
+      lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"hyperplane LSH recall $recall over ${exact.size} planted pairs")
+  }
+
+  test("minhash LSH recall >= 0.8 on a paraphrase-heavy corpus " +
+      "(distinct near-dups — the regime the exact-dup collapse can't help)") {
+    val docs = Tables.documents(spark, sfDir)
+    val para = graft.tools.ParaphraseBench.paraphraseCorpus(docs, 4)
+    // the corpus must be dominated by DISTINCT texts: word-level edits,
+    // not exact copies, so ngramJaccard's representative collapse can't
+    // shortcut the quadratic join and LSH is the genuine scale path
+    val n = para.count()
+    val distinct = para.select("text").distinct().count()
+    assert(distinct.toDouble / n >= 0.8,
+      s"paraphrase corpus degenerated to copies: $distinct of $n distinct")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.ngramJaccard(para, 0.5))
+    val lsh = pairs(Dedup.lshPairs(para, 0.5).select(
+      col("d1"), col("d2")))
+    assert(lsh.subsetOf(exact), "LSH emitted a non-verified pair")
+    assert(exact.size >= 1000, s"too few true pairs: ${exact.size}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"minhash LSH recall $recall over ${exact.size} paraphrase pairs")
+  }
+
   test("washPairs: a planted ring in an over-cap hour is still caught " +
       "(hot hours degrade to their heaviest wallets, never drop)") {
     // two ring wallets (1, 2) are the HEAVIEST traders in two hours that

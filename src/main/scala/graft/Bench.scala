@@ -168,7 +168,13 @@ object Bench {
     "q_stream_recent_trades",
     "q_events_absorption",
     "q_docs_dup_flow",
-    "q_docs_curriculum")
+    "q_docs_curriculum",
+    // round-7 additions: the four streaming promotions (A17b/A16/A5d/
+    // A26d made driver-oracled)
+    "q_stream_session_closures",
+    "q_stream_dedup_replay",
+    "q_stream_hist_ingest",
+    "q_stream_sketch_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,6 +185,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // memory-sink Complete-mode results collect to the driver; the
+      // sf10 session table overflows the 1g default (oracle surface
+      // only — production streams write to real sinks, never memory)
+      .config("spark.driver.maxResultSize", "8g")
       // test files are ~10 MB; split scans so all cores participate
       // (at production scale the 128 MB default is correct)
       .config("spark.sql.files.maxPartitionBytes", "1048576")

@@ -13,6 +13,10 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // memory-sink Complete-mode results collect to the driver; the
+      // sf10 session table overflows the 1g default (oracle surface
+      // only — production streams write to real sinks, never memory)
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.sql.files.maxPartitionBytes", "1048576")
       .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.ui.enabled", "false")

@@ -589,22 +589,61 @@ object Dedup {
     // ([[graft.functions.SimHashBands]]) — byte-identical band values to
     // the exploded per-(token, bit) formulation this replaces, which
     // needed a |tokens| * 64 row blowup and two shuffles to reassemble.
+    // The 4 16-bit bands also pack into ONE long, so the hamming
+    // distance is a single codegen'd bit_count(xor) — the previous
+    // aggregate(zip_with(...)) lambda pair ran INTERPRETED per join row
+    // and, pushed into the band join's bound condition, burned 56 CPU
+    // minutes in one task at sf10 before this rewrite.
     val fps = docs.select(col("doc_id"),
-      graft.functions.exprs.simhash_bands(col("text")).as("bands16"))
-    val banded = fps.select(col("doc_id"), col("bands16"),
-      posexplode(col("bands16")).as(Seq("band", "bv")))
-    val pairs = banded.as("a")
+      graft.functions.exprs.simhash_bands(col("text")).as("bands"))
+      .withColumn("fp", expr(
+        "shiftleft(cast(bands[0] as bigint), 48) | " +
+          "shiftleft(cast(bands[1] as bigint), 32) | " +
+          "shiftleft(cast(bands[2] as bigint), 16) | " +
+          "cast(bands[3] as bigint)"))
+    // EXACT-FINGERPRINT COLLAPSE (the same measured move as the n-gram
+    // and hyperplane paths): identical fingerprints collide in EVERY
+    // band, so a group of k copies fanned out 4·C(k,2) band-join rows
+    // before dedup — the sf10 corpus carries 100 copies per distinct
+    // text. Banding runs on one representative per distinct
+    // fingerprint; same-fingerprint members pair directly at hamming 0
+    // (fp is a bijection of the band array, so identical fp ⟺
+    // identical bands ⟺ hamming 0), and surviving representative
+    // pairs expand back to member pairs with the representative's
+    // hamming (members share their representative's fingerprint).
+    // Output is identical to the uncollapsed formulation — spec-pinned.
+    val groups = fps.groupBy("fp", "bands")
+      .agg(min("doc_id").as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint()
+    val identity = groups.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("d1"), col("members"))
+      .select(col("d1"), explode(col("members")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), lit(0).as("hamming"))
+    val banded = groups.select(col("rep"), col("fp"),
+      posexplode(col("bands")).as(Seq("band", "bv")))
+    val repPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.bands16").as("ba"), col("b.bands16").as("bb"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("r1"), col("b.rep").as("r2"),
+        col("a.fp").as("f1"), col("b.fp").as("f2"))
       .distinct()
-    pairs
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .withColumn("hamming",
+        expr("cast(bit_count(f1 ^ f2) as int)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"), col("hamming"))
+    val memb = groups.select(col("rep"), col("members"))
+    val cross = repPairs
+      .join(memb.withColumnRenamed("rep", "r1")
+        .withColumnRenamed("members", "m1"), "r1")
+      .join(memb.withColumnRenamed("rep", "r2")
+        .withColumnRenamed("members", "m2"), "r2")
+      .select(explode(col("m1")).as("a"), col("m2"), col("hamming"))
+      .select(col("a"), explode(col("m2")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"), col("hamming"))
+    identity.unionByName(cross)
   }
 
   /** C57: near-dup split-leakage audit + heal — THE classic eval bug:

@@ -133,6 +133,40 @@ class Round7OpsSpec extends TestSparkSession {
       s"minhash LSH recall $recall over ${exact.size} paraphrase pairs")
   }
 
+  test("simhash: collapsed formulation is identical to the uncollapsed " +
+      "band join (hamming via packed-long bit_count)") {
+    val docs = Tables.documents(spark, sfDir)
+    // duplicate-heavy corpus: every doc twice (the shape the collapse
+    // exists for), plus the originals
+    val dup = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(dup)
+    // reference = the pre-collapse formulation, inline
+    val fps = corpus.select(col("doc_id"),
+      graft.functions.exprs.simhash_bands(col("text")).as("bands16"))
+    val banded = fps.select(col("doc_id"), col("bands16"),
+      posexplode(col("bands16")).as(Seq("band", "bv")))
+    val reference = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.bands16").as("ba"), col("b.bands16").as("bb"))
+      .distinct()
+      .withColumn("hamming", expr("aggregate(zip_with(ba, bb, " +
+        "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = Dedup.simhash(corpus, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == reference && got.nonEmpty,
+      s"collapse changed the pair set: ${got.size} vs ${reference.size}")
+    // and the planted copies pair at hamming 0
+    assert(got.contains((0L, 1000000L, 0)))
+  }
+
   test("washPairs: a planted ring in an over-cap hour is still caught " +
       "(hot hours degrade to their heaviest wallets, never drop)") {
     // two ring wallets (1, 2) are the HEAVIEST traders in two hours that

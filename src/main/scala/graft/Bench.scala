@@ -81,6 +81,7 @@ object Bench {
     "q_docs_select_budget",
     "q_events_realized_pnl",
     "q_events_pagerank",
+    "q_events_pagerank_capped",
     "q_events_triangles",
     "q_events_wallet_clusters",
     "q_events_taint",

@@ -1797,6 +1797,8 @@ object SparkEntry {
       EventOps.giniByType(Tables.events(s, d))),
     "q_events_pagerank" -> ((s, d) =>
       GraphOps.coactivityPagerank(Tables.events(s, d))),
+    "q_events_pagerank_capped" -> ((s, d) =>
+      GraphOps.coactivityPagerankCapped(Tables.events(s, d))),
     "q_events_taint" -> ((s, d) =>
       GraphOps.seededPagerank(Tables.events(s, d))),
     "q_events_kcore" -> ((s, d) =>
@@ -2188,12 +2190,128 @@ object SparkEntry {
     }),
   )
 
+  /** Shared CTE block for the eight exact-n-gram dedup oracles
+    * (C4/C13/C13b/C13c/C29/C38/C57/C58 families): doc-level trigram
+    * sets, then the SAME exact-duplicate collapse the Spark operators
+    * use (Dedup.scala) — docs with identical distinct-trigram sets are
+    * interchangeable for every gram-set statistic (inter, n, Jaccard,
+    * containment depend only on the sets), so the quadratic pair join
+    * runs on ONE representative per class and class-level pairs expand
+    * back to doc-level afterwards. Output is provably identical to the
+    * uncollapsed formulation (these oracles all run maxDocFreq=None);
+    * what changes is feasibility: on K-fold replicated corpora the raw
+    * join scans K² times the gram pairs (DuckDB died at sf10, K=100),
+    * while the collapsed join is corpus-size-invariant in K.
+    *
+    * `pred` filters pairs at the REP level, written over `pr.inter`,
+    * `s1.n` (size of the d1 side), `s2.n`; it must be true at metric 1
+    * (identity pairs expand unfiltered — Jaccard and containment are
+    * both exactly 1 within a class, passing every tau used here).
+    *
+    * Emits CTEs `p(d1, d2, inter)` (d1 < d2), `sz(doc_id, n)` — the
+    * same names/shapes the uncollapsed oracles exposed — plus
+    * `lbl(doc_id, keep_id)`: connected-component labels over the
+    * pred-passing pair graph, for the clustering oracles. The
+    * transitive closure runs at REP level (member-level closure is
+    * quadratic in cluster size — 100-member identity clusters at sf10
+    * made `reach` ~500M rows) and expands back: a doc belongs to a
+    * component iff its class has ≥2 members or its rep has an edge,
+    * and keep_id = the component's minimum doc_id = minimum rep
+    * (reps are class minima) — exactly the uncollapsed least(a,
+    * min(reachable)) over the complete expanded subgraph. Unreferenced
+    * CTEs are pruned by the engine. The MATERIALIZED markers on the
+    * shared CTEs are load-bearing at scale: DuckDB inlines plain CTEs
+    * per reference, so `fpd`/`cls`/`lbl` (each referenced 2-6 times
+    * downstream) would re-evaluate the 26M-row gram chain concurrently
+    * — witnessed blowing the 100 GiB buffer limit at sf10 while every
+    * individual CTE measured ≤ 1.1M rows. Returned WITHOUT the leading
+    * `WITH` so callers can prepend their own CTEs. */
+  /** The C4 near-dup predicate (trigram Jaccard ≥ 0.5) at rep level —
+    * shared by every dedup-report oracle that consumes exact pairs. */
+  private val jaccardPred: String =
+    "CAST(pr.inter AS DOUBLE) / " +
+      "CAST(s1.n + s2.n - pr.inter AS DOUBLE) >= 0.5"
+
+  private def collapsedDocPairsCtes(pred: String): String =
+    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         g AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM ti),
+         fpd AS MATERIALIZED (SELECT doc_id,
+                        md5(string_agg(g, chr(31) ORDER BY g)) AS fpk
+                 FROM g GROUP BY doc_id),
+         cls AS MATERIALIZED (
+           SELECT fpk, min(doc_id) AS rep FROM fpd GROUP BY fpk),
+         gr AS MATERIALIZED (
+           SELECT g.doc_id, g.g FROM g JOIN cls c ON g.doc_id = c.rep),
+         szr AS MATERIALIZED (
+           SELECT doc_id, count(*) AS n FROM gr GROUP BY 1),
+         sz AS (SELECT f.doc_id, s.n
+                FROM fpd f JOIN cls c ON f.fpk = c.fpk
+                JOIN szr s ON s.doc_id = c.rep),
+         prr AS (SELECT a.doc_id AS r1, b.doc_id AS r2,
+                        count(*) AS inter
+                 FROM gr a JOIN gr b
+                   ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         pv AS MATERIALIZED (SELECT pr.r1, pr.r2, pr.inter
+                FROM prr pr
+                JOIN szr s1 ON pr.r1 = s1.doc_id
+                JOIN szr s2 ON pr.r2 = s2.doc_id
+                WHERE $pred),
+         p AS MATERIALIZED (
+           SELECT least(ma.doc_id, mb.doc_id) AS d1,
+                  greatest(ma.doc_id, mb.doc_id) AS d2, pv.inter
+           FROM pv
+           JOIN cls ca ON pv.r1 = ca.rep
+           JOIN fpd ma ON ma.fpk = ca.fpk
+           JOIN cls cb ON pv.r2 = cb.rep
+           JOIN fpd mb ON mb.fpk = cb.fpk
+           UNION ALL
+           SELECT x.doc_id AS d1, y.doc_id AS d2, s.n AS inter
+           FROM fpd x
+           JOIN fpd y ON x.fpk = y.fpk AND x.doc_id < y.doc_id
+           JOIN cls c ON x.fpk = c.fpk
+           JOIN szr s ON s.doc_id = c.rep),
+         redges AS (SELECT r1 AS a, r2 AS b FROM pv
+                    UNION SELECT r2, r1 FROM pv),
+         rlbl AS (SELECT a AS rep, least(a, min(b)) AS keep FROM (
+             WITH RECURSIVE reach(a, b) AS (
+               SELECT a, b FROM redges
+               UNION
+               SELECT r.a, e.b FROM reach r JOIN redges e ON r.b = e.a)
+             SELECT a, b FROM reach)
+           GROUP BY a),
+         csz AS (SELECT fpk, count(*) AS m FROM fpd GROUP BY fpk),
+         lbl AS MATERIALIZED (
+           SELECT f.doc_id,
+                  least(f.doc_id, coalesce(rl.keep, c.rep)) AS keep_id
+           FROM fpd f
+           JOIN cls c ON f.fpk = c.fpk
+           JOIN csz ON csz.fpk = f.fpk
+           LEFT JOIN rlbl rl ON rl.rep = c.rep
+           WHERE rl.rep IS NOT NULL OR csz.m >= 2)"""
+
   /** The integer-PageRank oracle unrolls GraphOps.coactivityPagerank's
     * 10 damped steps as plain CTEs (recursive CTEs can't aggregate in
     * the recursive term) — every step is the same 64-bit truncating
     * integer arithmetic as the Spark loop, so the fixed point is
-    * bit-identical. */
-  private lazy val pagerankOracle: String = {
+    * bit-identical.
+    *
+    * The edge CTE is `list(user_id)` per qualifying bucket + double
+    * unnest, NOT an act×act self-join: HAVING prunes every over-cap
+    * bucket before a single pair exists, so pair cardinality is
+    * structurally ≤ 64² per bucket no matter what join order the
+    * oracle engine picks. (The self-join form died at sf10: DuckDB
+    * reordered act×act ahead of the bucket filter AND inlined the
+    * un-MATERIALIZED `e` into all 11 references — ~10¹⁰ rows spilled
+    * past 76 GB of temp. `e AS MATERIALIZED` is load-bearing too:
+    * it is referenced by every unrolled step.) */
+  private def integerPagerankOracle(edgeCtes: String): String = {
     val steps = (1 to 10).map { k =>
       s""", p$k AS (
          SELECT d.src AS node,
@@ -2205,19 +2323,7 @@ object SparkEntry {
                 JOIN d d2 ON e.src = d2.src
            GROUP BY e.dst) i ON d.src = i.dnode)"""
     }.mkString
-    s"""WITH act AS (
-         SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
-                         user_id
-         FROM events),
-       sized AS (
-         SELECT event_type, mb FROM act
-         GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
-       e AS (
-         SELECT DISTINCT x.user_id AS src, y.user_id AS dst
-         FROM act x
-         JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
-         JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
-         WHERE x.user_id <> y.user_id),
+    s"""WITH $edgeCtes,
        d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        nn AS (SELECT count(*) AS n FROM d),
        p0 AS (SELECT src AS node, 1000000000000 // n AS pr FROM d, nn)
@@ -2226,6 +2332,43 @@ object SparkEntry {
               CAST(p.pr AS BIGINT) AS pr
        FROM d JOIN p10 p ON d.src = p.node"""
   }
+
+  private lazy val pagerankOracle: String = integerPagerankOracle(
+    """act AS (
+         SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                         user_id
+         FROM events),
+       b AS MATERIALIZED (
+         SELECT list(user_id) AS us FROM act
+         GROUP BY event_type, mb HAVING count(*) BETWEEN 2 AND 64),
+       e AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, unnest(us) AS dst FROM (
+             SELECT unnest(us) AS src, us FROM b))
+         WHERE src <> dst)""")
+
+  /** A71c oracle: identical unrolled steps, but each bucket keeps its
+    * 16 most-active wallets (count desc, id tie-break) instead of
+    * dropping over-cap buckets — the degrade-not-drop edge set of
+    * GraphOps.coactivityPagerankCapped, non-vacuous at any density. */
+  private lazy val pagerankCappedOracle: String = integerPagerankOracle(
+    """ac AS (
+         SELECT event_type, epoch_us(ts) // 3600000000 AS mb, user_id,
+                count(*) AS cnt
+         FROM events GROUP BY 1, 2, 3),
+       rk AS (
+         SELECT event_type, mb, user_id,
+                row_number() OVER (PARTITION BY event_type, mb
+                  ORDER BY cnt DESC, user_id) AS rk
+         FROM ac),
+       b AS MATERIALIZED (
+         SELECT list(user_id) AS us FROM rk WHERE rk <= 16
+         GROUP BY event_type, mb HAVING count(*) >= 2),
+       e AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, unnest(us) AS dst FROM (
+             SELECT unnest(us) AS src, us FROM b))
+         WHERE src <> dst)""")
 
   /** Absorption-probability oracle: 10 unrolled value-iteration CTEs
     * under the A108/A71 integer contract — p₆-grid transitions from
@@ -2266,9 +2409,10 @@ object SparkEntry {
   }
 
   /** Seeded-PageRank oracle: identical CTE unrolling to
-    * [[pagerankOracle]], but rank mass starts on (and restarts to) the
-    * seed wallets — the `ns`-way truncating splits mirror the Spark
-    * loop's Long divisions exactly. */
+    * [[pagerankOracle]] (including its bounded list-unnest edge CTE —
+    * see the blow-up note there), but rank mass starts on (and
+    * restarts to) the seed wallets — the `ns`-way truncating splits
+    * mirror the Spark loop's Long divisions exactly. */
   private lazy val taintOracle: String = {
     val steps = (1 to 10).map { k =>
       s""", p$k AS (
@@ -2288,15 +2432,14 @@ object SparkEntry {
          SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
                          user_id
          FROM events),
-       sized AS (
-         SELECT event_type, mb FROM act
-         GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
-       e AS (
-         SELECT DISTINCT x.user_id AS src, y.user_id AS dst
-         FROM act x
-         JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
-         JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
-         WHERE x.user_id <> y.user_id),
+       b AS MATERIALIZED (
+         SELECT list(user_id) AS us FROM act
+         GROUP BY event_type, mb HAVING count(*) BETWEEN 2 AND 64),
+       e AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, unnest(us) AS dst FROM (
+             SELECT unnest(us) AS src, us FROM b))
+         WHERE src <> dst),
        d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        seeds AS (
          SELECT t.user_id AS seed FROM (
@@ -2337,9 +2480,11 @@ object SparkEntry {
          GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
        e AS MATERIALIZED (
          SELECT DISTINCT x.user_id AS src, y.user_id AS dst
-         FROM act x
-         JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
-         JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+         FROM (SELECT a.* FROM act a JOIN sized sa
+                 ON a.event_type = sa.event_type AND a.mb = sa.mb) x
+         JOIN (SELECT a.* FROM act a JOIN sized sb
+                 ON a.event_type = sb.event_type AND a.mb = sb.mb) y
+           ON y.event_type = x.event_type AND y.mb = x.mb
          WHERE x.user_id <> y.user_id),
        s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)
        $steps
@@ -2352,6 +2497,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_events_pagerank" -> pagerankOracle,
+    "q_events_pagerank_capped" -> pagerankCappedOracle,
     "q_events_taint" -> taintOracle,
     "q_events_kcore" -> kcoreOracle,
     "q_events_triangles" ->
@@ -2364,9 +2510,11 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 16),
          e AS (
            SELECT DISTINCT x.user_id AS src, y.user_id AS dst
-           FROM act x
-           JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
-           JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+           FROM (SELECT a.* FROM act a JOIN sized sa
+                   ON a.event_type = sa.event_type AND a.mb = sa.mb) x
+           JOIN (SELECT a.* FROM act a JOIN sized sb
+                   ON a.event_type = sb.event_type AND a.mb = sb.mb) y
+             ON y.event_type = x.event_type AND y.mb = x.mb
            WHERE x.user_id < y.user_id),
          deg AS (
            SELECT node, count(*) AS deg FROM (
@@ -2488,9 +2636,11 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 16),
          e AS (
            SELECT DISTINCT x.user_id AS src, y.user_id AS dst
-           FROM act x
-           JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
-           JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+           FROM (SELECT a.* FROM act a JOIN sized sa
+                   ON a.event_type = sa.event_type AND a.mb = sa.mb) x
+           JOIN (SELECT a.* FROM act a JOIN sized sb
+                   ON a.event_type = sb.event_type AND a.mb = sb.mb) y
+             ON y.event_type = x.event_type AND y.mb = x.mb
            WHERE x.user_id < y.user_id),
          edges AS (SELECT src AS a, dst AS b FROM e
                    UNION SELECT dst, src FROM e),
@@ -2886,18 +3036,7 @@ object SparkEntry {
     // near-dup pairs aggregated to the source level; the pairs CTE is
     // the exact C4 formulation the other dedup oracles share
     "q_docs_dup_flow" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                    FROM documents),
-         ti AS (SELECT doc_id, ws,
-                  unnest(generate_series(1, len(ws) - 2)) AS i
-                FROM t WHERE len(ws) >= 3),
-         g AS (SELECT DISTINCT doc_id,
-                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-               FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
          pairs AS (SELECT d1, d2 FROM p
                    JOIN sz s1 ON d1 = s1.doc_id
                    JOIN sz s2 ON d2 = s2.doc_id
@@ -3160,9 +3299,10 @@ object SparkEntry {
                 AND a.hb = b.hb + 24 * 3600
            GROUP BY 1)
          SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-                CAST(n * sxy - sx * sy AS DOUBLE) /
-                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+                CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+                  (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) *
+                   sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+                  AS autocorr
          FROM p""",
     "q_events_price_impact" ->
       """WITH t AS (
@@ -3979,29 +4119,7 @@ object SparkEntry {
                   AS contaminated
          FROM hits h JOIN sz ON h.doc_id = sz.doc_id""",
     "q_dedup_docs_corpus" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                    FROM documents),
-         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
-                FROM t WHERE len(ws) >= 3),
-         g AS (SELECT DISTINCT doc_id,
-                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM p
-                   JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE) /
-                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION SELECT d2, d1 FROM pairs),
-         lbl AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM (
-                   WITH RECURSIVE reach(a, b) AS (
-                     SELECT a, b FROM edges
-                     UNION
-                     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-                   SELECT a, b FROM reach)
-                 GROUP BY a),
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
          ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          SELECT doc_id FROM ex
          WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE keep_id < doc_id)""",
@@ -5212,16 +5330,9 @@ object SparkEntry {
            SELECT 1 FROM documents c
            WHERE c.doc_id % 2 = 0 AND c.text = n.text)""",
     "q_dedup_docs_containment" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                    FROM documents),
-         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
-                FROM t WHERE len(ws) >= 3),
-         g AS (SELECT DISTINCT doc_id,
-                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
+      s"""WITH ${collapsedDocPairsCtes(
+            "CAST(pr.inter AS DOUBLE) / " +
+              "CAST(least(s1.n, s2.n) AS DOUBLE) >= 0.6")}
          SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
                 CAST(inter AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE)
                   AS containment
@@ -5229,69 +5340,17 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE)
                >= 0.6""",
     "q_dedup_docs_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                    FROM documents),
-         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
-                FROM t WHERE len(ws) >= 3),
-         g AS (SELECT DISTINCT doc_id,
-                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)}
          SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
                 CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jac
          FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
          WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5""",
     "q_dedup_docs_canonical" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                    FROM documents),
-         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
-                FROM t WHERE len(ws) >= 3),
-         g AS (SELECT DISTINCT doc_id,
-                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM p
-                   JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE) /
-                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION SELECT d2, d1 FROM pairs)
-         SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM (
-           WITH RECURSIVE reach(a, b) AS (
-             SELECT a, b FROM edges
-             UNION
-             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-           SELECT a, b FROM reach)
-         GROUP BY a""",
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)}
+         SELECT doc_id, keep_id FROM lbl""",
     "q_dedup_cluster_sizes" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                    FROM documents),
-         ti AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
-                FROM t WHERE len(ws) >= 3),
-         g AS (SELECT DISTINCT doc_id,
-                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM p
-                   JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE) /
-                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION SELECT d2, d1 FROM pairs),
-         labels AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM (
-           WITH RECURSIVE reach(a, b) AS (
-             SELECT a, b FROM edges
-             UNION
-             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-           SELECT a, b FROM reach)
-         GROUP BY a),
-         cl AS (SELECT keep_id, count(*) AS cluster_size FROM labels
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
+         cl AS (SELECT keep_id, count(*) AS cluster_size FROM lbl
                 GROUP BY 1)
          SELECT cluster_size, count(*) AS n_clusters
          FROM cl GROUP BY 1""",
@@ -5816,9 +5875,11 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 16),
          und AS (
            SELECT DISTINCT x.user_id AS src, y.user_id AS dst
-           FROM act x
-           JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
-           JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+           FROM (SELECT a.* FROM act a JOIN sized sa
+                   ON a.event_type = sa.event_type AND a.mb = sa.mb) x
+           JOIN (SELECT a.* FROM act a JOIN sized sb
+                   ON a.event_type = sb.event_type AND a.mb = sb.mb) y
+             ON y.event_type = x.event_type AND y.mb = x.mb
            WHERE x.user_id < y.user_id),
          e AS (SELECT src, dst FROM und
                UNION ALL SELECT dst AS src, src AS dst FROM und),
@@ -6244,9 +6305,11 @@ object SparkEntry {
          dp AS (
            SELECT DISTINCT x.mb // 24 AS db, x.user_id AS a,
                            y.user_id AS b
-           FROM act x
-           JOIN sized s ON x.event_type = s.event_type AND x.mb = s.mb
-           JOIN act y ON y.event_type = s.event_type AND y.mb = s.mb
+           FROM (SELECT a.* FROM act a JOIN sized sa
+                   ON a.event_type = sa.event_type AND a.mb = sa.mb) x
+           JOIN (SELECT a.* FROM act a JOIN sized sb
+                   ON a.event_type = sb.event_type AND a.mb = sb.mb) y
+             ON y.event_type = x.event_type AND y.mb = x.mb
            WHERE x.user_id < y.user_id),
          fs AS (SELECT a, b, min(db) AS first_db FROM dp GROUP BY 1, 2)
          SELECT dp.db * 86400 AS day, count(*) AS n_pairs,
@@ -6410,32 +6473,8 @@ object SparkEntry {
          FROM r JOIN med m ON r.label = m.label
          WHERE r.far_rk <= 5""",
     "q_docs_split_leakage" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                    FROM documents),
-         ti AS (SELECT doc_id, ws,
-                  unnest(generate_series(1, len(ws) - 2)) AS i
-                FROM t WHERE len(ws) >= 3),
-         g AS (SELECT DISTINCT doc_id,
-                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-               FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM p
-                   JOIN sz s1 ON d1 = s1.doc_id
-                   JOIN sz s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE) /
-                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION SELECT d2, d1 FROM pairs),
-         canon AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM (
-             WITH RECURSIVE reach(a, b) AS (
-               SELECT a, b FROM edges
-               UNION
-               SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-             SELECT a, b FROM reach)
-           GROUP BY a),
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
+         canon AS (SELECT doc_id, keep_id AS cluster FROM lbl),
          m AS MATERIALIZED (SELECT doc_id, cluster,
                  CASE WHEN CAST(strpos('0123456789abcdef',
                         substring(md5('split' || CAST(doc_id AS VARCHAR)),
@@ -6517,37 +6556,13 @@ object SparkEntry {
                      (((rm - 1) * 5) // nn.n + 1) AS INT) AS rfm
          FROM r CROSS JOIN nn""",
     "q_docs_effective_tokens" ->
-      """WITH tk AS (SELECT doc_id, source,
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
+         tk AS (SELECT doc_id, source,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                FROM documents),
          ex AS (SELECT min(doc_id) AS keep_id FROM documents
                 GROUP BY md5(text)),
-         t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-               FROM documents),
-         ti AS (SELECT doc_id, ws,
-                  unnest(generate_series(1, len(ws) - 2)) AS i
-                FROM t WHERE len(ws) >= 3),
-         g AS (SELECT DISTINCT doc_id,
-                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-               FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM p
-                   JOIN sz s1 ON d1 = s1.doc_id
-                   JOIN sz s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE) /
-                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION SELECT d2, d1 FROM pairs),
-         canon AS (SELECT a AS doc_id, least(a, min(b)) AS ck FROM (
-             WITH RECURSIVE reach(a, b) AS (
-               SELECT a, b FROM edges
-               UNION
-               SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-             SELECT a, b FROM reach)
-           GROUP BY a),
+         canon AS (SELECT doc_id, keep_id AS ck FROM lbl),
          nonkeep AS (SELECT doc_id FROM canon WHERE ck <> doc_id),
          kept AS (SELECT keep_id AS doc_id FROM ex
                   WHERE keep_id NOT IN (SELECT doc_id FROM nonkeep)),

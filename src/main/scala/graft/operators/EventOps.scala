@@ -1047,12 +1047,20 @@ object EventOps {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+    // decimal→STRING→double, not decimal→double: the moment products
+    // are ~10²¹ at sf10 (≫2^53), and DuckDB's int128→double conversion
+    // double-rounds ((double)hi·2⁶⁴ + (double)lo) while Spark's
+    // BigDecimal path rounds once — a witnessed 1-ulp autocorr split.
+    // Both engines parse decimal strings with a single correct IEEE
+    // rounding, so the round-trip pins the doubles bit-identical
+    // (5 output rows — cost is nil).
+    def d2d(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
     p.select(col("event_type"), col("n").cast("bigint").as("n_pairs"),
-      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-          .cast("double")) *
-         sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-           .cast("double")))).as("autocorr"))
+      (d2d(col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(d2d(col("n") * col("sxx") - col("sx") * col("sx"))) *
+         sqrt(d2d(col("n") * col("syy") - col("sy") * col("sy")))))
+        .as("autocorr"))
   }
 
   /** A67: realized PnL per wallet, average-cost basis — the position

@@ -110,11 +110,72 @@ object GraphOps {
       events: DataFrame,
       iterations: Int = 10,
       maxGroupSize: Int = 64,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
+    integerPagerankOn(coactivityEdges(events, maxGroupSize),
+      iterations, broadcastNodeLimit)
+
+  /** A71c: PageRank over the CAPPED co-activity graph — hot hours
+    * degrade instead of dropping. [[coactivityEdges]]' bucket filter
+    * (`2 ≤ users ≤ maxGroupSize`) bounds the quadratic fan-out by
+    * deleting over-cap buckets whole, which is the right default on
+    * organic data but goes vacuous when density crosses the cap
+    * EVERYWHERE: on a 100×-replicated corpus every (market, hour)
+    * bucket holds ≥ 100 wallets, the filter empties the edge set, and
+    * the "graph" result is 0 rows (witnessed: the whole co-activity
+    * family matched its oracle vacuously at sf10). Here each bucket
+    * instead contributes its `maxGroupSize` MOST-ACTIVE wallets (event
+    * count desc, wallet id tie-break — the same degrade-not-drop rank
+    * cap as [[EventOps.washPairs]], planned as a WindowGroupLimit
+    * top-N, never a full per-bucket sort), so the graph is non-empty
+    * and the fan-out stays ≤ maxGroupSize² at ANY density — the
+    * invariant a 100 TB co-activity graph needs. Same integer
+    * PageRank contract as [[coactivityPagerank]]. */
+  def coactivityPagerankCapped(
+      events: DataFrame,
+      iterations: Int = 10,
+      maxGroupSize: Int = 16,
       broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-(market, hour) wallet activity counts — the ranking signal
+    val act = events.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("mb"),
+        col("user_id"))
+      .groupBy("event_type", "mb", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    // explicit bucket repartition before the rank window: the
+    // wallet-bucket table is small enough for AQE to coalesce to one
+    // partition, but the explode below fans it out quadratically and
+    // AQE sizes stages by map INPUT (the washPairs lesson) — pin the
+    // exchange so one task never owns every bucket's fan-out
+    val nPart = math.max(32,
+      events.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranked = act.repartition(nPart, col("event_type"), col("mb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"), col("mb"))
+          .orderBy(col("cnt").desc, col("user_id"))))
+      .filter(col("rk") <= maxGroupSize)
+    val edges = ranked.groupBy("event_type", "mb")
+      .agg(collect_list(col("user_id")).as("us")) // bounded ≤ maxGroupSize
+      .filter(size(col("us")) >= 2)
+      .select(explode(col("us")).as("src"), col("us"))
+      .select(col("src"), explode(col("us")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    integerPagerankOn(edges, iterations, broadcastNodeLimit)
+  }
+
+  /** The shared 10-round integer-PageRank loop over a prebuilt directed
+    * edge list — extracted so the dropped-bucket and capped-bucket edge
+    * builders iterate identical arithmetic (bit-identical contract with
+    * the unrolled-CTE oracles). */
+  private def integerPagerankOn(
+      rawEdges: DataFrame,
+      iterations: Int,
+      broadcastNodeLimit: Long): DataFrame = {
     // checkpoint the edge list BEFORE deriving degrees: it feeds both the
     // degree count and the annotated join, and an unmaterialized lineage
     // would re-run the whole activity build once per consumer
-    val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
+    val edges = rawEdges.localCheckpoint()
     val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = nodes.count() // one metadata-sized driver action

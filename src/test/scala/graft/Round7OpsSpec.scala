@@ -198,6 +198,51 @@ class Round7OpsSpec extends TestSparkSession {
     assert(overCap.isEmpty, s"beyond-cap wallets leaked: $overCap")
   }
 
+  test("coactivityPagerankCapped: an over-cap hour degrades to its " +
+      "heaviest wallets instead of dropping (A71 goes vacuous there)") {
+    // one (type, hour) bucket with 40 wallets: 1..16 have 3 events
+    // each (the heaviest), 100..123 one event each
+    val heavy = for (w <- 1L to 16L; i <- 0 until 3)
+      yield (w * 60 + i, w, "purchase")
+    val bg = (100L to 123L).map(w => (w + 1800L, w, "purchase"))
+    val ev = (heavy ++ bg).toDF("sec", "user_id", "event_type")
+      .select(expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"), col("event_type"))
+    // the dropped-bucket graph is empty at this density — the sf10
+    // vacuity shape this operator exists to fix
+    assert(GraphOps.coactivityPagerank(ev, maxGroupSize = 16)
+      .count() == 0)
+    val got = GraphOps.coactivityPagerankCapped(ev, maxGroupSize = 16)
+      .collect().map(r => (r.getAs[Long]("node"),
+        r.getAs[Long]("deg"), r.getAs[Long]("pr")))
+    assert(got.map(_._1).toSet == (1L to 16L).toSet,
+      s"expected exactly the 16 heaviest wallets, got ${got.length}")
+    // complete 16-clique: deg 15 each, and rank mass splits evenly
+    // (every node symmetric) — pr = 1e12/16 ± the integer truncation
+    assert(got.forall(_._2 == 15L))
+    assert(got.map(_._3).distinct.length == 1,
+      "symmetric clique must rank evenly")
+  }
+
+  test("coactivityPagerankCapped: below the cap it is bit-identical " +
+      "to coactivityPagerank (same edges, same integer loop)") {
+    // buckets of size 2..5, all under both caps
+    val ev = (for {
+      h <- 0 until 4; w <- 0 to (2 + h)
+    } yield (h * 3600L + w, (h * 3 + w).toLong, "view"))
+      .toDF("sec", "user_id", "event_type")
+      .select(expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"), col("event_type"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("node"),
+        r.getAs[Long]("deg"), r.getAs[Long]("pr"))).toSet
+    val capped = key(GraphOps.coactivityPagerankCapped(ev,
+      maxGroupSize = 16))
+    val dropped = key(GraphOps.coactivityPagerank(ev,
+      maxGroupSize = 64))
+    assert(capped == dropped && capped.nonEmpty)
+  }
+
   test("ivfpqTopK: full probe with the capped quantizer is still " +
       "bit-identical to pure PQ ADC") {
     val queries = emb.filter(col("vec_id") < 10)

@@ -14,16 +14,34 @@ import pandas as pd
 
 TOL = float(os.environ.get("GRAFT_TOL", "0"))
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    # scale-sidecar dirs (e.g. /tmp/sf10) may carry only the non-TPC-H
-    # tables; a query against a missing view then fails per-query
-    # instead of killing the whole compare
-    try:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    except duckdb.IOException:
-        pass
+def fresh_connection():
+    con = duckdb.connect()
+    # experiment knobs for scale-sidecar debugging. Measured on the
+    # sf10 dedup oracles: DEFAULT settings are the right production
+    # call — preserve_insertion_order=false counterintuitively made
+    # the MATERIALIZED-CTE oracles OOM (same query green on defaults,
+    # red with no_order, reproducibly), and thread reduction didn't
+    # help; what actually bounded memory was materializing shared CTEs
+    # in the SQL itself (see SparkEntry.collapsedDocPairsCtes).
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"PRAGMA threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    if os.environ.get("GRAFT_DUCKDB_NO_ORDER"):
+        con.execute("SET preserve_insertion_order=false")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        # scale-sidecar dirs (e.g. /tmp/sf10) may carry only the
+        # non-TPC-H tables; a query against a missing view then fails
+        # per-query instead of killing the whole compare
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        except duckdb.IOException:
+            pass
+    return con
+
+
+con = fresh_connection()
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 n_pass = n_fail = 0
@@ -40,6 +58,13 @@ def record(name, **kw):
 
 for name in sorted(oracle):
     try:
+        # a long sidecar run accumulates buffer-pool state across the
+        # heavy MATERIALIZED-CTE oracles until later queries hit the
+        # memory limit (witnessed: split_leakage OOM in sequence, green
+        # solo) — a fresh connection per query keeps runs independent
+        if os.environ.get("GRAFT_DUCKDB_FRESH_CON"):
+            con.close()
+            con = fresh_connection()
         exp = con.execute(oracle[name]).df()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -65,8 +90,28 @@ for name in sorted(oracle):
             n_fail += 1; continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}"); n_fail += 1; continue
+        # vectorized equality first (the python loop on a 10M-row sf10
+        # dump takes minutes per query); fall back to the elementwise
+        # loop ONLY on mismatch, purely to report the offending cell —
+        # semantics identical: exact equality, NaN==NaN passes, TOL
+        # applies to float pairs
+        def col_equal(e_s, g_s):
+            if str(e_s.dtype).startswith("float"):
+                both_nan = e_s.isna() & g_s.isna()
+                if TOL:
+                    close = (e_s - g_s).abs() <= TOL
+                    return bool((both_nan | (e_s == g_s) | close).all())
+                return bool((both_nan | (e_s == g_s)).all())
+            both_na = e_s.isna() & g_s.isna()
+            return bool((both_na | (e_s == g_s)).all())
         ok = True
         for c in exp.columns:
+            try:
+                fast_eq = col_equal(exp[c], got[c])
+            except Exception:
+                fast_eq = False  # non-scalar cells: let the loop decide
+            if fast_eq:
+                continue
             e, g = exp[c].tolist(), got[c].tolist()
             for i, (a, b) in enumerate(zip(e, g)):
                 if isinstance(a, float) and isinstance(b, float):

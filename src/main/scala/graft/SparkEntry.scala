@@ -1969,6 +1969,12 @@ object SparkEntry {
         Dedup.ngramJaccard(Tables.documents(s, d), 0.5))),
     "q_dedup_docs_hyperplane" -> ((s, d) =>
       Similarity.hyperplaneLshPairs(Tables.embeddings(s, d), 0.3)),
+    "q_dedup_docs_hyperplane_rep" -> ((s, d) =>
+      Similarity.hyperplaneLshPairs(Tables.embeddings(s, d), 0.3,
+          expand = false)
+        .select(col("r1"), col("r2"), col("cos6"),
+          size(col("m1")).cast("long").as("k1"),
+          size(col("m2")).cast("long").as("k2"))),
     "q_dedup_docs_embedding" -> ((s, d) =>
       Similarity.cosinePairs(
         Tables.embeddings(s, d)

@@ -90,7 +90,7 @@ object Similarity {
     */
   def hyperplaneLshPairs(
       emb: DataFrame, tau: Double,
-      bits: Int = 32, bands: Int = 8): DataFrame = {
+      bits: Int = 32, bands: Int = 8, expand: Boolean = true): DataFrame = {
     require(bits % bands == 0)
     val rows = bits / bands
     // EXACT-DUP COLLAPSE FIRST. Identical embeddings share every band,
@@ -147,11 +147,57 @@ object Similarity {
         col("n2").as("nb")), "r2")
       .select(col("r1"), col("r2"), cos6("ea", "eb", "na", "nb").as("cos6"))
       .filter(col("cos6") >= tau)
+    if (!expand) {
+      // THE 100 TB OUTPUT: one row per REPRESENTATIVE pair carrying the
+      // member lists, not the C(k1,2) / k1*k2 expansion. On a clique-
+      // heavy corpus (sf100: every text has 1000 exact copies) the
+      // expanded list is inherently quadratic in clique size — 11.3e9
+      // rows where the rep-level contract carries the identical
+      // information in |repPairs| + |cliques| rows (≈ 12k at sf100).
+      // Identity cliques emit r1 = r2 with cos6 = 1.0; downstream
+      // connected-components / dedupedCorpus consumers union members.
+      // `expandRepPairs` restores the expanded list bit-identically
+      // (spec-pinned), so the two forms are interchangeable.
+      val identityRep = groups.filter(size(col("members")) >= 2)
+        .filter(lit(tau <= 1.0))
+        .select(col("rep").as("r1"), col("rep").as("r2"),
+          lit(1.0).as("cos6"), col("members").as("m1"),
+          col("members").as("m2"))
+      val crossRep = repPairs
+        .join(groups.select(col("rep").as("r1"), col("members").as("m1")),
+          "r1")
+        .join(groups.select(col("rep").as("r2"), col("members").as("m2")),
+          "r2")
+        .select(col("r1"), col("r2"), col("cos6"), col("m1"), col("m2"))
+      return identityRep.unionByName(crossRep)
+    }
     // expand representative pairs to member pairs (disjoint groups, so
     // least/greatest restores the v1 < v2 normal form)
     val cross = repPairs
       .join(groups.select(col("rep").as("r1"), col("members").as("m1")), "r1")
       .join(groups.select(col("rep").as("r2"), col("members").as("m2")), "r2")
+      .select(explode(col("m1")).as("va"), col("m2"), col("cos6"))
+      .select(col("va"), explode(col("m2")).as("vb"), col("cos6"))
+      .select(least(col("va"), col("vb")).as("v1"),
+        greatest(col("va"), col("vb")).as("v2"), col("cos6"))
+    identity.unionByName(cross)
+  }
+
+  /** Expands [[hyperplaneLshPairs]]' rep-level output (expand = false)
+    * back to the member-pair list — bit-identical to expand = true by
+    * construction (identity rows r1 = r2 expand to every a < b inside
+    * the clique; cross rows expand m1 × m2 with least/greatest
+    * normalization, disjoint groups so order is already normal). Exists
+    * so the compact 100 TB contract and the audit-friendly expanded
+    * list are provably interchangeable.
+    */
+  def expandRepPairs(repPairs: DataFrame): DataFrame = {
+    val identity = repPairs.filter(col("r1") === col("r2"))
+      .select(explode(col("m1")).as("va"), col("m2"), col("cos6"))
+      .select(col("va"), explode(col("m2")).as("vb"), col("cos6"))
+      .filter(col("va") < col("vb"))
+      .select(col("va").as("v1"), col("vb").as("v2"), col("cos6"))
+    val cross = repPairs.filter(col("r1") =!= col("r2"))
       .select(explode(col("m1")).as("va"), col("m2"), col("cos6"))
       .select(col("va"), explode(col("m2")).as("vb"), col("cos6"))
       .select(least(col("va"), col("vb")).as("v1"),

@@ -109,6 +109,48 @@ class Round7OpsSpec extends TestSparkSession {
       s"hyperplane LSH recall $recall over ${exact.size} planted pairs")
   }
 
+  test("rep-level hyperplane output expands bit-identically to the " +
+      "member-pair list (C7g round-trip, exact cliques + near-dups)") {
+    // corpus with BOTH shapes the contract must carry: exact-copy
+    // cliques (base + two exact copies -> 3-cliques, identity rows
+    // r1 = r2) and distinct jittered near-dups (cross rep pairs)
+    val base = emb.select("vec_id", "embedding").limit(60).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray))
+    val corpus = base.flatMap { case (id, v) =>
+      val rnd = new scala.util.Random(id * 7 + 3)
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum)
+      val jitter = (norm * 0.10 / math.sqrt(v.length)).toFloat
+      val copy = v.map(x => x + (rnd.nextFloat() * 2f - 1f) * jitter)
+      Seq((id, v.toSeq), (id + 1000000L, v.toSeq),       // exact copy
+        (id + 2000000L, v.toSeq),                        // exact copy
+        (id + 3000000L, copy.toSeq))                     // near-dup
+    }.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val tau = 0.9
+    val expanded = Similarity.hyperplaneLshPairs(corpus, tau)
+      .select("v1", "v2", "cos6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rep = Similarity.hyperplaneLshPairs(corpus, tau, expand = false)
+    // identity cliques present (r1 = r2) and cross rep pairs present
+    assert(rep.filter(col("r1") === col("r2")).count() >= 50,
+      "expected identity cliques from the planted exact copies")
+    assert(rep.filter(col("r1") =!= col("r2")).count() >= 1,
+      "expected cross rep pairs from the planted near-dups")
+    val roundTrip = Similarity.expandRepPairs(rep)
+      .select("v1", "v2", "cos6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(roundTrip == expanded,
+      s"round-trip mismatch: ${roundTrip.size} vs ${expanded.size} pairs; " +
+        s"only-rt=${(roundTrip -- expanded).take(3)} " +
+        s"only-exp=${(expanded -- roundTrip).take(3)}")
+    // the compression is real: rep-level row count strictly below the
+    // expanded pair count on a clique-bearing corpus
+    assert(rep.count() < expanded.size,
+      "rep-level output should be smaller than the expansion")
+  }
+
   test("minhash LSH recall >= 0.8 on a paraphrase-heavy corpus " +
       "(distinct near-dups — the regime the exact-dup collapse can't help)") {
     val docs = Tables.documents(spark, sfDir)

@@ -106,6 +106,9 @@ object Bench {
     "q_ann_ivf_topk",
     "q_ann_pq_topk",
     "q_dedup_docs_hyperplane",
+    "q_dedup_docs_hyperplane_rep",
+    "q_dedup_docs_corpus_rep",
+    "q_dedup_cluster_sizes_rep",
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_multimodal_sample_frames",

@@ -1634,6 +1634,10 @@ object SparkEntry {
           col("cum_tokens"), col("bin"))),
     "q_dedup_docs_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(Tables.documents(s, d), 0.5)),
+    "q_dedup_docs_corpus_rep" -> ((s, d) =>
+      Dedup.dedupedCorpusRep(Tables.documents(s, d), 0.5)),
+    "q_dedup_cluster_sizes_rep" -> ((s, d) =>
+      Dedup.clusterSizesRep(Tables.documents(s, d))),
     "q_docs_pack_efficiency" -> ((s, d) =>
       // per-stratum fill report over the packing plan: bins opened, token
       // volume, and achieved fill ratio vs the 2048-token budget
@@ -4129,6 +4133,13 @@ object SparkEntry {
          ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          SELECT doc_id FROM ex
          WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE keep_id < doc_id)""",
+    // rep-level pair contract: SAME oracle as the expanded twin — the
+    // whole point of C13d is keeper-set equality without the expansion
+    "q_dedup_docs_corpus_rep" ->
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
+         ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT doc_id FROM ex
+         WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE keep_id < doc_id)""",
     "q_ann_ivf_full_probe" ->
       """WITH x AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
                            CAST(unnest(embedding) AS DOUBLE) AS v
@@ -5355,6 +5366,12 @@ object SparkEntry {
       s"""WITH ${collapsedDocPairsCtes(jaccardPred)}
          SELECT doc_id, keep_id FROM lbl""",
     "q_dedup_cluster_sizes" ->
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
+         cl AS (SELECT keep_id, count(*) AS cluster_size FROM lbl
+                GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM cl GROUP BY 1""",
+    "q_dedup_cluster_sizes_rep" ->
       s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
          cl AS (SELECT keep_id, count(*) AS cluster_size FROM lbl
                 GROUP BY 1)

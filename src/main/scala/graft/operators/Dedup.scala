@@ -183,7 +183,7 @@ object Dedup {
     */
   def ngramJaccard(
       docs: DataFrame, tau: Double, maxDocFreq: Option[Int] = None,
-      maxPairs: Option[Long] = None): DataFrame = {
+      maxPairs: Option[Long] = None, expand: Boolean = true): DataFrame = {
     val grams = withTrigrams(docs)
     val groups = grams.groupBy("grams")
       .agg(min("doc_id").as("rep"),
@@ -240,6 +240,34 @@ object Dedup {
         col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jac") >= tau)
+    if (!expand) {
+      // THE 100 TB OUTPUT (same contract as Similarity's
+      // hyperplaneLshPairs expand = false): one row per REPRESENTATIVE
+      // pair with member lists, never the C(k,2)/k1·k2 clique
+      // expansion — on a replication-heavy corpus the expanded pair
+      // list is quadratic in clique size while this is linear in
+      // distinct content. Identity cliques emit r1 = r2 at jac 1.0;
+      // canonicalizeRep consumes this shape directly (label
+      // propagation over reps, membership join at the end), so the
+      // whole dedup report path runs without materializing pairs.
+      val identityRep = groups.filter(size(col("members")) >= 2)
+        .filter(lit(1.0 >= tau))
+        .select(col("rep").as("r1"), col("rep").as("r2"),
+          size(col("grams")).cast("bigint").as("inter"),
+          size(col("grams")).cast("bigint").as("n1"),
+          size(col("grams")).cast("bigint").as("n2"),
+          lit(1.0).as("jac"), col("members").as("m1"),
+          col("members").as("m2"))
+      val membR = groups.select(col("rep"), col("members"))
+      val crossRep = repPairs
+        .join(membR.withColumnRenamed("rep", "d1")
+          .withColumnRenamed("members", "m1"), "d1")
+        .join(membR.withColumnRenamed("rep", "d2")
+          .withColumnRenamed("members", "m2"), "d2")
+        .select(col("d1").as("r1"), col("d2").as("r2"), col("inter"),
+          col("n1"), col("n2"), col("jac"), col("m1"), col("m2"))
+      return identityRep.unionByName(crossRep)
+    }
     // expand representative pairs to member pairs (groups are disjoint;
     // least/greatest restores the d1 < d2 normal form, n1/n2 follow)
     val memb = groups.select(col("rep"), col("members"))
@@ -475,6 +503,57 @@ object Dedup {
     }
     labels.withColumnRenamed("label", "keep_id")
   }
+
+  /** C13d: canonicalization over REP-LEVEL pairs ([[ngramJaccard]] /
+    * hyperplane expand = false) — bit-identical labels to
+    * [[canonicalize]] over the expanded pair list (spec-pinned), at
+    * cost ∝ DISTINCT content instead of ∝ Σ C(kᵢ,2). Why it's exact:
+    * each rep is the MIN doc_id of its clique, so the min label of a
+    * rep component IS the min doc_id of the expanded component; a
+    * member's keeper is therefore its rep's component label, and a
+    * clique with no cross pair keeps its own rep. Label propagation
+    * runs on the rep graph (sf100: 2k nodes vs 2M nodes / 11.3e9
+    * edges expanded); membership joins back in one exchange.
+    */
+  def canonicalizeRep(repPairs: DataFrame, maxIterations: Int = 64,
+      broadcastNodeLimit: Long = GraphOps.DefaultBroadcastNodeLimit)
+      : DataFrame = {
+    val rp = repPairs.localCheckpoint() // label prop + membership both read it
+    val membership = rp
+      .select(col("r1").as("rep"), explode(col("m1")).as("doc_id"))
+      .union(rp.select(col("r2").as("rep"), explode(col("m2")).as("doc_id")))
+      .distinct()
+    val repLabels = canonicalize(
+      rp.filter(col("r1") =!= col("r2"))
+        .select(col("r1").as("d1"), col("r2").as("d2")),
+      maxIterations, broadcastNodeLimit)
+      .withColumnRenamed("doc_id", "rep")
+    membership.join(repLabels, Seq("rep"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("keep_id"), col("rep")).as("keep_id"))
+  }
+
+  /** C13d: [[dedupedCorpus]] on the rep-level pair contract — same
+    * keeper set (shares the oracle SQL), but exact dedup + near-dup
+    * canonicalization both run without ever materializing the
+    * expanded pair list. The 100 TB form of the shipping pipeline. */
+  def dedupedCorpusRep(docs: DataFrame, tau: Double = 0.5,
+      repPairs: Option[DataFrame] = None): DataFrame = {
+    val keepExact = exactDocs(docs).select(col("keep_id").as("doc_id"))
+    val nonKeepers = canonicalizeRep(
+        repPairs.getOrElse(ngramJaccard(docs, tau, expand = false)))
+      .filter(col("keep_id") =!= col("doc_id")).select("doc_id")
+    keepExact.join(nonKeepers, Seq("doc_id"), "left_anti")
+  }
+
+  /** C13e: [[clusterSizes]] on the rep-level pair contract — identical
+    * distribution (shares the oracle SQL) without the expansion. */
+  def clusterSizesRep(docs: DataFrame, tau: Double = 0.5,
+      repPairs: Option[DataFrame] = None): DataFrame =
+    canonicalizeRep(
+        repPairs.getOrElse(ngramJaccard(docs, tau, expand = false)))
+      .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
 
   /** C13c: near-dup cluster-size distribution — how much of the corpus
     * sits in duplicate clusters of each size (the audit that decides

@@ -151,6 +151,38 @@ class Round7OpsSpec extends TestSparkSession {
       "rep-level output should be smaller than the expansion")
   }
 
+  test("rep-level dedup path: canonicalizeRep / dedupedCorpusRep / " +
+      "clusterSizesRep are bit-identical to the expanded-pair versions") {
+    val docs = Tables.documents(spark, sfDir)
+    val tau = 0.5
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val lblExp = rows(Dedup.canonicalize(Dedup.ngramJaccard(docs, tau)))
+    val lblRep = rows(Dedup.canonicalizeRep(
+      Dedup.ngramJaccard(docs, tau, expand = false)))
+    assert(lblRep == lblExp,
+      s"canonicalizeRep labels diverge: ${lblRep.size} vs ${lblExp.size}")
+    assert(rows(Dedup.dedupedCorpusRep(docs, tau)) ==
+      rows(Dedup.dedupedCorpus(docs, tau)), "dedupedCorpusRep diverges")
+    assert(rows(Dedup.clusterSizesRep(docs, tau)) ==
+      rows(Dedup.clusterSizes(docs, tau)), "clusterSizesRep diverges")
+    // compression is strict once cliques exist: replicate each doc 5×
+    // (the sf10/sf100 shape) and the expanded list grows ~C(5,2)-fold
+    // while the rep list stays put — also re-pin label equality there
+    val maxId = docs.agg(max("doc_id")).first().getLong(0) + 1
+    val cliqued = (0 until 5).map(k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * maxId)))
+      .reduce(_ unionByName _)
+    val nRep = Dedup.ngramJaccard(cliqued, tau, expand = false).count()
+    val nExp = Dedup.ngramJaccard(cliqued, tau).count()
+    assert(nRep < nExp,
+      s"expected compression: rep rows $nRep vs expanded pairs $nExp")
+    assert(rows(Dedup.canonicalizeRep(
+        Dedup.ngramJaccard(cliqued, tau, expand = false))) ==
+      rows(Dedup.canonicalize(Dedup.ngramJaccard(cliqued, tau))),
+      "canonicalizeRep diverges on the cliqued corpus")
+  }
+
   test("minhash LSH recall >= 0.8 on a paraphrase-heavy corpus " +
       "(distinct near-dups — the regime the exact-dup collapse can't help)") {
     val docs = Tables.documents(spark, sfDir)

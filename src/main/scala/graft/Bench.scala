@@ -178,7 +178,15 @@ object Bench {
     "q_stream_session_closures",
     "q_stream_dedup_replay",
     "q_stream_hist_ingest",
-    "q_stream_sketch_ingest")
+    "q_stream_sketch_ingest",
+    // round-7 additions (2): the rep-level report twins (expansion-free
+    // dedup reports, oracled) and the full 100 TB path — rep-level LSH
+    // candidates feeding rep-level report algebra
+    "q_docs_split_leakage_rep",
+    "q_docs_effective_tokens_rep",
+    "q_docs_dup_flow_rep",
+    "q_docs_split_leakage_rep_lsh",
+    "q_docs_effective_tokens_rep_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

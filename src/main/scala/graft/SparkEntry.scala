@@ -2198,6 +2198,27 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.effectiveTokens(docs, pairs = Some(Dedup.lshPairs(docs)))
     }),
+    // rep-level pair contract for the three composing reports: SAME
+    // report (shares the expanded twin's oracle SQL verbatim) with the
+    // expanded pair list nowhere in the plan — cost ∝ distinct content
+    "q_docs_split_leakage_rep" -> ((s, d) =>
+      Dedup.splitLeakageRep(Tables.documents(s, d))),
+    "q_docs_effective_tokens_rep" -> ((s, d) =>
+      Dedup.effectiveTokensRep(Tables.documents(s, d))),
+    "q_docs_dup_flow_rep" -> ((s, d) =>
+      Dedup.crossSourceDupFlowRep(Tables.documents(s, d))),
+    // the full 100 TB path: MinHash-LSH banding over distinct content,
+    // rep pairs + member lists, report algebra over memberships — pair
+    // expansion nowhere (no SQL oracle — LSH feed; recall spec-pinned)
+    "q_docs_split_leakage_rep_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.splitLeakageRep(docs, repPairs = Some(Dedup.lshPairsRep(docs)))
+    }),
+    "q_docs_effective_tokens_rep_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.effectiveTokensRep(docs,
+        repPairs = Some(Dedup.lshPairsRep(docs)))
+    }),
   )
 
   /** Shared CTE block for the eight exact-n-gram dedup oracles
@@ -2505,7 +2526,8 @@ object SparkEntry {
        GROUP BY 1"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+   val m = Map(
     "q_events_pagerank" -> pagerankOracle,
     "q_events_pagerank_capped" -> pagerankCappedOracle,
     "q_events_taint" -> taintOracle,
@@ -6644,7 +6666,15 @@ object SparkEntry {
                 CAST(CAST(10 AS DECIMAL(38,0)) * sum(o) AS DOUBLE)
                   AS chi2
          FROM d GROUP BY 1""",
-  )
+   )
+   // the rep-level report twins share the expanded reports' oracle SQL
+   // VERBATIM — the whole point of the rep contract is result equality
+   // without the pair expansion (same convention as q_dedup_docs_corpus_rep)
+   m ++ Map(
+     "q_docs_split_leakage_rep" -> m("q_docs_split_leakage"),
+     "q_docs_effective_tokens_rep" -> m("q_docs_effective_tokens"),
+     "q_docs_dup_flow_rep" -> m("q_docs_dup_flow"))
+  }
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow
     * transformWithState stream must both hash-match it (batch ≡ stream

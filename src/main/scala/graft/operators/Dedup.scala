@@ -27,6 +27,36 @@ object Dedup {
         graft.functions.exprs.trigrams(col("text")).as("grams"))
       .filter(col("grams").isNotNull)
 
+  /** Gram-set groups (grams, rep = min doc_id, sorted members) — the
+    * exact-dup collapse the whole n-gram family runs on, built in TWO
+    * levels so neither shuffle carries gram arrays for duplicated
+    * content:
+    *   1. identical TEXT collapses on an md5 digest (the first shuffle
+    *      moves (digest, doc_id) rows; the map-side partial keeps ONE
+    *      text per digest per task, so even the text column's shuffle
+    *      volume is ∝ distinct texts per task, not corpus rows);
+    *   2. the gram-set grouping — whose array payload IS the corpus —
+    *      then runs over text representatives only.
+    * Output-preserving vs the one-level `groupBy(grams)`: identical text
+    * ⟹ identical gram set, so text groups nest inside gram-set groups
+    * and the flattened member union is the same set (spec-pinned on a
+    * cliqued corpus). On a replication-heavy corpus (sf100: 5M docs,
+    * ~5k distinct texts) this turns a full-corpus array shuffle into a
+    * digest shuffle + a distinct-content array shuffle; shingling CPU
+    * drops by the same replication factor.
+    */
+  private[graft] def gramSetGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("dig"))
+      .agg(min("doc_id").as("trep"), first("text").as("txt"),
+        collect_list(col("doc_id")).as("tmembers"))
+      .select(col("trep"), col("tmembers"),
+        graft.functions.exprs.trigrams(col("txt")).as("grams"))
+      .filter(col("grams").isNotNull)
+      .groupBy("grams")
+      .agg(min("trep").as("rep"),
+        sort_array(flatten(collect_list(col("tmembers")))).as("members"))
+
   /** C1: exact dedup via content hash; deterministic keeper = min doc_id. */
   def exactDocs(docs: DataFrame): DataFrame =
     docs
@@ -49,11 +79,7 @@ object Dedup {
     // same exact-dup collapse as [[ngramJaccard]] (identical gram sets
     // contain each other fully — containment 1.0 exactly — and a
     // representative pair's containment transfers to every member pair)
-    val grams = withTrigrams(docs)
-    val groups = grams.groupBy("grams")
-      .agg(min("doc_id").as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .localCheckpoint()
+    val groups = gramSetGroups(docs).localCheckpoint()
     val identity = groups.filter(size(col("members")) >= 2)
       .select(size(col("grams")).cast("bigint").as("n"),
         explode(col("members")).as("d1"), col("members"))
@@ -184,10 +210,7 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, tau: Double, maxDocFreq: Option[Int] = None,
       maxPairs: Option[Long] = None, expand: Boolean = true): DataFrame = {
-    val grams = withTrigrams(docs)
-    val groups = grams.groupBy("grams")
-      .agg(min("doc_id").as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
+    val groups = gramSetGroups(docs)
       .localCheckpoint() // identity pairs, the rep join and the member
                          // expansion all read it
     // identical gram sets: every (a < b) inside one group, jac exactly 1
@@ -294,13 +317,35 @@ object Dedup {
     * are then verified with exact Jaccard (array_intersect on the gram
     * sets). False negatives are the usual LSH probability; no false
     * positives survive verification.
+    *
+    * Exact-dup collapse (round 7): signatures are a pure function of the
+    * gram set, so identical texts always collide in EVERY band — banding
+    * them individually only manufactures C(k,2) candidate rows per
+    * k-clique of copies. Shingling, signatures, band join and
+    * verification therefore all run over [[gramSetGroups]]
+    * representatives (cost ∝ distinct content); exact-copy cliques
+    * re-enter as identity pairs at jac 1.0 and verified rep pairs expand
+    * through the member lists. Output with `expand = true` (default) is
+    * the same pair set the uncollapsed formulation produced: a member
+    * pair collides iff its rep pair collides (equal signatures) and its
+    * verified jac equals the rep pair's (equal gram sets).
+    *
+    * `expand = false` is the 100 TB output (same contract as
+    * [[ngramJaccard]] / hyperplane): one row per representative pair
+    * (r1, r2, jac, m1, m2), identity cliques at r1 = r2 — never the
+    * clique expansion. [[canonicalizeRep]] and the rep-fed reports
+    * consume it directly.
     */
   def minhashLsh(
       docs: DataFrame, tau: Double,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      expand: Boolean = true): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val grams = withTrigrams(docs)
+    val groups = gramSetGroups(docs)
+      .localCheckpoint() // identity pairs, signatures, verification and
+                         // the member expansion all read it
+    val repGrams = groups.select(col("rep"), col("grams"))
     // Signature via a one-pass custom aggregate ([[graft.functions.
     // MinHashAgg]]): each gram is hashed once (codegen'd xxhash64) and the
     // 64 family minima are folded inside the aggregate update. Three
@@ -310,31 +355,57 @@ object Dedup {
     // eval (~5x); explode(sequence(0,63)) blows every gram row up 64x
     // before the partial aggregate — the map-side combine contains the
     // shuffle but not the CPU. The imperative aggregate keeps the row
-    // count at |grams| and ships one 64-long buffer per doc per map task.
-    val g = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      .select(col("doc_id"), expr("xxhash64(g)").as("h0"))
-    val sigs = g.groupBy("doc_id")
+    // count at |grams| and ships one 64-long buffer per rep per map task.
+    val g = repGrams.select(col("rep"), explode(col("grams")).as("g"))
+      .select(col("rep"), expr("xxhash64(g)").as("h0"))
+    val sigs = g.groupBy("rep")
       .agg(graft.functions.MinHashAgg.minhash(col("h0"), numHashes).as("sig"))
-    // band b's key = hash of its signature slice; one row per (doc, band)
+    // band b's key = hash of its signature slice; one row per (rep, band)
     val banded = sigs
-      .select(col("doc_id"), col("sig"),
+      .select(col("rep"), col("sig"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
-      .select(col("doc_id"), col("band"),
+      .select(col("rep"), col("band"),
         expr(s"xxhash64(band, slice(sig, band * $rows + 1, $rows))").as("bh"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("r1"), col("b.rep").as("r2"))
       .distinct()
-    candidates
-      .join(grams.select(col("doc_id").as("d1"), col("grams").as("ga")), "d1")
-      .join(grams.select(col("doc_id").as("d2"), col("grams").as("gb")), "d2")
+    val verified = candidates
+      .join(repGrams.select(col("rep").as("r1"), col("grams").as("ga")), "r1")
+      .join(repGrams.select(col("rep").as("r2"), col("grams").as("gb")), "r2")
       .withColumn("jac",
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))).cast("double"))
       .filter(col("jac") >= tau)
-      .select(col("d1"), col("d2"), col("jac"))
+      .select(col("r1"), col("r2"), col("jac"))
+    val memb = groups.select(col("rep"), col("members"))
+    val repPairs = verified
+      .join(memb.withColumnRenamed("rep", "r1")
+        .withColumnRenamed("members", "m1"), "r1")
+      .join(memb.withColumnRenamed("rep", "r2")
+        .withColumnRenamed("members", "m2"), "r2")
+      .select(col("r1"), col("r2"), col("jac"), col("m1"), col("m2"))
+    val identityRep = groups.filter(size(col("members")) >= 2)
+      .filter(lit(1.0) >= tau)
+      .select(col("rep").as("r1"), col("rep").as("r2"),
+        lit(1.0).as("jac"), col("members").as("m1"),
+        col("members").as("m2"))
+    if (!expand) return identityRep.unionByName(repPairs)
+    // identical gram sets: every (a < b) inside one clique, jac exactly 1
+    val identity = groups.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("d1"), col("members"))
+      .select(col("d1"), explode(col("members")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), lit(1.0).as("jac"))
+      .filter(col("jac") >= tau)
+    val cross = repPairs
+      .select(explode(col("m1")).as("a"), col("m2"), col("jac"))
+      .select(col("a"), explode(col("m2")).as("b"), col("jac"))
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"), col("jac"))
+    identity.unionByName(cross)
   }
 
   /** C38: duplicate provenance — where a corpus's duplicated content
@@ -580,6 +651,18 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame =
     minhashLsh(docs, tau, numHashes, bands).select("d1", "d2")
 
+  /** C7g/C2 composed: the rep-level LSH candidate source — what
+    * [[lshPairs]] is to [[splitLeakage]]/[[effectiveTokens]], this is to
+    * their Rep twins. One row per representative pair with member lists
+    * (identity cliques at r1 = r2), never the clique expansion: on a
+    * replication-heavy corpus the expanded LSH pair list is quadratic in
+    * clique size while this stays ∝ distinct content + true near-dups —
+    * the shape that survives 100 TB. */
+  def lshPairsRep(docs: DataFrame, tau: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashLsh(docs, tau, numHashes, bands, expand = false)
+      .select("r1", "r2", "m1", "m2")
+
   /** C13b: the end-to-end dedup pipeline a training-data run would ship —
     * the corpus surviving BOTH exact dedup (one keeper per
     * identical-content group) and near-dup canonicalization (one keeper
@@ -748,7 +831,24 @@ object Dedup {
     * quadratic inverted-index join. */
   def splitLeakage(docs: DataFrame, tau: Double = 0.5,
       trainBuckets: Int = 204, valBuckets: Int = 26,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[DataFrame] = None): DataFrame =
+    splitReport(canonicalize(pairs.getOrElse(ngramJaccard(docs, tau))),
+      trainBuckets, valBuckets)
+
+  /** C57 on the rep-level pair contract — same report (shares the
+    * oracle SQL): labels come from [[canonicalizeRep]], so the audit
+    * runs without ever materializing the expanded pair list. Feed
+    * `repPairs` with [[lshPairsRep]] at 100 TB. */
+  def splitLeakageRep(docs: DataFrame, tau: Double = 0.5,
+      trainBuckets: Int = 204, valBuckets: Int = 26,
+      repPairs: Option[DataFrame] = None): DataFrame =
+    splitReport(
+      canonicalizeRep(
+        repPairs.getOrElse(ngramJaccard(docs, tau, expand = false))),
+      trainBuckets, valBuckets)
+
+  private def splitReport(labels: DataFrame, trainBuckets: Int,
+      valBuckets: Int): DataFrame = {
     def splitOf(c: org.apache.spark.sql.Column) = {
       val bucket = conv(substring(md5(concat(lit("split"),
         c.cast("string")).cast("binary")), 1, 2), 16, 10).cast("int")
@@ -756,7 +856,7 @@ object Dedup {
         .when(bucket < trainBuckets + valBuckets, "val")
         .otherwise("test")
     }
-    val member = canonicalize(pairs.getOrElse(ngramJaccard(docs, tau)))
+    val member = labels
       .select(col("doc_id"), col("keep_id").as("cluster"),
         splitOf(col("doc_id")).as("split"))
       .localCheckpoint() // paired-doc sized; aggregated + filtered below
@@ -798,5 +898,77 @@ object Dedup {
         col("kept_docs"), col("kept_tokens"),
         (col("raw_tokens").cast("double") /
           col("kept_tokens").cast("double")).as("inflation"))
+  }
+
+  /** C58 on the rep-level pair contract — same report (shares the
+    * oracle SQL): the survivor set comes from [[dedupedCorpusRep]], so
+    * epoch-inflation accounting runs without the expanded pair list.
+    * Feed `repPairs` with [[lshPairsRep]] at 100 TB. */
+  def effectiveTokensRep(docs: DataFrame, tau: Double = 0.5,
+      repPairs: Option[DataFrame] = None): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .localCheckpoint() // raw totals AND the survivor join read it
+    val kept = dedupedCorpusRep(docs, tau, repPairs)
+    val raw = toks.groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"), sum("n_tokens").as("raw_tokens"))
+    val k = toks.join(kept, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("n_tokens").as("kept_tokens"))
+    raw.join(k, Seq("source"))
+      .select(col("source"), col("raw_docs"), col("raw_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        (col("raw_tokens").cast("double") /
+          col("kept_tokens").cast("double")).as("inflation"))
+  }
+
+  /** C63 on the rep-level pair contract — same source-pair matrix
+    * (shares the oracle SQL) computed by COUNTING instead of
+    * expanding: memberships explode to (rep, doc) rows — linear in
+    * docs, never in pairs — reduce to per-(rep, source) counts, and
+    * the expanded pair total per source pair is recovered exactly as
+    *   cross rep pairs:  Σ c1(s_a) · c2(s_b)   (cliques are disjoint)
+    *   identity cliques: C(c(s), 2) within a source,
+    *                     c(s_a) · c(s_b) across sources.
+    * Groups that would sum to zero are filtered — the expanded
+    * operator never emits a zero-pair source pair. */
+  def crossSourceDupFlowRep(docs: DataFrame, tau: Double = 0.5,
+      repPairs: Option[DataFrame] = None): DataFrame = {
+    val rp = repPairs
+      .getOrElse(ngramJaccard(docs, tau, expand = false))
+      .localCheckpoint() // memberships, cross and identity all read it
+    val src = docs.select(col("doc_id"), col("source"))
+    val mcount = rp
+      .select(col("r1").as("rep"), explode(col("m1")).as("doc_id"))
+      .union(rp.select(col("r2").as("rep"), explode(col("m2")).as("doc_id")))
+      .distinct()
+      .join(src, "doc_id")
+      .groupBy("rep", "source").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // cross joins twice + identity self-join
+    val cross = rp.filter(col("r1") =!= col("r2"))
+      .select(col("r1"), col("r2"))
+      .join(mcount.withColumnRenamed("rep", "r1")
+        .withColumnRenamed("source", "s1").withColumnRenamed("c", "c1"), "r1")
+      .join(mcount.withColumnRenamed("rep", "r2")
+        .withColumnRenamed("source", "s2").withColumnRenamed("c", "c2"), "r2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"),
+        (col("c1") * col("c2")).as("n"))
+    val idCounts = rp.filter(col("r1") === col("r2"))
+      .select(col("r1").as("rep")).distinct()
+      .join(mcount, "rep")
+    val idSame = idCounts.select(col("source").as("source_a"),
+      col("source").as("source_b"),
+      expr("c * (c - 1) div 2").as("n"))
+    val idCross = idCounts.as("x")
+      .join(idCounts.as("y"),
+        col("x.rep") === col("y.rep") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        (col("x.c") * col("y.c")).as("n"))
+    cross.unionByName(idSame).unionByName(idCross)
+      .groupBy("source_a", "source_b")
+      .agg(sum("n").as("n_pairs"))
+      .filter(col("n_pairs") > 0)
   }
 }

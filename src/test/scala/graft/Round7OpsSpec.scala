@@ -330,4 +330,84 @@ class Round7OpsSpec extends TestSparkSession {
       .collect().map(key).toSet
     assert(full == pq && pq.nonEmpty)
   }
+
+  // -------- round-7 batch 2: the two-level exact collapse + rep reports
+
+  private def cliqued(base: org.apache.spark.sql.DataFrame, copies: Int) = {
+    val maxId = base.agg(max("doc_id")).first().getLong(0) + 1
+    (0 until copies).map(k =>
+      base.withColumn("doc_id", col("doc_id") + lit(k * maxId)))
+      .reduce(_ unionByName _)
+  }
+
+  test("gramSetGroups: the two-level text-digest collapse is identical " +
+      "to the one-level gram-set grouping") {
+    val docs = cliqued(Tables.documents(spark, sfDir), 3)
+    val oneLevel = Dedup.withTrigrams(docs).groupBy("grams")
+      .agg(min("doc_id").as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("grams", "rep", "members").collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1), r.getSeq[Long](2)))
+      .toSet
+    val two = rows(Dedup.gramSetGroups(docs))
+    assert(two == rows(oneLevel) && two.nonEmpty,
+      s"two-level collapse diverges (${two.size} groups)")
+  }
+
+  test("minhash LSH: expand=false round-trips to the expanded output " +
+      "(identity cliques at jac 1.0, cross pairs through member lists)") {
+    val base = graft.tools.ParaphraseBench
+      .paraphraseCorpus(Tables.documents(spark, sfDir), 2)
+    val corpus = cliqued(base, 2) // distinct near-dups AND exact cliques
+    val rep = Dedup.minhashLsh(corpus, 0.5, expand = false).collect()
+    // expand rep rows independently, driver-side
+    val handExpanded = rep.flatMap { r =>
+      val (r1, r2, jac) = (r.getAs[Long]("r1"), r.getAs[Long]("r2"),
+        r.getAs[Double]("jac"))
+      val m1 = r.getSeq[Long](r.fieldIndex("m1"))
+      val m2 = r.getSeq[Long](r.fieldIndex("m2"))
+      if (r1 == r2) {
+        assert(jac == 1.0 && m1 == m2 && m1.size >= 2,
+          s"malformed identity rep row ($r1, $r2)")
+        for (a <- m1; b <- m2 if a < b) yield (a, b, jac)
+      } else
+        for (a <- m1; b <- m2)
+          yield (math.min(a, b), math.max(a, b), jac)
+    }.toSet
+    val expanded = Dedup.minhashLsh(corpus, 0.5).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Double]("jac"))).toSet
+    assert(handExpanded == expanded && expanded.nonEmpty,
+      s"rep round-trip diverges: ${handExpanded.size} vs ${expanded.size}")
+    // and the collapse compresses once cliques exist
+    assert(rep.length < expanded.size,
+      s"expected compression: ${rep.length} rep rows vs ${expanded.size}")
+  }
+
+  test("rep-fed reports are bit-identical to their expanded twins " +
+      "(exact feed AND the shared-banding LSH feed)") {
+    val docs = cliqued(Tables.documents(spark, sfDir), 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.splitLeakageRep(docs)) ==
+      rows(Dedup.splitLeakage(docs)), "splitLeakageRep diverges")
+    assert(rows(Dedup.effectiveTokensRep(docs)) ==
+      rows(Dedup.effectiveTokens(docs)), "effectiveTokensRep diverges")
+    assert(rows(Dedup.crossSourceDupFlowRep(docs)) ==
+      rows(Dedup.crossSourceDupFlow(docs)),
+      "crossSourceDupFlowRep diverges")
+    // LSH feeds share the banding (deterministic seeds), so rep-fed and
+    // expanded-fed reports must agree exactly — recall loss cancels
+    assert(rows(Dedup.splitLeakageRep(docs,
+        repPairs = Some(Dedup.lshPairsRep(docs)))) ==
+      rows(Dedup.splitLeakage(docs,
+        pairs = Some(Dedup.lshPairs(docs)))),
+      "LSH-fed splitLeakage rep/expanded diverge")
+    assert(rows(Dedup.effectiveTokensRep(docs,
+        repPairs = Some(Dedup.lshPairsRep(docs)))) ==
+      rows(Dedup.effectiveTokens(docs,
+        pairs = Some(Dedup.lshPairs(docs)))),
+      "LSH-fed effectiveTokens rep/expanded diverge")
+  }
 }

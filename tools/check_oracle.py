@@ -29,6 +29,14 @@ def fresh_connection():
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     if os.environ.get("GRAFT_DUCKDB_NO_ORDER"):
         con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("GRAFT_DUCKDB_TMP"):
+        # in-memory connections have NO temp_directory, which DISABLES
+        # out-of-core spilling entirely — every blocking operator must
+        # fit under memory_limit (~80% RAM). The sf10 dedup oracles sit
+        # right at that edge and fail nondeterministically; pointing
+        # temp at disk turns those OOMs into spills.
+        con.execute(
+            f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
         # scale-sidecar dirs (e.g. /tmp/sf10) may carry only the

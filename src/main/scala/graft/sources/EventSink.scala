@@ -186,7 +186,26 @@ object EventSink {
       spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(root).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("event_date="))
-    parts.foreach { p =>
+    // partitions compact INDEPENDENTLY (each rewrite + atomic swap
+    // touches only its own directory), so submit them from a bounded
+    // pool instead of a sequential driver loop — serially, a 10k-date
+    // table is 10k driver round trips of mostly-idle small jobs; Spark
+    // interleaves the concurrent jobs across the executor pool
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val tasks = parts.map { p => pool.submit(new Runnable {
+      override def run(): Unit = compactOne(spark, fs, p,
+        targetBytes, maxFiles)
+    })}
+    try tasks.foreach(_.get())
+    finally pool.shutdown()
+  }
+
+  private def compactOne(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.FileStatus,
+      targetBytes: Long, maxFiles: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    {
       val files = fs.listStatus(p.getPath)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       val bytes = files.map(_.getLen).sum

@@ -1873,10 +1873,24 @@ object SparkEntry {
       GraphOps.seededPagerank(Tables.events(s, d))),
     "q_events_kcore" -> ((s, d) =>
       GraphOps.kCore(Tables.events(s, d))),
+    "q_events_kcore_capped" -> ((s, d) =>
+      GraphOps.kCoreCapped(Tables.events(s, d))),
     "q_events_triangles" -> ((s, d) =>
       GraphOps.triangleStats(Tables.events(s, d))),
+    "q_events_triangles_capped" -> ((s, d) =>
+      GraphOps.triangleStatsCapped(Tables.events(s, d))),
     "q_events_wallet_clusters" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d))),
+    "q_events_wallet_clusters_capped" -> ((s, d) =>
+      GraphOps.walletClustersCapped(Tables.events(s, d))),
+    "q_events_neighbor_sim_capped" -> ((s, d) =>
+      GraphOps.neighborSimilarityCapped(Tables.events(s, d))),
+    "q_events_edge_growth_capped" -> ((s, d) =>
+      GraphOps.edgeGrowthCapped(Tables.events(s, d))),
+    "q_events_sandwich_capped" -> ((s, d) =>
+      EventOps.sandwichTradesCapped(Tables.events(s, d))),
+    "q_events_cap_accounting" -> ((s, d) =>
+      EventOps.capAccounting(Tables.events(s, d))),
     "q_events_momentum_ic" -> ((s, d) =>
       EventOps.momentumIC(Tables.events(s, d))),
     "q_events_leadlag_ic" -> ((s, d) =>
@@ -2471,11 +2485,13 @@ object SparkEntry {
              SELECT unnest(us) AS src, us FROM b))
          WHERE src <> dst)""")
 
-  /** A71c oracle: identical unrolled steps, but each bucket keeps its
-    * 16 most-active wallets (count desc, id tie-break) instead of
-    * dropping over-cap buckets — the degrade-not-drop edge set of
-    * GraphOps.coactivityPagerankCapped, non-vacuous at any density. */
-  private lazy val pagerankCappedOracle: String = integerPagerankOracle(
+  /** Shared degrade-not-drop bucket CTEs (GraphOps.cappedBuckets): each
+    * (market, hour) keeps its 16 most-active wallets (count desc, id
+    * tie-break) instead of being dropped when over-cap — non-vacuous
+    * at any density. `cb` carries the bucket keys so day-keyed
+    * consumers (edge growth) can reuse it; every CTE that fans out is
+    * MATERIALIZED (the kcore/pagerank inlining lesson). */
+  private val cappedBucketCtes: String =
     """ac AS (
          SELECT event_type, epoch_us(ts) // 3600000000 AS mb, user_id,
                 count(*) AS cnt
@@ -2485,14 +2501,28 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY event_type, mb
                   ORDER BY cnt DESC, user_id) AS rk
          FROM ac),
-       b AS MATERIALIZED (
-         SELECT list(user_id) AS us FROM rk WHERE rk <= 16
-         GROUP BY event_type, mb HAVING count(*) >= 2),
+       cb AS MATERIALIZED (
+         SELECT event_type, mb, list(user_id) AS us FROM rk
+         WHERE rk <= 16
+         GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
+  /** [[cappedBucketCtes]] plus the directed distinct edge set `e` —
+    * the capped family's shared edge source (GraphOps
+    * .cappedCoactivityEdges). Kept separate from the bucket CTEs
+    * because DuckDB evaluates MATERIALIZED CTEs EAGERLY even when
+    * unreferenced — a consumer that never reads `e` must not pay for
+    * (or spill on) it. */
+  private val cappedEdgeCtes: String =
+    cappedBucketCtes + """,
        e AS MATERIALIZED (
          SELECT DISTINCT src, dst FROM (
            SELECT src, unnest(us) AS dst FROM (
-             SELECT unnest(us) AS src, us FROM b))
-         WHERE src <> dst)""")
+             SELECT unnest(us) AS src, us FROM cb))
+         WHERE src <> dst)"""
+
+  /** A71c oracle: identical unrolled steps over the capped edge set. */
+  private lazy val pagerankCappedOracle: String =
+    integerPagerankOracle(cappedEdgeCtes)
 
   /** Absorption-probability oracle: 10 unrolled value-iteration CTEs
     * under the A108/A71 integer contract — p₆-grid transitions from
@@ -2587,7 +2617,7 @@ object SparkEntry {
     * `AS MATERIALIZED` — the step CTE is referenced twice (src and dst
     * semi-joins), and DuckDB's default inlining would re-evaluate the
     * whole chain per reference, going exponential in the peel count. */
-  private lazy val kcoreOracle: String = {
+  private def kcoreUnrolled(edgeCtes: String): String = {
     val steps = (1 to 12).map { j =>
       s""", s$j AS MATERIALIZED (
          SELECT e.src AS node FROM e
@@ -2595,7 +2625,18 @@ object SparkEntry {
          JOIN s${j - 1} b ON e.dst = b.node
          GROUP BY 1 HAVING count(*) >= 8)"""
     }.mkString
-    s"""WITH act AS (
+    s"""WITH $edgeCtes,
+       s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)
+       $steps
+       SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       FROM e
+       JOIN s12 a ON e.src = a.node
+       JOIN s12 b ON e.dst = b.node
+       GROUP BY 1"""
+  }
+
+  private lazy val kcoreOracle: String = kcoreUnrolled(
+    """act AS (
          SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
                          user_id
          FROM events),
@@ -2609,15 +2650,10 @@ object SparkEntry {
          JOIN (SELECT a.* FROM act a JOIN sized sb
                  ON a.event_type = sb.event_type AND a.mb = sb.mb) y
            ON y.event_type = x.event_type AND y.mb = x.mb
-         WHERE x.user_id <> y.user_id),
-       s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)
-       $steps
-       SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
-       FROM e
-       JOIN s12 a ON e.src = a.node
-       JOIN s12 b ON e.dst = b.node
-       GROUP BY 1"""
-  }
+         WHERE x.user_id <> y.user_id)""")
+
+  /** A76b oracle: the same 12 unrolled peels over the capped edge set. */
+  private lazy val kcoreCappedOracle: String = kcoreUnrolled(cappedEdgeCtes)
 
   def oracleSql: Map[String, String] = {
    val m = Map(
@@ -2625,6 +2661,149 @@ object SparkEntry {
     "q_events_pagerank_capped" -> pagerankCappedOracle,
     "q_events_taint" -> taintOracle,
     "q_events_kcore" -> kcoreOracle,
+    "q_events_kcore_capped" -> kcoreCappedOracle,
+    "q_events_triangles_capped" ->
+      s"""WITH $cappedEdgeCtes,
+         eu AS (SELECT src, dst FROM e WHERE src < dst),
+         deg AS (
+           SELECT node, count(*) AS deg FROM (
+             SELECT src AS node FROM eu
+             UNION ALL SELECT dst AS node FROM eu) GROUP BY 1),
+         tri AS (
+           SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+           FROM eu ab
+           JOIN eu bc ON ab.dst = bc.src
+           JOIN eu ac ON ac.src = ab.src AND ac.dst = bc.dst),
+         pn AS (
+           SELECT node, count(*) AS tri FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b AS node FROM tri
+             UNION ALL SELECT c AS node FROM tri) GROUP BY 1)
+         SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+                CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+                CAST(CASE WHEN d.deg >= 2
+                     THEN (2 * COALESCE(p.tri, 0) * 1000000)
+                            // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS cc_1e6
+         FROM deg d LEFT JOIN pn p ON d.node = p.node""",
+    "q_events_wallet_clusters_capped" ->
+      s"""WITH $cappedEdgeCtes,
+         cl AS (
+           SELECT a AS wallet, least(a, min(b)) AS cluster_id FROM (
+             WITH RECURSIVE reach(a, b) AS (
+               SELECT src, dst FROM e
+               UNION
+               SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src)
+             SELECT a, b FROM reach)
+           GROUP BY a),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM cl GROUP BY 1)
+         SELECT cl.wallet, cl.cluster_id,
+                CAST(sz.cluster_size AS BIGINT) AS cluster_size
+         FROM cl JOIN sz USING (cluster_id)""",
+    "q_events_neighbor_sim_capped" ->
+      s"""WITH $cappedEdgeCtes,
+         und AS (SELECT src, dst FROM e WHERE src < dst),
+         deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         centers AS (SELECT node AS z,
+                 CAST(round(1.0 / deg, 9) AS DECIMAL(12,9)) AS ra_w
+               FROM deg WHERE deg <= 256),
+         wedges AS (
+           SELECT e1.src AS a, e2.dst AS b, c.ra_w
+           FROM e e1
+           JOIN e e2 ON e1.dst = e2.src
+           JOIN centers c ON e1.dst = c.z
+           WHERE e1.src < e2.dst),
+         pairs AS (
+           SELECT a, b, count(*) AS common, sum(ra_w) AS ra
+           FROM wedges GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p.a, p.b, p.common, da.deg AS deg_a, db.deg AS deg_b,
+                CAST(p.common AS DOUBLE) /
+                  CAST(da.deg + db.deg - p.common AS DOUBLE) AS jaccard,
+                CAST(p.ra AS DOUBLE) AS ra_score,
+                COALESCE(u.is_edge, false) AS is_edge
+         FROM pairs p
+         JOIN deg da ON p.a = da.node
+         JOIN deg db ON p.b = db.node
+         LEFT JOIN (SELECT src AS a, dst AS b, true AS is_edge FROM und) u
+           ON p.a = u.a AND p.b = u.b""",
+    "q_events_edge_growth_capped" ->
+      s"""WITH $cappedBucketCtes,
+         dp AS (
+           SELECT DISTINCT db, a, b FROM (
+             SELECT mb // 24 AS db, a, unnest(us) AS b FROM (
+               SELECT mb, unnest(us) AS a, us FROM cb))
+           WHERE a < b),
+         fs AS (SELECT a, b, min(db) AS first_db FROM dp GROUP BY 1, 2)
+         SELECT dp.db * 86400 AS day, count(*) AS n_pairs,
+                count(*) FILTER (WHERE dp.db = fs.first_db) AS n_new,
+                CAST(count(*) FILTER (WHERE dp.db = fs.first_db)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_ratio
+         FROM dp JOIN fs ON dp.a = fs.a AND dp.b = fs.b
+         GROUP BY dp.db""",
+    "q_events_sandwich_capped" ->
+      """WITH t AS (
+           SELECT epoch_us(ts) // 3600000000 AS mb, event_id, user_id,
+                  event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         rkt AS (
+           SELECT t.*, row_number() OVER (PARTITION BY mb
+             ORDER BY event_id) AS rk
+           FROM t),
+         tt AS MATERIALIZED (
+           SELECT mb, event_id, user_id, event_type, cents
+           FROM rkt WHERE rk <= 1024),
+         br AS (
+           SELECT mb, user_id AS attacker,
+                  min(CASE WHEN event_type = 'purchase'
+                      THEN event_id END) AS b,
+                  max(CASE WHEN event_type = 'view'
+                      THEN event_id END) AS s
+           FROM tt GROUP BY 1, 2
+           HAVING b IS NOT NULL AND s IS NOT NULL AND s > b)
+         SELECT br.attacker,
+                CAST(count(DISTINCT br.mb) AS BIGINT) AS n_hours,
+                CAST(count(*) AS BIGINT) AS n_victim_trades,
+                CAST(count(DISTINCT tt.user_id) AS BIGINT) AS n_victims,
+                CAST(sum(tt.cents) AS BIGINT) AS victim_cents
+         FROM br JOIN tt ON tt.mb = br.mb
+         WHERE tt.user_id <> br.attacker
+           AND tt.event_id > br.b AND tt.event_id < br.s
+         GROUP BY 1""",
+    "q_events_cap_accounting" -> {
+      def row(family: String, cap: Int, src: String) =
+        s"""SELECT '$family' AS family, CAST($cap AS BIGINT) AS cap,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(COALESCE(sum(CASE WHEN n > $cap THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_buckets_capped,
+           CAST(COALESCE(sum(n), 0) AS BIGINT) AS units_total,
+           CAST(COALESCE(sum(least(n, $cap)), 0) AS BIGINT) AS units_kept,
+           CAST(COALESCE(sum(n), 0) - COALESCE(sum(least(n, $cap)), 0)
+                AS BIGINT) AS units_dropped
+           FROM $src"""
+      s"""WITH co AS (
+           SELECT count(*) AS n FROM (
+             SELECT DISTINCT event_type,
+                    epoch_us(ts) // 3600000000 AS mb, user_id
+             FROM events)
+           GROUP BY event_type, mb HAVING count(*) >= 2),
+         sides AS MATERIALIZED (
+           SELECT epoch_us(ts) // 3600000000 AS mb, user_id,
+                  count(*) FILTER (event_type = 'purchase') AS nb,
+                  count(*) FILTER (event_type = 'view') AS ns
+           FROM events WHERE event_type IN ('purchase', 'view')
+           GROUP BY 1, 2),
+         bu AS (SELECT count(*) AS n FROM sides WHERE nb > 0 GROUP BY mb),
+         se AS (SELECT count(*) AS n FROM sides WHERE ns > 0 GROUP BY mb),
+         sa AS (SELECT count(*) AS n FROM events
+                WHERE event_type IN ('purchase', 'view')
+                GROUP BY epoch_us(ts) // 3600000000)
+         ${row("coactivity_hour_wallets", 16, "co")}
+         UNION ALL ${row("wash_hour_buyers", 1024, "bu")}
+         UNION ALL ${row("wash_hour_sellers", 1024, "se")}
+         UNION ALL ${row("sandwich_hour_trades", 1024, "sa")}"""
+    },
     "q_events_triangles" ->
       """WITH act AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,

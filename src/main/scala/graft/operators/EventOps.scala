@@ -1639,14 +1639,51 @@ object EventOps {
   def sandwichTrades(
       events: DataFrame,
       maxBucketTrades: Int = 1024): DataFrame = {
-    val t = events
+    val t = sandwichTradeRows(events)
+    val sized = t.groupBy("mb").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucketTrades).select("mb")
+    sandwichOn(t.join(sized, "mb"))
+  }
+
+  /** A72b: sandwich detection under the degrade-not-drop cap — the
+    * rank-cap twin of [[sandwichTrades]]: hot hours keep their FIRST
+    * `maxBucketTrades` trades in execution order (event_id asc)
+    * instead of being dropped whole. Prefix retention preserves the
+    * pattern's semantics exactly — a bracket and its victims found in
+    * the retained prefix are a true bracket and true victims of the
+    * full stream (removing later trades can neither create a bracket
+    * nor misplace a victim inside one), so the capped result is a
+    * sound SUBSET of the uncapped signal where the drop filter
+    * returned nothing at all. The rank filter plans as a
+    * WindowGroupLimit (top-N per bucket map-side, no full per-hour
+    * sort); join fan-out stays ≤ cap · brackets per bucket at any
+    * density. */
+  def sandwichTradesCapped(
+      events: DataFrame,
+      maxBucketTrades: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // explicit bucket repartition before the rank window — the
+    // bracket join downstream fans out quadratically in bucket size
+    // and AQE sizes stages by map input (the washPairs lesson)
+    val nPart = math.max(32,
+      events.sparkSession.sessionState.conf.numShufflePartitions)
+    val tt = sandwichTradeRows(events)
+      .repartition(nPart, col("mb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("mb")).orderBy(col("event_id"))))
+      .filter(col("rk") <= maxBucketTrades)
+      .drop("rk")
+    sandwichOn(tt)
+  }
+
+  private def sandwichTradeRows(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type").isin("purchase", "view"))
       .select(expr("unix_micros(ts) div 3600000000").as("mb"),
         col("event_id"), col("user_id"), col("event_type"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    val sized = t.groupBy("mb").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxBucketTrades).select("mb")
-    val tt = t.join(sized, "mb")
+
+  private def sandwichOn(tt: DataFrame): DataFrame = {
     val brackets = tt.groupBy("mb", "user_id")
       .agg(min(when(col("event_type") === "purchase", col("event_id")))
           .as("b"),
@@ -2763,6 +2800,71 @@ object EventOps {
       .select(col("user_id"), col("lot"), col("buy_id"), col("sell_id"),
         col("buy_ts_us"), col("sell_ts_us"),
         (col("sell_ts_us") - col("buy_ts_us")).as("holding_us"))
+  }
+
+  /** A113: dropped-data accounting for every capped operator family —
+    * the "no silent caps" contract made first-class output. Each row
+    * reports one cap family's bucket population: how many buckets
+    * exist, how many run over the cap (and therefore degrade under the
+    * rank cap / vanish under the drop filter), and the unit totals a
+    * capped run keeps vs sheds. This is the batch analog of the
+    * reference's dropped-event counters on its bounded subscription
+    * queues (`common/subscription.rs`): the consumer always sees HOW
+    * MUCH the bound cost, instead of inferring it from silence.
+    *
+    * Families (cap in the row):
+    *  - `coactivity_hour_wallets` — distinct wallets per (market, hour)
+    *    bucket vs the graph family's `maxGroupSize` (A71–A102).
+    *  - `wash_hour_buyers` / `wash_hour_sellers` — per-hour side
+    *    membership vs [[washPairs]]' `maxBucketWallets`.
+    *  - `sandwich_hour_trades` — per-hour trade count vs
+    *    [[sandwichTrades]]' `maxBucketTrades`.
+    *
+    * Exact integers end to end; each family is one keyed count plus a
+    * metadata-sized rollup — the accounting costs one aggregate per
+    * family, never a pair fan-out. */
+  def capAccounting(
+      events: DataFrame,
+      coactivityCap: Int = 16,
+      washCap: Int = 1024,
+      sandwichCap: Int = 1024): DataFrame = {
+    def rollup(buckets: DataFrame, family: String, cap: Int): DataFrame =
+      buckets
+        .agg(count(lit(1)).as("n_buckets"),
+          coalesce(sum(when(col("n") > cap, 1L).otherwise(0L)), lit(0L))
+            .as("n_buckets_capped"),
+          coalesce(sum(col("n")), lit(0L)).as("units_total"),
+          coalesce(sum(least(col("n"), lit(cap.toLong))), lit(0L))
+            .as("units_kept"))
+        .select(lit(family).as("family"), lit(cap.toLong).as("cap"),
+          col("n_buckets"), col("n_buckets_capped"), col("units_total"),
+          col("units_kept"),
+          (col("units_total") - col("units_kept")).as("units_dropped"))
+    val coact = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("mb"), col("user_id"))
+      .distinct()
+      .groupBy("event_type", "mb").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2) // singleton buckets produce no pairs ever
+    val sides = events
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("mb"),
+        col("user_id"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("nb"),
+        count(when(col("event_type") === "view", 1)).as("ns"))
+      .localCheckpoint() // feeds both side rollups
+    val buyers = sides.filter(col("nb") > 0)
+      .groupBy("mb").agg(count(lit(1)).as("n"))
+    val sellers = sides.filter(col("ns") > 0)
+      .groupBy("mb").agg(count(lit(1)).as("n"))
+    val sand = events
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("mb"))
+      .agg(count(lit(1)).as("n"))
+    rollup(coact, "coactivity_hour_wallets", coactivityCap)
+      .unionAll(rollup(buyers, "wash_hour_buyers", washCap))
+      .unionAll(rollup(sellers, "wash_hour_sellers", washCap))
+      .unionAll(rollup(sand, "sandwich_hour_trades", sandwichCap))
   }
 
   /** A111: diurnal concentration — how much of a type's activity piles

@@ -50,11 +50,9 @@ object GraphOps {
     * integer arithmetic, only the join strategy differs. */
   val DefaultBroadcastNodeLimit: Long = 2L * 1000 * 1000
 
-  /** Directed co-activity edge list: (src, dst) for every ordered pair
-    * of wallets active in the same (market, hour) group, groups larger
-    * than `maxGroupSize` dropped BEFORE the quadratic pair fan-out.
-    * Both directions are present (the graph is symmetric); filter
-    * `src < dst` for the undirected edge set.
+  /** Per-(market, hour) membership lists under the DROP policy: groups
+    * larger than `maxGroupSize` are deleted whole before the quadratic
+    * pair fan-out. Output: (event_type, mb, us) with 2 ≤ |us| ≤ cap.
     *
     * Shape: the 3-key distinct runs FIRST (hashed on the full key, so
     * map-side partials collapse a wallet's many same-hour events before
@@ -64,14 +62,11 @@ object GraphOps {
     * count and the membership join, and without the materialization
     * each consumer re-runs the scan + dedup shuffle (measured: the AQE
     * stage cache does NOT dedupe the branches — column pruning gives
-    * them different canonical schemas). The pair fan-out is a map-side
-    * double-explode over per-group user lists collected AFTER the size
-    * filter (so the list is bounded by `maxGroupSize` — a corpus-wide
-    * hot hour never materializes its membership anywhere), replacing a
-    * self-join that re-shuffled the activity set twice more. One raw
-    * scan + one raw-sized shuffle total; everything after moves
-    * distinct-activity-sized data. */
-  def coactivityEdges(events: DataFrame, maxGroupSize: Int): DataFrame = {
+    * them different canonical schemas). The membership list is
+    * collected AFTER the size filter, so a corpus-wide hot hour never
+    * materializes its membership anywhere. */
+  private def droppedBuckets(
+      events: DataFrame, maxGroupSize: Int): DataFrame = {
     // distinct (market, hour, wallet) activity, materialized once
     val act = events.select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("mb"),
@@ -85,11 +80,75 @@ object GraphOps {
     act.join(sized, Seq("event_type", "mb"))
       .groupBy("event_type", "mb")
       .agg(collect_list(col("user_id")).as("us")) // bounded ≤ maxGroupSize
+  }
+
+  /** Per-(market, hour) membership lists under the DEGRADE policy: each
+    * bucket keeps its `maxGroupSize` MOST-ACTIVE wallets (event count
+    * desc, wallet id tie-break) instead of being dropped when over-cap
+    * — non-vacuous at ANY density, fan-out still ≤ cap² per bucket.
+    * This is the rank-cap the whole capped family shares; Spark plans
+    * the rank filter as a WindowGroupLimit (top-N per partition
+    * map-side), never a full per-bucket sort. */
+  private def cappedBuckets(
+      events: DataFrame, maxGroupSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-(market, hour) wallet activity counts — the ranking signal
+    val act = events.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("mb"),
+        col("user_id"))
+      .groupBy("event_type", "mb", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    // explicit bucket repartition before the rank window: the
+    // wallet-bucket table is small enough for AQE to coalesce to one
+    // partition, but the explode downstream fans it out quadratically
+    // and AQE sizes stages by map INPUT (the washPairs lesson) — pin
+    // the exchange so one task never owns every bucket's fan-out
+    val nPart = math.max(32,
+      events.sparkSession.sessionState.conf.numShufflePartitions)
+    act.repartition(nPart, col("event_type"), col("mb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"), col("mb"))
+          .orderBy(col("cnt").desc, col("user_id"))))
+      .filter(col("rk") <= maxGroupSize)
+      .groupBy("event_type", "mb")
+      .agg(collect_list(col("user_id")).as("us")) // bounded ≤ maxGroupSize
+      .filter(size(col("us")) >= 2)
+  }
+
+  /** Map-side double-explode of per-bucket membership into the directed
+    * distinct edge set — pair fan-out is bounded by the builders' cap,
+    * replacing a self-join that would re-shuffle the activity set
+    * twice more. */
+  private def edgesFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
       .select(explode(col("us")).as("src"), col("us"))
       .select(col("src"), explode(col("us")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-  }
+
+  /** Directed co-activity edge list: (src, dst) for every ordered pair
+    * of wallets active in the same (market, hour) group, groups larger
+    * than `maxGroupSize` dropped BEFORE the quadratic pair fan-out.
+    * Both directions are present (the graph is symmetric); filter
+    * `src < dst` for the undirected edge set. One raw scan + one
+    * raw-sized shuffle total; everything after moves
+    * distinct-activity-sized data (see [[droppedBuckets]]).
+    *
+    * CAUTION at production density: the drop filter goes VACUOUS when
+    * every bucket is over-cap (witnessed at sf10 — empty graph, 0-row
+    * oracle match). Use [[cappedCoactivityEdges]] wherever density is
+    * unknown. */
+  def coactivityEdges(events: DataFrame, maxGroupSize: Int): DataFrame =
+    edgesFromBuckets(droppedBuckets(events, maxGroupSize))
+
+  /** Directed co-activity edge list under the degrade-not-drop rank cap
+    * ([[cappedBuckets]]): hot hours contribute their `maxGroupSize`
+    * most-active wallets instead of vanishing — the edge source the
+    * whole capped family (pagerank, triangles, k-core, clusters,
+    * neighbor similarity, edge growth) shares. */
+  def cappedCoactivityEdges(
+      events: DataFrame, maxGroupSize: Int): DataFrame =
+    edgesFromBuckets(cappedBuckets(events, maxGroupSize))
 
   /** Wallets ranked by 10 rounds of damped (0.85) integer PageRank over
     * the "active in the same market-hour" graph. Output: one row per
@@ -134,35 +193,9 @@ object GraphOps {
       events: DataFrame,
       iterations: Int = 10,
       maxGroupSize: Int = 16,
-      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // per-(market, hour) wallet activity counts — the ranking signal
-    val act = events.select(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("mb"),
-        col("user_id"))
-      .groupBy("event_type", "mb", "user_id")
-      .agg(count(lit(1)).as("cnt"))
-    // explicit bucket repartition before the rank window: the
-    // wallet-bucket table is small enough for AQE to coalesce to one
-    // partition, but the explode below fans it out quadratically and
-    // AQE sizes stages by map INPUT (the washPairs lesson) — pin the
-    // exchange so one task never owns every bucket's fan-out
-    val nPart = math.max(32,
-      events.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranked = act.repartition(nPart, col("event_type"), col("mb"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("event_type"), col("mb"))
-          .orderBy(col("cnt").desc, col("user_id"))))
-      .filter(col("rk") <= maxGroupSize)
-    val edges = ranked.groupBy("event_type", "mb")
-      .agg(collect_list(col("user_id")).as("us")) // bounded ≤ maxGroupSize
-      .filter(size(col("us")) >= 2)
-      .select(explode(col("us")).as("src"), col("us"))
-      .select(col("src"), explode(col("us")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    integerPagerankOn(edges, iterations, broadcastNodeLimit)
-  }
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
+    integerPagerankOn(cappedCoactivityEdges(events, maxGroupSize),
+      iterations, broadcastNodeLimit)
 
   /** The shared 10-round integer-PageRank loop over a prebuilt directed
     * edge list — extracted so the dropped-bucket and capped-bucket edge
@@ -305,8 +338,30 @@ object GraphOps {
       k: Int = 8,
       maxPeels: Int = 12,
       maxGroupSize: Int = 64,
-      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
-    val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
+    kCoreOn(coactivityEdges(events, maxGroupSize), k, maxPeels,
+      broadcastNodeLimit)
+
+  /** A76b: k-core over the CAPPED edge set — the degrade-not-drop twin
+    * of [[kCore]]: at production density the drop filter empties the
+    * graph and the "core" silently vanishes; the rank cap keeps each
+    * hot hour's heaviest wallets in play, which is where the ring
+    * signal lives. Identical peel arithmetic. */
+  def kCoreCapped(
+      events: DataFrame,
+      k: Int = 8,
+      maxPeels: Int = 12,
+      maxGroupSize: Int = 16,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
+    kCoreOn(cappedCoactivityEdges(events, maxGroupSize), k, maxPeels,
+      broadcastNodeLimit)
+
+  private def kCoreOn(
+      rawEdges: DataFrame,
+      k: Int,
+      maxPeels: Int,
+      broadcastNodeLimit: Long): DataFrame = {
+    val edges = rawEdges.localCheckpoint()
     var survivors = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
     var nSurv = survivors.count()
@@ -348,8 +403,24 @@ object GraphOps {
   def walletClusters(
       events: DataFrame,
       maxGroupSize: Int = 16,
-      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
-    val pairs = coactivityEdges(events, maxGroupSize)
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
+    walletClustersOn(coactivityEdges(events, maxGroupSize),
+      broadcastNodeLimit)
+
+  /** A74b: connected components over the CAPPED edge set — the
+    * degrade-not-drop twin of [[walletClusters]]; see
+    * [[cappedCoactivityEdges]]. Same label-propagation fixed point. */
+  def walletClustersCapped(
+      events: DataFrame,
+      maxGroupSize: Int = 16,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
+    walletClustersOn(cappedCoactivityEdges(events, maxGroupSize),
+      broadcastNodeLimit)
+
+  private def walletClustersOn(
+      edges: DataFrame,
+      broadcastNodeLimit: Long): DataFrame = {
+    val pairs = edges
       .filter(col("src") < col("dst"))
       .select(col("src").as("d1"), col("dst").as("d2"))
     val labels = Dedup.canonicalize(pairs,
@@ -381,8 +452,21 @@ object GraphOps {
     * triangles of pure noise, cap 16 ⇒ 15k meaningful ones). */
   def triangleStats(
       events: DataFrame,
-      maxGroupSize: Int = 16): DataFrame = {
-    val e = coactivityEdges(events, maxGroupSize)
+      maxGroupSize: Int = 16): DataFrame =
+    triangleStatsOn(coactivityEdges(events, maxGroupSize))
+
+  /** A73b: triangles/clustering over the CAPPED edge set — the
+    * degrade-not-drop twin of [[triangleStats]]; the per-node degree
+    * bound the wedge enumeration needs holds under the rank cap too
+    * (each bucket contributes ≤ cap wallets), so wedge fan-out stays
+    * Σ deg² over capped degrees at ANY density. */
+  def triangleStatsCapped(
+      events: DataFrame,
+      maxGroupSize: Int = 16): DataFrame =
+    triangleStatsOn(cappedCoactivityEdges(events, maxGroupSize))
+
+  private def triangleStatsOn(directedEdges: DataFrame): DataFrame = {
+    val e = directedEdges
       .filter(col("src") < col("dst"))
       .localCheckpoint()
     val deg = e.select(col("src").as("node"))
@@ -418,19 +502,21 @@ object GraphOps {
     * aggregate per pair for first-seen, one day-keyed rollup — pair
     * volume is bounded by the group cap exactly like every graph
     * operator here. */
-  def edgeGrowth(events: DataFrame, maxGroupSize: Int = 16): DataFrame = {
-    val act = events.select(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("mb"),
-        col("user_id"))
-      .distinct()
-      .localCheckpoint()
-    val sized = act.groupBy("event_type", "mb")
-      .agg(count(lit(1)).as("gs"))
-      .filter(col("gs") >= 2 && col("gs") <= maxGroupSize)
-      .select(col("event_type"), col("mb"))
-    val dayPairs = act.join(sized, Seq("event_type", "mb"))
-      .groupBy("event_type", "mb")
-      .agg(collect_list(col("user_id")).as("us"))
+  def edgeGrowth(events: DataFrame, maxGroupSize: Int = 16): DataFrame =
+    edgeGrowthOn(droppedBuckets(events, maxGroupSize))
+
+  /** A102b: edge formation over the CAPPED buckets — the
+    * degrade-not-drop twin of [[edgeGrowth]]: the new-edge-burst signal
+    * this operator exists for (a ring spinning up) happens exactly when
+    * buckets densify past the cap, which is when the drop filter
+    * deletes the burst. Rank-capped buckets keep the heaviest wallets'
+    * pairings visible at any density. */
+  def edgeGrowthCapped(
+      events: DataFrame, maxGroupSize: Int = 16): DataFrame =
+    edgeGrowthOn(cappedBuckets(events, maxGroupSize))
+
+  private def edgeGrowthOn(buckets: DataFrame): DataFrame = {
+    val dayPairs = buckets
       .select(expr("mb div 24").as("db"),
         explode(col("us")).as("a"), col("us"))
       .select(col("db"), col("a"), explode(col("us")).as("b"))
@@ -472,8 +558,27 @@ object GraphOps {
       events: DataFrame,
       maxGroupSize: Int = 16,
       maxDeg: Int = 256,
-      minCommon: Int = 2): DataFrame = {
-    val und = coactivityEdges(events, maxGroupSize)
+      minCommon: Int = 2): DataFrame =
+    neighborSimilarityOn(coactivityEdges(events, maxGroupSize),
+      maxDeg, minCommon)
+
+  /** A95b: neighbor-overlap similarity over the CAPPED edge set — the
+    * degrade-not-drop twin of [[neighborSimilarity]]; the hub guard
+    * (`maxDeg` wedge-center cap) composes with the bucket rank cap, so
+    * the wedge fan-out stays bounded on BOTH axes at any density. */
+  def neighborSimilarityCapped(
+      events: DataFrame,
+      maxGroupSize: Int = 16,
+      maxDeg: Int = 256,
+      minCommon: Int = 2): DataFrame =
+    neighborSimilarityOn(cappedCoactivityEdges(events, maxGroupSize),
+      maxDeg, minCommon)
+
+  private def neighborSimilarityOn(
+      directedEdges: DataFrame,
+      maxDeg: Int,
+      minCommon: Int): DataFrame = {
+    val und = directedEdges
       .filter(col("src") < col("dst"))
       .localCheckpoint()
     // both directions for the wedge walk; degree per node

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, GraphOps}
+import graft.operators.{EventOps, GraphOps, Similarity}
 
 /** Round-8 surfaces: degrade-not-drop across the whole co-activity
   * family (the round-7 verdict's top item — the bucket drop-filter was
@@ -108,6 +108,52 @@ class Round8OpsSpec extends TestSparkSession {
     val want = EventOps.sandwichTrades(prefix, Int.MaxValue)
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(got === want && got.nonEmpty)
+  }
+
+  test("ivfCoarseCentroids with a caller-supplied count submits zero " +
+      "jobs and is bit-identical to the counting path") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.ivfCoarseCentroids(emb, centEvery = 7,
+        maxCells = 16, rowCount = Some(n))
+      Thread.sleep(1000) // listener bus is async
+      assert(jobs.get() === 0,
+        "building the quantizer with a known count must not scan")
+      val got = df.select("cent_id").collect().map(_.getLong(0)).toSet
+      val want = Similarity.ivfCoarseCentroids(emb, centEvery = 7,
+          maxCells = 16)
+        .select("cent_id").collect().map(_.getLong(0)).toSet
+      assert(got === want && got.nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("quantizer guard widens at the exact boundary instead of " +
+      "dropping the largest sampled id") {
+    // 21 dense ids, centEvery 5, maxCells 4: the domain holds FIVE
+    // multiples of 5 (0,5,10,15,20) — the old n/centEvery guard kept
+    // the narrow stride and limit(4) silently dropped id 20; the
+    // fixed guard widens to ceil(21/4)=6 and keeps the whole range
+    val df = (0 until 21)
+      .map(i => (i.toLong, Array.fill(4)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCoarseCentroids(df, centEvery = 5,
+        maxCells = 4)
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(cents === Set(0L, 6L, 12L, 18L))
+    // at exactly centEvery·maxCells multiples the historical sampling
+    // is reproduced — no spurious widening
+    val atCap = Similarity.ivfCoarseCentroids(df.filter(col("vec_id") <
+        20), centEvery = 5, maxCells = 4)
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(atCap === Set(0L, 5L, 10L, 15L))
   }
 
   test("capAccounting reports exact kept/capped/dropped arithmetic") {

@@ -138,12 +138,19 @@ object SparkEntry {
         .withColumn("event_id", col("event_id") + lit(10000000000L))
       sources.EventSink.upsertEvents(
         corrections.unionByName(appends), dir)
-      sources.EventSink.readPartitioned(s, dir)
+      // materialize the readback BEFORE deleting the scratch copy —
+      // the temp dir held a full partitioned clone of the events table
+      // and used to leak on every bench/verify run
+      val out = sources.EventSink.readPartitioned(s, dir)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(expr("cast(round(value * 100, 0) as bigint)"))
             .as("sum_cents"))
+        .localCheckpoint(eager = true)
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir)))
+      out
     }),
     // A29d driven END TO END: full table written, then every date with
     // epoch-day % 7 = 3 re-delivered with corrected values; dynamic
@@ -159,12 +166,19 @@ object SparkEntry {
         .filter(expr("(unix_micros(ts) div 86400000000) % 7") === 3)
         .withColumn("value", col("value") + lit(2.0))
       sources.EventSink.backfillDates(corrected, dir)
-      sources.EventSink.readPartitioned(s, dir)
+      // materialize the readback BEFORE deleting the scratch copy —
+      // the temp dir held a full partitioned clone of the events table
+      // and used to leak on every bench/verify run
+      val out = sources.EventSink.readPartitioned(s, dir)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(expr("cast(round(value * 100, 0) as bigint)"))
             .as("sum_cents"))
+        .localCheckpoint(eager = true)
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir)))
+      out
     }),
     // A29b driven END TO END: the layout written deliberately fragmented
     // (8 bucket files per date), compacted in place to one file per
@@ -179,12 +193,19 @@ object SparkEntry {
       sources.EventSink.writePartitionedByDay(ev, dir, buckets = 8)
       sources.EventSink.compactPartitions(s, dir,
         targetBytes = 1L << 40, maxFiles = 1)
-      sources.EventSink.readPartitioned(s, dir)
+      // materialize the readback BEFORE deleting the scratch copy —
+      // the temp dir held a full partitioned clone of the events table
+      // and used to leak on every bench/verify run
+      val out = sources.EventSink.readPartitioned(s, dir)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(expr("cast(round(value * 100, 0) as bigint)"))
             .as("sum_cents"))
+        .localCheckpoint(eager = true)
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir)))
+      out
     }),
     "q_events_asof_tolerance" -> ((s, d) => {
       val ev = Tables.events(s, d)

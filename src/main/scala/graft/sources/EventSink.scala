@@ -184,6 +184,25 @@ object EventSink {
     val root = new Path(path)
     val fs = root.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // crash hygiene BEFORE planning: a driver death between
+    // [[compactOne]]'s swap renames leaves a `.compact_*` orphan (copy
+    // written, swap not started) or a `.old_*` orphan (original moved
+    // aside) — invisible to readers (dot-dirs) but leaking space, and
+    // after a mid-swap crash the LIVE directory may be missing
+    // entirely. Recover conservatively: the original (`.old_`) is
+    // authoritative when the live dir is gone (restored partitions
+    // then re-compact in this very run); stale copies are deleted
+    // either way.
+    fs.listStatus(root).filter(_.isDirectory).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".old_event_date=")) {
+        val live = new Path(root, n.stripPrefix(".old_"))
+        if (!fs.exists(live)) fs.rename(s.getPath, live)
+        else fs.delete(s.getPath, true)
+      } else if (n.startsWith(".compact_event_date=")) {
+        fs.delete(s.getPath, true)
+      }
+    }
     val parts = fs.listStatus(root).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("event_date="))
     // partitions compact INDEPENDENTLY (each rewrite + atomic swap
@@ -197,6 +216,16 @@ object EventSink {
         targetBytes, maxFiles)
     })}
     try tasks.foreach(_.get())
+    catch { case e: Throwable =>
+      // fail FAST and fail QUIET: cancel the queued compactions and
+      // wait out the in-flight ones before rethrowing, so a caller
+      // observing the failure never races concurrent rename/swap
+      // activity still mutating the table behind its back
+      tasks.foreach(_.cancel(false))
+      pool.shutdownNow()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      throw e
+    }
     finally pool.shutdown()
   }
 

@@ -508,8 +508,13 @@ object EventStreamPipelines {
     * as an oracle-checkable equation. */
   def dedupReplayAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_ddr_${memCounter.incrementAndGet()}"
-    val inc = s"${System.getProperty("java.io.tmpdir")}/graft_ddr_" +
-      s"${memCounter.incrementAndGet()}"
+    // createTempDirectory, NOT tmpdir + a per-JVM counter: two
+    // concurrent harness JVMs restart the counter at the same value,
+    // so counter paths collide — one JVM then appends a SECOND pair of
+    // parquet files into the other's replay source (4 deliveries, a
+    // failed oracle) or deletes the dir out from under a running query
+    val inc = java.nio.file.Files.createTempDirectory("graft_ddr_")
+      .toString
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     ev.coalesce(1).write.mode("append").parquet(inc)
@@ -541,8 +546,9 @@ object EventStreamPipelines {
     * so the streamed store shares `q_events_quantile_store`'s oracle
     * verbatim. */
   def histIngestAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_hi_" +
-      s"${memCounter.incrementAndGet()}"
+    // collision-proof scratch (see dedupReplayAvailableNow)
+    val base = java.nio.file.Files.createTempDirectory("graft_hi_")
+      .toString
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     ev.filter(col("event_id") % 2 === 0)
@@ -569,8 +575,9 @@ object EventStreamPipelines {
     * estimate itself stays spec-pinned with its error bound, like the
     * rest of the sketch family. */
   def sketchIngestAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_si_" +
-      s"${memCounter.incrementAndGet()}"
+    // collision-proof scratch (see dedupReplayAvailableNow)
+    val base = java.nio.file.Files.createTempDirectory("graft_si_")
+      .toString
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     ev.filter(col("event_id") % 2 === 0)

@@ -77,7 +77,12 @@ object ParaphraseBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val corpusPath = "/tmp/para_corpus"
+    // per-run scratch root: fixed /tmp paths let concurrent or stale
+    // runs clobber each other's corpora and silently skew the
+    // recall/wall numbers this tool exists to report
+    val scratch = java.nio.file.Files.createTempDirectory("graft_para_")
+      .toString
+    val corpusPath = s"$scratch/corpus"
     paraphraseCorpus(graft.Tables.documents(spark, srcDir), variants)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(corpusPath)
@@ -96,16 +101,16 @@ object ParaphraseBench {
 
     val (lsh, lshSec) = timed {
       Dedup.lshPairs(docs, tau).write.mode("overwrite")
-        .parquet("/tmp/para_lsh")
-      spark.read.parquet("/tmp/para_lsh").count()
+        .parquet(s"$scratch/lsh")
+      spark.read.parquet(s"$scratch/lsh").count()
     }
     val (exact, exactSec) = timed {
       Dedup.ngramJaccard(docs, tau).select("d1", "d2").write
-        .mode("overwrite").parquet("/tmp/para_exact")
-      spark.read.parquet("/tmp/para_exact").count()
+        .mode("overwrite").parquet(s"$scratch/exact")
+      spark.read.parquet(s"$scratch/exact").count()
     }
-    val inter = spark.read.parquet("/tmp/para_lsh")
-      .join(spark.read.parquet("/tmp/para_exact"), Seq("d1", "d2"))
+    val inter = spark.read.parquet(s"$scratch/lsh")
+      .join(spark.read.parquet(s"$scratch/exact"), Seq("d1", "d2"))
       .count()
     val recall = if (exact == 0) 1.0 else inter.toDouble / exact
     val json =
@@ -116,6 +121,8 @@ object ParaphraseBench {
         f""""recall":$recall%.4f}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(scratch)))
     spark.stop()
   }
 }

@@ -156,6 +156,42 @@ class Round8OpsSpec extends TestSparkSession {
     assert(atCap === Set(0L, 5L, 10L, 15L))
   }
 
+  test("compactPartitions sweeps stale crash dirs, restores a missing " +
+      "live partition, and preserves content") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("r8compact")
+      .toString
+    val ev = Tables.events(spark, sfDir)
+    graft.sources.EventSink.writePartitionedByDay(ev, dir, buckets = 4)
+    val want = graft.sources.EventSink.readPartitioned(spark, dir)
+      .count()
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(dir)).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("event_date="))
+      .sortBy(_.getPath.getName)
+    assert(parts.length >= 2, "need two partitions to plant crashes")
+    // crash state A: driver died mid-swap — live dir moved aside, the
+    // compacted copy never renamed in
+    val p0 = parts(0).getPath
+    assert(fs.rename(p0, new Path(dir, ".old_" + p0.getName)))
+    fs.mkdirs(new Path(dir, ".compact_" + p0.getName))
+    // crash state B: copy written, swap never started
+    val p1 = parts(1).getPath
+    fs.mkdirs(new Path(dir, ".compact_" + p1.getName))
+    graft.sources.EventSink.compactPartitions(spark, dir,
+      targetBytes = 1L << 40, maxFiles = 1)
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    assert(!names.exists(_.startsWith(".old_")) &&
+      !names.exists(_.startsWith(".compact_")),
+      s"stale crash dirs survived: ${names.mkString(", ")}")
+    assert(names.contains(p0.getName), "mid-swap partition not restored")
+    assert(graft.sources.EventSink.readPartitioned(spark, dir)
+      .count() === want)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("capAccounting reports exact kept/capped/dropped arithmetic") {
     // 20 wallets co-active in one hour; 3 of them buy, 2 sell
     val co = (1 to 20).map(w => ((w + 500).toLong, w.toLong, 0L, "m",

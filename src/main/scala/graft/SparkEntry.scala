@@ -104,6 +104,8 @@ object SparkEntry {
     }),
     "q_events_session_native" -> ((s, d) =>
       EventOps.sessionizeNative(Tables.events(s, d))),
+    "q_stream_session_legacy" -> ((s, d) =>
+      streaming.EventStreamPipelines.sessionLegacyAvailableNow(s, d)),
     "q_stream_session_native" -> ((s, d) =>
       streaming.EventStreamPipelines.sessionNativeAvailableNow(s, d)),
     "q_stream_session_timeout" -> ((s, d) =>
@@ -3292,6 +3294,28 @@ object SparkEntry {
                 max(ts_us) + 1800000000 AS end_us,
                 count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
          FROM c GROUP BY user_id, sid""",
+    "q_stream_session_legacy" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                    FROM events),
+         f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                              WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                                THEN 1
+                              ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us, event_id)),
+         g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sid
+               FROM f),
+         s AS (SELECT user_id, sid, min(ts_us) AS start_us,
+                      max(ts_us) AS end_us,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM g GROUP BY 1, 2),
+         lasts AS (SELECT user_id, max(sid) AS sid FROM s GROUP BY 1)
+         SELECT s.user_id, s.start_us, s.end_us, s.n_events
+         FROM s JOIN lasts ON s.user_id = lasts.user_id
+           AND s.sid = lasts.sid""",
     "q_stream_session_native" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
                            CAST(value AS DECIMAL(18,2)) AS v FROM events),

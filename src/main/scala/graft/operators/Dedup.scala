@@ -336,12 +336,46 @@ object Dedup {
     * clique expansion. [[canonicalizeRep]] and the rep-fed reports
     * consume it directly.
     */
+  /** Standard S-curve banding plan (Leskovec/Rajaraman/Ullman MMDS
+    * §3.4.3 — the same optimizer public MinHashLSH libraries ship):
+    * among the factorizations b·r = numHashes, minimize
+    * `fpWeight·∫₀^τ p(s) ds + fnWeight·∫_τ^1 (1 − p(s)) ds` where
+    * `p(s) = 1 − (1 − s^r)^b` is the any-band collision probability of
+    * a pair at Jaccard s. Returns (bands, rowsPerBand).
+    *
+    * At τ = 0.5, numHashes = 64 the optimum is (16, 4) — the curve's
+    * inflection `(1/b)^(1/r)` sits exactly on the threshold — which is
+    * also the historical hand-tuned default, so every committed output
+    * is unchanged; other thresholds now get a properly tuned curve
+    * (e.g. τ = 0.7 → (8, 8), τ = 0.3 → (32, 2)) instead of a fixed
+    * one. Deterministic: pure arithmetic, first minimum wins. */
+  def lshPlan(tau: Double, numHashes: Int = 64,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    def cost(b: Int, r: Int): Double = {
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      val n = 1000
+      def integ(lo: Double, hi: Double)(f: Double => Double) = {
+        val h = (hi - lo) / n
+        (0 until n).iterator.map(i => f(lo + h * (i + 0.5))).sum * h
+      }
+      fpWeight * integ(0, tau)(p) + fnWeight * integ(tau, 1)(s => 1 - p(s))
+    }
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+      .minBy { case (b, r) => cost(b, r) }
+  }
+
   def minhashLsh(
       docs: DataFrame, tau: Double,
-      numHashes: Int = 64, bands: Int = 16,
+      numHashes: Int = 64, bands: Int = 0,
       expand: Boolean = true): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
+    // bands = 0 (default) derives the banding from the threshold via
+    // the S-curve plan instead of trusting a fixed split to suit every
+    // tau; an explicit bands value is honored verbatim
+    val effBands = if (bands > 0) bands else lshPlan(tau, numHashes)._1
+    require(numHashes % effBands == 0)
+    val rows = numHashes / effBands
     val groups = gramSetGroups(docs)
       .localCheckpoint() // identity pairs, signatures, verification and
                          // the member expansion all read it
@@ -363,7 +397,7 @@ object Dedup {
     // band b's key = hash of its signature slice; one row per (rep, band)
     val banded = sigs
       .select(col("rep"), col("sig"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+        explode(expr(s"sequence(0, ${effBands - 1})")).as("band"))
       .select(col("rep"), col("band"),
         expr(s"xxhash64(band, slice(sig, band * $rows + 1, $rows))").as("bh"))
     val candidates = banded.as("a")
@@ -648,7 +682,7 @@ object Dedup {
     * is LSH false negatives — the documented recall trade every
     * at-scale dedup makes. */
   def lshPairs(docs: DataFrame, tau: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16): DataFrame =
+      numHashes: Int = 64, bands: Int = 0): DataFrame =
     minhashLsh(docs, tau, numHashes, bands).select("d1", "d2")
 
   /** C7g/C2 composed: the rep-level LSH candidate source — what
@@ -659,7 +693,7 @@ object Dedup {
     * clique size while this stays ∝ distinct content + true near-dups —
     * the shape that survives 100 TB. */
   def lshPairsRep(docs: DataFrame, tau: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16): DataFrame =
+      numHashes: Int = 64, bands: Int = 0): DataFrame =
     minhashLsh(docs, tau, numHashes, bands, expand = false)
       .select("r1", "r2", "m1", "m2")
 

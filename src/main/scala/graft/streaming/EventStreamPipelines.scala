@@ -1149,6 +1149,56 @@ object EventStreamPipelines {
             col("cum_buy_n").cast("double")).as("pnl_cents"))
   }
 
+  /** A17 driver surface: [[sessionStream]] (the legacy
+    * mapGroupsWithState path) run to completion against a TIME-SPLIT
+    * two-file replay — the second micro-batch's events all land after
+    * the first's, so the per-wallet state genuinely carries sessions
+    * across the batch boundary (extend or restart, the thing a
+    * single-trigger run can't prove). The final emission per wallet is
+    * its LAST session; end_us only moves forward under a time-ordered
+    * replay, so max-by-end picks it deterministically, and the
+    * SQL-islands oracle reproduces it by taking each wallet's max
+    * session id — the legacy path thereby gets the same driver-oracled
+    * treatment as its transformWithState siblings (A17g) instead of a
+    * spec-only existence proof. */
+  def sessionLegacyAvailableNow(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val name = s"graft_stream_ssl_${memCounter.incrementAndGet()}"
+    val inc = java.nio.file.Files.createTempDirectory("graft_ssl_")
+      .toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // deterministic time split at the midpoint of the observed span
+    val mm = ev.agg(expr("min(unix_micros(ts))").as("lo"),
+      expr("max(unix_micros(ts))").as("hi")).head()
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    ev.filter(expr(s"unix_micros(ts) < ${cut}L"))
+      .coalesce(1).write.mode("append").parquet(inc)
+    ev.filter(expr(s"unix_micros(ts) >= ${cut}L"))
+      .coalesce(1).write.mode("append").parquet(inc)
+    val src = graft.Tables.tzNormalize(spark.readStream
+      .schema(spark.read.parquet(inc).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inc))
+    val q = sessionStream(src, gapMinutes).toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("end_us"), col("start_us"), col("n_events")))
+        .as("s"))
+      .select(col("user_id"), col("s.start_us").as("start_us"),
+        col("s.end_us").as("end_us"),
+        col("s.n_events").cast("bigint").as("n_events"))
+      .localCheckpoint(eager = true)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(inc)))
+    out
+  }
+
   /** A17: stateful sessionization with mapGroupsWithState (processing-time
     * timeout flushes idle wallets). Emits one running session summary per
     * wallet per trigger. */

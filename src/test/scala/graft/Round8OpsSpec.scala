@@ -192,6 +192,35 @@ class Round8OpsSpec extends TestSparkSession {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("lshPlan follows the S-curve: tau 0.5 reproduces the committed " +
+      "(16,4) split; other thresholds get tuned bands") {
+    import graft.operators.Dedup
+    assert(Dedup.lshPlan(0.5) === ((16, 4)))
+    assert(Dedup.lshPlan(0.7) === ((8, 8)))
+    assert(Dedup.lshPlan(0.3) === ((32, 2)))
+    // wider target similarity → steeper curve (never MORE bands)
+    val bands = Seq(0.2, 0.35, 0.5, 0.65, 0.8).map(Dedup.lshPlan(_)._1)
+    assert(bands === bands.sorted.reverse)
+  }
+
+  test("auto-tuned LSH recall >= 0.9 at tau 0.5 on the paraphrase " +
+      "corpus — the recall contract, not a hand-picked accident") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val para = graft.tools.ParaphraseBench.paraphraseCorpus(docs, 4)
+      .localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.ngramJaccard(para, 0.5))
+    val lsh = pairs(Dedup.lshPairs(para, 0.5)) // bands from lshPlan
+    assert(lsh.subsetOf(exact), "LSH emitted a non-verified pair")
+    assert(exact.size >= 1000, s"too few true pairs: ${exact.size}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"auto-tuned LSH recall $recall over ${exact.size} pairs")
+  }
+
   test("capAccounting reports exact kept/capped/dropped arithmetic") {
     // 20 wallets co-active in one hour; 3 of them buy, 2 sell
     val co = (1 to 20).map(w => ((w + 500).toLong, w.toLong, 0L, "m",

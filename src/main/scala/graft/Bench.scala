@@ -192,7 +192,16 @@ object Bench {
     "q_sink_upsert",
     "q_sink_compact",
     // C65: soft dedup (rep-level labels + multiplicity histogram)
-    "q_docs_soft_dedup")
+    "q_docs_soft_dedup",
+    // round 8: the degrade-not-drop co-activity family + cap accounting
+    "q_events_triangles_capped",
+    "q_events_kcore_capped",
+    "q_events_wallet_clusters_capped",
+    "q_events_neighbor_sim_capped",
+    "q_events_edge_growth_capped",
+    "q_events_sandwich_capped",
+    "q_events_cap_accounting",
+    "q_stream_session_legacy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

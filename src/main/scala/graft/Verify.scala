@@ -14,9 +14,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // memory-sink Complete-mode results collect to the driver; the
-      // sf10 session table overflows the 1g default (oracle surface
-      // only — production streams write to real sinks, never memory)
-      .config("spark.driver.maxResultSize", "8g")
+      // sf10 session table overflows the 1g default and the sf100 one
+      // brushes 8g (oracle surface only — production streams write to
+      // real sinks, never memory)
+      .config("spark.driver.maxResultSize", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -6612,7 +6612,9 @@ object SparkEntry {
                FROM r JOIN th ON r.event_type = th.event_type
                WHERE r.rk <= 100 GROUP BY 1)
          SELECT event_type, k_used, x_k1_cents,
-                CAST(k_used AS DOUBLE) / CAST(s AS DOUBLE) AS alpha
+                CASE WHEN s <> 0
+                     THEN CAST(k_used AS DOUBLE) / CAST(s AS DOUBLE)
+                END AS alpha
          FROM s""",
     "q_events_spearman" ->
       """WITH hourly AS (

@@ -24,8 +24,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // run queries on a small pool: per-query wall time is dominated by
     // job-scheduling overhead on these small inputs, and Spark happily
-    // interleaves jobs from multiple submitter threads
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // interleaves jobs from multiple submitter threads. At the big
+    // scale sidecars (sf100) four concurrent heavy plans can exceed
+    // the heap together even when each fits alone — SPARK_GRAFT_POOL=1
+    // serializes them (scale-harness knob, like SPARK_GRAFT_ONLY)
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     // local subset runs (builder-side scale checks); the driver leaves
     // this unset and gets the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -2321,7 +2321,13 @@ object EventOps {
         first("x_k1_cents").as("x_k1_cents"),
         sum(lnR6(col("cents")) - col("ln_thresh")).as("s"))
       .select(col("event_type"), col("k_used"), col("x_k1_cents"),
-        (col("k_used").cast("double") / col("s").cast("double"))
+        // s = 0 ⟺ the top k+1 values are ALL identical (every ln diff
+        // vanishes) — a replicated/flat-tail corpus produces exactly
+        // this at density (witnessed: ANSI divide-by-zero at sf100).
+        // The tail index is undefined there (α → ∞); emit NULL, which
+        // both engines agree on, instead of throwing or NaN
+        when(col("s") =!= 0,
+          col("k_used").cast("double") / col("s").cast("double"))
           .as("alpha"))
   }
 

@@ -81,7 +81,7 @@ object Bench {
     "q_docs_select_budget",
     "q_events_realized_pnl",
     "q_events_pagerank",
-    "q_events_pagerank_capped",
+    "q_events_pagerank_dropall",
     "q_events_triangles",
     "q_events_wallet_clusters",
     "q_events_taint",
@@ -105,6 +105,7 @@ object Bench {
     // them wall-clock regression coverage too
     "q_ann_ivf_topk",
     "q_ann_pq_topk",
+    "q_ann_pq_topk_served",
     "q_dedup_docs_hyperplane",
     "q_dedup_docs_hyperplane_rep",
     "q_dedup_docs_corpus_rep",
@@ -193,13 +194,14 @@ object Bench {
     "q_sink_compact",
     // C65: soft dedup (rep-level labels + multiplicity histogram)
     "q_docs_soft_dedup",
-    // round 8: the degrade-not-drop co-activity family + cap accounting
-    "q_events_triangles_capped",
-    "q_events_kcore_capped",
-    "q_events_wallet_clusters_capped",
-    "q_events_neighbor_sim_capped",
-    "q_events_edge_growth_capped",
-    "q_events_sandwich_capped",
+    // round 9: the unsuffixed co-activity family now RUNS the
+    // degrade-not-drop default (capped semantics — neighbor_sim /
+    // edge_growth already sit in the main list above); the _dropall
+    // twins keep the opt-in legacy drop policy measured
+    "q_events_triangles_dropall",
+    "q_events_kcore_dropall",
+    "q_events_wallet_clusters_dropall",
+    "q_events_sandwich_dropall",
     "q_events_cap_accounting",
     "q_stream_session_legacy")
 

@@ -47,6 +47,13 @@ object SparkEntry {
         sum("n_attributed").as("total_attributed"))))
   }
 
+  /** Per-corpus-dir codebook cache backing `q_ann_pq_topk_served` —
+    * the train-once half of the serve-path contract (Similarity
+    * .pqTopK's `codebook` parameter). Process-lifetime by design: the
+    * bench/verify harnesses are one JVM per run. */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. event-stream surface ----
     "q_events_filter_types" -> ((s, d) =>
@@ -142,7 +149,11 @@ object SparkEntry {
         corrections.unionByName(appends), dir)
       // materialize the readback BEFORE deleting the scratch copy —
       // the temp dir held a full partitioned clone of the events table
-      // and used to leak on every bench/verify run
+      // and used to leak on every bench/verify run. LOCAL-MODE-ONLY
+      // assumption: localCheckpoint blocks are non-replayable, so on a
+      // real cluster an executor loss after the delete would make the
+      // result unrecoverable — cluster reuse must collect first or use
+      // a reliable checkpoint dir instead
       val out = sources.EventSink.readPartitioned(s, dir)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
           col("event_type"))
@@ -170,7 +181,11 @@ object SparkEntry {
       sources.EventSink.backfillDates(corrected, dir)
       // materialize the readback BEFORE deleting the scratch copy —
       // the temp dir held a full partitioned clone of the events table
-      // and used to leak on every bench/verify run
+      // and used to leak on every bench/verify run. LOCAL-MODE-ONLY
+      // assumption: localCheckpoint blocks are non-replayable, so on a
+      // real cluster an executor loss after the delete would make the
+      // result unrecoverable — cluster reuse must collect first or use
+      // a reliable checkpoint dir instead
       val out = sources.EventSink.readPartitioned(s, dir)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
           col("event_type"))
@@ -197,7 +212,11 @@ object SparkEntry {
         targetBytes = 1L << 40, maxFiles = 1)
       // materialize the readback BEFORE deleting the scratch copy —
       // the temp dir held a full partitioned clone of the events table
-      // and used to leak on every bench/verify run
+      // and used to leak on every bench/verify run. LOCAL-MODE-ONLY
+      // assumption: localCheckpoint blocks are non-replayable, so on a
+      // real cluster an executor loss after the delete would make the
+      // result unrecoverable — cluster reuse must collect first or use
+      // a reliable checkpoint dir instead
       val out = sources.EventSink.readPartitioned(s, dir)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("db"),
           col("event_type"))
@@ -1888,30 +1907,35 @@ object SparkEntry {
       EventOps.walletOverlap(Tables.events(s, d))),
     "q_events_gini" -> ((s, d) =>
       EventOps.giniByType(Tables.events(s, d))),
+    // co-activity family: the unsuffixed keys run the degrade-not-drop
+    // default (round-9 flip — the round-8 sf100 sidecar witnessed the
+    // drop policy silently vacuous at production density); `_dropall`
+    // twins keep the opt-in legacy policy oracled at organic density
     "q_events_pagerank" -> ((s, d) =>
       GraphOps.coactivityPagerank(Tables.events(s, d))),
-    "q_events_pagerank_capped" -> ((s, d) =>
-      GraphOps.coactivityPagerankCapped(Tables.events(s, d))),
+    "q_events_pagerank_dropall" -> ((s, d) =>
+      GraphOps.coactivityPagerank(Tables.events(s, d),
+        maxGroupSize = 64, policy = GraphOps.DropAll)),
     "q_events_taint" -> ((s, d) =>
       GraphOps.seededPagerank(Tables.events(s, d))),
+    "q_events_taint_dropall" -> ((s, d) =>
+      GraphOps.seededPagerank(Tables.events(s, d),
+        maxGroupSize = 64, policy = GraphOps.DropAll)),
     "q_events_kcore" -> ((s, d) =>
       GraphOps.kCore(Tables.events(s, d))),
-    "q_events_kcore_capped" -> ((s, d) =>
-      GraphOps.kCoreCapped(Tables.events(s, d))),
+    "q_events_kcore_dropall" -> ((s, d) =>
+      GraphOps.kCore(Tables.events(s, d), maxGroupSize = 64,
+        policy = GraphOps.DropAll)),
     "q_events_triangles" -> ((s, d) =>
       GraphOps.triangleStats(Tables.events(s, d))),
-    "q_events_triangles_capped" -> ((s, d) =>
-      GraphOps.triangleStatsCapped(Tables.events(s, d))),
+    "q_events_triangles_dropall" -> ((s, d) =>
+      GraphOps.triangleStats(Tables.events(s, d),
+        policy = GraphOps.DropAll)),
     "q_events_wallet_clusters" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d))),
-    "q_events_wallet_clusters_capped" -> ((s, d) =>
-      GraphOps.walletClustersCapped(Tables.events(s, d))),
-    "q_events_neighbor_sim_capped" -> ((s, d) =>
-      GraphOps.neighborSimilarityCapped(Tables.events(s, d))),
-    "q_events_edge_growth_capped" -> ((s, d) =>
-      GraphOps.edgeGrowthCapped(Tables.events(s, d))),
-    "q_events_sandwich_capped" -> ((s, d) =>
-      EventOps.sandwichTradesCapped(Tables.events(s, d))),
+    "q_events_wallet_clusters_dropall" -> ((s, d) =>
+      GraphOps.walletClusters(Tables.events(s, d),
+        policy = GraphOps.DropAll)),
     "q_events_cap_accounting" -> ((s, d) =>
       EventOps.capAccounting(Tables.events(s, d))),
     "q_events_momentum_ic" -> ((s, d) =>
@@ -1929,6 +1953,9 @@ object SparkEntry {
         Long.MinValue, Long.MaxValue)),
     "q_events_sandwich" -> ((s, d) =>
       EventOps.sandwichTrades(Tables.events(s, d))),
+    "q_events_sandwich_dropall" -> ((s, d) =>
+      EventOps.sandwichTrades(Tables.events(s, d),
+        policy = GraphOps.DropAll)),
     "q_events_wash_pairs" -> ((s, d) =>
       EventOps.washPairs(Tables.events(s, d))),
     "q_events_vpin" -> ((s, d) =>
@@ -2126,6 +2153,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), 64, 5)
     }),
+    // train-once-serve-many PQ: the codebook is cached per corpus dir,
+    // so Bench's two-sweep-min design measures the pure SERVE wall on
+    // sweep 2 (sweep 1 pays the one-time Lloyd training) — the
+    // production regime pqTopK(codebook = ...) exists for. Results are
+    // bit-identical to q_ann_pq_topk by construction (same codebook
+    // arithmetic, injected instead of retrained).
+    "q_ann_pq_topk_served" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = pqCodebookCache.computeIfAbsent(d, _ =>
+        Similarity.pqCodebook(emb, 64).localCheckpoint(eager = true))
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 64, 5,
+        codebook = Some(cb))
+    }),
     "q_ann_ivf_centroids" -> ((s, d) =>
       Similarity.centroids(
         Tables.embeddings(s, d).select(col("label"), col("embedding")),
@@ -2204,6 +2244,9 @@ object SparkEntry {
       EventOps.cusumChangePoints(Tables.events(s, d))),
     "q_events_neighbor_sim" -> ((s, d) =>
       GraphOps.neighborSimilarity(Tables.events(s, d))),
+    "q_events_neighbor_sim_dropall" -> ((s, d) =>
+      GraphOps.neighborSimilarity(Tables.events(s, d),
+        policy = GraphOps.DropAll)),
     "q_docs_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d),
         Seq("spark", "window", "merge"))),
@@ -2241,6 +2284,9 @@ object SparkEntry {
       TextAnalysis.temperatureMixture(Tables.documents(s, d))),
     "q_events_edge_growth" -> ((s, d) =>
       GraphOps.edgeGrowth(Tables.events(s, d))),
+    "q_events_edge_growth_dropall" -> ((s, d) =>
+      GraphOps.edgeGrowth(Tables.events(s, d),
+        policy = GraphOps.DropAll)),
     "q_ann_rrf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.rrfFusion(emb, emb.filter(col("vec_id") < 10))
@@ -2590,7 +2636,7 @@ object SparkEntry {
     * see the blow-up note there), but rank mass starts on (and
     * restarts to) the seed wallets — the `ns`-way truncating splits
     * mirror the Spark loop's Long divisions exactly. */
-  private lazy val taintOracle: String = {
+  private def taintOracleOn(edgeCtes: String): String = {
     val steps = (1 to 10).map { k =>
       s""", p$k AS (
          SELECT d.src AS node,
@@ -2605,18 +2651,7 @@ object SparkEntry {
                 JOIN d d2 ON e.src = d2.src
            GROUP BY e.dst) i ON d.src = i.dnode)"""
     }.mkString
-    s"""WITH act AS (
-         SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
-                         user_id
-         FROM events),
-       b AS MATERIALIZED (
-         SELECT list(user_id) AS us FROM act
-         GROUP BY event_type, mb HAVING count(*) BETWEEN 2 AND 64),
-       e AS MATERIALIZED (
-         SELECT DISTINCT src, dst FROM (
-           SELECT src, unnest(us) AS dst FROM (
-             SELECT unnest(us) AS src, us FROM b))
-         WHERE src <> dst),
+    s"""WITH $edgeCtes,
        d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        seeds AS (
          SELECT t.user_id AS seed FROM (
@@ -2635,6 +2670,28 @@ object SparkEntry {
               CAST(p.pr AS BIGINT) AS taint
        FROM d JOIN p10 p ON d.src = p.node"""
   }
+
+  /** Drop-policy (cap 64) edge CTEs — the legacy opt-in edge source
+    * the `_dropall` taint twin verifies against. */
+  private val dropEdgeCtes64: String =
+    """act AS (
+         SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
+                         user_id
+         FROM events),
+       b AS MATERIALIZED (
+         SELECT list(user_id) AS us FROM act
+         GROUP BY event_type, mb HAVING count(*) BETWEEN 2 AND 64),
+       e AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, unnest(us) AS dst FROM (
+             SELECT unnest(us) AS src, us FROM b))
+         WHERE src <> dst)"""
+
+  /** Seeded-pagerank oracle over the default capped edge set. */
+  private lazy val taintOracle: String = taintOracleOn(cappedEdgeCtes)
+  /** Seeded-pagerank oracle over the opt-in drop-policy edge set. */
+  private lazy val taintDropallOracle: String =
+    taintOracleOn(dropEdgeCtes64)
 
   /** k-core oracle: `maxPeels` peel rounds unrolled; each step MUST be
     * `AS MATERIALIZED` — the step CTE is referenced twice (src and dst
@@ -2680,12 +2737,16 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
    val m = Map(
-    "q_events_pagerank" -> pagerankOracle,
-    "q_events_pagerank_capped" -> pagerankCappedOracle,
+    // co-activity family: since round 9 the UNSUFFIXED keys run the
+    // degrade-not-drop (CapTop) default — the `_dropall` twins verify
+    // the opt-in legacy drop policy at organic density
+    "q_events_pagerank" -> pagerankCappedOracle,
+    "q_events_pagerank_dropall" -> pagerankOracle,
     "q_events_taint" -> taintOracle,
-    "q_events_kcore" -> kcoreOracle,
-    "q_events_kcore_capped" -> kcoreCappedOracle,
-    "q_events_triangles_capped" ->
+    "q_events_taint_dropall" -> taintDropallOracle,
+    "q_events_kcore" -> kcoreCappedOracle,
+    "q_events_kcore_dropall" -> kcoreOracle,
+    "q_events_triangles" ->
       s"""WITH $cappedEdgeCtes,
          eu AS (SELECT src, dst FROM e WHERE src < dst),
          deg AS (
@@ -2709,7 +2770,7 @@ object SparkEntry {
                             // (d.deg * (d.deg - 1))
                      ELSE 0 END AS BIGINT) AS cc_1e6
          FROM deg d LEFT JOIN pn p ON d.node = p.node""",
-    "q_events_wallet_clusters_capped" ->
+    "q_events_wallet_clusters" ->
       s"""WITH $cappedEdgeCtes,
          cl AS (
            SELECT a AS wallet, least(a, min(b)) AS cluster_id FROM (
@@ -2724,7 +2785,7 @@ object SparkEntry {
          SELECT cl.wallet, cl.cluster_id,
                 CAST(sz.cluster_size AS BIGINT) AS cluster_size
          FROM cl JOIN sz USING (cluster_id)""",
-    "q_events_neighbor_sim_capped" ->
+    "q_events_neighbor_sim" ->
       s"""WITH $cappedEdgeCtes,
          und AS (SELECT src, dst FROM e WHERE src < dst),
          deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
@@ -2750,7 +2811,7 @@ object SparkEntry {
          JOIN deg db ON p.b = db.node
          LEFT JOIN (SELECT src AS a, dst AS b, true AS is_edge FROM und) u
            ON p.a = u.a AND p.b = u.b""",
-    "q_events_edge_growth_capped" ->
+    "q_events_edge_growth" ->
       s"""WITH $cappedBucketCtes,
          dp AS (
            SELECT DISTINCT db, a, b FROM (
@@ -2764,7 +2825,7 @@ object SparkEntry {
                      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_ratio
          FROM dp JOIN fs ON dp.a = fs.a AND dp.b = fs.b
          GROUP BY dp.db""",
-    "q_events_sandwich_capped" ->
+    "q_events_sandwich" ->
       """WITH t AS (
            SELECT epoch_us(ts) // 3600000000 AS mb, event_id, user_id,
                   event_type,
@@ -2827,7 +2888,7 @@ object SparkEntry {
          UNION ALL ${row("wash_hour_sellers", 1024, "se")}
          UNION ALL ${row("sandwich_hour_trades", 1024, "sa")}"""
     },
-    "q_events_triangles" ->
+    "q_events_triangles_dropall" ->
       """WITH act AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
                            user_id
@@ -2953,7 +3014,7 @@ object SparkEntry {
                   (sqrt(CAST(n * sss - ss * ss AS DOUBLE)) *
                    sqrt(CAST(n * sff - sf * sf AS DOUBLE))) AS ic
          FROM p""",
-    "q_events_wallet_clusters" ->
+    "q_events_wallet_clusters_dropall" ->
       """WITH act AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
                            user_id
@@ -2984,7 +3045,7 @@ object SparkEntry {
          SELECT cl.wallet, cl.cluster_id,
                 CAST(sz.cluster_size AS BIGINT) AS cluster_size
          FROM cl JOIN sz USING (cluster_id)""",
-    "q_events_sandwich" ->
+    "q_events_sandwich_dropall" ->
       """WITH t AS (
            SELECT epoch_us(ts) // 3600000000 AS mb, event_id, user_id,
                   event_type,
@@ -6213,7 +6274,7 @@ object SparkEntry {
          t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
                FROM g GROUP BY 1),
          p AS (SELECT g.event_type, digit, n, total,
-                 CASE digit
+                 CAST(CASE digit
                    WHEN 1 THEN 0.3010299956639812
                    WHEN 2 THEN 0.17609125905568124
                    WHEN 3 THEN 0.12493873660829992
@@ -6223,7 +6284,7 @@ object SparkEntry {
                    WHEN 7 THEN 0.05799194697768673
                    WHEN 8 THEN 0.05115252244738129
                    WHEN 9 THEN 0.04575749056067514
-                 END AS benford_p
+                 END AS DOUBLE) AS benford_p
                FROM g JOIN t ON g.event_type = t.event_type)
          SELECT event_type, digit, n, total,
                 CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
@@ -6280,7 +6341,7 @@ object SparkEntry {
                           ELSE sdn END AS VARCHAR) AS cusum_scaled
          FROM l
          WHERE (hitup AND NOT prevup) OR (hitdn AND NOT prevdn)""",
-    "q_events_neighbor_sim" ->
+    "q_events_neighbor_sim_dropall" ->
       """WITH act AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
                            user_id
@@ -6711,7 +6772,7 @@ object SparkEntry {
          SELECT NULL, 0, 0, NULL, NULL,
                 1000000 - (SELECT CAST(sum(alloc_tokens) AS BIGINT)
                            FROM a)""",
-    "q_events_edge_growth" ->
+    "q_events_edge_growth_dropall" ->
       """WITH act AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS mb,
                            user_id

@@ -569,16 +569,18 @@ object Dedup {
   def canonicalize(pairs: DataFrame, maxIterations: Int = 64,
       broadcastNodeLimit: Long = GraphOps.DefaultBroadcastNodeLimit)
       : DataFrame = {
-    // Iterative algorithm: truncate lineage each round (localCheckpoint is
-    // eager) — otherwise every iteration re-derives the whole upstream
+    // Iterative algorithm: truncate lineage each round (eager local
+    // checkpoint by default; spark.graft.reliableCheckpoint=true swaps
+    // in executor-loss-safe reliable checkpoints — Checkpoints.scala)
+    // — otherwise every iteration re-derives the whole upstream
     // pair pipeline and plan size grows combinatorially.
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("doc_id"))
-      .union(edges.select(col("b").as("doc_id"))).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+    val edges = Checkpoints.truncate(
+      pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    var labels = Checkpoints.truncate(
+      edges.select(col("a").as("doc_id"))
+        .union(edges.select(col("b").as("doc_id"))).distinct()
+        .withColumn("label", col("doc_id")))
     // label state is node-sized (two ids per row): when the graph is
     // small enough, broadcast it into the per-round joins so a round
     // never re-shuffles the edge list — same policy as the GraphOps
@@ -595,13 +597,12 @@ object Dedup {
         }, col("b") === col("b2"))
         .groupBy(col("a").as("doc_id"))
         .agg(min("label").as("nlabel"))
-      val next = labels.join(
+      val next = Checkpoints.truncate(labels.join(
           if (bcast) broadcast(viaNeighbor) else viaNeighbor,
           Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+            .as("label")))
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.drop("prev")
       round += 1

@@ -1632,49 +1632,53 @@ object EventOps {
     * Shape: one keyed aggregate builds each wallet's (first buy, last
     * sell) bracket per bucket, then ONE equi-join on the bucket pulls
     * the trades strictly inside the bracket — fan-out is brackets ×
-    * trades per bucket, so buckets beyond `maxBucketTrades` are dropped
-    * first (the bounded-hot-key policy of `Dedup.ngramJaccard`). All
-    * comparisons are exact integers on the event_id total order; no
-    * windows, no floats. */
+    * trades per bucket, bounded by `maxBucketTrades` under either
+    * policy. Default [[GraphOps.CapTop]]: hot hours keep their FIRST
+    * `maxBucketTrades` trades in execution order (event_id asc) —
+    * prefix retention preserves the pattern's semantics exactly (a
+    * bracket and its victims found in the retained prefix are a true
+    * bracket and true victims of the full stream: removing later
+    * trades can neither create a bracket nor misplace a victim inside
+    * one), so the capped result is a sound SUBSET of the uncapped
+    * signal at any density. The rank filter plans as a
+    * WindowGroupLimit (top-N per bucket map-side, no full per-hour
+    * sort). [[GraphOps.DropAll]] (opt-in) drops over-cap buckets whole
+    * — the `Dedup.ngramJaccard` policy, silently vacuous at production
+    * density (the round-8 sf100 witness). All comparisons are exact
+    * integers on the event_id total order; no windows, no floats. */
   def sandwichTrades(
       events: DataFrame,
-      maxBucketTrades: Int = 1024): DataFrame = {
-    val t = sandwichTradeRows(events)
-    val sized = t.groupBy("mb").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxBucketTrades).select("mb")
-    sandwichOn(t.join(sized, "mb"))
-  }
+      maxBucketTrades: Int = 1024,
+      policy: GraphOps.OverCapPolicy = GraphOps.CapTop): DataFrame =
+    policy match {
+      case GraphOps.CapTop =>
+        import org.apache.spark.sql.expressions.Window
+        // explicit bucket repartition before the rank window — the
+        // bracket join downstream fans out quadratically in bucket size
+        // and AQE sizes stages by map input (the washPairs lesson)
+        val nPart = math.max(32,
+          events.sparkSession.sessionState.conf.numShufflePartitions)
+        val tt = sandwichTradeRows(events)
+          .repartition(nPart, col("mb"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("mb")).orderBy(col("event_id"))))
+          .filter(col("rk") <= maxBucketTrades)
+          .drop("rk")
+        sandwichOn(tt)
+      case GraphOps.DropAll =>
+        val t = sandwichTradeRows(events)
+        val sized = t.groupBy("mb").agg(count(lit(1)).as("c"))
+          .filter(col("c") <= maxBucketTrades).select("mb")
+        sandwichOn(t.join(sized, "mb"))
+    }
 
-  /** A72b: sandwich detection under the degrade-not-drop cap — the
-    * rank-cap twin of [[sandwichTrades]]: hot hours keep their FIRST
-    * `maxBucketTrades` trades in execution order (event_id asc)
-    * instead of being dropped whole. Prefix retention preserves the
-    * pattern's semantics exactly — a bracket and its victims found in
-    * the retained prefix are a true bracket and true victims of the
-    * full stream (removing later trades can neither create a bracket
-    * nor misplace a victim inside one), so the capped result is a
-    * sound SUBSET of the uncapped signal where the drop filter
-    * returned nothing at all. The rank filter plans as a
-    * WindowGroupLimit (top-N per bucket map-side, no full per-hour
-    * sort); join fan-out stays ≤ cap · brackets per bucket at any
-    * density. */
+  /** A72b: sandwich detection under the degrade-not-drop prefix cap —
+    * since round 9 identical to [[sandwichTrades]]'s default; kept as
+    * a named alias. */
   def sandwichTradesCapped(
       events: DataFrame,
-      maxBucketTrades: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // explicit bucket repartition before the rank window — the
-    // bracket join downstream fans out quadratically in bucket size
-    // and AQE sizes stages by map input (the washPairs lesson)
-    val nPart = math.max(32,
-      events.sparkSession.sessionState.conf.numShufflePartitions)
-    val tt = sandwichTradeRows(events)
-      .repartition(nPart, col("mb"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("mb")).orderBy(col("event_id"))))
-      .filter(col("rk") <= maxBucketTrades)
-      .drop("rk")
-    sandwichOn(tt)
-  }
+      maxBucketTrades: Int = 1024): DataFrame =
+    sandwichTrades(events, maxBucketTrades, GraphOps.CapTop)
 
   private def sandwichTradeRows(events: DataFrame): DataFrame =
     events
@@ -1789,6 +1793,16 @@ object EventOps {
       .join(dcounts.as("b"), col("b.pid") < col("a.pid"), "left")
       .groupBy(col("a.pid").as("pid"))
       .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    // packed-key headroom guard: dense ranks must stay below 2^31 or
+    // min*2^32+max overflows the signed pair key (see comment below).
+    // dict0 is checkpointed and the per-partition counts are
+    // metadata-sized, so this one action is ~free next to the fan-out.
+    val dictCount = dcounts.agg(coalesce(sum(col("c")), lit(0L)))
+      .head.getLong(0)
+    require(dictCount < (1L << 31),
+      s"washPairs: $dictCount distinct wallets exceeds the 2^31-1 " +
+      "packed-pair-key capacity (min_uid*2^32+max_uid must stay " +
+      "positive in a signed long); shard the corpus or widen the key")
     val dict = dict0.join(broadcast(doffs), "pid")
       .withColumn("uid", row_number().over(
         Window.partitionBy("pid").orderBy("user_id")) + col("off"))
@@ -1810,9 +1824,13 @@ object EventOps {
     // cost of the whole query (~755M rows at sf10) and its row was
     // (long, long, bool) = 32 unsafe-row bytes; packing moves 16 — the
     // repartition+aggregate now ships half the bytes for the same
-    // information. The dictionary ids are dense ranks, so 32 bits hold
-    // 4.3e9 DISTINCT trading wallets (two orders of magnitude above
-    // any real chain's wallet population); ua ≥ 1 keeps the packed
+    // information. The dictionary ids are dense ranks; positivity of
+    // `min*2^32 + max` in a SIGNED long requires min < 2^31, so the
+    // packed key holds 2.1e9 DISTINCT trading wallets (≈ 2 orders of
+    // magnitude above any real chain's wallet population), NOT the
+    // naive 2^32 — beyond 2^31 dense ranks the product overflows
+    // negative and would flip direction. The dictCount require below
+    // turns that cliff into a named error; ua ≥ 1 keeps the packed
     // value strictly positive, so the sign bit is free for direction.
     // abs(pks) is both the repartition key and the group key — same
     // canonical expression, so the aggregate reuses the exchange's

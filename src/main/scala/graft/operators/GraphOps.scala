@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): the pair fan-out inside one (market, hour)
   * group is quadratic in the group's active-wallet count, so groups
-  * beyond `maxGroupSize` are dropped — the same bounded-hot-key policy
-  * as `Dedup.ngramJaccard(maxDocFreq)`; a corpus-wide hot hour
-  * otherwise materializes k² edge rows. The edge list and out-degrees
+  * beyond `maxGroupSize` degrade to their `maxGroupSize` most-active
+  * wallets by default ([[CapTop]]) — a corpus-wide hot hour otherwise
+  * materializes k² edge rows; the legacy [[DropAll]] filter (delete
+  * over-cap groups whole, the `Dedup.ngramJaccard(maxDocFreq)` policy)
+  * is opt-in because it goes silently vacuous at production density. The edge list and out-degrees
   * are built once, `localCheckpoint`ed (iterating on a live lineage
   * re-derives the whole upstream pipeline every round and the plan
   * grows combinatorially — same lesson as `Dedup.canonicalize`).
@@ -37,6 +39,25 @@ import org.apache.spark.sql.functions._
   * row per node — metadata-sized next to the event table.
   */
 object GraphOps {
+
+  /** What to do with a (market, hour) bucket whose active-wallet count
+    * exceeds the quadratic-fan-out cap. The DEFAULT everywhere is
+    * [[CapTop]] (degrade, never drop): the round-8 sf100 sidecar
+    * witnessed every unsuffixed drop-policy graph query returning 0
+    * rows at production density while its capped twin returned
+    * thousands — the reference never silently drops either (its
+    * bounded queues COUNT drops, common/subscription.rs:1), so silent
+    * emptiness is the one semantics a 100 TB deployment must not get
+    * by default. [[DropAll]] remains as an explicit opt-in for
+    * organic-density corpora where deleting crowd-noise hours whole is
+    * the analytically right call. */
+  sealed trait OverCapPolicy
+  /** Degrade-not-drop (default): an over-cap bucket contributes its
+    * `maxGroupSize` most-active wallets (count desc, id tie-break). */
+  case object CapTop extends OverCapPolicy
+  /** Legacy drop policy (opt-in): over-cap buckets are deleted whole —
+    * vacuous when density crosses the cap everywhere. */
+  case object DropAll extends OverCapPolicy
 
   /** Node-sized iteration state (two longs per row) is broadcast into
     * the per-round joins when the graph is small enough that shipping
@@ -127,28 +148,35 @@ object GraphOps {
       .distinct()
 
   /** Directed co-activity edge list: (src, dst) for every ordered pair
-    * of wallets active in the same (market, hour) group, groups larger
-    * than `maxGroupSize` dropped BEFORE the quadratic pair fan-out.
-    * Both directions are present (the graph is symmetric); filter
+    * of wallets active in the same (market, hour) group. Over-cap
+    * groups degrade per `policy` — default [[CapTop]]: each keeps its
+    * `maxGroupSize` most-active wallets, so the edge set is non-empty
+    * at ANY density and fan-out stays ≤ cap² per bucket. Both
+    * directions are present (the graph is symmetric); filter
     * `src < dst` for the undirected edge set. One raw scan + one
     * raw-sized shuffle total; everything after moves
-    * distinct-activity-sized data (see [[droppedBuckets]]).
+    * distinct-activity-sized data.
     *
-    * CAUTION at production density: the drop filter goes VACUOUS when
-    * every bucket is over-cap (witnessed at sf10 — empty graph, 0-row
-    * oracle match). Use [[cappedCoactivityEdges]] wherever density is
-    * unknown. */
-  def coactivityEdges(events: DataFrame, maxGroupSize: Int): DataFrame =
-    edgesFromBuckets(droppedBuckets(events, maxGroupSize))
+    * [[DropAll]] (opt-in) deletes over-cap groups whole BEFORE the
+    * quadratic pair fan-out — CAUTION: vacuous when every bucket is
+    * over-cap (witnessed at sf10/sf100 — empty graph, 0-row result). */
+  def coactivityEdges(events: DataFrame, maxGroupSize: Int,
+      policy: OverCapPolicy = CapTop): DataFrame =
+    edgesFromBuckets(bucketsFor(events, maxGroupSize, policy))
+
+  private def bucketsFor(events: DataFrame, maxGroupSize: Int,
+      policy: OverCapPolicy): DataFrame = policy match {
+    case CapTop => cappedBuckets(events, maxGroupSize)
+    case DropAll => droppedBuckets(events, maxGroupSize)
+  }
 
   /** Directed co-activity edge list under the degrade-not-drop rank cap
-    * ([[cappedBuckets]]): hot hours contribute their `maxGroupSize`
-    * most-active wallets instead of vanishing — the edge source the
-    * whole capped family (pagerank, triangles, k-core, clusters,
-    * neighbor similarity, edge growth) shares. */
+    * ([[cappedBuckets]]) — since round 9 this IS
+    * `coactivityEdges(_, _, CapTop)`, the default; kept as a named
+    * alias for callers/specs that spell the policy out. */
   def cappedCoactivityEdges(
       events: DataFrame, maxGroupSize: Int): DataFrame =
-    edgesFromBuckets(cappedBuckets(events, maxGroupSize))
+    coactivityEdges(events, maxGroupSize, CapTop)
 
   /** Wallets ranked by 10 rounds of damped (0.85) integer PageRank over
     * the "active in the same market-hour" graph. Output: one row per
@@ -164,38 +192,34 @@ object GraphOps {
     * +130% wall) and never fires; a tolerance-based stop would change
     * results. Callers wanting approximate ranks cheaper should lower
     * `iterations` instead.
-    */
+    *
+    * Default policy is [[CapTop]] (degrade-not-drop — see the
+    * [[OverCapPolicy]] scaladoc for the witnessed vacuity that made it
+    * the default): each hot hour contributes its `maxGroupSize`
+    * MOST-ACTIVE wallets (event count desc, wallet id tie-break — the
+    * same rank cap as [[EventOps.washPairs]], planned as a
+    * WindowGroupLimit top-N, never a full per-bucket sort), so the
+    * graph is non-empty and the fan-out stays ≤ maxGroupSize² at ANY
+    * density — the invariant a 100 TB co-activity graph needs. */
   def coactivityPagerank(
       events: DataFrame,
       iterations: Int = 10,
-      maxGroupSize: Int = 64,
-      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
-    integerPagerankOn(coactivityEdges(events, maxGroupSize),
+      maxGroupSize: Int = 16,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit,
+      policy: OverCapPolicy = CapTop): DataFrame =
+    integerPagerankOn(coactivityEdges(events, maxGroupSize, policy),
       iterations, broadcastNodeLimit)
 
-  /** A71c: PageRank over the CAPPED co-activity graph — hot hours
-    * degrade instead of dropping. [[coactivityEdges]]' bucket filter
-    * (`2 ≤ users ≤ maxGroupSize`) bounds the quadratic fan-out by
-    * deleting over-cap buckets whole, which is the right default on
-    * organic data but goes vacuous when density crosses the cap
-    * EVERYWHERE: on a 100×-replicated corpus every (market, hour)
-    * bucket holds ≥ 100 wallets, the filter empties the edge set, and
-    * the "graph" result is 0 rows (witnessed: the whole co-activity
-    * family matched its oracle vacuously at sf10). Here each bucket
-    * instead contributes its `maxGroupSize` MOST-ACTIVE wallets (event
-    * count desc, wallet id tie-break — the same degrade-not-drop rank
-    * cap as [[EventOps.washPairs]], planned as a WindowGroupLimit
-    * top-N, never a full per-bucket sort), so the graph is non-empty
-    * and the fan-out stays ≤ maxGroupSize² at ANY density — the
-    * invariant a 100 TB co-activity graph needs. Same integer
-    * PageRank contract as [[coactivityPagerank]]. */
+  /** A71c: PageRank over the capped co-activity graph — since round 9
+    * identical to [[coactivityPagerank]]'s default; kept as a named
+    * alias. */
   def coactivityPagerankCapped(
       events: DataFrame,
       iterations: Int = 10,
       maxGroupSize: Int = 16,
       broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
-    integerPagerankOn(cappedCoactivityEdges(events, maxGroupSize),
-      iterations, broadcastNodeLimit)
+    coactivityPagerank(events, iterations, maxGroupSize,
+      broadcastNodeLimit, CapTop)
 
   /** The shared 10-round integer-PageRank loop over a prebuilt directed
     * edge list — extracted so the dropped-bucket and capped-bucket edge
@@ -208,9 +232,9 @@ object GraphOps {
     // checkpoint the edge list BEFORE deriving degrees: it feeds both the
     // degree count and the annotated join, and an unmaterialized lineage
     // would re-run the whole activity build once per consumer
-    val edges = rawEdges.localCheckpoint()
-    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val edges = Checkpoints.truncate(rawEdges)
+    val nodes = Checkpoints.truncate(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val n = nodes.count() // one metadata-sized driver action
     if (n == 0) {
       return nodes.select(col("src").as("node"), col("deg"),
@@ -219,9 +243,8 @@ object GraphOps {
     val bcast = n <= broadcastNodeLimit
     // degree-annotated edges: built once (broadcasting the node-sized
     // degree table keeps the build a map-side join), iterated many times
-    val withDeg = edges
-      .join(if (bcast) broadcast(nodes) else nodes, "src")
-      .localCheckpoint()
+    val withDeg = Checkpoints.truncate(edges
+      .join(if (bcast) broadcast(nodes) else nodes, "src"))
     val scale = 1000000000000L // total rank mass
     val base = (15L * scale / 100L) / n // (1 - d) / n, d = 0.85
     var ranks = nodes.select(col("src").as("node"),
@@ -244,7 +267,8 @@ object GraphOps {
       // one job each (10 jobs for nothing), while never checkpointing
       // hands the optimizer a 10-deep join tower — every 3rd round
       // keeps the plan shallow at a third of the materialization cost
-      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == iterations)
+        ranks = Checkpoints.truncate(ranks)
     }
     nodes.select(col("src").as("node"), col("deg"))
       .join(ranks, "node")
@@ -265,16 +289,17 @@ object GraphOps {
   def seededPagerank(
       events: DataFrame,
       iterations: Int = 10,
-      maxGroupSize: Int = 64,
+      maxGroupSize: Int = 16,
       nSeeds: Int = 10,
-      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
-    val edges = coactivityEdges(events, maxGroupSize).localCheckpoint()
-    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit,
+      policy: OverCapPolicy = CapTop): DataFrame = {
+    val edges = Checkpoints.truncate(
+      coactivityEdges(events, maxGroupSize, policy))
+    val nodes = Checkpoints.truncate(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val bcast = nodes.count() <= broadcastNodeLimit
-    val withDeg = edges
-      .join(if (bcast) broadcast(nodes) else nodes, "src")
-      .localCheckpoint()
+    val withDeg = Checkpoints.truncate(edges
+      .join(if (bcast) broadcast(nodes) else nodes, "src"))
     val seeds = events.groupBy("user_id")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("user_id"))
@@ -311,7 +336,8 @@ object GraphOps {
           (col("r") +
             expr("(85 * coalesce(inc, cast(0 as bigint))) div 100"))
             .as("pr"))
-      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == iterations)
+        ranks = Checkpoints.truncate(ranks)
     }
     nodes.select(col("src").as("node"), col("deg"))
       .join(ranks, "node")
@@ -337,33 +363,32 @@ object GraphOps {
       events: DataFrame,
       k: Int = 8,
       maxPeels: Int = 12,
-      maxGroupSize: Int = 64,
-      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
-    kCoreOn(coactivityEdges(events, maxGroupSize), k, maxPeels,
+      maxGroupSize: Int = 16,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit,
+      policy: OverCapPolicy = CapTop): DataFrame =
+    kCoreOn(coactivityEdges(events, maxGroupSize, policy), k, maxPeels,
       broadcastNodeLimit)
 
-  /** A76b: k-core over the CAPPED edge set — the degrade-not-drop twin
-    * of [[kCore]]: at production density the drop filter empties the
-    * graph and the "core" silently vanishes; the rank cap keeps each
-    * hot hour's heaviest wallets in play, which is where the ring
-    * signal lives. Identical peel arithmetic. */
+  /** A76b: k-core over the capped edge set — since round 9 identical
+    * to [[kCore]]'s default; kept as a named alias. The rank cap keeps
+    * each hot hour's heaviest wallets in play, which is where the ring
+    * signal lives. */
   def kCoreCapped(
       events: DataFrame,
       k: Int = 8,
       maxPeels: Int = 12,
       maxGroupSize: Int = 16,
       broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
-    kCoreOn(cappedCoactivityEdges(events, maxGroupSize), k, maxPeels,
-      broadcastNodeLimit)
+    kCore(events, k, maxPeels, maxGroupSize, broadcastNodeLimit, CapTop)
 
   private def kCoreOn(
       rawEdges: DataFrame,
       k: Int,
       maxPeels: Int,
       broadcastNodeLimit: Long): DataFrame = {
-    val edges = rawEdges.localCheckpoint()
-    var survivors = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+    val edges = Checkpoints.truncate(rawEdges)
+    var survivors = Checkpoints.truncate(
+      edges.select(col("src").as("node")).distinct())
     var nSurv = survivors.count()
     var round = 0
     var done = false
@@ -379,8 +404,8 @@ object GraphOps {
       val deg = gate(edges, survivors)
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-      val next = deg.filter(col("deg") >= k).select("node")
-        .localCheckpoint()
+      val next = Checkpoints.truncate(
+        deg.filter(col("deg") >= k).select("node"))
       val nNext = next.count()
       done = nNext == nSurv // peels only remove: equal count = fixed point
       survivors = next
@@ -403,19 +428,19 @@ object GraphOps {
   def walletClusters(
       events: DataFrame,
       maxGroupSize: Int = 16,
-      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
-    walletClustersOn(coactivityEdges(events, maxGroupSize),
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit,
+      policy: OverCapPolicy = CapTop): DataFrame =
+    walletClustersOn(coactivityEdges(events, maxGroupSize, policy),
       broadcastNodeLimit)
 
-  /** A74b: connected components over the CAPPED edge set — the
-    * degrade-not-drop twin of [[walletClusters]]; see
-    * [[cappedCoactivityEdges]]. Same label-propagation fixed point. */
+  /** A74b: connected components over the capped edge set — since
+    * round 9 identical to [[walletClusters]]'s default; kept as a
+    * named alias. Same label-propagation fixed point. */
   def walletClustersCapped(
       events: DataFrame,
       maxGroupSize: Int = 16,
       broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame =
-    walletClustersOn(cappedCoactivityEdges(events, maxGroupSize),
-      broadcastNodeLimit)
+    walletClusters(events, maxGroupSize, broadcastNodeLimit, CapTop)
 
   private def walletClustersOn(
       edges: DataFrame,
@@ -452,18 +477,20 @@ object GraphOps {
     * triangles of pure noise, cap 16 ⇒ 15k meaningful ones). */
   def triangleStats(
       events: DataFrame,
-      maxGroupSize: Int = 16): DataFrame =
-    triangleStatsOn(coactivityEdges(events, maxGroupSize))
+      maxGroupSize: Int = 16,
+      policy: OverCapPolicy = CapTop): DataFrame =
+    triangleStatsOn(coactivityEdges(events, maxGroupSize, policy))
 
-  /** A73b: triangles/clustering over the CAPPED edge set — the
-    * degrade-not-drop twin of [[triangleStats]]; the per-node degree
-    * bound the wedge enumeration needs holds under the rank cap too
-    * (each bucket contributes ≤ cap wallets), so wedge fan-out stays
-    * Σ deg² over capped degrees at ANY density. */
+  /** A73b: triangles/clustering over the capped edge set — since
+    * round 9 identical to [[triangleStats]]'s default; kept as a named
+    * alias. The per-node degree bound the wedge enumeration needs
+    * holds under the rank cap (each bucket contributes ≤ cap wallets),
+    * so wedge fan-out stays Σ deg² over capped degrees at ANY
+    * density. */
   def triangleStatsCapped(
       events: DataFrame,
       maxGroupSize: Int = 16): DataFrame =
-    triangleStatsOn(cappedCoactivityEdges(events, maxGroupSize))
+    triangleStats(events, maxGroupSize, CapTop)
 
   private def triangleStatsOn(directedEdges: DataFrame): DataFrame = {
     val e = directedEdges
@@ -502,18 +529,18 @@ object GraphOps {
     * aggregate per pair for first-seen, one day-keyed rollup — pair
     * volume is bounded by the group cap exactly like every graph
     * operator here. */
-  def edgeGrowth(events: DataFrame, maxGroupSize: Int = 16): DataFrame =
-    edgeGrowthOn(droppedBuckets(events, maxGroupSize))
+  def edgeGrowth(events: DataFrame, maxGroupSize: Int = 16,
+      policy: OverCapPolicy = CapTop): DataFrame =
+    edgeGrowthOn(bucketsFor(events, maxGroupSize, policy))
 
-  /** A102b: edge formation over the CAPPED buckets — the
-    * degrade-not-drop twin of [[edgeGrowth]]: the new-edge-burst signal
-    * this operator exists for (a ring spinning up) happens exactly when
-    * buckets densify past the cap, which is when the drop filter
-    * deletes the burst. Rank-capped buckets keep the heaviest wallets'
-    * pairings visible at any density. */
+  /** A102b: edge formation over the capped buckets — since round 9
+    * identical to [[edgeGrowth]]'s default; kept as a named alias. The
+    * new-edge-burst signal this operator exists for (a ring spinning
+    * up) happens exactly when buckets densify past the cap — which is
+    * when the drop policy deletes the burst. */
   def edgeGrowthCapped(
       events: DataFrame, maxGroupSize: Int = 16): DataFrame =
-    edgeGrowthOn(cappedBuckets(events, maxGroupSize))
+    edgeGrowth(events, maxGroupSize, CapTop)
 
   private def edgeGrowthOn(buckets: DataFrame): DataFrame = {
     val dayPairs = buckets
@@ -558,21 +585,22 @@ object GraphOps {
       events: DataFrame,
       maxGroupSize: Int = 16,
       maxDeg: Int = 256,
-      minCommon: Int = 2): DataFrame =
-    neighborSimilarityOn(coactivityEdges(events, maxGroupSize),
+      minCommon: Int = 2,
+      policy: OverCapPolicy = CapTop): DataFrame =
+    neighborSimilarityOn(coactivityEdges(events, maxGroupSize, policy),
       maxDeg, minCommon)
 
-  /** A95b: neighbor-overlap similarity over the CAPPED edge set — the
-    * degrade-not-drop twin of [[neighborSimilarity]]; the hub guard
-    * (`maxDeg` wedge-center cap) composes with the bucket rank cap, so
-    * the wedge fan-out stays bounded on BOTH axes at any density. */
+  /** A95b: neighbor-overlap similarity over the capped edge set —
+    * since round 9 identical to [[neighborSimilarity]]'s default; kept
+    * as a named alias. The hub guard (`maxDeg` wedge-center cap)
+    * composes with the bucket rank cap, so the wedge fan-out stays
+    * bounded on BOTH axes at any density. */
   def neighborSimilarityCapped(
       events: DataFrame,
       maxGroupSize: Int = 16,
       maxDeg: Int = 256,
       minCommon: Int = 2): DataFrame =
-    neighborSimilarityOn(cappedCoactivityEdges(events, maxGroupSize),
-      maxDeg, minCommon)
+    neighborSimilarity(events, maxGroupSize, maxDeg, minCommon, CapTop)
 
   private def neighborSimilarityOn(
       directedEdges: DataFrame,

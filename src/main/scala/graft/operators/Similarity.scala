@@ -260,7 +260,7 @@ object Similarity {
           struct(argKey(col("d2")), col("cell"))).as("am"))
         .select(col("vec_id"), col("am.embedding").as("embedding"),
           col("am.cell").as("cell"))
-      cents = centroids(assigned, "cell").localCheckpoint(eager = true)
+      cents = Checkpoints.truncate(centroids(assigned, "cell"))
     }
     cents
   }
@@ -519,19 +519,28 @@ object Similarity {
     * broadcast codebook; candidate distance is the sum of m table
     * lookups — codes join the table on (sub, code), one shuffle keyed on
     * the code pair, never on raw vectors.
+    *
+    * `codebook`: a precomputed [[pqCodebook]] frame (sub, code, cw).
+    * Production serves train-once-query-many — Lloyd refinement is the
+    * constant ~20 s floor every self-trained call pays regardless of
+    * corpus size, and an injected codebook removes it from the serve
+    * path entirely (bit-identical results by construction: the
+    * self-trained path is just `codebook = pqCodebook(...)`).
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, dims: Int, k: Int,
       m: Int = 8, seedEvery: Int = 13, maxCodes: Int = 256,
-      trainEvery: Int = 0): DataFrame = {
+      trainEvery: Int = 0,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val w = dims / m
-    val codebook = pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
-        trainEvery = trainEvery)
+    val cb = codebook
+      .getOrElse(pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
+        trainEvery = trainEvery))
       .localCheckpoint(eager = true)
-    val codes = pqAssign(emb, codebook, dims, m)
+    val codes = pqAssign(emb, cb, dims, m)
       .withColumnRenamed("vec_id", "neighbor_id")
     val qTable = queries
       .select(col("vec_id").as("q_id"), col("embedding"))
-      .crossJoin(broadcast(codebook))
+      .crossJoin(broadcast(cb))
       .select(col("q_id"), col("sub"), col("code"), {
         val qs = slice(col("embedding"), col("sub") * w + 1, lit(w))
         (vec_dot(qs, qs) - vec_dot(qs, col("cw")) * 2
@@ -575,12 +584,16 @@ object Similarity {
       seedEvery: Int = 13, maxCodes: Int = 256,
       trainEvery: Int = 0, maxCells: Int = 256,
       centroids: Option[DataFrame] = None,
-      rowCount: Option[Long] = None): DataFrame = {
+      rowCount: Option[Long] = None,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val w = dims / m
     // one shared stride stat for BOTH the coarse quantizer and the
     // codebook sampler — lazily evaluated so a run with an injected
     // quantizer and fixed trainEvery never scans; otherwise the single
-    // count replaces the former two per-invocation scans
+    // count replaces the former two per-invocation scans. `codebook`
+    // (like `centroids`) is the train-once-query-many serve path: a
+    // precomputed pqCodebook frame skips the per-call Lloyd refinement,
+    // bit-identical by construction.
     lazy val nRows: Long = rowCount.getOrElse(emb.count())
     val cents = centroids
       .getOrElse(ivfCoarseCentroids(emb, centEvery, maxCells,
@@ -598,11 +611,12 @@ object Similarity {
         graft.functions.exprs.cell_argmin(col("embedding"), cf, cnorms,
           cids).as("cell"))
       .filter(col("cell").isNotNull)
-    val codebook = pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
+    val cb = codebook
+      .getOrElse(pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
         trainEvery = trainEvery,
-        rowCount = if (trainEvery > 0) None else Some(nRows))
+        rowCount = if (trainEvery > 0) None else Some(nRows)))
       .localCheckpoint(eager = true)
-    val codes = pqAssign(emb, codebook, dims, m)
+    val codes = pqAssign(emb, cb, dims, m)
       .withColumnRenamed("vec_id", "neighbor_id")
     // query side: probe cells by coarse cosine, then the same ADC
     // lookup table as pqTopK
@@ -619,7 +633,7 @@ object Similarity {
       .select(col("q_id"), col("ea"), col("cent_id").as("cell"))
     val qTable = queries
       .select(col("vec_id").as("q_id"), col("embedding"))
-      .crossJoin(broadcast(codebook))
+      .crossJoin(broadcast(cb))
       .select(col("q_id"), col("sub"), col("code"), {
         val qs = slice(col("embedding"), col("sub") * w + 1, lit(w))
         (vec_dot(qs, qs) - vec_dot(qs, col("cw")) * 2

@@ -192,13 +192,22 @@ object EventSink {
     // entirely. Recover conservatively: the original (`.old_`) is
     // authoritative when the live dir is gone (restored partitions
     // then re-compact in this very run); stale copies are deleted
-    // either way.
+    // either way. NOT safe to run two compactPartitions concurrently
+    // on one root: this sweep would delete a sibling run's live
+    // `.compact_*` scratch mid-copy — single-writer per root is the
+    // contract (same as the swap renames themselves).
     fs.listStatus(root).filter(_.isDirectory).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith(".old_event_date=")) {
         val live = new Path(root, n.stripPrefix(".old_"))
-        if (!fs.exists(live)) fs.rename(s.getPath, live)
-        else fs.delete(s.getPath, true)
+        // rename returns false instead of throwing on most filesystems;
+        // swallowing it would hide the partition (dot-dir) from readers
+        // with no error, so escalate loudly
+        if (!fs.exists(live)) {
+          if (!fs.rename(s.getPath, live)) throw new java.io.IOException(
+            s"compactPartitions: crash-recovery rename ${s.getPath} -> " +
+            s"$live failed; partition left hidden, refusing to continue")
+        } else fs.delete(s.getPath, true)
       } else if (n.startsWith(".compact_event_date=")) {
         fs.delete(s.getPath, true)
       }
@@ -248,8 +257,14 @@ object EventSink {
           .write.mode("overwrite").parquet(tmp.toString)
         val bak = new Path(p.getPath.getParent,
           s".old_${p.getPath.getName}")
-        fs.rename(p.getPath, bak)
-        fs.rename(tmp, p.getPath)
+        // HDFS-style rename reports failure by RETURNING false; an
+        // unchecked false here loses the partition silently (live dir
+        // gone or compacted copy never promoted)
+        def renameOrThrow(from: Path, to: Path): Unit =
+          if (!fs.rename(from, to)) throw new java.io.IOException(
+            s"compactPartitions: rename $from -> $to failed mid-swap")
+        renameOrThrow(p.getPath, bak)
+        renameOrThrow(tmp, p.getPath)
         fs.delete(bak, true)
       }
     }

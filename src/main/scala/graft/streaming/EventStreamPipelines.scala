@@ -1174,8 +1174,19 @@ object EventStreamPipelines {
     val cut = (mm.getLong(0) + mm.getLong(1)) / 2
     ev.filter(expr(s"unix_micros(ts) < ${cut}L"))
       .coalesce(1).write.mode("append").parquet(inc)
+    def dataFiles = new java.io.File(inc).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSet
+    val firstBatch = dataFiles
     ev.filter(expr(s"unix_micros(ts) >= ${cut}L"))
       .coalesce(1).write.mode("append").parquet(inc)
+    // FileStreamSource orders files by MODIFICATION TIME; two appends
+    // landing in the same mtime tick would make the replay order (and
+    // so the cross-batch state carry this query exists to prove)
+    // undefined. Pin it: first batch at its observed mtime, second
+    // batch strictly one minute later — deterministic on any
+    // filesystem tick resolution.
+    val t0 = firstBatch.map(_.lastModified).max
+    (dataFiles -- firstBatch).foreach(_.setLastModified(t0 + 60000L))
     val src = graft.Tables.tzNormalize(spark.readStream
       .schema(spark.read.parquet(inc).schema)
       .option("maxFilesPerTrigger", 1)

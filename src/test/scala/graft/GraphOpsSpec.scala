@@ -110,7 +110,8 @@ class GraphOpsSpec extends TestSparkSession {
   test("hot group cap drops oversized market-hours before the fan-out") {
     // 70 wallets in one hour exceeds maxGroupSize=64 → no edges at all
     val out = GraphOps.triangleStats(cliqueEvents(70)
-      .filter(col("user_id") < 100), maxGroupSize = 64)
+      .filter(col("user_id") < 100), maxGroupSize = 64,
+      policy = GraphOps.DropAll)
     assert(out.count() === 0)
   }
 

@@ -563,13 +563,31 @@ class PlanAuditSpec extends TestSparkSession {
   }
 
   test("k-core peel round is keyed semi-joins + degree aggregate") {
-    val df = GraphOps.kCore(Tables.events(spark, sfDir))
+    // DropAll isolates the peel-loop audit: the CapTop default's edge
+    // build legitimately carries ONE rank window (audited below); the
+    // peel rounds themselves must stay window-free under either policy
+    val df = GraphOps.kCore(Tables.events(spark, sfDir),
+      policy = GraphOps.DropAll)
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "survivor filtering must ride the node equi-joins")
     assert(!plan.contains("WindowExec"),
       "degrees are keyed aggregates, not window counts")
+  }
+
+  test("capped (default) coactivity edge build: rank cap plans as " +
+      "WindowGroupLimit over the explode fan-out, no cartesian") {
+    val plan = planOf(
+      GraphOps.coactivityEdges(Tables.events(spark, sfDir), 16))
+    assert(plan.contains("WindowGroupLimit"),
+      "the top-N bucket rank must pre-filter map-side:\n" +
+        plan.take(600))
+    assert(plan.contains("Generate explode"),
+      "pair fan-out must be the map-side double-explode")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the capped edge build must stay equi-keyed end to end")
   }
 
   test("coactivity edge build: three exchanges, explode fan-out, " +
@@ -581,8 +599,8 @@ class PlanAuditSpec extends TestSparkSession {
     // column pruning gives the branches different canonical schemas),
     // and the pair fan-out is a map-side double-explode, never a
     // self-join re-shuffle
-    val plan = planOf(
-      GraphOps.coactivityEdges(Tables.events(spark, sfDir), 64))
+    val plan = planOf(GraphOps.coactivityEdges(
+      Tables.events(spark, sfDir), 64, GraphOps.DropAll))
     assert(plan.contains("Generate explode"),
       "pair fan-out must be the map-side double-explode")
     assert(!plan.contains("FileScan"),
@@ -639,16 +657,30 @@ class PlanAuditSpec extends TestSparkSession {
   }
 
   test("sandwich detection is one bracket aggregate + one bucket " +
-      "equi-join, no window") {
+      "equi-join; the only window is the bucket-keyed prefix cap") {
     val df = EventOps.sandwichTrades(Tables.events(spark, sfDir))
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "interior-trade match must ride the bucket equi-join")
-    assert(!plan.contains("WindowExec"),
-      "brackets are min/max aggregates, not window functions")
+    // the CapTop default's execution-order prefix is the ONE window in
+    // the plan, bucket-partitioned behind a keyed exchange (linear per
+    // bucket — NOT a global window). It does not get WindowGroupLimit:
+    // the 1024 cap sits above spark.sql.optimizer
+    // .windowGroupLimitThreshold (1000), so Spark keeps the plain rank
+    // filter; the graph family's cap-16 rank IS group-limited (audited
+    // in the capped edge-build test above)
+    assert(plan.contains("row_number()") &&
+      plan.contains("windowspecdefinition(mb"),
+      "prefix cap must be a bucket-partitioned rank window:\n" +
+        plan.take(600))
     assert(plan.contains("partial_min") || plan.contains("partial_max"),
       "bracket bounds need map-side partials")
+    val dropPlan = planOf(EventOps.sandwichTrades(
+      Tables.events(spark, sfDir), policy = GraphOps.DropAll))
+    assert(!dropPlan.contains("WindowGroupLimit") &&
+      !dropPlan.contains(" Window"),
+      "the drop policy's bracket build must stay window-free")
   }
 
   test("bollinger rolling sums run in one type-partitioned window") {

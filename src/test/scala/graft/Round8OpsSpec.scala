@@ -33,7 +33,8 @@ class Round8OpsSpec extends TestSparkSession {
     val ev = mkEvents(for {
       w <- 1 to 20; k <- 1 to w
     } yield ((w * 100 + k).toLong, w.toLong, 0L, "m", 1.0))
-    assert(GraphOps.coactivityEdges(ev, 8).count() === 0L,
+    assert(GraphOps.coactivityEdges(ev, 8, GraphOps.DropAll)
+      .count() === 0L,
       "drop filter must be vacuous over the cap (the witnessed mode)")
     val capped = GraphOps.cappedCoactivityEdges(ev, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -55,15 +56,18 @@ class Round8OpsSpec extends TestSparkSession {
     def sorted(df: DataFrame) =
       df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(sorted(GraphOps.triangleStatsCapped(ev, 8)) ===
-      sorted(GraphOps.triangleStats(ev, 8)))
+      sorted(GraphOps.triangleStats(ev, 8, GraphOps.DropAll)))
     assert(sorted(GraphOps.kCoreCapped(ev, k = 2, maxGroupSize = 8)) ===
-      sorted(GraphOps.kCore(ev, k = 2, maxGroupSize = 8)))
+      sorted(GraphOps.kCore(ev, k = 2, maxGroupSize = 8,
+        policy = GraphOps.DropAll)))
     assert(sorted(GraphOps.walletClustersCapped(ev, 8)) ===
-      sorted(GraphOps.walletClusters(ev, 8)))
+      sorted(GraphOps.walletClusters(ev, 8,
+        policy = GraphOps.DropAll)))
     assert(sorted(GraphOps.neighborSimilarityCapped(ev, 8)) ===
-      sorted(GraphOps.neighborSimilarity(ev, 8)))
+      sorted(GraphOps.neighborSimilarity(ev, 8,
+        policy = GraphOps.DropAll)))
     assert(sorted(GraphOps.edgeGrowthCapped(ev, 8)) ===
-      sorted(GraphOps.edgeGrowth(ev, 8)))
+      sorted(GraphOps.edgeGrowth(ev, 8, GraphOps.DropAll)))
   }
 
   test("capped k-core keeps the planted ring visible at a density " +
@@ -81,7 +85,8 @@ class Round8OpsSpec extends TestSparkSession {
       h <- 0 to 9; w <- 100 to 159
     } yield ((h * 10000 + w).toLong, w.toLong, h.toLong, "m", 1.0)
     val ev = mkEvents(ring ++ ring2 ++ noise)
-    assert(GraphOps.kCore(ev, k = 7, maxGroupSize = 64).count() === 0L,
+    assert(GraphOps.kCore(ev, k = 7, maxGroupSize = 64,
+      policy = GraphOps.DropAll).count() === 0L,
       "drop policy must lose the ring at this density")
     val core = GraphOps.kCoreCapped(ev, k = 7, maxGroupSize = 16)
       .collect().map(_.getLong(0)).toSet
@@ -105,7 +110,8 @@ class Round8OpsSpec extends TestSparkSession {
     }
     val got = EventOps.sandwichTradesCapped(full, cap)
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
-    val want = EventOps.sandwichTrades(prefix, Int.MaxValue)
+    val want = EventOps.sandwichTrades(prefix, Int.MaxValue,
+      policy = GraphOps.DropAll)
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(got === want && got.nonEmpty)
   }
@@ -124,7 +130,15 @@ class Round8OpsSpec extends TestSparkSession {
     try {
       val df = Similarity.ivfCoarseCentroids(emb, centEvery = 7,
         maxCells = 16, rowCount = Some(n))
-      Thread.sleep(1000) // listener bus is async
+      // drain the async listener bus DETERMINISTICALLY before asserting
+      // (a fixed sleep can mis-time under load); LiveListenerBus is
+      // private[spark], so reach waitUntilEmpty via reflection
+      val busM = spark.sparkContext.getClass.getMethod("listenerBus")
+      busM.setAccessible(true)
+      val bus = busM.invoke(spark.sparkContext)
+      val waitM = bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+      waitM.setAccessible(true)
+      waitM.invoke(bus, java.lang.Long.valueOf(30000L))
       assert(jobs.get() === 0,
         "building the quantizer with a known count must not scan")
       val got = df.select("cent_id").collect().map(_.getLong(0)).toSet

@@ -64,6 +64,76 @@ def record(name, **kw):
     results[name] = base
 
 
+# GRAFT_HASH_MODE=1: the scale-sidecar compare — NO pandas
+# materialization of either side. Both the oracle result and the Spark
+# parquet dump are hashed INSIDE DuckDB (count + sum of per-row
+# hash(...) over name-sorted columns, a commutative aggregate => order
+# independent, constant memory), so a 100M-row result verifies without
+# the 2 GB coalesce(1) dump or a 100M-row DataFrame in RAM. Hashing
+# both sides in ONE engine sidesteps cross-engine hash compatibility;
+# TIMESTAMP columns are canonicalized to epoch micros first (parquet
+# TZ adjustment would otherwise flip the type), mirroring the normal
+# mode's datetime→int64 normalization. Bit-exact contract only (no
+# GRAFT_TOL support): every oracle in this repo is exact-arithmetic.
+HASH_MODE = bool(os.environ.get("GRAFT_HASH_MODE"))
+
+
+def hash_compare(con, name, oracle_sql):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        record(name, err="no spark output")
+        return False
+    got_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+
+    def desc(sql):
+        rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+        return {r[0]: r[1] for r in rows}
+
+    def canon_type(t):
+        return "BIGINT" if t.upper().startswith("TIMESTAMP") else t
+
+    exp_d, got_d = desc(oracle_sql), desc(got_sql)
+    if sorted(exp_d) != sorted(got_d):
+        print(f"FAIL {name}: columns exp={sorted(exp_d)} got={sorted(got_d)}")
+        record(name, schema_match=False, err="columns")
+        return False
+    dt_bad = [c for c in exp_d
+              if canon_type(exp_d[c]) != canon_type(got_d[c])]
+    if dt_bad:
+        print(f"FAIL {name}: dtype mismatch " + ", ".join(
+            f"{c}: exp={exp_d[c]} got={got_d[c]}" for c in dt_bad))
+        record(name, schema_match=False, err="dtype")
+        return False
+    cols = sorted(exp_d)
+
+    def agg(sql, d):
+        exprs = ", ".join(
+            f'epoch_us("{c}")' if d[c].upper().startswith("TIMESTAMP")
+            else f'"{c}"' for c in cols)
+        return con.execute(
+            f"SELECT count(*), sum(CAST(hash({exprs}) AS HUGEINT)) "
+            f"FROM ({sql})").fetchone()
+
+    en, eh = agg(oracle_sql, exp_d)
+    gn, gh = agg(got_sql, got_d)
+    if en != gn:
+        print(f"FAIL {name}: rows exp={en} got={gn}")
+        record(name, rows_match=False, schema_match=True,
+               spark_rows=gn, oracle_rows=en, err="rows")
+        return False
+    if eh != gh:
+        print(f"FAIL {name}: multiset hash exp={eh} got={gh}")
+        record(name, rows_match=True, schema_match=True,
+               hash_match=False, spark_rows=gn, oracle_rows=en,
+               err="mismatch")
+        return False
+    print(f"PASS {name} ({en} rows, hash-mode)")
+    record(name, rows_match=True, schema_match=True, hash_match=True,
+           spark_rows=gn, oracle_rows=en)
+    return True
+
+
 for name in sorted(oracle):
     try:
         # a long sidecar run accumulates buffer-pool state across the
@@ -73,6 +143,12 @@ for name in sorted(oracle):
         if os.environ.get("GRAFT_DUCKDB_FRESH_CON"):
             con.close()
             con = fresh_connection()
+        if HASH_MODE:
+            if hash_compare(con, name, oracle[name]):
+                n_pass += 1
+            else:
+                n_fail += 1
+            continue
         exp = con.execute(oracle[name]).df()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:

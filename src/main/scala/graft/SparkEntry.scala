@@ -2627,9 +2627,15 @@ object SparkEntry {
                 AND event_type NOT IN ('purchase', 'error')
               GROUP BY 1, 2),
        tot AS (SELECT a, sum(c) AS tot FROM st GROUP BY 1),
-       tm AS (SELECT st.a, st.b, (st.c * 1000000) // tot.tot AS p6
+       -- MATERIALIZED is load-bearing at scale: tm/ty are referenced
+       -- by all 10 unrolled steps, and DuckDB inlines plain CTEs PER
+       -- REFERENCE — ten concurrent re-evaluations of the corpus-wide
+       -- lead() window behind tm exhausted an 88 GB budget at sf100
+       -- where the one-shot evaluation is a k²-row table
+       tm AS MATERIALIZED (
+              SELECT st.a, st.b, (st.c * 1000000) // tot.tot AS p6
               FROM st JOIN tot ON st.a = tot.a),
-       ty AS (SELECT DISTINCT event_type AS t FROM events),
+       ty AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
        p0 AS (SELECT t, CASE WHEN t = 'purchase' THEN 1000000000000
                              ELSE 0 END AS p FROM ty)
        $steps
@@ -2658,13 +2664,19 @@ object SparkEntry {
            GROUP BY e.dst) i ON d.src = i.dnode)"""
     }.mkString
     s"""WITH $edgeCtes,
-       d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-       seeds AS (
+       d AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       seeds AS MATERIALIZED (
+         -- MATERIALIZED is load-bearing at scale: seeds is referenced
+         -- from p0 and every unrolled step (11 references), and DuckDB
+         -- inlines plain CTEs PER REFERENCE — eleven concurrent
+         -- re-evaluations of this corpus-wide user group-by exhausted
+         -- an 88 GB budget at sf100 where the one-shot evaluation is
+         -- trivial (output ≤ 10 rows)
          SELECT t.user_id AS seed FROM (
            SELECT user_id, count(*) AS cnt FROM events
            GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10) t
          JOIN d ON t.user_id = d.src),
-       nn AS (SELECT count(*) AS ns FROM seeds),
+       nn AS MATERIALIZED (SELECT count(*) AS ns FROM seeds),
        p0 AS (
          SELECT d.src AS node,
                 CASE WHEN sd.seed IS NOT NULL
@@ -4616,10 +4628,17 @@ object SparkEntry {
                 FROM t WHERE len(ws) >= 3),
          g AS (SELECT DISTINCT doc_id,
                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
-         bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
-         hits AS (SELECT g.doc_id, count(*) AS n_hits
-                  FROM g JOIN bg ON g.g = bg.g GROUP BY 1),
+         -- MATERIALIZED: sz/bg/hits each pull the corpus-wide gram
+         -- stream g; DuckDB inlines plain CTEs per reference, so three
+         -- concurrent gram explodes exhausted spill at sf100 --
+         -- materializing the (small) aggregates serializes them
+         sz AS MATERIALIZED (
+           SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         bg AS MATERIALIZED (
+           SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         hits AS MATERIALIZED (
+           SELECT g.doc_id, count(*) AS n_hits
+           FROM g JOIN bg ON g.g = bg.g GROUP BY 1),
          contaminated AS (SELECT h.doc_id FROM hits h
                           JOIN sz ON h.doc_id = sz.doc_id
                           WHERE CAST(h.n_hits AS DOUBLE) /
@@ -4648,10 +4667,13 @@ object SparkEntry {
                 FROM t WHERE len(ws) >= 3),
          g AS (SELECT DISTINCT doc_id,
                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM ti),
-         sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
-         bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
-         hits AS (SELECT g.doc_id, count(*) AS n_hits
-                  FROM g JOIN bg ON g.g = bg.g GROUP BY 1)
+         sz AS MATERIALIZED (
+           SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         bg AS MATERIALIZED (
+           SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         hits AS MATERIALIZED (
+           SELECT g.doc_id, count(*) AS n_hits
+           FROM g JOIN bg ON g.g = bg.g GROUP BY 1)
          SELECT h.doc_id, sz.n_grams, h.n_hits,
                 CAST(h.n_hits AS DOUBLE) / CAST(sz.n_grams AS DOUBLE)
                   AS contam_frac,
@@ -7247,10 +7269,15 @@ object SparkEntry {
              WHERE b IS NOT NULL GROUP BY 1, 2),
        tot AS (SELECT a, CAST(sum(c) AS BIGINT) AS tot
                FROM c GROUP BY 1),
-       tm AS (SELECT c.a, c.b, (c.c * 1000000) // tot.tot AS p6
+       -- MATERIALIZED: tm/ty feed all 10 unrolled steps; DuckDB's
+       -- per-reference inlining would re-run the corpus-wide lead()
+       -- window behind them 10× concurrently (witnessed spill-disk
+       -- exhaustion at sf100); the one-shot result is k²/k rows
+       tm AS MATERIALIZED (
+              SELECT c.a, c.b, (c.c * 1000000) // tot.tot AS p6
               FROM c JOIN tot ON c.a = tot.a),
-       ty AS (SELECT a AS t FROM tot),
-       kk AS (SELECT count(*) AS k FROM ty),
+       ty AS MATERIALIZED (SELECT a AS t FROM tot),
+       kk AS MATERIALIZED (SELECT count(*) AS k FROM ty),
        p0 AS (SELECT t, 1000000000000 // kk.k AS pr
               FROM ty CROSS JOIN kk)$steps
        SELECT t AS event_type, pr,

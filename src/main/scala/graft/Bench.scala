@@ -209,7 +209,12 @@ object Bench {
     // already rides in the ANN block above)
     "q_docs_quality_calibrated",
     "q_docs_novelty",
-    "q_events_sign_runs")
+    "q_events_sign_runs",
+    // round-9 late additions: long-memory Hurst, echo-pair copy
+    // trading, context-window fit planning
+    "q_events_hurst",
+    "q_events_copy_trading",
+    "q_docs_context_fit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2341,6 +2341,12 @@ object SparkEntry {
       TextAnalysis.ngramNovelty(Tables.documents(s, d))),
     "q_events_sign_runs" -> ((s, d) =>
       EventOps.signRunsTest(Tables.events(s, d))),
+    "q_events_hurst" -> ((s, d) =>
+      EventOps.hurstExponent(Tables.events(s, d))),
+    "q_events_copy_trading" -> ((s, d) =>
+      EventOps.copyTrading(Tables.events(s, d))),
+    "q_docs_context_fit" -> ((s, d) =>
+      Sampling.contextFitReport(Tables.documents(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
     // downstream pipeline fed by LSH candidates instead of the exact
     // quadratic inverted-index join (no SQL oracle — MinHash banding is
@@ -3650,6 +3656,122 @@ object SparkEntry {
                   sqrt((e_runs - 1.0) * (e_runs - 2.0)
                     / CAST(n_buy + n_sell - 1 AS DOUBLE)) AS z_runs
          FROM e""",
+    // aggregated-variance Hurst: moments per scale in HUGEINT, lnR6 on
+    // the agreed integers, exact decimal subtraction, fixed slope dag
+    "q_events_hurst" ->
+      """WITH cl AS (
+           SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS hb,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  epoch_us(ts) AS tu, event_id
+           FROM events),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, hb
+                   ORDER BY tu DESC, event_id DESC) AS rnd
+               FROM cl),
+         c AS (SELECT event_type, hb,
+                 max(CASE WHEN rnd = 1 THEN cents END) AS c
+               FROM r GROUP BY 1, 2),
+         spine AS (
+           SELECT event_type,
+                  unnest(generate_series(min(hb), max(hb), 3600)) AS hb
+           FROM c GROUP BY event_type),
+         f AS (SELECT s.event_type, s.hb,
+                 last_value(c.c IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hb
+                   ROWS UNBOUNDED PRECEDING) AS c
+               FROM spine s LEFT JOIN c
+                 ON s.event_type = c.event_type AND s.hb = c.hb),
+         d AS (SELECT event_type,
+                 CAST(c - lag(c, 1) OVER w AS HUGEINT) AS d1,
+                 CAST(c - lag(c, 2) OVER w AS HUGEINT) AS d2,
+                 CAST(c - lag(c, 4) OVER w AS HUGEINT) AS d4,
+                 CAST(c - lag(c, 8) OVER w AS HUGEINT) AS d8
+               FROM f WINDOW w AS (PARTITION BY event_type ORDER BY hb)),
+         m AS (SELECT event_type,
+                 CAST(count(d1) AS HUGEINT) AS n1,
+                 sum(d1) AS s1, sum(d1 * d1) AS q1,
+                 CAST(count(d2) AS HUGEINT) AS n2,
+                 sum(d2) AS s2, sum(d2 * d2) AS q2,
+                 CAST(count(d4) AS HUGEINT) AS n4,
+                 sum(d4) AS s4, sum(d4 * d4) AS q4,
+                 CAST(count(d8) AS HUGEINT) AS n8,
+                 sum(d8) AS s8, sum(d8 * d8) AS q8
+               FROM d GROUP BY 1
+               HAVING count(d1) > 1 AND n1 * q1 - s1 * s1 > 0
+                  AND count(d2) > 1 AND n2 * q2 - s2 * s2 > 0
+                  AND count(d4) > 1 AND n4 * q4 - s4 * s4 > 0
+                  AND count(d8) > 1 AND n8 * q8 - s8 * s8 > 0),
+         v AS (SELECT event_type, CAST(n1 AS BIGINT) AS n_periods,
+                 CAST(round(ln(n1 * q1 - s1 * s1), 6) AS DECIMAL(12,6)) -
+                   CAST(round(ln(n1 * n1), 6) AS DECIMAL(12,6)) AS lnv1,
+                 CAST(round(ln(n2 * q2 - s2 * s2), 6) AS DECIMAL(12,6)) -
+                   CAST(round(ln(n2 * n2), 6) AS DECIMAL(12,6)) AS lnv2,
+                 CAST(round(ln(n4 * q4 - s4 * s4), 6) AS DECIMAL(12,6)) -
+                   CAST(round(ln(n4 * n4), 6) AS DECIMAL(12,6)) AS lnv4,
+                 CAST(round(ln(n8 * q8 - s8 * s8), 6) AS DECIMAL(12,6)) -
+                   CAST(round(ln(n8 * n8), 6) AS DECIMAL(12,6)) AS lnv8
+               FROM m)
+         SELECT event_type, n_periods,
+                CAST(lnv1 AS DOUBLE) AS lnv1, CAST(lnv2 AS DOUBLE) AS lnv2,
+                CAST(lnv4 AS DOUBLE) AS lnv4, CAST(lnv8 AS DOUBLE) AS lnv8,
+                (CAST(lnv8 - lnv1 AS DOUBLE) * 1.03972075e0 +
+                 CAST(lnv4 - lnv2 AS DOUBLE) * 0.34657375e0) /
+                  (2.0e0 * (1.03972075e0 * 1.03972075e0 +
+                            0.34657375e0 * 0.34657375e0)) / 2.0e0 AS hurst
+         FROM v""",
+    // echo pairs on the prefix-capped (type, hour) buckets; lexicographic
+    // (tu, event_id) later-than; integer mean lag
+    "q_events_copy_trading" ->
+      """WITH t0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS mb,
+               epoch_us(ts) AS tu, event_id, user_id
+             FROM events WHERE event_type IN ('purchase', 'view')),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type, mb
+                 ORDER BY tu, event_id) AS rk
+               FROM t0),
+         t AS (SELECT event_type, mb, tu, event_id, user_id
+               FROM r WHERE rk <= 256),
+         p AS (SELECT a.user_id AS leader, b.user_id AS follower,
+                 a.event_type AS et, a.mb AS mb, b.tu - a.tu AS lag_us
+               FROM t a JOIN t b
+                 ON a.event_type = b.event_type AND a.mb = b.mb
+               WHERE b.user_id <> a.user_id
+                 AND (b.tu > a.tu OR (b.tu = a.tu
+                   AND b.event_id > a.event_id))
+                 AND b.tu - a.tu <= 600000000)
+         SELECT leader, follower, count(*) AS n_echoes,
+                count(DISTINCT (et, mb)) AS n_buckets,
+                CAST(sum(lag_us) // count(*) AS BIGINT) AS mean_lag_us
+         FROM p GROUP BY 1, 2 HAVING count(*) >= 3""",
+    // context-window fit: histogram-compacted exact order statistics
+    "q_docs_context_fit" ->
+      """WITH tk AS (SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+         h AS (SELECT source, n_tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_tok > 256 THEN c ELSE 0 END)
+                     AS BIGINT) AS docs_over,
+                   CAST(sum(c * n_tok) AS BIGINT) AS tok_total,
+                   CAST(sum(c * CASE WHEN n_tok > 256 THEN n_tok - 256
+                     ELSE 0 END) AS BIGINT) AS tok_lost
+                 FROM h GROUP BY 1),
+         cu AS (SELECT source, n_tok,
+                  sum(c) OVER (PARTITION BY source ORDER BY n_tok
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM h),
+         p AS (SELECT cu.source,
+                 min(CASE WHEN cum >= (n_docs - 1) * 50 // 100 + 1
+                   THEN n_tok END) AS p50_tok,
+                 min(CASE WHEN cum >= (n_docs - 1) * 90 // 100 + 1
+                   THEN n_tok END) AS p90_tok,
+                 min(CASE WHEN cum >= (n_docs - 1) * 99 // 100 + 1
+                   THEN n_tok END) AS p99_tok
+               FROM cu JOIN tot ON cu.source = tot.source GROUP BY 1)
+         SELECT tot.source, n_docs, docs_over, tok_total, tok_lost,
+                CAST(tok_lost AS DOUBLE) / CAST(tok_total AS DOUBLE)
+                  AS loss_frac,
+                p50_tok, p90_tok, p99_tok
+         FROM tot JOIN p ON tot.source = p.source""",
     // Herfindahl over the 24 hour-of-day slots + deterministic peak
     "q_events_diurnal" ->
       """WITH h AS (SELECT event_type,

@@ -2986,4 +2986,127 @@ object EventOps {
             (col("n_buy") + col("n_sell") - lit(1L)).cast("double")))
           .as("z_runs"))
   }
+
+  /** A115: Hurst exponent per type via the aggregated-variance method —
+    * the long-memory gauge that generalizes [[varianceRatio]]'s single
+    * VR(k) point to a log-log regression over scales m ∈ {1,2,4,8}:
+    * H = ½ · slope of ln Var(mΔ) vs ln m. H ≈ 0.5 is a random walk,
+    * > 0.5 trending (momentum bots), < 0.5 mean-reverting (market-maker
+    * inventory cycling) — the regime screen behind [[momentumIC]] and
+    * [[cusumChangePoints]].
+    *
+    * Exactness: cent differences at each scale accumulate moments in
+    * Decimal(38,0); each variance enters the regression as
+    * lnR6(n·q−s²) − lnR6(n²) (two transcendental boundaries on
+    * exactly-agreed integers, then an EXACT decimal subtraction), and
+    * the closed-form 4-point slope is a fixed IEEE dag over those
+    * decimals with the r6-quantized ln m abscissae as literals — the
+    * whole chain bit-identical cross-engine.
+    *
+    * Shape: candle-table input (one row per type-hour); the four lag
+    * columns share ONE window sort; one keyed aggregate to types. */
+  def hurstExponent(events: DataFrame): DataFrame = {
+    val closes = events
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) * 3600").as("hb"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        tsUs.as("tu"), col("event_id"))
+      .groupBy("event_type", "hb")
+      .agg(max_by(col("cents"), struct(col("tu"), col("event_id")))
+        .as("c"))
+    val spine = closes.groupBy("event_type")
+      .agg(min("hb").as("lo"), max("hb").as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 3600)")).as("hb"))
+    val wFfill = Window.partitionBy("event_type").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = spine.join(closes, Seq("event_type", "hb"), "left")
+      .withColumn("c", last("c", ignoreNulls = true).over(wFfill))
+    val wLag = Window.partitionBy("event_type").orderBy("hb")
+    val scales = Seq(1, 2, 4, 8)
+    val diffs = scales.foldLeft(filled) { (df, m) =>
+      df.withColumn(s"d$m",
+        (col("c") - lag("c", m).over(wLag)).cast("decimal(38,0)"))
+    }
+    val moments = scales.flatMap { m =>
+      Seq(count(col(s"d$m")).cast("decimal(38,0)").as(s"n$m"),
+        sum(col(s"d$m")).as(s"s$m"),
+        sum(col(s"d$m") * col(s"d$m")).as(s"q$m"))
+    }
+    val agged = diffs.groupBy("event_type")
+      .agg(moments.head, moments.tail: _*)
+      .filter(scales.map(m =>
+        col(s"n$m") > 1 &&
+          col(s"n$m") * col(s"q$m") - col(s"s$m") * col(s"s$m") > 0)
+        .reduce(_ && _))
+    val lnVars = scales.foldLeft(agged) { (df, m) =>
+      df.withColumn(s"lnv$m",
+        lnR6(col(s"n$m") * col(s"q$m") - col(s"s$m") * col(s"s$m")) -
+          lnR6(col(s"n$m") * col(s"n$m")))
+    }
+    // abscissae are the SAME r6 quantum as lnR6: ln m rounded to 1e-6;
+    // x̄ = 1.03972075, deviations ±1.03972075 / ±0.34657375, so the
+    // centered slope needs only the two spreads.
+    val den = 2.0 * (1.03972075 * 1.03972075 + 0.34657375 * 0.34657375)
+    lnVars.select(col("event_type"),
+      col("n1").cast("bigint").as("n_periods"),
+      col("lnv1").cast("double").as("lnv1"),
+      col("lnv2").cast("double").as("lnv2"),
+      col("lnv4").cast("double").as("lnv4"),
+      col("lnv8").cast("double").as("lnv8"),
+      (((col("lnv8") - col("lnv1")).cast("double") * lit(1.03972075) +
+        (col("lnv4") - col("lnv2")).cast("double") * lit(0.34657375)) /
+        lit(den) / lit(2.0)).as("hurst"))
+  }
+
+  /** A116: copy-trading (follower/echo) detection — ordered wallet pairs
+    * where B repeats A's action (same type, same hour bucket) within
+    * `maxLagUs` after A, counted across distinct hour buckets: the
+    * pair-level lead-follow screen that complements the market-level
+    * [[leadLagIC]] and the bracket-shaped [[sandwichTrades]] (copy bots
+    * echo; sandwich bots bracket). Hot buckets are prefix-capped in
+    * execution order (the degrade-not-drop contract — every reported
+    * echo is a true echo of the full stream).
+    *
+    * Shape: one keyed rank cap, ONE bucket equi-join whose fan-out is
+    * ≤ maxBucketTrades² per (type, hour) bucket at ANY density,
+    * all-integer comparisons; the pair aggregate keys on the packed
+    * (leader, follower) and the output is floored by `minEchoes`. */
+  def copyTrading(
+      events: DataFrame,
+      maxLagUs: Long = 600000000L,
+      maxBucketTrades: Int = 256,
+      minEchoes: Int = 3): DataFrame = {
+    val nPart = math.max(32,
+      events.sparkSession.sessionState.conf.numShufflePartitions)
+    val t = events
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("mb"),
+        tsUs.as("tu"), col("event_id"), col("user_id"))
+      .repartition(nPart, col("event_type"), col("mb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"), col("mb"))
+          .orderBy(col("tu"), col("event_id"))))
+      .filter(col("rk") <= maxBucketTrades)
+      .drop("rk")
+    val lead = t.select(col("event_type"), col("mb"),
+      col("tu").as("tu_a"), col("event_id").as("id_a"),
+      col("user_id").as("leader"))
+    val follow = t.select(col("event_type"), col("mb"),
+      col("tu").as("tu_b"), col("event_id").as("id_b"),
+      col("user_id").as("follower"))
+    lead.join(follow, Seq("event_type", "mb"))
+      .filter(col("follower") =!= col("leader") &&
+        struct(col("tu_b"), col("id_b")) > struct(col("tu_a"), col("id_a")) &&
+        col("tu_b") - col("tu_a") <= maxLagUs)
+      .groupBy("leader", "follower")
+      .agg(count(lit(1)).as("n_echoes"),
+        countDistinct(col("event_type"), col("mb")).as("n_buckets"),
+        sum(col("tu_b") - col("tu_a")).as("lag_sum_us"))
+      .filter(col("n_echoes") >= minEchoes)
+      .select(col("leader"), col("follower"), col("n_echoes"),
+        col("n_buckets"),
+        expr("lag_sum_us div n_echoes").as("mean_lag_us"))
+  }
 }

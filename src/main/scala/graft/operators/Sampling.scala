@@ -260,4 +260,52 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"),
         expr(s"cast(((rk - 1) * $nBins) div $n + 1 as int)").as("stage"))
   }
+
+  /** C68: context-window fit report per source — the capacity-planning
+    * question every training run asks before picking a sequence length:
+    * how many documents exceed `contextTokens` (whitespace tokens, the
+    * [[graft.operators.TextAnalysis.tokenCounts]] definition), exactly
+    * how many tokens truncation throws away (Σ max(n_tok − L, 0)), and
+    * the exact p50/p90/p99 order statistics of per-doc token counts.
+    * Percentiles are rank-based — the value at 1-based ascending index
+    * ((n−1)·p) div 100 + 1 — pure integer arithmetic, no interpolation,
+    * so both engines agree bit-for-bit.
+    *
+    * Shape: one codegen'd projection to (source, n_tok), then
+    * compaction to a (source, n_tok) HISTOGRAM before any window (the
+    * calibratedQuality trick): the cumulative pass and the percentile
+    * lookup run over |sources| × |distinct lengths| rows, never over
+    * documents — no doc-level window exists in the plan, so it holds
+    * at 10⁹ docs where per-source doc windows would single-thread. */
+  def contextFitReport(docs: DataFrame, contextTokens: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+    val hist = tk.groupBy("source", "n_tok").agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy("source").agg(
+      sum("c").as("n_docs"),
+      sum(when(col("n_tok") > contextTokens, col("c")).otherwise(0L))
+        .as("docs_over"),
+      sum(col("c") * col("n_tok")).as("tok_total"),
+      sum(col("c") *
+        when(col("n_tok") > contextTokens,
+          col("n_tok") - contextTokens).otherwise(0L)).as("tok_lost"))
+    val wCum = Window.partitionBy("source").orderBy("n_tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("c").over(wCum))
+      .join(broadcast(totals), "source")
+    val picks = cum.groupBy("source").agg(
+      min(when(col("cum") >= expr("(n_docs - 1) * 50 div 100 + 1"),
+        col("n_tok"))).as("p50_tok"),
+      min(when(col("cum") >= expr("(n_docs - 1) * 90 div 100 + 1"),
+        col("n_tok"))).as("p90_tok"),
+      min(when(col("cum") >= expr("(n_docs - 1) * 99 div 100 + 1"),
+        col("n_tok"))).as("p99_tok"))
+    totals.join(picks, "source")
+      .select(col("source"), col("n_docs"), col("docs_over"),
+        col("tok_total"), col("tok_lost"),
+        (col("tok_lost").cast("double") / col("tok_total").cast("double"))
+          .as("loss_frac"),
+        col("p50_tok"), col("p90_tok"), col("p99_tok"))
+  }
 }

@@ -183,4 +183,75 @@ class Round9OpsSpec extends TestSparkSession {
       Seq("wallet_a", "wallet_b", "hours_ab", "hours_ba"))
     assert(out.count() >= 0)
   }
+
+  test("hurstExponent: zero-variance scales are excluded; a hash-walk " +
+      "series lands in the open unit interval with the exact-decimal " +
+      "lnv chain") {
+    import java.sql.Timestamp
+    // linear trend: every m-lag difference is the constant m -> zero
+    // variance at every scale -> the type must be filtered out entirely
+    val trend = (0 until 64).map(i => (i.toLong,
+      new Timestamp(1700000000000L + i * 3600000L), 1L, "trend",
+      (100 + i).toDouble, "{}"))
+    // deterministic +-1 hash walk: H should be interior, not degenerate
+    var c = 10000L
+    val walk = (0 until 512).map { i =>
+      c += (if (((i * 2654435761L) >>> 7 & 1L) == 1L) 1 else -1)
+      (1000L + i, new Timestamp(1700000000000L + i * 3600000L), 2L,
+        "walk", c / 100.0, "{}")
+    }
+    val events = (trend ++ walk).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.EventOps.hurstExponent(events)
+      .select("event_type", "n_periods", "hurst")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains("trend"),
+      "a zero-variance scale must exclude the type, not divide by zero")
+    val (_, n, h) = out("walk")
+    assert(n === 511L)
+    assert(h > 0.0 && h < 1.0 && !h.isNaN)
+  }
+
+  test("copyTrading: planted echo pair detected with the exact mean " +
+      "lag; the prefix cap degrades (keeps true echoes), never invents") {
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    // leader 1 then follower 2 five seconds later, in 4 distinct hours;
+    // wallet 3 trades far away in time (no echo)
+    val rows = (0 until 4).flatMap { h =>
+      Seq((h * 10L, new Timestamp(base + h * 3600000L), 1L,
+        "purchase", 5.0, "{}"),
+        (h * 10L + 1, new Timestamp(base + h * 3600000L + 5000L), 2L,
+          "purchase", 5.0, "{}"))
+    } :+ ((99L, new Timestamp(base + 1800000L), 3L, "purchase", 5.0, "{}"))
+    val events = rows.toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = operators.EventOps.copyTrading(events, minEchoes = 3)
+      .select("leader", "follower", "n_echoes", "n_buckets", "mean_lag_us")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)),
+      "only the planted direction may appear")
+    val (_, _, ne, nb, lag) = got.head
+    assert(ne === 4L && nb === 4L && lag === 5000000L)
+    // prefix cap 1 keeps only the leader per bucket -> no echoes, and
+    // nothing fabricated
+    assert(operators.EventOps.copyTrading(events, minEchoes = 1,
+      maxBucketTrades = 1).count() === 0L)
+  }
+
+  test("contextFitReport: exact integer loss accounting and rank-based " +
+      "percentiles on a known length ladder") {
+    val docs = (1 to 10).map(n =>
+      (n.toLong, Seq.fill(n)("w").mkString(" "), "en", "a", n.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.Sampling.contextFitReport(docs, contextTokens = 5)
+      .as[(String, Long, Long, Long, Long, Double, Long, Long, Long)]
+      .collect()
+    assert(out.length === 1)
+    val (src, nDocs, over, tot, lost, frac, p50, p90, p99) = out.head
+    assert(src === "a" && nDocs === 10L && over === 5L)
+    assert(tot === 55L && lost === 15L && frac === 15.0 / 55.0)
+    // ascending index (n-1)*p div 100 + 1 on lengths 1..10
+    assert(p50 === 5L && p90 === 9L && p99 === 9L)
+  }
 }

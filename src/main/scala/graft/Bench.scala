@@ -214,7 +214,8 @@ object Bench {
     // trading, context-window fit planning
     "q_events_hurst",
     "q_events_copy_trading",
-    "q_docs_context_fit")
+    "q_docs_context_fit",
+    "q_events_reactivations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

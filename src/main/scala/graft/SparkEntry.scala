@@ -2347,6 +2347,8 @@ object SparkEntry {
       EventOps.copyTrading(Tables.events(s, d))),
     "q_docs_context_fit" -> ((s, d) =>
       Sampling.contextFitReport(Tables.documents(s, d))),
+    "q_events_reactivations" -> ((s, d) =>
+      EventOps.reactivations(Tables.events(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
     // downstream pipeline fed by LSH candidates instead of the exact
     // quadratic inverted-index join (no SQL oracle — MinHash banding is
@@ -3772,6 +3774,25 @@ object SparkEntry {
                   AS loss_frac,
                 p50_tok, p90_tok, p99_tok
          FROM tot JOIN p ON tot.source = p.source""",
+    // dormancy gap in integer micros; the rate is the only double
+    "q_events_reactivations" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+               epoch_us(ts) // 86400000000 AS db,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS ptu
+             FROM events)
+         SELECT db * 86400 AS day,
+                count(DISTINCT user_id) AS n_active,
+                count(DISTINCT CASE WHEN ptu IS NULL THEN user_id END)
+                  AS n_new,
+                count(DISTINCT CASE WHEN ptu IS NOT NULL
+                  AND tu - ptu >= 172800000000 THEN user_id END)
+                  AS n_reactivated,
+                CAST(count(DISTINCT CASE WHEN ptu IS NOT NULL
+                  AND tu - ptu >= 172800000000 THEN user_id END)
+                  AS DOUBLE) / CAST(count(DISTINCT user_id) AS DOUBLE)
+                  AS reactivation_rate
+         FROM t GROUP BY db""",
     // Herfindahl over the 24 hour-of-day slots + deterministic peak
     "q_events_diurnal" ->
       """WITH h AS (SELECT event_type,

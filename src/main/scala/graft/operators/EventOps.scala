@@ -3059,6 +3059,38 @@ object EventOps {
         lit(den) / lit(2.0)).as("hurst"))
   }
 
+  /** A117: dormant-wallet reactivation screen — per UTC day: active
+    * wallets, first-ever wallets, and wallets whose event that day ends
+    * a dormancy of ≥ `dormantHours` since their previous event, plus
+    * the reactivation rate. Airdrop farming and Sybil waves show as
+    * coordinated reactivation spikes (thousands of long-dormant wallets
+    * waking the same day) that per-wallet screens never aggregate —
+    * the day-level counterpart of [[walletChurn]]'s cohort view and
+    * [[burstWallets]]'s intra-day rate view.
+    *
+    * Exactness: gap comparisons are integer micros; the only double is
+    * the final rate division. Shape: ONE lag window per wallet (the
+    * per-user sort the session/gap family already pays) + one keyed
+    * day aggregate — linear, no joins. */
+  def reactivations(events: DataFrame, dormantHours: Int = 48): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    val gapUs = dormantHours * 3600000000L
+    events.select(col("user_id"), tsUs.as("tu"), col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("db"))
+      .withColumn("ptu", lag("tu", 1).over(w))
+      .groupBy("db")
+      .agg(countDistinct("user_id").as("n_active"),
+        countDistinct(when(col("ptu").isNull, col("user_id")))
+          .as("n_new"),
+        countDistinct(when(col("ptu").isNotNull &&
+          col("tu") - col("ptu") >= gapUs, col("user_id")))
+          .as("n_reactivated"))
+      .select((col("db") * 86400).as("day"), col("n_active"),
+        col("n_new"), col("n_reactivated"),
+        (col("n_reactivated").cast("double") /
+          col("n_active").cast("double")).as("reactivation_rate"))
+  }
+
   /** A116: copy-trading (follower/echo) detection — ordered wallet pairs
     * where B repeats A's action (same type, same hour bucket) within
     * `maxLagUs` after A, counted across distinct hour buckets: the

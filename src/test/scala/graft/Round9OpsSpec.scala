@@ -239,6 +239,32 @@ class Round9OpsSpec extends TestSparkSession {
       maxBucketTrades = 1).count() === 0L)
   }
 
+  test("reactivations: planted dormancy counted on the waking day; " +
+      "first-ever events are new, not reactivated") {
+    import java.sql.Timestamp
+    val day = 86400000L
+    val base = 1700006400000L // aligned: 1700006400 % 86400 == 0
+    val rows = Seq(
+      // wallet 1: day 0 then wakes on day 3 (gap 72h >= 48h)
+      (1L, new Timestamp(base), 1L, "click", 1.0, "{}"),
+      (2L, new Timestamp(base + 3 * day), 1L, "click", 1.0, "{}"),
+      // wallet 2: events 24h apart -> active both days, never dormant
+      (3L, new Timestamp(base), 2L, "view", 1.0, "{}"),
+      (4L, new Timestamp(base + day), 2L, "view", 1.0, "{}"))
+      .map { case (e, ts, u, t, v, p) => (e, ts, u, t, v, p) }
+    val events = rows.toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.EventOps.reactivations(events)
+      .select("day", "n_active", "n_new", "n_reactivated")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val d0 = base / 1000
+    assert(out(d0) === ((d0, 2L, 2L, 0L)),
+      "day 0: both wallets new, nothing reactivated")
+    assert(out(d0 + 86400L)._4 === 0L, "a 24h gap is not dormancy")
+    assert(out(d0 + 3 * 86400L) === ((d0 + 3 * 86400L, 1L, 0L, 1L)),
+      "the 72h sleeper reactivates on its waking day")
+  }
+
   test("contextFitReport: exact integer loss accounting and rank-based " +
       "percentiles on a known length ladder") {
     val docs = (1 to 10).map(n =>

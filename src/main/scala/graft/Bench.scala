@@ -215,7 +215,9 @@ object Bench {
     "q_events_hurst",
     "q_events_copy_trading",
     "q_docs_context_fit",
-    "q_events_reactivations")
+    "q_events_reactivations",
+    "q_events_whale_share",
+    "q_ann_dim_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2349,6 +2349,10 @@ object SparkEntry {
       Sampling.contextFitReport(Tables.documents(s, d))),
     "q_events_reactivations" -> ((s, d) =>
       EventOps.reactivations(Tables.events(s, d))),
+    "q_events_whale_share" -> ((s, d) =>
+      EventOps.whaleShare(Tables.events(s, d))),
+    "q_ann_dim_stats" -> ((s, d) =>
+      Similarity.embeddingDimStats(Tables.embeddings(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
     // downstream pipeline fed by LSH candidates instead of the exact
     // quadratic inverted-index join (no SQL oracle — MinHash banding is
@@ -3774,6 +3778,44 @@ object SparkEntry {
                   AS loss_frac,
                 p50_tok, p90_tok, p99_tok
          FROM tot JOIN p ON tot.source = p.source""",
+    // top-k by (vol desc, user_id) rank; integer cents end to end
+    "q_events_whale_share" ->
+      """WITH v AS (SELECT event_type,
+               epoch_us(ts) // 86400000000 AS db, user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS vol
+             FROM events GROUP BY 1, 2, 3),
+         t AS (SELECT event_type, db, count(*) AS n_wallets,
+                 CAST(sum(vol) AS BIGINT) AS total_cents
+               FROM v GROUP BY 1, 2),
+         r AS (SELECT event_type, db, vol,
+                 row_number() OVER (PARTITION BY event_type, db
+                   ORDER BY vol DESC, user_id) AS rk
+               FROM v),
+         tk AS (SELECT event_type, db,
+                  CAST(sum(vol) AS BIGINT) AS top_cents
+                FROM r WHERE rk <= 10 GROUP BY 1, 2)
+         SELECT t.event_type, t.db * 86400 AS day, t.n_wallets,
+                t.total_cents, tk.top_cents,
+                CAST(tk.top_cents AS DOUBLE) /
+                  CAST(t.total_cents AS DOUBLE) AS whale_share
+         FROM t JOIN tk ON t.event_type = tk.event_type
+           AND t.db = tk.db""",
+    // per-(label, dim) moments on the 1e-6 grid; HUGEINT sums
+    "q_ann_dim_stats" ->
+      """WITH c AS (SELECT label,
+               CAST(unnest(generate_series(1, 64)) - 1 AS BIGINT) AS dim,
+               CAST(CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                 * 1000000, 0) AS BIGINT) AS HUGEINT) AS x6
+             FROM embeddings),
+         m AS (SELECT label, dim, CAST(count(*) AS HUGEINT) AS n,
+                 sum(x6) AS s, sum(x6 * x6) AS q
+               FROM c GROUP BY 1, 2)
+         SELECT label, dim, CAST(n AS BIGINT) AS n,
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6 AS mean,
+                CAST(n * q - s * s AS DOUBLE) /
+                  CAST(n * n AS DOUBLE) / 1.0e12 AS variance
+         FROM m""",
     // dormancy gap in integer micros; the rate is the only double
     "q_events_reactivations" ->
       """WITH t AS (SELECT user_id, epoch_us(ts) AS tu, event_id,

@@ -3059,6 +3059,42 @@ object EventOps {
         lit(den) / lit(2.0)).as("hurst"))
   }
 
+  /** A118: whale-share concentration per (type, day) — the share of
+    * each market-day's volume carried by its top-`k` wallets, the
+    * time-resolved dominance trend the static [[walletConcentration]]
+    * HHI cannot show (a market drifting from organic to two-whale
+    * control moves this curve long before the global number moves).
+    * Top-k is deterministic: row_number on (volume desc, user_id).
+    *
+    * Shape: one keyed aggregate to (type, day, wallet) cents, then the
+    * rank FILTER directly follows the window so Catalyst inserts
+    * WindowGroupLimit — each map task keeps only k candidates per
+    * group and the full per-group sort never materializes at 10⁹
+    * wallets; totals come from a second partial-aggregate pass over
+    * the same shuffle output, joined group-wise. */
+  def whaleShare(events: DataFrame, k: Int = 10): DataFrame = {
+    val v = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("db"),
+        col("user_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .groupBy("event_type", "db", "user_id")
+      .agg(sum("cents").as("vol"))
+    val totals = v.groupBy("event_type", "db")
+      .agg(count(lit(1)).as("n_wallets"), sum("vol").as("total_cents"))
+    val w = Window.partitionBy("event_type", "db")
+      .orderBy(col("vol").desc, col("user_id"))
+    val top = v.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k) // WindowGroupLimit: top-k, not a full sort
+      .groupBy("event_type", "db")
+      .agg(sum("vol").as("top_cents"))
+    totals.join(top, Seq("event_type", "db"))
+      .select(col("event_type"), (col("db") * 86400).as("day"),
+        col("n_wallets"), col("total_cents"), col("top_cents"),
+        (col("top_cents").cast("double") /
+          col("total_cents").cast("double")).as("whale_share"))
+  }
+
   /** A117: dormant-wallet reactivation screen — per UTC day: active
     * wallets, first-ever wallets, and wallets whose event that day ends
     * a dormancy of ≥ `dormantHours` since their previous event, plus

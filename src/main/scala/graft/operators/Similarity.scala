@@ -915,6 +915,37 @@ object Similarity {
           .as("dist_ratio"))
   }
 
+  /** C69: per-(label, dim) embedding statistics — the dead/collapsed
+    * dimension QA probe an embedding pipeline runs before trusting a
+    * model's output space: a dimension whose variance pins to ~0 is
+    * dead (wasted capacity, and it silently degrades cosine contrast),
+    * and per-label mean separation per dimension is the cheapest
+    * linear-probe signal. Components land on the shared 1e-6 grid
+    * (float→double exact, the [[embeddingOutliers]] contract); moments
+    * accumulate in Decimal(38,0), mean/variance are fixed IEEE dags
+    * over the agreed integers.
+    *
+    * Shape: one posexplode pass with map-side partial aggregation
+    * straight to (label × dim) keys — the wide 10⁹-vector scan reduces
+    * to a codebook-sized table in a single shuffle. */
+  def embeddingDimStats(emb: DataFrame): DataFrame = {
+    val comp = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("bigint").as("dim"),
+        expr("cast(round(cast(x as double) * 1000000, 0) as bigint)")
+          .cast("decimal(38,0)").as("x6"))
+    comp.groupBy("label", "dim")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nD"),
+        sum("x6").as("s"), sum(col("x6") * col("x6")).as("q"))
+      .select(col("label"), col("dim"),
+        col("nD").cast("bigint").as("n"),
+        (col("s").cast("double") / col("nD").cast("double") / lit(1.0e6))
+          .as("mean"),
+        ((col("nD") * col("q") - col("s") * col("s")).cast("double") /
+          (col("nD") * col("nD")).cast("double") / lit(1.0e12))
+          .as("variance"))
+  }
+
   /** C60: MMR diverse top-k selection (Carbonell-Goldstein maximal
     * marginal relevance, λ = 1/2) — the retrieval/ICL-example selector
     * that stops a result list collapsing onto near-duplicates: each

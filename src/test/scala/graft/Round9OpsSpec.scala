@@ -265,6 +265,36 @@ class Round9OpsSpec extends TestSparkSession {
       "the 72h sleeper reactivates on its waking day")
   }
 
+  test("whaleShare: planted volumes give the exact top-k share; " +
+      "deterministic (vol desc, user_id) tie-break") {
+    import java.sql.Timestamp
+    val base = 1700006400000L
+    val events = Seq(
+      (1L, new Timestamp(base), 1L, "purchase", 100.0, "{}"),
+      (2L, new Timestamp(base + 1000L), 2L, "purchase", 50.0, "{}"),
+      (3L, new Timestamp(base + 2000L), 3L, "purchase", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.EventOps.whaleShare(events, k = 2)
+      .select("event_type", "n_wallets", "total_cents", "top_cents",
+        "whale_share")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(("purchase", 3L, 16000L, 15000L,
+      15000.0 / 16000.0)))
+  }
+
+  test("embeddingDimStats: a constant dimension reports variance 0 " +
+      "(dead-dim detection); moments are exact on the 1e-6 grid") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = operators.Similarity.embeddingDimStats(emb)
+      .orderBy("dim")
+      .select("label", "dim", "n", "mean", "variance")
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(out.toSeq === Seq((0, 0L, 2L, 2.0, 1.0), (0, 1L, 2L, 2.0, 0.0)))
+  }
+
   test("contextFitReport: exact integer loss accounting and rank-based " +
       "percentiles on a known length ladder") {
     val docs = (1 to 10).map(n =>

@@ -1915,27 +1915,27 @@ object SparkEntry {
       GraphOps.coactivityPagerank(Tables.events(s, d))),
     "q_events_pagerank_dropall" -> ((s, d) =>
       GraphOps.coactivityPagerank(Tables.events(s, d),
-        maxGroupSize = 64, policy = GraphOps.DropAll)),
+        maxGroupSize = 64, policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_events_taint" -> ((s, d) =>
       GraphOps.seededPagerank(Tables.events(s, d))),
     "q_events_taint_dropall" -> ((s, d) =>
       GraphOps.seededPagerank(Tables.events(s, d),
-        maxGroupSize = 64, policy = GraphOps.DropAll)),
+        maxGroupSize = 64, policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_events_kcore" -> ((s, d) =>
       GraphOps.kCore(Tables.events(s, d))),
     "q_events_kcore_dropall" -> ((s, d) =>
       GraphOps.kCore(Tables.events(s, d), maxGroupSize = 64,
-        policy = GraphOps.DropAll)),
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_events_triangles" -> ((s, d) =>
       GraphOps.triangleStats(Tables.events(s, d))),
     "q_events_triangles_dropall" -> ((s, d) =>
       GraphOps.triangleStats(Tables.events(s, d),
-        policy = GraphOps.DropAll)),
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_events_wallet_clusters" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d))),
     "q_events_wallet_clusters_dropall" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d),
-        policy = GraphOps.DropAll)),
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_events_cap_accounting" -> ((s, d) =>
       EventOps.capAccounting(Tables.events(s, d))),
     "q_events_momentum_ic" -> ((s, d) =>
@@ -1955,7 +1955,7 @@ object SparkEntry {
       EventOps.sandwichTrades(Tables.events(s, d))),
     "q_events_sandwich_dropall" -> ((s, d) =>
       EventOps.sandwichTrades(Tables.events(s, d),
-        policy = GraphOps.DropAll)),
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_events_wash_pairs" -> ((s, d) =>
       EventOps.washPairs(Tables.events(s, d))),
     "q_events_vpin" -> ((s, d) =>
@@ -2246,7 +2246,7 @@ object SparkEntry {
       GraphOps.neighborSimilarity(Tables.events(s, d))),
     "q_events_neighbor_sim_dropall" -> ((s, d) =>
       GraphOps.neighborSimilarity(Tables.events(s, d),
-        policy = GraphOps.DropAll)),
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_docs_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d),
         Seq("spark", "window", "merge"))),
@@ -2286,7 +2286,7 @@ object SparkEntry {
       GraphOps.edgeGrowth(Tables.events(s, d))),
     "q_events_edge_growth_dropall" -> ((s, d) =>
       GraphOps.edgeGrowth(Tables.events(s, d),
-        policy = GraphOps.DropAll)),
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_ann_rrf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.rrfFusion(emb, emb.filter(col("vec_id") < 10))
@@ -2783,9 +2783,11 @@ object SparkEntry {
            SELECT node, count(*) AS deg FROM (
              SELECT src AS node FROM eu
              UNION ALL SELECT dst AS node FROM eu) GROUP BY 1),
+         centers AS (SELECT node FROM deg WHERE deg <= 256),
          tri AS (
            SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
            FROM eu ab
+           JOIN centers cz ON ab.dst = cz.node
            JOIN eu bc ON ab.dst = bc.src
            JOIN eu ac ON ac.src = ab.src AND ac.dst = bc.dst),
          pn AS (
@@ -2938,9 +2940,11 @@ object SparkEntry {
            SELECT node, count(*) AS deg FROM (
              SELECT src AS node FROM e
              UNION ALL SELECT dst AS node FROM e) GROUP BY 1),
+         centers AS (SELECT node FROM deg WHERE deg <= 256),
          tri AS (
            SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
            FROM e ab
+           JOIN centers cz ON ab.dst = cz.node
            JOIN e bc ON ab.dst = bc.src
            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
          pn AS (

@@ -53,7 +53,21 @@ object Verify {
               .write.mode("overwrite").parquet(s"$outDir/$name")
           }
           catch { case e: Throwable =>
+            // a throwing query must be distinguishable from "never
+            // registered": stderr scrolls away, so drop a failure
+            // manifest the oracle checker turns into an `err` row with
+            // the exception text instead of a silent absentee
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+            val esc = msg.flatMap {
+              case '"' => "\\\""
+              case '\\' => "\\\\"
+              case c if c < ' ' => f"\\u${c.toInt}%04x"
+              case c => c.toString
+            }
+            scala.util.Try(Files.writeString(
+              Paths.get(s"$outDir/${name}_FAILED.json"),
+              s"""{"query":"$name","error":"$esc"}"""))
           }
       })
     }

@@ -1665,7 +1665,8 @@ object EventOps {
           .filter(col("rk") <= maxBucketTrades)
           .drop("rk")
         sandwichOn(tt)
-      case GraphOps.DropAll =>
+      case d: GraphOps.DropAll =>
+        d.check()
         val t = sandwichTradeRows(events)
         val sized = t.groupBy("mb").agg(count(lit(1)).as("c"))
           .filter(col("c") <= maxBucketTrades).select("mb")
@@ -3044,9 +3045,15 @@ object EventOps {
         lnR6(col(s"n$m") * col(s"q$m") - col(s"s$m") * col(s"s$m")) -
           lnR6(col(s"n$m") * col(s"n$m")))
     }
-    // abscissae are the SAME r6 quantum as lnR6: ln m rounded to 1e-6;
-    // x̄ = 1.03972075, deviations ±1.03972075 / ±0.34657375, so the
-    // centered slope needs only the two spreads.
+    // abscissae are the SAME r6 quantum as lnR6: ln m rounded to 1e-6
+    // (0, 0.693147, 1.386294, 2.079442), x̄ = 1.03972075. The quantized
+    // deviations are ASYMMETRIC at the 7th decimal (-1.03972075/
+    // +1.03972125, -0.34657375/+0.34657325), so this two-spread
+    // symmetric form is a PINNED ~1e-7 approximation of the exact
+    // centered OLS slope, not the exact slope itself — pinned because
+    // the oracle evaluates the identical literals, so the hash contract
+    // is on the formula, and a symmetric two-spread dag is half the
+    // float ops of the four-deviation sum.
     val den = 2.0 * (1.03972075 * 1.03972075 + 0.34657375 * 0.34657375)
     lnVars.select(col("event_type"),
       col("n1").cast("bigint").as("n_periods"),

@@ -56,8 +56,22 @@ object GraphOps {
     * `maxGroupSize` most-active wallets (count desc, id tie-break). */
   case object CapTop extends OverCapPolicy
   /** Legacy drop policy (opt-in): over-cap buckets are deleted whole —
-    * vacuous when density crosses the cap everywhere. */
-  case object DropAll extends OverCapPolicy
+    * vacuous when density crosses the cap everywhere. Because that
+    * vacuity is SILENT (a caller at production density gets 0 rows
+    * with no error — the round-8 sf100 witness), constructing the
+    * policy requires spelling out `acknowledgeVacuous = true`: every
+    * consumer calls [[check]] before applying the drop filter and
+    * refuses an unacknowledged instance. [[EventOps.capAccounting]]
+    * reports how much each family's cap would drop — run it first. */
+  final case class DropAll(acknowledgeVacuous: Boolean = false)
+      extends OverCapPolicy {
+    private[graft] def check(): Unit = require(acknowledgeVacuous,
+      "DropAll deletes every over-cap bucket whole and returns ZERO " +
+      "rows when density crosses the cap everywhere (witnessed at " +
+      "sf100). Pass DropAll(acknowledgeVacuous = true) to confirm " +
+      "that is intended, or use the CapTop default (degrade, never " +
+      "drop); EventOps.capAccounting quantifies what the cap drops.")
+  }
 
   /** Node-sized iteration state (two longs per row) is broadcast into
     * the per-round joins when the graph is small enough that shipping
@@ -167,7 +181,9 @@ object GraphOps {
   private def bucketsFor(events: DataFrame, maxGroupSize: Int,
       policy: OverCapPolicy): DataFrame = policy match {
     case CapTop => cappedBuckets(events, maxGroupSize)
-    case DropAll => droppedBuckets(events, maxGroupSize)
+    case d: DropAll =>
+      d.check()
+      droppedBuckets(events, maxGroupSize)
   }
 
   /** Directed co-activity edge list under the degrade-not-drop rank cap
@@ -306,7 +322,7 @@ object GraphOps {
       .limit(nSeeds)
       .join(nodes, col("user_id") === col("src"))
       .select(col("user_id").as("seed"))
-      .localCheckpoint()
+      .localCheckpoint() // read once below; restart carries it forward
     val nSeedsInGraph = seeds.count()
     if (nSeedsInGraph == 0) {
       return nodes.select(col("src").as("node"), col("deg"),
@@ -314,11 +330,13 @@ object GraphOps {
     }
     val scale = 1000000000000L
     val base = (15L * scale / 100L) / nSeedsInGraph
-    val restart = nodes.join(seeds, col("src") === col("seed"), "left")
-      .select(col("src").as("node"),
-        when(col("seed").isNotNull, lit(base)).otherwise(lit(0L))
-          .as("r"))
-      .localCheckpoint()
+    // loop-invariant state joined every round — truncated through
+    // Checkpoints so the reliable mode covers it too
+    val restart = Checkpoints.truncate(
+      nodes.join(seeds, col("src") === col("seed"), "left")
+        .select(col("src").as("node"),
+          when(col("seed").isNotNull, lit(base)).otherwise(lit(0L))
+            .as("r")))
     var ranks = restart.select(col("node"),
       when(col("r") > 0, lit(scale / nSeedsInGraph)).otherwise(lit(0L))
         .as("pr")) // full unit mass split across the seeds
@@ -463,9 +481,12 @@ object GraphOps {
     * rings (a wash-trading cluster is near-clique: cc → 1e6).
     *
     * Shape: the undirected edge set (src < dst, each edge once) joins
-    * itself twice — wedges (a,b)⋈(b,c) then closure probe on (a,c);
-    * with the group-size cap the per-node degree is bounded, so wedge
-    * fan-out is Σ deg² over capped degrees, not n². The coefficient is
+    * itself twice — wedges (a,b)⋈(b,c) then closure probe on (a,c).
+    * The group-size cap bounds degree PER BUCKET but degree accumulates
+    * across hours, so `maxDeg` additionally guards the wedge CENTER
+    * (semi-joins on both legs ahead of the self-join — see
+    * [[triangleStatsOn]]): wedge fan-out is Σ deg² over maxDeg-capped
+    * centers at any density. The coefficient is
     * a truncating integer `2·tri·1e6 div deg·(deg−1)` — bit-identical
     * in any engine, no floats.
     *
@@ -478,8 +499,10 @@ object GraphOps {
   def triangleStats(
       events: DataFrame,
       maxGroupSize: Int = 16,
-      policy: OverCapPolicy = CapTop): DataFrame =
-    triangleStatsOn(coactivityEdges(events, maxGroupSize, policy))
+      policy: OverCapPolicy = CapTop,
+      maxDeg: Int = 256): DataFrame =
+    triangleStatsOn(coactivityEdges(events, maxGroupSize, policy),
+      maxDeg)
 
   /** A73b: triangles/clustering over the capped edge set — since
     * round 9 identical to [[triangleStats]]'s default; kept as a named
@@ -489,18 +512,38 @@ object GraphOps {
     * density. */
   def triangleStatsCapped(
       events: DataFrame,
-      maxGroupSize: Int = 16): DataFrame =
-    triangleStats(events, maxGroupSize, CapTop)
+      maxGroupSize: Int = 16,
+      maxDeg: Int = 256): DataFrame =
+    triangleStats(events, maxGroupSize, CapTop, maxDeg)
 
-  private def triangleStatsOn(directedEdges: DataFrame): DataFrame = {
+  private def triangleStatsOn(
+      directedEdges: DataFrame, maxDeg: Int): DataFrame = {
     val e = directedEdges
       .filter(col("src") < col("dst"))
       .localCheckpoint()
     val deg = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // centers semi-joins + the final left join
+    // hub guard LEADING the wedge join (the neighborSimilarity
+    // contract): the oriented wedge's fan-out at middle node b is
+    // deg_lo(b)·deg_hi(b) — bounded per bucket by the group cap but
+    // unbounded ACROSS hours for a wallet co-active with rotating
+    // crowds — so wedges are only enumerated through middle nodes
+    // with total degree ≤ maxDeg, enforced by semi-joins on both legs
+    // BEFORE the self-join. Triangles whose by-id middle vertex is an
+    // over-cap hub are skipped (reported deg stays the full degree):
+    // the ring signal this operator exists for lives in small
+    // near-cliques, never in cross-hour mega-hubs. Identity with the
+    // unguarded result whenever every degree ≤ maxDeg; the oracle
+    // carries the same guard.
+    val centers = deg.filter(col("deg") <= maxDeg)
+      .select(col("node").as("z"))
+    val ab = e.join(centers, col("dst") === col("z"), "left_semi")
+    val bc = e.join(centers, col("src") === col("z"), "left_semi")
     // oriented wedges a<b<c close into each triangle exactly once
-    val tri = e.as("ab").join(e.as("bc"), col("ab.dst") === col("bc.src"))
+    val tri = ab.as("ab").join(bc.as("bc"),
+        col("ab.dst") === col("bc.src"))
       .join(e.as("ac"), col("ac.src") === col("ab.src") &&
         col("ac.dst") === col("bc.dst"))
       .select(col("ab.src").as("a"), col("ab.dst").as("b"),
@@ -619,8 +662,21 @@ object GraphOps {
       .select(col("node").as("z"),
         round(lit(1.0) / col("deg").cast("double"), 9)
           .cast("decimal(12,9)").as("ra_w"))
+    // the hub cap must LEAD the quadratic join: semi-joining BOTH wedge
+    // legs on the capped-center set first means an over-cap hub's deg²
+    // fan-out is never materialized (filtering after the self-join
+    // computes it and throws it away — per-bucket degree is bounded,
+    // but a wallet co-active with rotating crowds accumulates unbounded
+    // distinct-partner degree across hours, exactly what `maxDeg`
+    // exists to cap). The filter is on the join key, so results are
+    // identical to the post-join inner probe; the semi-join's z
+    // exchange is the same exchange the self-join needs, so no extra
+    // edge-sized shuffle is paid. Plan order pinned in PlanAuditSpec.
+    val zs = centers.select("z")
     val wedges = e.select(col("dst").as("z"), col("src").as("a"))
-      .join(e.select(col("src").as("z"), col("dst").as("b")), "z")
+      .join(zs, Seq("z"), "left_semi")
+      .join(e.select(col("src").as("z"), col("dst").as("b"))
+        .join(zs, Seq("z"), "left_semi"), "z")
       .filter(col("a") < col("b"))
       .join(centers, "z")
     val pairs = wedges.groupBy("a", "b")

@@ -978,12 +978,13 @@ object Similarity {
       .filter(col("rel6").isNotNull) // zero-norm guard, as in the argmins
       .join(withNorm(emb).select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"), col("n2").as("cn")), "neighbor_id")
-      .localCheckpoint() // queries × nCandidates rows; looped below
+      .transform(Checkpoints.truncate(_)) // queries × nCandidates
+        // rows; joined EVERY loop step — reliable mode must cover it
     var selected = pool.groupBy("q_id")
       .agg(max_by(col("neighbor_id"),
         struct(col("rel6"), (-col("neighbor_id")).as("nid"))).as("vec_id"))
       .select(col("q_id"), lit(1).as("step"), col("vec_id"))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate(_))
     for (step <- 2 to k) {
       val selEmb = selected.join(pool.select(col("q_id"),
           col("neighbor_id").as("vec_id"), col("ce").as("se"),
@@ -1006,7 +1007,7 @@ object Similarity {
           struct(col("score2"), (-col("neighbor_id")).as("nid")))
           .as("vec_id"))
         .select(col("q_id"), lit(step).as("step"), col("vec_id"))
-      selected = selected.union(next).localCheckpoint()
+      selected = Checkpoints.truncate(selected.union(next))
     }
     selected.join(pool.select(col("q_id"),
         col("neighbor_id").as("vec_id"), col("rel6")),

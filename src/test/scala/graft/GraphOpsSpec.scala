@@ -111,7 +111,7 @@ class GraphOpsSpec extends TestSparkSession {
     // 70 wallets in one hour exceeds maxGroupSize=64 → no edges at all
     val out = GraphOps.triangleStats(cliqueEvents(70)
       .filter(col("user_id") < 100), maxGroupSize = 64,
-      policy = GraphOps.DropAll)
+      policy = GraphOps.DropAll(acknowledgeVacuous = true))
     assert(out.count() === 0)
   }
 

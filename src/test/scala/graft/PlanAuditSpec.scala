@@ -567,7 +567,7 @@ class PlanAuditSpec extends TestSparkSession {
     // build legitimately carries ONE rank window (audited below); the
     // peel rounds themselves must stay window-free under either policy
     val df = GraphOps.kCore(Tables.events(spark, sfDir),
-      policy = GraphOps.DropAll)
+      policy = GraphOps.DropAll(acknowledgeVacuous = true))
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
@@ -600,7 +600,7 @@ class PlanAuditSpec extends TestSparkSession {
     // and the pair fan-out is a map-side double-explode, never a
     // self-join re-shuffle
     val plan = planOf(GraphOps.coactivityEdges(
-      Tables.events(spark, sfDir), 64, GraphOps.DropAll))
+      Tables.events(spark, sfDir), 64, GraphOps.DropAll(acknowledgeVacuous = true)))
     assert(plan.contains("Generate explode"),
       "pair fan-out must be the map-side double-explode")
     assert(!plan.contains("FileScan"),
@@ -656,6 +656,40 @@ class PlanAuditSpec extends TestSparkSession {
       "triangle counting is joins + keyed aggregates, no window")
   }
 
+  /** The round-9 verdict's plan-order finding: the hub-degree cap must
+    * execute BEFORE the quadratic wedge self-join, or an over-cap hub's
+    * deg² fan-out materializes and is then discarded. Pinned on the
+    * optimized logical plan: some inner join must carry a LeftSemi
+    * (the centers guard) in BOTH child subtrees — the shape only the
+    * guard-leads-the-join plan has. */
+  private def assertWedgeGuardLeads(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val lp = df.queryExecution.optimizedPlan
+    def semis(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case j: LJoin if j.joinType == LeftSemi => j }
+    assert(semis(lp).size >= 2,
+      "expected a semi-join guard on each wedge leg:\n" + lp.treeString)
+    val guarded = lp.collect {
+      case j: LJoin if j.joinType == Inner &&
+        semis(j.left).nonEmpty && semis(j.right).nonEmpty => j
+    }
+    assert(guarded.nonEmpty,
+      "the degree guard must sit UPSTREAM of the wedge self-join " +
+        "on both legs:\n" + lp.treeString)
+  }
+
+  test("neighbor similarity: hub-degree guard leads both wedge legs") {
+    assertWedgeGuardLeads(
+      GraphOps.neighborSimilarity(Tables.events(spark, sfDir)))
+  }
+
+  test("triangle stats: hub-degree guard leads both wedge legs") {
+    assertWedgeGuardLeads(
+      GraphOps.triangleStats(Tables.events(spark, sfDir)))
+  }
+
   test("sandwich detection is one bracket aggregate + one bucket " +
       "equi-join; the only window is the bucket-keyed prefix cap") {
     val df = EventOps.sandwichTrades(Tables.events(spark, sfDir))
@@ -677,7 +711,7 @@ class PlanAuditSpec extends TestSparkSession {
     assert(plan.contains("partial_min") || plan.contains("partial_max"),
       "bracket bounds need map-side partials")
     val dropPlan = planOf(EventOps.sandwichTrades(
-      Tables.events(spark, sfDir), policy = GraphOps.DropAll))
+      Tables.events(spark, sfDir), policy = GraphOps.DropAll(acknowledgeVacuous = true)))
     assert(!dropPlan.contains("WindowGroupLimit") &&
       !dropPlan.contains(" Window"),
       "the drop policy's bracket build must stay window-free")

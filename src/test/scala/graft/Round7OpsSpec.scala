@@ -285,7 +285,7 @@ class Round7OpsSpec extends TestSparkSession {
     // the dropped-bucket graph is empty at this density — the sf10
     // vacuity shape this operator exists to fix
     assert(GraphOps.coactivityPagerank(ev, maxGroupSize = 16,
-      policy = GraphOps.DropAll).count() == 0)
+      policy = GraphOps.DropAll(acknowledgeVacuous = true)).count() == 0)
     val got = GraphOps.coactivityPagerankCapped(ev, maxGroupSize = 16)
       .collect().map(r => (r.getAs[Long]("node"),
         r.getAs[Long]("deg"), r.getAs[Long]("pr")))
@@ -313,7 +313,7 @@ class Round7OpsSpec extends TestSparkSession {
     val capped = key(GraphOps.coactivityPagerankCapped(ev,
       maxGroupSize = 16))
     val dropped = key(GraphOps.coactivityPagerank(ev,
-      maxGroupSize = 64, policy = GraphOps.DropAll))
+      maxGroupSize = 64, policy = GraphOps.DropAll(acknowledgeVacuous = true)))
     assert(capped == dropped && capped.nonEmpty)
   }
 

@@ -33,7 +33,7 @@ class Round8OpsSpec extends TestSparkSession {
     val ev = mkEvents(for {
       w <- 1 to 20; k <- 1 to w
     } yield ((w * 100 + k).toLong, w.toLong, 0L, "m", 1.0))
-    assert(GraphOps.coactivityEdges(ev, 8, GraphOps.DropAll)
+    assert(GraphOps.coactivityEdges(ev, 8, GraphOps.DropAll(acknowledgeVacuous = true))
       .count() === 0L,
       "drop filter must be vacuous over the cap (the witnessed mode)")
     val capped = GraphOps.cappedCoactivityEdges(ev, 8)
@@ -56,18 +56,18 @@ class Round8OpsSpec extends TestSparkSession {
     def sorted(df: DataFrame) =
       df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(sorted(GraphOps.triangleStatsCapped(ev, 8)) ===
-      sorted(GraphOps.triangleStats(ev, 8, GraphOps.DropAll)))
+      sorted(GraphOps.triangleStats(ev, 8, GraphOps.DropAll(acknowledgeVacuous = true))))
     assert(sorted(GraphOps.kCoreCapped(ev, k = 2, maxGroupSize = 8)) ===
       sorted(GraphOps.kCore(ev, k = 2, maxGroupSize = 8,
-        policy = GraphOps.DropAll)))
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))))
     assert(sorted(GraphOps.walletClustersCapped(ev, 8)) ===
       sorted(GraphOps.walletClusters(ev, 8,
-        policy = GraphOps.DropAll)))
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))))
     assert(sorted(GraphOps.neighborSimilarityCapped(ev, 8)) ===
       sorted(GraphOps.neighborSimilarity(ev, 8,
-        policy = GraphOps.DropAll)))
+        policy = GraphOps.DropAll(acknowledgeVacuous = true))))
     assert(sorted(GraphOps.edgeGrowthCapped(ev, 8)) ===
-      sorted(GraphOps.edgeGrowth(ev, 8, GraphOps.DropAll)))
+      sorted(GraphOps.edgeGrowth(ev, 8, GraphOps.DropAll(acknowledgeVacuous = true))))
   }
 
   test("capped k-core keeps the planted ring visible at a density " +
@@ -86,7 +86,7 @@ class Round8OpsSpec extends TestSparkSession {
     } yield ((h * 10000 + w).toLong, w.toLong, h.toLong, "m", 1.0)
     val ev = mkEvents(ring ++ ring2 ++ noise)
     assert(GraphOps.kCore(ev, k = 7, maxGroupSize = 64,
-      policy = GraphOps.DropAll).count() === 0L,
+      policy = GraphOps.DropAll(acknowledgeVacuous = true)).count() === 0L,
       "drop policy must lose the ring at this density")
     val core = GraphOps.kCoreCapped(ev, k = 7, maxGroupSize = 16)
       .collect().map(_.getLong(0)).toSet
@@ -111,7 +111,7 @@ class Round8OpsSpec extends TestSparkSession {
     val got = EventOps.sandwichTradesCapped(full, cap)
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     val want = EventOps.sandwichTrades(prefix, Int.MaxValue,
-      policy = GraphOps.DropAll)
+      policy = GraphOps.DropAll(acknowledgeVacuous = true))
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(got === want && got.nonEmpty)
   }

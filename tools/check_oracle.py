@@ -134,8 +134,27 @@ def hash_compare(con, name, oracle_sql):
     return True
 
 
+def failure_manifest(name):
+    """Verify writes <name>_FAILED.json when a query THROWS — turning
+    what used to be a silent missing-dump absentee into an `err` row
+    carrying the exception text."""
+    p = f"{out_dir}/{name}_FAILED.json"
+    if os.path.exists(p):
+        try:
+            return json.load(open(p)).get("error", "failed (no detail)")
+        except Exception:
+            return "failed (unreadable manifest)"
+    return None
+
+
 for name in sorted(oracle):
     try:
+        mf = failure_manifest(name)
+        if mf:
+            print(f"FAIL {name}: query failed in Verify: {mf}")
+            record(name, err=f"verify_failed: {mf}")
+            n_fail += 1
+            continue
         # a long sidecar run accumulates buffer-pool state across the
         # heavy MATERIALIZED-CTE oracles until later queries hit the
         # memory limit (witnessed: split_leakage OOM in sequence, green
@@ -238,6 +257,16 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         record(name, spark_rows=n, err="no_oracle")
     except Exception as ex:
         record(name, err=f"{type(ex).__name__}: {ex}")
+
+# failed queries with no oracle entry (sketch family that threw): the
+# manifest is the only trace — surface it rather than dropping the row
+for p in sorted(glob.glob(f"{out_dir}/*_FAILED.json")):
+    name = os.path.basename(p)[: -len("_FAILED.json")]
+    if name not in results:
+        mf = failure_manifest(name)
+        print(f"FAIL {name}: query failed in Verify: {mf}")
+        record(name, err=f"verify_failed: {mf}")
+        n_fail += 1
 
 json_out = os.environ.get("GRAFT_JSON_OUT")
 if json_out:

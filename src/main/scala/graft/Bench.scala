@@ -217,7 +217,12 @@ object Bench {
     "q_docs_context_fit",
     "q_events_reactivations",
     "q_events_whale_share",
-    "q_ann_dim_stats")
+    "q_ann_dim_stats",
+    // round-10 operators: the OFI hit/miss ledger, quality-aware
+    // canonicalization, and the per-source curation scorecard
+    "q_events_flow_imbalance",
+    "q_dedup_best_quality",
+    "q_docs_source_scorecard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

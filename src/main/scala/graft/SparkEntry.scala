@@ -2353,6 +2353,13 @@ object SparkEntry {
       EventOps.whaleShare(Tables.events(s, d))),
     "q_ann_dim_stats" -> ((s, d) =>
       Similarity.embeddingDimStats(Tables.embeddings(s, d))),
+    "q_events_flow_imbalance" -> ((s, d) =>
+      EventOps.flowImbalance(Tables.events(s, d))),
+    "q_dedup_best_quality" -> ((s, d) =>
+      Dedup.canonicalizeByQuality(Tables.documents(s, d),
+        Dedup.ngramJaccard(Tables.documents(s, d), 0.5))),
+    "q_docs_source_scorecard" -> ((s, d) =>
+      TextAnalysis.sourceScorecard(Tables.documents(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
     // downstream pipeline fed by LSH candidates instead of the exact
     // quadratic inverted-index join (no SQL oracle — MinHash banding is
@@ -3820,6 +3827,86 @@ object SparkEntry {
                 CAST(n * q - s * s AS DOUBLE) /
                   CAST(n * n AS DOUBLE) / 1.0e12 AS variance
          FROM m""",
+    // A119: all-integer OFI ledger; close = last print per hour via the
+    // leadLagIC rank pattern; signed numerator in HUGEINT (the vpin
+    // overflow contract), truncating // matching Spark's decimal div
+    "q_events_flow_imbalance" ->
+      """WITH t AS (
+           SELECT epoch_us(ts) // 3600000000 AS hb, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(ts) AS tu, event_id
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         w0 AS (SELECT hb, cents, row_number() OVER (PARTITION BY hb
+                  ORDER BY tu DESC, event_id DESC) AS rn
+                FROM t),
+         closes AS (SELECT hb, cents AS close_cents FROM w0 WHERE rn = 1),
+         f AS (SELECT hb,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN cents ELSE 0 END) AS BIGINT) AS b_cents,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                          THEN cents ELSE 0 END) AS BIGINT) AS s_cents
+               FROM t GROUP BY 1),
+         ff AS (SELECT f.hb, f.b_cents, f.s_cents, c.close_cents
+                FROM f JOIN closes c ON f.hb = c.hb),
+         l AS (SELECT *, lead(hb) OVER (ORDER BY hb) AS next_hb,
+                 lead(close_cents) OVER (ORDER BY hb) AS next_close
+               FROM ff),
+         o AS (SELECT hb, b_cents, s_cents, close_cents,
+                 CAST((CAST(b_cents - s_cents AS HUGEINT) * 1000000)
+                   // (b_cents + s_cents) AS BIGINT) AS ofi_1e6,
+                 next_close - close_cents AS move_cents
+               FROM l
+               WHERE next_hb = hb + 1 AND b_cents + s_cents > 0)
+         SELECT hb, b_cents, s_cents, ofi_1e6, close_cents, move_cents,
+                (ofi_1e6 > 0) = (move_cents > 0) AS hit
+         FROM o WHERE ofi_1e6 <> 0 AND move_cents <> 0""",
+    // C71: the per-source curation composite — filterChain's gates +
+    // grid-fixed quality + corpus-wide/cross-source dup exposure
+    "q_docs_source_scorecard" ->
+      """WITH b AS (
+           SELECT doc_id, source, md5(text) AS h,
+                  length(text) AS n_chars_t,
+                  len(string_split(text, ' ')) AS n_tok,
+                  len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS n_stop,
+                  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                  len(regexp_extract_all(text, '\b(the|is|and)\b')) AS n_en,
+                  len(regexp_extract_all(text, '\b(der|und|die)\b')) AS n_de,
+                  len(regexp_extract_all(text, '\b(el|la|los)\b')) AS n_es,
+                  len(regexp_extract_all(text, '\b(le|les|des)\b')) AS n_fr
+           FROM documents),
+         q AS (SELECT *,
+                 least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) *
+                   (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_t AS DOUBLE)) *
+                   (0.5 + CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                   AS quality_score,
+                 CASE WHEN n_en >= greatest(n_de, n_es, n_fr) AND n_en > 0 THEN 'en'
+                      WHEN n_de >= greatest(n_es, n_fr) AND n_de > 0 THEN 'de'
+                      WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+                      WHEN n_fr > 0 THEN 'fr' ELSE 'unk' END AS pred_lang
+               FROM b),
+         fc AS (SELECT doc_id, source, h, n_tok,
+                  CAST(round(quality_score * 1000000) AS BIGINT) AS q6,
+                  NOT (n_tok < 5 OR n_tok > 5000 OR pred_lang <> 'en'
+                       OR quality_score < 0.3) AS kept
+                FROM q),
+         hs AS (SELECT h, count(*) AS n_copies,
+                  count(DISTINCT source) AS n_sources
+                FROM fc GROUP BY 1)
+         SELECT fc.source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(fc.n_tok) AS BIGINT) AS total_ws_tokens,
+                CAST(count(*) FILTER (hs.n_copies > 1) AS BIGINT) AS n_dup_docs,
+                CAST(count(*) FILTER (hs.n_sources > 1) AS BIGINT) AS n_cross_dup_docs,
+                CAST(count(*) FILTER (NOT fc.kept) AS BIGINT) AS n_rejected,
+                CAST(count(*) FILTER (hs.n_copies > 1) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS dup_ratio,
+                CAST(count(*) FILTER (hs.n_sources > 1) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS cross_dup_ratio,
+                CAST(sum(fc.q6) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS avg_q6,
+                CAST(count(*) FILTER (NOT fc.kept) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS reject_ratio
+         FROM fc JOIN hs ON fc.h = hs.h
+         GROUP BY 1""",
     // dormancy gap in integer micros; the rate is the only double
     "q_events_reactivations" ->
       """WITH t AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
@@ -6106,6 +6193,30 @@ object SparkEntry {
     "q_dedup_docs_canonical" ->
       s"""WITH ${collapsedDocPairsCtes(jaccardPred)}
          SELECT doc_id, keep_id FROM lbl""",
+    // C70: same min-label clusters; keeper = argmax grid-fixed quality
+    // (q6 desc, doc_id asc) — exact integer ordering in both engines
+    "q_dedup_best_quality" ->
+      s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
+         qb AS (SELECT doc_id, length(text) AS n_chars_t,
+                  len(string_split(text, ' ')) AS n_tok,
+                  len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS n_stop,
+                  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+                FROM documents),
+         qq AS (SELECT doc_id,
+                  CAST(round((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) *
+                    (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_t AS DOUBLE)) *
+                    (0.5 + CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS q6
+                FROM qb),
+         lq AS (SELECT l.doc_id, l.keep_id, qq.q6
+                FROM lbl l JOIN qq ON l.doc_id = qq.doc_id),
+         best AS (SELECT keep_id, doc_id AS keeper_id FROM (
+             SELECT keep_id, doc_id, row_number() OVER (
+               PARTITION BY keep_id ORDER BY q6 DESC, doc_id) AS rn
+             FROM lq) WHERE rn = 1)
+         SELECT lq.doc_id, lq.keep_id AS cluster_id, lq.q6, b.keeper_id,
+                lq.doc_id = b.keeper_id AS is_keeper
+         FROM lq JOIN best b ON lq.keep_id = b.keep_id""",
     "q_dedup_cluster_sizes" ->
       s"""WITH ${collapsedDocPairsCtes(jaccardPred)},
          cl AS (SELECT keep_id, count(*) AS cluster_size FROM lbl

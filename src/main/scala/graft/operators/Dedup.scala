@@ -610,6 +610,39 @@ object Dedup {
     labels.withColumnRenamed("label", "keep_id")
   }
 
+  /** C70: quality-aware canonicalization — [[canonicalize]] keeps the
+    * MIN doc_id per near-dup cluster, which is the right DETERMINISM
+    * anchor but not what curation wants: the kept copy should be the
+    * BEST one (boilerplate-stripped mirrors, OCR rescans and truncated
+    * copies all share a cluster with their clean original). Cluster
+    * identity stays [[canonicalize]]'s min-label fixed point (so the
+    * cluster algebra is comparable across both operators); the keeper
+    * is the cluster argmax of the grid-fixed quality score
+    * ([[TextAnalysis.qualityScore6]], q6 desc / doc_id asc — exact
+    * integer ordering both engines share). Output: every clustered doc
+    * with its cluster id, its own q6, the chosen keeper, and an
+    * `is_keeper` flag.
+    *
+    * Shape (100 TB): label propagation is pair-sized; the quality join
+    * is doc-keyed; the argmax is ONE keyed `max_by` over exact
+    * integers — no windows, no cluster-sized fan-out. The labeled set
+    * is materialized once (argmax + detail join both read it). */
+  def canonicalizeByQuality(docs: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 64,
+      broadcastNodeLimit: Long = GraphOps.DefaultBroadcastNodeLimit)
+      : DataFrame = {
+    val labels = canonicalize(pairs, maxIterations, broadcastNodeLimit)
+    val lq = labels.join(TextAnalysis.qualityScore6(docs), "doc_id")
+      .localCheckpoint()
+    val best = lq.groupBy("keep_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("q6"), (-col("doc_id")).as("nd"))).as("keeper_id"))
+    lq.join(best, "keep_id")
+      .select(col("doc_id"), col("keep_id").as("cluster_id"),
+        col("q6"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"))
+  }
+
   /** C13d: canonicalization over REP-LEVEL pairs ([[ngramJaccard]] /
     * hyperplane expand = false) — bit-identical labels to
     * [[canonicalize]] over the expanded pair list (spec-pinned), at

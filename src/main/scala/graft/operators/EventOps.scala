@@ -3184,4 +3184,52 @@ object EventOps {
         col("n_buckets"),
         expr("lag_sum_us div n_echoes").as("mean_lag_us"))
   }
+
+  /** A119: order-flow imbalance vs the next hour's price move — per
+    * hour, signed flow `(B−S)·1e6 div (B+S)` (purchase ≙ buy, view ≙
+    * sell cents, the [[washTrades]] side convention; numerator in
+    * Decimal(38,0), the [[vpin]] overflow contract) and whether its
+    * sign predicted the next hour's close-to-close move: the simplest
+    * microstructure alpha test (OFI predicts short-horizon returns —
+    * Cont/Kukanov/Stoikov 2014), complementing [[momentumIC]]'s rank
+    * correlation with a per-hour signed hit/miss ledger a trading
+    * readout can aggregate any way it wants.
+    *
+    * Exact integers end to end: cent sums, truncating-div OFI, close =
+    * last print in (ts, event_id) execution order via `max_by` over an
+    * exact struct, sign comparison on nonzero integers. Only
+    * consecutive-hour rows with BOTH signs nonzero are emitted. The
+    * one window (lead over the hour sequence) runs on the HOUR-COUNT
+    * sized aggregate — bounded by the corpus time span (~10⁵ rows for
+    * a decade), metadata next to the event table, so the global sort
+    * is free at any data scale. */
+  def flowImbalance(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = events.filter(col("event_type").isin("purchase", "view"))
+      .select(expr("unix_micros(ts) div 3600000000").as("hb"),
+        col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        expr("unix_micros(ts)").as("tu"), col("event_id"))
+    val flows = t.groupBy("hb").agg(
+      sum(when(col("event_type") === "purchase", col("cents"))
+        .otherwise(lit(0L))).as("b_cents"),
+      sum(when(col("event_type") === "view", col("cents"))
+        .otherwise(lit(0L))).as("s_cents"),
+      max_by(col("cents"), struct(col("tu"), col("event_id")))
+        .as("close_cents"))
+    val w = Window.orderBy(col("hb"))
+    flows
+      .withColumn("next_hb", lead(col("hb"), 1).over(w))
+      .withColumn("next_close", lead(col("close_cents"), 1).over(w))
+      .filter(col("next_hb") === col("hb") + 1 &&
+        col("b_cents") + col("s_cents") > 0)
+      .withColumn("ofi_1e6",
+        expr("cast((cast(b_cents - s_cents as decimal(38,0)) * 1000000)" +
+          " div (b_cents + s_cents) as bigint)"))
+      .withColumn("move_cents", col("next_close") - col("close_cents"))
+      .filter(col("ofi_1e6") =!= 0 && col("move_cents") =!= 0)
+      .select(col("hb"), col("b_cents"), col("s_cents"), col("ofi_1e6"),
+        col("close_cents"), col("move_cents"),
+        ((col("ofi_1e6") > 0) === (col("move_cents") > 0)).as("hit"))
+  }
 }

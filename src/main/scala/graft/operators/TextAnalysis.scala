@@ -56,6 +56,62 @@ object TextAnalysis {
         "least(cast(n_tok as double) / 100.0, 1.0) * (1.0 - punct_ratio) * " +
           "(0.5 + stop_ratio)"))
 
+  /** Per-doc quality score fixed to the 1e-6 grid as an exact BIGINT —
+    * the RANKABLE form of [[quality]]'s double (repo convention: scores
+    * grid-fix before any ranking or thresholding, so both engines order
+    * identical integers — README "Determinism engineering"). */
+  def qualityScore6(docs: DataFrame): DataFrame =
+    qualityCols(docs).select(col("doc_id"),
+      expr("cast(round(quality_score * 1000000) as bigint)").as("q6"))
+
+  /** C71: per-source curation scorecard — the one-row-per-source
+    * dashboard an ingestion run reads before admitting a source:
+    * volume (docs, whitespace tokens), exact-dup exposure split into
+    * within-corpus and CROSS-source copies (a source whose content
+    * already exists elsewhere adds volume but no signal), mean
+    * grid-fixed quality, and the [[filterChain]] reject rate — the
+    * C1/C9/C18/C19 signals composed so curation policy reads ONE
+    * table instead of four.
+    *
+    * Shape (100 TB): one scan builds doc-COMPACT rows (ids, md5,
+    * counts — never the text), materialized once and read by both the
+    * signature rollup and the per-source aggregate; dup exposure is a
+    * signature-keyed aggregate joined back on the hash (no text
+    * self-join anywhere); the final rollup is source-keyed. Integer
+    * columns throughout; the four ratio doubles derive from them. */
+  def sourceScorecard(docs: DataFrame, minTok: Int = 5,
+      maxTok: Int = 5000, minQuality: Double = 0.3): DataFrame = {
+    val fc = filterChain(docs, minTok, maxTok, minQuality)
+      .select(col("doc_id"), col("n_tok"),
+        expr("cast(round(quality_score * 1000000) as bigint)").as("q6"),
+        col("kept"))
+    val sig = docs.select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"))
+      .join(fc, "doc_id")
+      .localCheckpoint() // signature rollup + source aggregate share it
+    val hstats = sig.groupBy("h").agg(
+      count(lit(1)).as("n_copies"),
+      countDistinct("source").as("n_sources"))
+    sig.join(hstats, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_ws_tokens"),
+        count(when(col("n_copies") > 1, 1)).as("n_dup_docs"),
+        count(when(col("n_sources") > 1, 1)).as("n_cross_dup_docs"),
+        sum("q6").as("sum_q6"),
+        count(when(!col("kept"), 1)).as("n_rejected"))
+      .select(col("source"), col("n_docs"), col("total_ws_tokens"),
+        col("n_dup_docs"), col("n_cross_dup_docs"), col("n_rejected"),
+        (col("n_dup_docs").cast("double") /
+          col("n_docs").cast("double")).as("dup_ratio"),
+        (col("n_cross_dup_docs").cast("double") /
+          col("n_docs").cast("double")).as("cross_dup_ratio"),
+        (col("sum_q6").cast("double") /
+          col("n_docs").cast("double")).as("avg_q6"),
+        (col("n_rejected").cast("double") /
+          col("n_docs").cast("double")).as("reject_ratio"))
+  }
+
   /** C10: whitespace + BPE-ish regex token counts, aggregated per source. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs

@@ -74,6 +74,70 @@ class Round10OpsSpec extends TestSparkSession {
       .count() > 0, "default cap admits the hub as a center here")
   }
 
+  test("canonicalizeByQuality keeps canonicalize's clusters and picks " +
+      "the max-q6 member as keeper") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = operators.Dedup.ngramJaccard(docs, 0.5)
+      .localCheckpoint()
+    val base = operators.Dedup.canonicalize(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byQ = operators.Dedup.canonicalizeByQuality(docs, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(byQ.nonEmpty)
+    // same membership and cluster ids as the min-label baseline
+    assert(byQ.map(t => t._1 -> t._2).toMap === base)
+    // keeper is the argmax (q6 desc, doc_id asc) of its cluster
+    val byCluster = byQ.groupBy(_._2)
+    byCluster.foreach { case (_, members) =>
+      val expect = members.map(m => (m._3, m._1))
+        .sortBy { case (q6, id) => (-q6, id) }.head._2
+      assert(members.forall(_._4 == expect))
+      assert(members.count(_._5) == 1 &&
+        members.find(_._5).get._1 == expect)
+    }
+  }
+
+  test("sourceScorecard arithmetic is internally consistent") {
+    val docs = Tables.documents(spark, sfDir)
+    val sc = operators.TextAnalysis.sourceScorecard(docs).collect()
+    assert(sc.nonEmpty)
+    val nDocs = sc.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === docs.count())
+    sc.foreach { r =>
+      val n = r.getAs[Long]("n_docs").toDouble
+      assert(r.getAs[Long]("n_cross_dup_docs") <=
+        r.getAs[Long]("n_dup_docs"),
+        "a cross-source dup is a dup")
+      assert(math.abs(r.getAs[Double]("dup_ratio") -
+        r.getAs[Long]("n_dup_docs") / n) < 1e-12)
+      assert(math.abs(r.getAs[Double]("reject_ratio") -
+        r.getAs[Long]("n_rejected") / n) < 1e-12)
+    }
+  }
+
+  test("flowImbalance emits consecutive-hour nonzero-sign rows with a " +
+      "consistent hit flag") {
+    val fi = EventOps.flowImbalance(Tables.events(spark, sfDir))
+      .collect()
+    assert(fi.nonEmpty)
+    fi.foreach { r =>
+      val ofi = r.getAs[Long]("ofi_1e6")
+      val mv = r.getAs[Long]("move_cents")
+      assert(ofi != 0L && mv != 0L)
+      assert(r.getAs[Boolean]("hit") === ((ofi > 0) == (mv > 0)))
+      assert(r.getAs[Long]("b_cents") + r.getAs[Long]("s_cents") > 0)
+    }
+    // ofi is the truncating integer of the signed imbalance
+    fi.foreach { r =>
+      val b = BigInt(r.getAs[Long]("b_cents"))
+      val s = BigInt(r.getAs[Long]("s_cents"))
+      assert(BigInt(r.getAs[Long]("ofi_1e6")) ===
+        (b - s) * 1000000 / (b + s))
+    }
+  }
+
   test("DropAll without acknowledgeVacuous is refused by every " +
       "consumer; acknowledged instances run") {
     val ev = Tables.events(spark, sfDir)

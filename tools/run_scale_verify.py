@@ -28,10 +28,11 @@ inclusion list is everything else in SparkEntry.queries):
   is 11.3e9 true pairs). They are hash-green at sf0.01/sf0.1 where the
   expansion is the small-scale oracle; the replication-invariant `_rep`
   contracts carry the same semantics to scale and ARE verified here.
-- the 8 expanded doc-pair REPORTS (canonical, corpus, cluster_sizes,
-  dup_flow, dup_provenance, split_leakage[_lsh], effective_tokens
-  [_lsh]): same quadratic-expansion reason (46 GB blockmgr spill
-  witnessed in round 8); their `_rep` twins are included.
+- the 9 expanded doc-pair REPORTS (canonical, best_quality, corpus,
+  cluster_sizes, dup_flow, dup_provenance, split_leakage[_lsh],
+  effective_tokens[_lsh]): same quadratic-expansion reason (46 GB
+  blockmgr spill witnessed in round 8); their `_rep` twins are
+  included.
 
 sf10 evidence for the same contract (round 9): q_dedup_docs_simhash is
 OUTPUT-quadratic under replication (member-pair expansion) and
@@ -66,10 +67,13 @@ EXCLUDE = {
     "q_dedup_docs_minhash_lsh", "q_dedup_docs_simhash",
     "q_dedup_docs_hyperplane",
     # expanded doc-pair reports: rep twins carry these to scale
+    # (q_dedup_best_quality consumes the same expanded-pair `lbl`
+    # labels as q_dedup_docs_canonical — same quadratic class)
     "q_dedup_docs_canonical", "q_dedup_docs_corpus",
     "q_dedup_cluster_sizes", "q_docs_dup_flow", "q_docs_dup_provenance",
     "q_docs_split_leakage", "q_docs_split_leakage_lsh",
     "q_docs_effective_tokens", "q_docs_effective_tokens_lsh",
+    "q_dedup_best_quality",
 }
 
 # Heavies run serialized (pool=1) in pairs; big-OUTPUT queries (~events-

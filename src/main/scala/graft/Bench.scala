@@ -222,7 +222,8 @@ object Bench {
     // canonicalization, and the per-source curation scorecard
     "q_events_flow_imbalance",
     "q_dedup_best_quality",
-    "q_docs_source_scorecard")
+    "q_docs_source_scorecard",
+    "q_ann_truncation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2360,6 +2360,8 @@ object SparkEntry {
         Dedup.ngramJaccard(Tables.documents(s, d), 0.5))),
     "q_docs_source_scorecard" -> ((s, d) =>
       TextAnalysis.sourceScorecard(Tables.documents(s, d))),
+    "q_ann_truncation" -> ((s, d) =>
+      Similarity.truncationFidelity(Tables.embeddings(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
     // downstream pipeline fed by LSH candidates instead of the exact
     // quadratic inverted-index join (no SQL oracle — MinHash banding is
@@ -3860,6 +3862,62 @@ object SparkEntry {
          SELECT hb, b_cents, s_cents, ofi_1e6, close_cents, move_cents,
                 (ofi_1e6 > 0) = (move_cents > 0) AS hit
          FROM o WHERE ofi_1e6 <> 0 AND move_cents <> 0""",
+    // C72: matryoshka truncation fidelity — exact integer prefix
+    // dots/norms on the 1e-6 grid, one IEEE cos6 dag, Decimal moments
+    "q_ann_truncation" ->
+      """WITH sv AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+         x AS (SELECT vec_id,
+                 CAST(unnest(generate_series(1, 64)) - 1 AS BIGINT) AS i,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                   AS BIGINT) AS x6
+               FROM sv),
+         pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.i,
+                  a.x6 * b.x6 AS p, a.x6 * a.x6 AS na, b.x6 * b.x6 AS nb
+                FROM x a JOIN x b
+                  ON a.i = b.i AND a.vec_id < b.vec_id),
+         d AS (SELECT v1, v2,
+                 CAST(sum(p) AS BIGINT) AS p64,
+                 CAST(sum(na) AS BIGINT) AS na64,
+                 CAST(sum(nb) AS BIGINT) AS nb64,
+                 CAST(sum(CASE WHEN i < 8 THEN p ELSE 0 END) AS BIGINT) AS p8,
+                 CAST(sum(CASE WHEN i < 8 THEN na ELSE 0 END) AS BIGINT) AS na8,
+                 CAST(sum(CASE WHEN i < 8 THEN nb ELSE 0 END) AS BIGINT) AS nb8,
+                 CAST(sum(CASE WHEN i < 16 THEN p ELSE 0 END) AS BIGINT) AS p16,
+                 CAST(sum(CASE WHEN i < 16 THEN na ELSE 0 END) AS BIGINT) AS na16,
+                 CAST(sum(CASE WHEN i < 16 THEN nb ELSE 0 END) AS BIGINT) AS nb16,
+                 CAST(sum(CASE WHEN i < 32 THEN p ELSE 0 END) AS BIGINT) AS p32,
+                 CAST(sum(CASE WHEN i < 32 THEN na ELSE 0 END) AS BIGINT) AS na32,
+                 CAST(sum(CASE WHEN i < 32 THEN nb ELSE 0 END) AS BIGINT) AS nb32
+               FROM pr GROUP BY 1, 2),
+         cs AS (SELECT v1, v2,
+                 CAST(round(CAST(p64 AS DOUBLE) / (sqrt(CAST(na64 AS DOUBLE))
+                   * sqrt(CAST(nb64 AS DOUBLE))) * 1000000) AS BIGINT) AS c64,
+                 CAST(round(CAST(p8 AS DOUBLE) / (sqrt(CAST(na8 AS DOUBLE))
+                   * sqrt(CAST(nb8 AS DOUBLE))) * 1000000) AS BIGINT) AS c8,
+                 CAST(round(CAST(p16 AS DOUBLE) / (sqrt(CAST(na16 AS DOUBLE))
+                   * sqrt(CAST(nb16 AS DOUBLE))) * 1000000) AS BIGINT) AS c16,
+                 CAST(round(CAST(p32 AS DOUBLE) / (sqrt(CAST(na32 AS DOUBLE))
+                   * sqrt(CAST(nb32 AS DOUBLE))) * 1000000) AS BIGINT) AS c32
+                FROM d
+                WHERE na8 > 0 AND nb8 > 0 AND na16 > 0 AND nb16 > 0
+                  AND na32 > 0 AND nb32 > 0 AND na64 > 0 AND nb64 > 0),
+         kk AS (SELECT 8 AS k, c64 AS x, c8 AS y FROM cs
+                UNION ALL SELECT 16, c64, c16 FROM cs
+                UNION ALL SELECT 32, c64, c32 FROM cs),
+         m AS (SELECT k, CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(abs(CAST(x AS HUGEINT) - y)) AS sad
+               FROM kk GROUP BY 1)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_pairs,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson,
+                CAST(sad // n AS BIGINT) AS mae6
+         FROM m""",
     // C71: the per-source curation composite — filterChain's gates +
     // grid-fixed quality + corpus-wide/cross-source dup exposure
     "q_docs_source_scorecard" ->

@@ -946,6 +946,88 @@ object Similarity {
           .as("variance"))
   }
 
+  /** C72: prefix-truncation (matryoshka) fidelity QA — before serving
+    * a dim-truncated index (MRL-style prefix embeddings, the standard
+    * memory/recall trade at retrieval scale), measure how well cosines
+    * over the first `k` dims track full-dim cosines: per k, the exact
+    * Pearson correlation and mean |Δcos6| over a DETERMINISTIC pair
+    * sample (lowest `maxVecs` ids among `vec_id % sampleMod == 0` —
+    * reproducible at any corpus size, pair count ≤ C(maxVecs, 2) at
+    * ANY scale, never corpus-quadratic).
+    *
+    * Determinism: components grid-fix to x6 = round(x·1e6) (the C69
+    * contract), so prefix dots and norms are EXACT integer sums;
+    * cos6 = round(dot / (√na·√nb) · 1e6) is one IEEE dag over agreed
+    * integers; the correlation closes over Decimal(38,0) moments of
+    * the (full, prefix) q6 pairs with one double division at the end
+    * (the A66 pattern).
+    *
+    * Shape: sample → posexplode → ONE i-keyed pair join bounded by
+    * sample² × dims rows → one (pair)-keyed conditional-sum aggregate
+    * (all prefixes in one pass) → k-keyed moment rollup. The corpus
+    * is scanned once, for the sample. */
+  def truncationFidelity(emb: DataFrame, ks: Seq[Int] = Seq(8, 16, 32),
+      sampleMod: Int = 50, maxVecs: Int = 64,
+      dims: Int = 64): DataFrame = {
+    val sample = emb.filter(col("vec_id") % sampleMod === 0)
+      .orderBy(col("vec_id")).limit(maxVecs)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("cast(round(cast(x as double) * 1000000, 0) as bigint)")
+          .as("x6"))
+      .localCheckpoint()
+    val prods = sample.as("a")
+      .join(sample.as("b"),
+        col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.i").as("i"), (col("a.x6") * col("b.x6")).as("p"),
+        (col("a.x6") * col("a.x6")).as("na"),
+        (col("b.x6") * col("b.x6")).as("nb"))
+    def prefixAggs(k: Int): Seq[org.apache.spark.sql.Column] = Seq(
+      sum(when(col("i") < k, col("p")).otherwise(lit(0L))).as(s"p_$k"),
+      sum(when(col("i") < k, col("na")).otherwise(lit(0L))).as(s"na_$k"),
+      sum(when(col("i") < k, col("nb")).otherwise(lit(0L))).as(s"nb_$k"))
+    val aggs = Seq(sum("p").as(s"p_$dims"), sum("na").as(s"na_$dims"),
+      sum("nb").as(s"nb_$dims")) ++
+      ks.filter(_ != dims).flatMap(prefixAggs)
+    val dots = prods.groupBy("v1", "v2").agg(aggs.head, aggs.tail: _*)
+    def cos6(k: Int) = expr(
+      s"cast(round(cast(p_$k as double) / " +
+        s"(sqrt(cast(na_$k as double)) * sqrt(cast(nb_$k as double)))" +
+        s" * 1000000, 0) as bigint)")
+    // zero-norm prefixes would divide by zero: keep pairs whose every
+    // measured prefix has positive norm on both sides (deterministic
+    // set, same filter in the oracle)
+    val ksAll = (ks :+ dims).distinct // ks may include the full width
+    val ok = dots.filter(ksAll.map(k =>
+      col(s"na_$k") > 0 && col(s"nb_$k") > 0).reduce(_ && _))
+    val withCos = ok.select(ksAll.map(k => cos6(k).as(s"c_$k")): _*)
+    val perK = withCos
+      .withColumn("k", explode(array(ks.map(lit(_)): _*)))
+      .select(col("k"), col(s"c_$dims").as("x"),
+        coalesce(ks.map(k =>
+          when(col("k") === k, col(s"c_$k"))): _*).as("y"))
+    perK
+      .select(col("k"), col("x").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"))
+      .groupBy("k")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(abs(col("x") - col("y"))).as("sad"))
+      .select(col("k").cast("bigint").as("k"),
+        col("n").cast("bigint").as("n_pairs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("pearson"),
+        expr("cast(sad div n as bigint)").as("mae6"))
+  }
+
   /** C60: MMR diverse top-k selection (Carbonell-Goldstein maximal
     * marginal relevance, λ = 1/2) — the retrieval/ICL-example selector
     * that stops a result list collapsing onto near-duplicates: each

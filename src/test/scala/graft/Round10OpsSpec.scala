@@ -138,6 +138,25 @@ class Round10OpsSpec extends TestSparkSession {
     }
   }
 
+  test("truncationFidelity: wider prefixes track full-dim cosines at " +
+      "least as faithfully, and the full-width prefix is exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val fid = operators.Similarity
+      .truncationFidelity(emb, ks = Seq(8, 32, 64))
+      .collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Double]("pearson"), r.getAs[Long]("mae6"),
+          r.getAs[Long]("n_pairs"))).toMap
+    assert(fid.keySet === Set(8L, 32L, 64L))
+    assert(fid.values.map(_._3).toSet.size == 1,
+      "every k measures the same pair sample")
+    // k = dims is the identity truncation: exact match
+    assert(fid(64L)._1 === 1.0 && fid(64L)._2 === 0L)
+    // monotone fidelity on this corpus: more dims, closer cosines
+    assert(fid(32L)._2 <= fid(8L)._2,
+      s"mae6 should shrink with width: ${fid.toSeq.sortBy(_._1)}")
+  }
+
   test("DropAll without acknowledgeVacuous is refused by every " +
       "consumer; acknowledged instances run") {
     val ev = Tables.events(spark, sfDir)

@@ -76,6 +76,20 @@ EXCLUDE = {
     "q_dedup_best_quality",
 }
 
+# sf100-only: the memory-sink STREAMING session surfaces collect the
+# full ~95M-row session table into the driver (MemoryStreamingWrite
+# serializes whole partitions) and OOM a 85 GB heap — the one honest
+# single-node limit of the ORACLE surface, not the pipeline (production
+# streams write to real sinks; the Complete-mode memory sink exists
+# only so DuckDB can see the result). Their BATCH equivalents
+# (q_events_session_30m / q_events_session_native — same semantics,
+# same rows) verify hash-green at sf100, and the streaming twins are
+# hash-green at sf10 (9.5M-row sinks fit). q_stream_session_closures
+# (append-mode, bounded per-trigger output) stays included.
+SF100_EXCLUDE = {
+    "q_stream_session_native", "q_stream_session_timeout",
+}
+
 # Heavies run serialized (pool=1) in pairs; big-OUTPUT queries (~events-
 # sized dumps, 100M rows / 2-5 GB parquet each at sf100) run in triples
 # so at most ~15 GB of dump sits on disk before the post-check delete;
@@ -127,7 +141,8 @@ def all_queries():
 
 
 def chunks():
-    qs = [q for q in all_queries() if q not in EXCLUDE]
+    excl = EXCLUDE | (SF100_EXCLUDE if "sf100" in SF_DIR else set())
+    qs = [q for q in all_queries() if q not in excl]
     heavies = [q for q in HEAVY if q in qs]
     bigs = [q for q in BIG_OUTPUT if q in qs and q not in set(heavies)]
     rest = [q for q in qs if q not in set(heavies) | set(bigs)]

@@ -223,7 +223,16 @@ object Bench {
     "q_events_flow_imbalance",
     "q_dedup_best_quality",
     "q_docs_source_scorecard",
-    "q_ann_truncation")
+    "q_ann_truncation",
+    // round-11: the rep-level best-quality twin (the at-scale form),
+    // the incremental wire ingest + preset readout streaming paths,
+    // the base58 codec identity, and two representative QA gates
+    "q_dedup_best_quality_rep",
+    "q_stream_wire_incremental",
+    "q_stream_config_presets",
+    "q_events_base58_roundtrip",
+    "q_qa_ivf_recall",
+    "q_qa_approx_percentile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -345,11 +354,18 @@ object Bench {
       else peaks.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + (v >> 20) }
         .mkString(""","peak_heap_mb":{""", ",", "}")
+    // a failed/zero calibration must not poison the sidecar: bare
+    // Infinity/NaN is invalid JSON and json.load would reject the whole
+    // line, zeroing the round's bench record — emit -1.0 sentinels
+    val calOk = java.lang.Double.isFinite(calib) && calib > 0
     val qsCal = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1.0" else r3(v / calib).toString)
+      "\"" + k + "\":" +
+        (if (v < 0 || !calOk) "-1.0" else r3(v / calib).toString)
     }.mkString("{", ",", "}")
+    val totalCal = if (calOk) r3(total / calib).toString else "-1.0"
+    val calibStr = if (calOk) r3(calib).toString else "-1.0"
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":${r3(calib)},"value_calibrated":${r3(total / calib)},"queries":$qs,"queries_calibrated":$qsCal,"failed":$failed$peakJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":$calibStr,"value_calibrated":$totalCal,"queries":$qs,"queries_calibrated":$qsCal,"failed":$failed$peakJson,"sf":"$sfDir"}"""
     println(json)
     scala.util.Try {
       val p = java.nio.file.Paths.get(

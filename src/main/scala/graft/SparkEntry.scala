@@ -412,6 +412,28 @@ object SparkEntry {
           sum(when(col("recovered_id") === col("event_id"), 1L)
             .otherwise(0L)).as("n_recovered"))
     }),
+    // A14 oracled: base58 encode∘decode identity over every wire
+    // payload, plus a leading-zero-bytes variant (the codec's only
+    // special case); any broken roundtrip flips a row to false and the
+    // hash compare goes red. Known vectors stay pinned in CodecSpec.
+    "q_events_base58_roundtrip" -> ((s, d) => {
+      import graft.functions.exprs._
+      val p = graft.sources.EventCodec.encodeTrade(Tables.events(s, d))
+      p.select(col("event_id"),
+        (unbase58(base58(col("payload"))) === col("payload")).as("ok"),
+        (unbase58(base58(concat(expr("unhex('0000')"), col("payload"))))
+          === concat(expr("unhex('0000')"), col("payload")))
+          .as("ok_zeros"))
+    }),
+    // A33b oracled: incremental micro-batch wire ingest (files arriving
+    // across REAL triggers, parquet file sink) ≡ the batch DSv2 read —
+    // shares q_events_wire_source's oracle verbatim
+    "q_stream_wire_incremental" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.wireIncrementalIngest(s, d)),
+    // A55 oracled: both presets drain the same fixed-4-file capture;
+    // the bounded-queue knob's driver-visible shape is the batch count
+    "q_stream_config_presets" -> ((s, d) =>
+      graft.streaming.EventSubscription.presetBatchReadout(s, d)),
     "q_stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.windowedCountsAvailableNow(
         s, d, Seq("purchase"))),
@@ -2358,8 +2380,83 @@ object SparkEntry {
     "q_dedup_best_quality" -> ((s, d) =>
       Dedup.canonicalizeByQuality(Tables.documents(s, d),
         Dedup.ngramJaccard(Tables.documents(s, d), 0.5))),
+    // rep-level twin: same report (shares the oracle SQL verbatim) with
+    // the expanded pair list nowhere in the plan — the form the scale
+    // sidecars verify (the expanded feed is quadratic under replication)
+    "q_dedup_best_quality_rep" -> ((s, d) =>
+      Dedup.canonicalizeByQualityRep(Tables.documents(s, d),
+        Dedup.ngramJaccard(Tables.documents(s, d), 0.5, expand = false))),
     "q_docs_source_scorecard" -> ((s, d) =>
       TextAnalysis.sourceScorecard(Tables.documents(s, d))),
+    // ----- QA gates (round 11): the declared-sketch family's
+    // recall/error bounds as DRIVER-CHECKABLE queries — each runs the
+    // sketch and its exact in-engine reference in one plan and reduces
+    // to a constant (gate, bound, holds=TRUE) row; a regression flips
+    // holds and the hash compare goes red. Bounds pinned from measured
+    // values at sf0.01–sf10 (GateProbe) with ample margin.
+    "q_qa_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      operators.QaGates.topKRecallGate(
+        Similarity.bruteForceTopK(emb, q, 5),
+        Similarity.ivfTopK(emb, q, 5), "ivf_recall", 0.15)
+    }),
+    "q_qa_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      operators.QaGates.topKRecallGate(
+        Similarity.bruteForceTopK(emb, q, 5),
+        Similarity.pqTopK(emb, q, 64, 5), "pq_recall", 0.1)
+    }),
+    "q_qa_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      operators.QaGates.topKRecallGate(
+        Similarity.bruteForceTopK(emb, q, 5),
+        Similarity.ivfpqTopK(emb, q, 64, 5), "ivfpq_recall", 0.08)
+    }),
+    "q_qa_pq_served_consistent" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val cb = pqCodebookCache.computeIfAbsent(d, _ =>
+        Similarity.pqCodebook(emb, 64).localCheckpoint(eager = true))
+      operators.QaGates.multisetEqualGate(
+        Similarity.pqTopK(emb, q, 64, 5),
+        Similarity.pqTopK(emb, q, 64, 5, codebook = Some(cb)),
+        "pq_served_consistent")
+    }),
+    "q_qa_mmr_valid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.QaGates.mmrValidGate(emb, emb.filter(col("vec_id") < 10))
+    }),
+    "q_qa_minhash_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.QaGates.pairRecallGate(
+        Dedup.ngramJaccard(docs, 0.5), Dedup.minhashLsh(docs, 0.5),
+        ("d1", "d2"), "minhash_recall", 0.7)
+    }),
+    "q_qa_hyperplane_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.QaGates.pairRecallGate(
+        Similarity.cosinePairs(emb, 0.3),
+        Similarity.hyperplaneLshPairs(emb, 0.3),
+        ("v1", "v2"), "hyperplane_recall", 0.4)
+    }),
+    // simhash approximates cosine on token space, not Jaccard — the
+    // measured recall vs exact jaccard-0.8 pairs is ~0.16-0.20; the
+    // gate is a regression FLOOR (breakage → ~0), not a quality claim
+    "q_qa_simhash_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.QaGates.pairRecallGate(
+        Dedup.ngramJaccard(docs, 0.8), Dedup.simhash(docs),
+        ("d1", "d2"), "simhash_recall", 0.08)
+    }),
+    "q_qa_approx_users" -> ((s, d) =>
+      operators.QaGates.approxUsersGate(Tables.events(s, d))),
+    "q_qa_hll_range" -> ((s, d) =>
+      operators.QaGates.hllRangeGate(Tables.events(s, d))),
+    "q_qa_approx_percentile" -> ((s, d) =>
+      operators.QaGates.approxPercentileGate(Tables.events(s, d))),
     "q_ann_truncation" -> ((s, d) =>
       Similarity.truncationFidelity(Tables.embeddings(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
@@ -3826,8 +3923,11 @@ object SparkEntry {
                FROM c GROUP BY 1, 2)
          SELECT label, dim, CAST(n AS BIGINT) AS n,
                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6 AS mean,
-                CAST(n * q - s * s AS DOUBLE) /
-                  CAST(n * n AS DOUBLE) / 1.0e12 AS variance
+                (CAST((n * q - s * s) // 9007199254740992 AS DOUBLE)
+                   * 9007199254740992.0
+                 + CAST((n * q - s * s) % 9007199254740992 AS DOUBLE))
+                  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+                  / 1.0e12 AS variance
          FROM m""",
     // A119: all-integer OFI ledger; close = last print per hour via the
     // leadLagIC rank pattern; signed numerator in HUGEINT (the vpin
@@ -3920,6 +4020,30 @@ object SparkEntry {
          FROM m""",
     // C71: the per-source curation composite — filterChain's gates +
     // grid-fixed quality + corpus-wide/cross-source dup exposure
+    // QA gates: the oracle is the CONSTANT row the Spark side must
+    // reproduce — holds=false (a recall/error regression) hash-mismatches
+    "q_qa_ivf_recall" ->
+      operators.QaGates.gateOracle("ivf_recall", 0.15),
+    "q_qa_pq_recall" ->
+      operators.QaGates.gateOracle("pq_recall", 0.1),
+    "q_qa_ivfpq_recall" ->
+      operators.QaGates.gateOracle("ivfpq_recall", 0.08),
+    "q_qa_pq_served_consistent" ->
+      operators.QaGates.gateOracle("pq_served_consistent", 2.0),
+    "q_qa_mmr_valid" ->
+      operators.QaGates.gateOracle("mmr_selection_valid", 5.0),
+    "q_qa_minhash_recall" ->
+      operators.QaGates.gateOracle("minhash_recall", 0.7),
+    "q_qa_hyperplane_recall" ->
+      operators.QaGates.gateOracle("hyperplane_recall", 0.4),
+    "q_qa_simhash_recall" ->
+      operators.QaGates.gateOracle("simhash_recall", 0.08),
+    "q_qa_approx_users" ->
+      operators.QaGates.gateOracle("approx_users_rel_err", 0.15),
+    "q_qa_hll_range" ->
+      operators.QaGates.gateOracle("hll_range_rel_err", 0.15),
+    "q_qa_approx_percentile" ->
+      operators.QaGates.gateOracle("approx_percentile_rank_err", 0.01),
     "q_docs_source_scorecard" ->
       """WITH b AS (
            SELECT doc_id, source, md5(text) AS h,
@@ -4396,6 +4520,18 @@ object SparkEntry {
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
                 CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
          FROM events""",
+    "q_stream_wire_incremental" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+                CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
+         FROM events""",
+    "q_events_base58_roundtrip" ->
+      """SELECT event_id, TRUE AS ok, TRUE AS ok_zeros FROM events""",
+    "q_stream_config_presets" ->
+      """SELECT 'high_throughput' AS preset, CAST(1 AS BIGINT) AS n_batches,
+                count(*) AS n_rows FROM events
+         UNION ALL
+         SELECT 'low_latency', CAST(4 AS BIGINT), count(*) FROM events""",
     "q_events_wire_checksum" ->
       """SELECT CASE WHEN event_id % 37 = 0 THEN 'corrupt' ELSE 'ok' END
                   AS status,
@@ -7564,6 +7700,7 @@ object SparkEntry {
      "q_docs_split_leakage_rep" -> m("q_docs_split_leakage"),
      "q_docs_effective_tokens_rep" -> m("q_docs_effective_tokens"),
      "q_docs_dup_flow_rep" -> m("q_docs_dup_flow"),
+     "q_dedup_best_quality_rep" -> m("q_dedup_best_quality"),
      // C65: per-source near-dup multiplicity histogram over the same
      // canonicalization labels the clustering oracles share; docs
      // outside the pair graph are singletons (cluster_size 1)

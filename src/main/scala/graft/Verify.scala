@@ -51,6 +51,12 @@ object Verify {
             val df = fn(spark, sfDir)
             (if (coalesce1) df.coalesce(1) else df)
               .write.mode("overwrite").parquet(s"$outDir/$name")
+            // outDir reuse is the documented workflow (parquet mode is
+            // overwrite) — a stale failure manifest from a previous run
+            // would otherwise shadow this now-green dump forever, since
+            // check_oracle.py checks the manifest first and skips the
+            // parquet entirely
+            Files.deleteIfExists(Paths.get(s"$outDir/${name}_FAILED.json"))
           }
           catch { case e: Throwable =>
             // a throwing query must be distinguishable from "never

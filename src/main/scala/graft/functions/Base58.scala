@@ -77,4 +77,11 @@ object Base58 {
     System.arraycopy(decoded, outputStart, out, zeros, decoded.length - outputStart)
     out
   }
+
+  /** Expression-safe decode: invalid input yields null instead of
+    * throwing (untrusted strings must never fail a whole task — the
+    * same contract as the wire frame reader's truncation handling). */
+  def decodeOrNull(input: String): Array[Byte] =
+    try decode(input)
+    catch { case _: IllegalArgumentException => null }
 }

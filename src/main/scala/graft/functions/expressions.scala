@@ -95,6 +95,27 @@ case class Base58Encode(child: Expression)
     copy(child = newChild)
 }
 
+/** Parse base58 back to bytes (the inverse of [[Base58Encode]] — the
+  * pubkey-parsing direction of the codec). Invalid base58 yields null,
+  * never a task failure (untrusted input contract). */
+case class Base58Decode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unbase58"
+  override protected def nullSafeEval(s: Any): Any =
+    Base58.decodeOrNull(s.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.Base58.decodeOrNull($s.toString());
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+    res
+  }
+  override protected def withNewChildInternal(newChild: Expression): Base58Decode =
+    copy(child = newChild)
+}
+
 /** Winnowing-style fingerprint: min polynomial rolling hash over all
   * byte windows of the given size. */
 case class RollingHashMin(left: Expression, right: Expression)
@@ -377,6 +398,7 @@ object exprs {
   def le_u128(bin: Column, offset: Int): Column =
     col(LeU128(ex(bin), Literal(offset)))
   def base58(bin: Column): Column = col(Base58Encode(ex(bin)))
+  def unbase58(s: Column): Column = col(Base58Decode(ex(s)))
   def decode_create_token(bin: Column): Column =
     col(DecodeCreateToken(ex(bin)))
   def rolling_min(s: Column, window: Int): Column =

@@ -630,8 +630,28 @@ object Dedup {
   def canonicalizeByQuality(docs: DataFrame, pairs: DataFrame,
       maxIterations: Int = 64,
       broadcastNodeLimit: Long = GraphOps.DefaultBroadcastNodeLimit)
-      : DataFrame = {
-    val labels = canonicalize(pairs, maxIterations, broadcastNodeLimit)
+      : DataFrame =
+    qualityKeepers(docs,
+      canonicalize(pairs, maxIterations, broadcastNodeLimit))
+
+  /** C70 on the REP-LEVEL pair contract: cluster labels come from
+    * [[canonicalizeRep]] (bit-identical to [[canonicalize]] over the
+    * expanded pair list — spec-pinned), then the same doc-keyed quality
+    * argmax. Shares [[canonicalizeByQuality]]'s oracle SQL; cost ∝
+    * distinct content, never the expanded pair count — the at-scale
+    * form the sf10/sf100 sidecars verify. */
+  def canonicalizeByQualityRep(docs: DataFrame, repPairs: DataFrame,
+      maxIterations: Int = 64,
+      broadcastNodeLimit: Long = GraphOps.DefaultBroadcastNodeLimit)
+      : DataFrame =
+    qualityKeepers(docs,
+      canonicalizeRep(repPairs, maxIterations, broadcastNodeLimit))
+
+  /** Shared keeper pass: cluster argmax of the grid-fixed quality score
+    * (q6 desc / doc_id asc — exact integer ordering both engines
+    * share) via ONE keyed `max_by`; no windows, no cluster fan-out. */
+  private def qualityKeepers(
+      docs: DataFrame, labels: DataFrame): DataFrame = {
     val lq = labels.join(TextAnalysis.qualityScore6(docs), "doc_id")
       .localCheckpoint()
     val best = lq.groupBy("keep_id")

@@ -65,12 +65,20 @@ object GraphOps {
     * reports how much each family's cap would drop — run it first. */
   final case class DropAll(acknowledgeVacuous: Boolean = false)
       extends OverCapPolicy {
-    private[graft] def check(): Unit = require(acknowledgeVacuous,
+    // enforced at CONSTRUCTION, not per consumer: an unacknowledged
+    // instance must not exist, or a future consumer that pattern-matches
+    // `case d: DropAll` without remembering to call check() would
+    // silently revert to the legacy silent-emptiness behavior this
+    // guard exists to prevent
+    require(acknowledgeVacuous,
       "DropAll deletes every over-cap bucket whole and returns ZERO " +
       "rows when density crosses the cap everywhere (witnessed at " +
       "sf100). Pass DropAll(acknowledgeVacuous = true) to confirm " +
       "that is intended, or use the CapTop default (degrade, never " +
       "drop); EventOps.capAccounting quantifies what the cap drops.")
+    /** Retained for source compatibility: validation now happens in the
+      * constructor, so an instance that exists is always acknowledged. */
+    private[graft] def check(): Unit = ()
   }
 
   /** Node-sized iteration state (two longs per row) is broadcast into

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable QA gates for the declared-sketch family.
+  *
+  * The sketch operators (IVF / PQ / IVF-PQ / MMR / MinHash-LSH /
+  * SimHash / hyperplane LSH / HLL / approx-percentile) have no SQL
+  * oracle — their internals are engine-specific — so until round 10
+  * the driver's check on them was rows-only, with the quantitative
+  * recall/error bounds living in ScalaTest alone. Each gate here runs
+  * the sketch AND its exact in-engine reference in ONE plan, reduces
+  * to a single `(gate, bound, holds)` row (or a small per-key set),
+  * and is registered with a CONSTANT-row oracle (`SELECT name, bound,
+  * TRUE`): if a recall or error bound regresses, `holds` flips to
+  * false and the driver's hash compare goes red — the rows-only check
+  * becomes a quantitative gate the driver itself validates, at every
+  * scale factor it sweeps.
+  *
+  * Thresholds are pinned from measured values on the synthetic
+  * testdata at sf0.01–sf10 with ample margin (the gate exists to
+  * catch regressions in the operators, not to certify a universal
+  * recall — that is corpus-dependent for any LSH/IVF design).
+  *
+  * Scale shape: every gate is bounded by its constituent operators.
+  * The ANN top-k gates join two (queries × k)-row frames; the
+  * cardinality gates are one aggregate each. The two pair-recall
+  * gates over EXPANDED exact pair lists (minhash vs exact n-gram
+  * Jaccard, hyperplane vs exact cosine) inherit the expanded feeds'
+  * quadratic-under-replication behavior and ride the same scale
+  * exclusion list as those feeds — their rep-level contracts are
+  * covered by the dedicated `_rep` queries.
+  */
+object QaGates {
+
+  private def gate(name: String, bound: Double, holds: Column,
+      from: DataFrame): DataFrame =
+    from.agg(holds.as("holds"))
+      .select(lit(name).as("gate"), lit(bound).as("bound"), col("holds"))
+
+  /** Oracle SQL for a single-row gate — the constant the Spark side
+    * must reproduce; `holds=false` hash-mismatches. */
+  def gateOracle(name: String, bound: Double): String =
+    s"SELECT '$name' AS gate, CAST($bound AS DOUBLE) AS bound, " +
+      "TRUE AS holds"
+
+  /** Recall of an approximate top-k result against the exact one, both
+    * keyed (q_id, neighbor_id): |approx ∩ exact| / |exact| ≥ bound.
+    * One broadcast-sized join — the frames are queries × k rows. */
+  def topKRecallGate(exact: DataFrame, approx: DataFrame,
+      name: String, bound: Double): DataFrame = {
+    val hits = exact.select("q_id", "neighbor_id")
+      .join(approx.select("q_id", "neighbor_id")
+          .distinct().withColumn("hit", lit(1)),
+        Seq("q_id", "neighbor_id"), "left_outer")
+    gate(name, bound,
+      sum(coalesce(col("hit"), lit(0))).cast("double") /
+        count(lit(1)).cast("double") >= bound, hits)
+  }
+
+  /** Pair-level recall of an LSH candidate set against the exact pair
+    * list (column pairs configurable: (d1,d2) docs / (v1,v2) vectors). */
+  def pairRecallGate(exact: DataFrame, lsh: DataFrame,
+      cols: (String, String), name: String, bound: Double): DataFrame = {
+    val (c1, c2) = cols
+    val hits = exact.select(c1, c2)
+      .join(lsh.select(c1, c2).distinct().withColumn("hit", lit(1)),
+        Seq(c1, c2), "left_outer")
+    gate(name, bound,
+      sum(coalesce(col("hit"), lit(0))).cast("double") /
+        count(lit(1)).cast("double") >= bound, hits)
+  }
+
+  /** A26 gate: worst-case relative error of approx_count_distinct vs
+    * the exact distinct count, across all event types. HLL++ at
+    * rsd=0.05 stays well inside 3σ = 15%; the bound leaves margin. */
+  def approxUsersGate(events: DataFrame, bound: Double = 0.15)
+      : DataFrame =
+    gate("approx_users_rel_err", bound,
+      max(abs(col("approx_users") - col("exact_users")).cast("double") /
+        col("exact_users").cast("double")) <= bound,
+      EventOps.approxUsers(events))
+
+  /** A26c gate: the sketch-store range answer vs an exact full-range
+    * distinct count (the one query shape both paths can answer). */
+  def hllRangeGate(events: DataFrame, bound: Double = 0.15): DataFrame = {
+    val approx = EventOps.usersFromSketches(
+      EventOps.dailyUserSketches(events), Long.MinValue, Long.MaxValue)
+      .select(col("approx_users"))
+    val exact = events.agg(
+      countDistinct(col("user_id")).cast("double").as("exact_users"))
+    gate("hll_range_rel_err", bound,
+      max(abs(col("approx_users") - col("exact_users")) /
+        col("exact_users")) <= bound, approx.crossJoin(exact))
+  }
+
+  /** A5b gate: RANK error of approx_percentile — the sketch's actual
+    * contract (value-space error is data-dependent; rank error is
+    * what the GK/KLL family bounds). For each event type, the
+    * fraction of values strictly below the approx p50 must sit within
+    * 0.5 ± eps, and likewise p95 — checked with one conditional
+    * aggregate against the raw rows. */
+  def approxPercentileGate(events: DataFrame, eps: Double = 0.01)
+      : DataFrame = {
+    val ap = EventOps.approxValueStats(events)
+      .select(col("event_type"), col("p50_approx"), col("p95_approx"))
+    val ranks = events.select(col("event_type"), col("value"))
+      .join(broadcast(ap), "event_type")
+      .groupBy("event_type")
+      .agg(
+        (sum(when(col("value") < col("p50_approx"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("r50_lo"),
+        (sum(when(col("value") <= col("p50_approx"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("r50_hi"),
+        (sum(when(col("value") < col("p95_approx"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("r95_lo"),
+        (sum(when(col("value") <= col("p95_approx"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("r95_hi"))
+    gate("approx_percentile_rank_err", eps,
+      min(col("r50_hi") >= 0.5 - eps && col("r50_lo") <= 0.5 + eps &&
+        col("r95_hi") >= 0.95 - eps && col("r95_lo") <= 0.95 + eps),
+      ranks)
+  }
+
+  /** C60 gate: structural validity of the greedy MMR selection — per
+    * query exactly k distinct picks at steps 1..k, all drawn from the
+    * candidate pool (the greedy SEQUENCE itself is pinned in
+    * DeterminismSpec; this is the driver-visible contract). */
+  def mmrValidGate(emb: DataFrame, queries: DataFrame, k: Int = 5,
+      nCandidates: Int = 20): DataFrame = {
+    val pool = Similarity.bruteForceTopK(emb, queries, nCandidates)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+      .withColumn("in_pool", lit(1))
+    val sel = Similarity.mmrSelect(emb, queries, k, nCandidates)
+      .join(pool, Seq("q_id", "vec_id"), "left_outer")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("vec_id")).as("n_distinct"),
+        countDistinct(col("step")).as("n_steps"),
+        min(coalesce(col("in_pool"), lit(0))).as("all_in_pool"))
+    gate("mmr_selection_valid", k.toDouble,
+      min(col("n") === k && col("n_distinct") === k &&
+        col("n_steps") === k && col("all_in_pool") === 1), sel)
+  }
+
+  /** C7h gate: the served (pre-trained codebook) PQ path must be
+    * row-identical to the inline-training path — same codebook
+    * derivation, so this pins the cache/serve plumbing. */
+  def multisetEqualGate(a: DataFrame, b: DataFrame, name: String)
+      : DataFrame = {
+    val cols = a.columns.toSeq.map(col)
+    val counted = a.union(b).groupBy(cols: _*)
+      .agg(count(lit(1)).as("c"))
+    gate(name, 2.0, min(col("c") === 2) && count(lit(1)) > 0, counted)
+  }
+}

@@ -934,16 +934,31 @@ object Similarity {
       .select(col("label"), col("dim").cast("bigint").as("dim"),
         expr("cast(round(cast(x as double) * 1000000, 0) as bigint)")
           .cast("decimal(38,0)").as("x6"))
+    // The variance numerator n·q − s² reaches ~9e20 at sf100 — far past
+    // 2^53 — and DuckDB's int128→double cast is NOT correctly rounded
+    // there (1-ulp drift on 5/640 rows, witnessed round 10), while
+    // Spark's Decimal cast is. Neither engine may cast a >2^53 integer
+    // directly: split it into hi·2^53 + lo (both halves exact in
+    // double; hi·2^53 is a pure exponent shift, the +lo rounds ONCE,
+    // correctly, identically in both engines). Exact for numerators up
+    // to 2^106 ≈ 8e31, i.e. ~9e9 rows per (label, dim) group. n is
+    // cast once and divided twice (n² would itself pass 2^53 at ~1e8
+    // rows per group).
     comp.groupBy("label", "dim")
       .agg(count(lit(1)).cast("decimal(38,0)").as("nD"),
         sum("x6").as("s"), sum(col("x6") * col("x6")).as("q"))
+      .withColumn("num", col("nD") * col("q") - col("s") * col("s"))
+      .withColumn("hi", expr("num div 9007199254740992"))
+      .withColumn("lo",
+        (col("num") - col("hi").cast("decimal(38,0)") *
+          lit(9007199254740992L)).cast("double"))
       .select(col("label"), col("dim"),
         col("nD").cast("bigint").as("n"),
         (col("s").cast("double") / col("nD").cast("double") / lit(1.0e6))
           .as("mean"),
-        ((col("nD") * col("q") - col("s") * col("s")).cast("double") /
-          (col("nD") * col("nD")).cast("double") / lit(1.0e12))
-          .as("variance"))
+        ((col("hi").cast("double") * lit(9007199254740992.0) + col("lo")) /
+          col("nD").cast("double") / col("nD").cast("double") /
+          lit(1.0e12)).as("variance"))
   }
 
   /** C72: prefix-truncation (matryoshka) fidelity QA — before serving

@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("graft_base58", args = 1,
       es => Base58Encode(es.head)))
+    ext.injectFunction(fn("graft_unbase58", args = 1,
+      es => Base58Decode(es.head)))
     ext.injectFunction(fn("graft_le_long", args = 2,
       es => LeLong(es(0), es(1))))
     ext.injectFunction(fn("graft_le_int", args = 2,
@@ -66,6 +68,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val fns = Seq(
       fn("graft_base58", 1, (es: Seq[Expression]) => Base58Encode(es.head)),
+      fn("graft_unbase58", 1, (es: Seq[Expression]) => Base58Decode(es.head)),
       fn("graft_le_long", 2, (es: Seq[Expression]) => LeLong(es(0), es(1))),
       fn("graft_le_int", 2, (es: Seq[Expression]) => LeInt(es(0), es(1))),
       fn("graft_le_bytes", 2, (es: Seq[Expression]) => LeBytes(es(0), es(1))),

@@ -136,6 +136,47 @@ object EventStreamPipelines {
       spark.read.format("graft-wire").load(s"$outDir/batch_*"))
   }
 
+  /** A33b end-to-end: INCREMENTAL wire micro-batch ingest ≡ the batch
+    * DSv2 read (shares q_events_wire_source's oracle SQL verbatim).
+    * Capture files are staged and only half are present when the stream
+    * starts; after the first drain the rest "arrive" (the capture
+    * layer's file rotation) and a second drain must ingest exactly the
+    * new files — offset tracking across REAL triggers, not a single
+    * availableNow batch. Decoded rows land in an executor-written
+    * parquet sink (never the driver); the read-back must equal the
+    * batch decode of every frame. */
+  def wireIncrementalIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{EventCodec, wire}
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft_wire_stage").toString
+    wire.GraftWireWriter.writeFrames(
+      EventCodec.encodeTrade(graft.Tables.events(spark, sfDir)), stage)
+    val live = Files.createTempDirectory("graft_wire_live").toString
+    val files = Files.list(Paths.get(stage)).iterator()
+    val all = Iterator.continually(files)
+      .takeWhile(_.hasNext).map(_.next()).toSeq.sortBy(_.toString)
+    def arrive(ps: Seq[java.nio.file.Path]): Unit = ps.foreach(p =>
+      Files.move(p, Paths.get(live).resolve(p.getFileName)))
+    val (first, rest) = all.splitAt(math.max(1, all.size / 2))
+    arrive(first)
+    val sinkDir = Files.createTempDirectory("graft_wire_inc_sink").toString
+    val ckpt = Files.createTempDirectory("graft_wire_inc_ckpt").toString
+    val q = EventCodec.decodeTrade(
+        spark.readStream.format("graft-wire").load(live))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable() // trigger(s) over the first capture files
+      arrive(rest)            // rotation: new files appear mid-stream
+      q.processAllAvailable() // the next offset range ingests ONLY them
+    } finally q.stop()
+    spark.read.parquet(sinkDir)
+  }
+
   /** A16: watermarked streaming dedup on the event signature — the
     * streaming analog of the reference's signature cache. State is bounded
     * by the watermark horizon. */
@@ -385,7 +426,6 @@ object EventStreamPipelines {
     */
   def sessionNativeAvailableNow(spark: SparkSession, dir: String,
       gapMinutes: Int = 30): DataFrame = {
-    val name = s"graft_stream_sess_${memCounter.incrementAndGet()}"
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"),
@@ -393,14 +433,23 @@ object EventStreamPipelines {
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"), sum("v").as("tv"))
+    // Complete-mode foreachBatch hands the FULL updated result table to
+    // the callback as a distributed DataFrame — each trigger overwrites
+    // the parquet sink executor-side, and the last trigger's overwrite
+    // IS the complete result. Nothing is collected to the driver: the
+    // memory sink this replaces serialized whole partitions into the
+    // driver heap and OOM'd 85 GB on the ~95M-row sf100 session table.
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_sess_sink").toString
     val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(sinkDir)
+      }
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(sinkDir)
       .select(col("user_id"), expr("unix_micros(sw.start)").as("start_us"),
         expr("unix_micros(sw.end)").as("end_us"), col("n_events"),
         col("tv").cast("double").as("total_value"))
@@ -1029,16 +1078,26 @@ object EventStreamPipelines {
   def sessionTimeoutAvailableNow(spark: SparkSession, dir: String,
       gapMinutes: Int = 30,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val name = s"graft_stream_timer_${memCounter.incrementAndGet()}"
     val prev = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Append-mode output goes to the native parquet file sink (append
+    // is exactly what the file sink supports): emitted sessions land as
+    // executor-written parquet instead of accumulating in a driver-heap
+    // memory sink, which OOM'd at sf100 (~95M emitted rows). The
+    // read-back uses the sink's _spark_metadata commit log, so only
+    // committed files are seen.
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_timer_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_timer_ckpt").toString
     try {
       val q = sessionTimeoutStream(
         eventsStream(spark, dir), gapMinutes, watermarkDelay).writeStream
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
@@ -1051,7 +1110,7 @@ object EventStreamPipelines {
           "spark.sql.streaming.stateStore.providerClass")
       }
     }
-    spark.table(name)
+    spark.read.parquet(sinkDir)
       .select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events").cast("long").as("n_events"),
         col("by_timeout").cast("long").as("by_timeout"))

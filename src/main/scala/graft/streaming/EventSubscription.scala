@@ -148,4 +148,41 @@ object EventSubscription {
       .getOrElse(r)
       .parquet(dir)
   }
+
+  /** A55 oracled readout: both presets drain the SAME fixed-4-file
+    * capture to completion; the per-trigger ingest bound is what
+    * differs, so `high_throughput` (unbounded batches) must take all 4
+    * files in ONE micro-batch and `low_latency` (maxFilesPerTrigger=1)
+    * must take exactly 4 — with identical total rows. The batch count
+    * is the driver-visible shape of the reference's bounded-queue
+    * `permits` knob, and it is SQL-predictable, which upgrades the
+    * preset surface from spec-only to hash-oracled. */
+  def presetBatchReadout(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, sfDir)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_preset_stage").toString
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    def drain(preset: String, config: SubscriptionConfig): (String, Long, Long) = {
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val rows = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = readEvents(spark, stage, config, schema).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          rows.addAndGet(batch.count())
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (preset, batches.get(), rows.get())
+    }
+    val out = Seq(
+      drain("high_throughput", SubscriptionConfig.highThroughput),
+      drain("low_latency", SubscriptionConfig.lowLatency))
+    import spark.implicits._
+    out.toDF("preset", "n_batches", "n_rows")
+  }
 }

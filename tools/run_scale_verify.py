@@ -28,11 +28,13 @@ inclusion list is everything else in SparkEntry.queries):
   is 11.3e9 true pairs). They are hash-green at sf0.01/sf0.1 where the
   expansion is the small-scale oracle; the replication-invariant `_rep`
   contracts carry the same semantics to scale and ARE verified here.
-- the 9 expanded doc-pair REPORTS (canonical, best_quality, corpus,
+- the 10 expanded doc-pair REPORTS (canonical, best_quality, corpus,
   cluster_sizes, dup_flow, dup_provenance, split_leakage[_lsh],
   effective_tokens[_lsh]): same quadratic-expansion reason (46 GB
-  blockmgr spill witnessed in round 8); their `_rep` twins are
-  included.
+  blockmgr spill witnessed in round 8). Every one with a rep-level
+  reformulation has a `_rep` twin that IS verified here (incl.
+  q_dedup_best_quality_rep, added round 11); dup_provenance's output
+  is itself the expanded pair list, so it has no rep form.
 
 sf10 evidence for the same contract (round 9): q_dedup_docs_simhash is
 OUTPUT-quadratic under replication (member-pair expansion) and
@@ -68,27 +70,27 @@ EXCLUDE = {
     "q_dedup_docs_hyperplane",
     # expanded doc-pair reports: rep twins carry these to scale
     # (q_dedup_best_quality consumes the same expanded-pair `lbl`
-    # labels as q_dedup_docs_canonical — same quadratic class)
+    # labels as q_dedup_docs_canonical — same quadratic class;
+    # q_dedup_best_quality_rep IS verified here)
     "q_dedup_docs_canonical", "q_dedup_docs_corpus",
     "q_dedup_cluster_sizes", "q_docs_dup_flow", "q_docs_dup_provenance",
     "q_docs_split_leakage", "q_docs_split_leakage_lsh",
     "q_docs_effective_tokens", "q_docs_effective_tokens_lsh",
     "q_dedup_best_quality",
+    # pair-recall QA gates: their EXACT reference feeds are the
+    # pair-expanded lists above (ngram_jaccard / cosine pairs), so the
+    # gates inherit the same quadratic-under-replication exclusion; the
+    # linear gates (ivf/pq/ivfpq/mmr/hll/percentile) stay included
+    "q_qa_minhash_recall", "q_qa_hyperplane_recall", "q_qa_simhash_recall",
 }
 
-# sf100-only: the memory-sink STREAMING session surfaces collect the
-# full ~95M-row session table into the driver (MemoryStreamingWrite
-# serializes whole partitions) and OOM a 85 GB heap — the one honest
-# single-node limit of the ORACLE surface, not the pipeline (production
-# streams write to real sinks; the Complete-mode memory sink exists
-# only so DuckDB can see the result). Their BATCH equivalents
-# (q_events_session_30m / q_events_session_native — same semantics,
-# same rows) verify hash-green at sf100, and the streaming twins are
-# hash-green at sf10 (9.5M-row sinks fit). q_stream_session_closures
-# (append-mode, bounded per-trigger output) stays included.
-SF100_EXCLUDE = {
-    "q_stream_session_native", "q_stream_session_timeout",
-}
+# Round 11: the former SF100_EXCLUDE set (q_stream_session_native /
+# q_stream_session_timeout) is CLOSED — both pipelines now write
+# executor-side file sinks (Complete-mode foreachBatch parquet
+# overwrite / append-mode native parquet sink) and read the result
+# back, so the ~95M-row sf100 session table never touches the driver
+# heap. Nothing is sf100-only excluded anymore.
+SF100_EXCLUDE = set()
 
 # Heavies run serialized (pool=1) in pairs; big-OUTPUT queries (~events-
 # sized dumps, 100M rows / 2-5 GB parquet each at sf100) run in triples
@@ -126,6 +128,8 @@ BIG_OUTPUT = [
     "q_events_fifo_match", "q_events_wire_source",
     "q_events_resync", "q_events_wire_resync", "q_events_wire_checksum",
     "q_stream_wire_egress", "q_window_rank_orders", "q_vwap_lineitem",
+    # round 11: both produce events-sized outputs (~100M rows at sf100)
+    "q_stream_wire_incremental", "q_events_base58_roundtrip",
 ]
 
 

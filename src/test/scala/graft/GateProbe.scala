@@ -39,6 +39,7 @@ object GateProbe {
         count(lit(1)).cast("double")).head.getDouble(0)
     }
 
+    val light = args.length > 1 && args(1) == "light" // skip pair-expanded
     val emb = Tables.embeddings(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
     val events = Tables.events(spark, sfDir)
@@ -49,9 +50,11 @@ object GateProbe {
     println(f"ivf_recall      ${recallTopK(exact5, Similarity.ivfTopK(emb, q, 5))}%.4f")
     println(f"pq_recall       ${recallTopK(exact5, Similarity.pqTopK(emb, q, 64, 5))}%.4f")
     println(f"ivfpq_recall    ${recallTopK(exact5, Similarity.ivfpqTopK(emb, q, 64, 5))}%.4f")
-    println(f"minhash_recall  ${recallPairs(Dedup.ngramJaccard(docs, 0.5), Dedup.minhashLsh(docs, 0.5), "d1", "d2")}%.4f")
-    println(f"hyperplane_rec  ${recallPairs(Similarity.cosinePairs(emb, 0.3), Similarity.hyperplaneLshPairs(emb, 0.3), "v1", "v2")}%.4f")
-    println(f"simhash_recall  ${recallPairs(Dedup.ngramJaccard(docs, 0.8), Dedup.simhash(docs), "d1", "d2")}%.4f")
+    if (!light) {
+      println(f"minhash_recall  ${recallPairs(Dedup.ngramJaccard(docs, 0.5), Dedup.minhashLsh(docs, 0.5), "d1", "d2")}%.4f")
+      println(f"hyperplane_rec  ${recallPairs(Similarity.cosinePairs(emb, 0.3), Similarity.hyperplaneLshPairs(emb, 0.3), "v1", "v2")}%.4f")
+      println(f"simhash_recall  ${recallPairs(Dedup.ngramJaccard(docs, 0.8), Dedup.simhash(docs), "d1", "d2")}%.4f")
+    }
     val au = EventOps.approxUsers(events)
       .agg(max(abs(col("approx_users") - col("exact_users")).cast("double") /
         col("exact_users").cast("double"))).head.getDouble(0)

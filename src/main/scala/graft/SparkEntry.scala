@@ -430,6 +430,19 @@ object SparkEntry {
     // shares q_events_wire_source's oracle verbatim
     "q_stream_wire_incremental" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.wireIncrementalIngest(s, d)),
+    // D13 oracled: the DSv2 BatchWrite commit protocol end-to-end —
+    // df.write.format("graft-wire") (temp files + driver-side rename
+    // publish), read back and decoded ≡ the events table.
+    // file/frame_idx are storage-assigned; the write ignores them.
+    "q_events_wire_dsv2_write" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_wire_w_" +
+        Integer.toHexString(d.hashCode)
+      graft.sources.EventCodec.encodeTrade(Tables.events(s, d))
+        .select(lit("").as("file"), lit(0L).as("frame_idx"), col("payload"))
+        .write.format("graft-wire").mode("overwrite").save(dir)
+      graft.sources.EventCodec.decodeTrade(
+        s.read.format("graft-wire").load(dir))
+    }),
     // A55 oracled: both presets drain the same fixed-4-file capture;
     // the bounded-queue knob's driver-visible shape is the batch count
     "q_stream_config_presets" -> ((s, d) =>
@@ -1797,6 +1810,9 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
         probes = Int.MaxValue)
     }),
+    "q_stream_dedup_within_wm" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines
+        .dedupWithinWatermarkAvailableNow(s, d)),
     "q_stream_dedup_counts" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.dedupCountsAvailableNow(s, d)),
     "q_stream_wire_decoded" -> ((s, d) =>
@@ -2388,6 +2404,22 @@ object SparkEntry {
         Dedup.ngramJaccard(Tables.documents(s, d), 0.5, expand = false))),
     "q_docs_source_scorecard" -> ((s, d) =>
       TextAnalysis.sourceScorecard(Tables.documents(s, d))),
+    // C73: DSIR importance weights — target = a fixed 4-source slice
+    // (deterministic at every SF); weights feed the sampling operators
+    "q_docs_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3"))),
+    // A13i oracled: u128 little-endian decode — synthesized 16-byte
+    // values (low = event_id, high = event_id·7) must decode to
+    // id + id·7·2^64 computed independently in 128-bit integer SQL
+    "q_events_u128_decode" -> ((s, d) => {
+      import graft.functions.exprs._
+      // v rendered as digits: Decimal(38,0) loses precision through the
+      // oracle harness's float64 frame (2^53), a string never does
+      Tables.events(s, d).select(col("event_id"),
+        le_u128(concat(le_bytes(col("event_id"), 8),
+          le_bytes(col("event_id") * 7, 8)), 0).cast("string").as("v"))
+    }),
     // ----- QA gates (round 11): the declared-sketch family's
     // recall/error bounds as DRIVER-CHECKABLE queries — each runs the
     // sketch and its exact in-engine reference in one plan and reduces
@@ -4020,6 +4052,45 @@ object SparkEntry {
          FROM m""",
     // C71: the per-source curation composite — filterChain's gates +
     // grid-fixed quality + corpus-wide/cross-source dup exposure
+    "q_docs_dsir_weights" ->
+      """WITH tf AS (
+           SELECT doc_id,
+                  source IN ('src0', 'src1', 'src2', 'src3') AS is_t,
+                  token, count(*) AS tf FROM (
+             SELECT doc_id, source,
+                    unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+           WHERE token <> '' GROUP BY 1, 2, 3),
+         vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt_s,
+                     CAST(sum(CASE WHEN is_t THEN tf ELSE 0 END)
+                          AS BIGINT) AS cnt_t
+                   FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS tot_s,
+                   CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+                   count(*) AS v FROM vocab),
+         lr AS (SELECT token,
+                  CAST(round(ln(CAST(cnt_t + 1 AS DOUBLE) /
+                                CAST(tot_t + v AS DOUBLE)), 6)
+                       AS DECIMAL(12,6)) -
+                  CAST(round(ln(CAST(cnt_s + 1 AS DOUBLE) /
+                                CAST(tot_s + v AS DOUBLE)), 6)
+                       AS DECIMAL(12,6)) AS lr
+                FROM vocab CROSS JOIN tot),
+         a AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS len,
+                 sum(CAST(tf.tf AS BIGINT) * lr.lr) AS s
+               FROM tf JOIN lr ON tf.token = lr.token GROUP BY 1)
+         SELECT doc_id, len,
+                CAST(s AS DOUBLE) / CAST(len AS DOUBLE) AS avg_log_ratio,
+                round(exp(CAST(s AS DOUBLE) / CAST(len AS DOUBLE)), 6)
+                  AS importance
+         FROM a""",
+    "q_events_u128_decode" ->
+      """SELECT event_id,
+                CAST(CAST(event_id AS HUGEINT) +
+                     CAST(event_id AS HUGEINT) * 7 *
+                     CAST('18446744073709551616' AS HUGEINT)
+                     AS VARCHAR) AS v
+         FROM events""",
     // QA gates: the oracle is the CONSTANT row the Spark side must
     // reproduce — holds=false (a recall/error regression) hash-mismatches
     "q_qa_ivf_recall" ->
@@ -4521,6 +4592,11 @@ object SparkEntry {
                 CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
          FROM events""",
     "q_stream_wire_incremental" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+                CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
+         FROM events""",
+    "q_events_wire_dsv2_write" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
                 CAST(round(value * 100, 0) AS BIGINT) AS amount_cents
@@ -5954,6 +6030,12 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                   AS cents
          FROM events GROUP BY 1, 2""",
+    "q_stream_dedup_within_wm" ->
+      """SELECT event_type, count(*) AS n_distinct FROM (
+           SELECT DISTINCT user_id, event_type,
+                  epoch_us(ts) // 60000000 AS minute_bucket
+           FROM events)
+         GROUP BY event_type""",
     "q_stream_dedup_counts" ->
       """SELECT event_type, count(*) AS n_distinct FROM (
            SELECT DISTINCT user_id, event_type,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -817,6 +817,60 @@ object TextAnalysis {
           .as("avg_logp"),
         round(exp(-(col("s").cast("double") / col("len").cast("double"))),
           6).as("pseudo_ppl"))
+  }
+
+  /** C73: DSIR-style importance weights for target-matched data
+    * selection (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): score every document by how much
+    * more likely its tokens are under a TARGET slice's unigram LM than
+    * under the whole corpus's — the standard cheap proxy for "select
+    * web data that looks like the high-quality target domain". Add-one
+    * smoothing over the SHARED corpus vocabulary keeps both
+    * distributions defined on every token; each log is fixed to the
+    * 1e-6 grid (the [[unigramLogProb]] transcendental-boundary
+    * contract) so per-doc sums are exact and engine-portable. Output:
+    * (doc_id, len, avg_log_ratio, importance = round(exp(avg), 6)) —
+    * feeds [[graft.operators.Sampling.weightedSample]] /
+    * `selectByBudget` for the actual resampling step.
+    *
+    * Shape: one tokenize pass (the tf table is materialized once and
+    * feeds vocab + the per-doc close), token-keyed vocab aggregate
+    * with BOTH counts in one pass (no second scan for the target), a
+    * 1-row totals broadcast, one token-keyed join back. Cost is the
+    * same two shuffles as [[unigramLogProb]] at any corpus size. */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    val tf = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "is_t", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the vocab AND the per-doc close
+    val vocab = tf.groupBy("token")
+      .agg(sum("tf").as("cnt_s"),
+        sum(when(col("is_t"), col("tf")).otherwise(0L)).as("cnt_t"))
+    val totals = vocab.agg(sum("cnt_s").as("tot_s"),
+      sum("cnt_t").as("tot_t"), count(lit(1)).as("v"))
+    // each log lands on the 1e-6 grid AND is fixed as DECIMAL(12,6), so
+    // the per-token ratio and every per-doc sum are exact decimal
+    // arithmetic — partition-order-proof in both engines by type, not
+    // by luck
+    val lr = vocab.join(broadcast(totals))
+      .select(col("token"),
+        (ln_r6((col("cnt_t") + lit(1)).cast("double") /
+            (col("tot_t") + col("v")).cast("double"))
+            .cast("decimal(12,6)") -
+          ln_r6((col("cnt_s") + lit(1)).cast("double") /
+            (col("tot_s") + col("v")).cast("double"))
+            .cast("decimal(12,6)")).as("lr"))
+    tf.join(lr, "token")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("len"), sum(col("tf") * col("lr")).as("s"))
+      .select(col("doc_id"), col("len"),
+        (col("s").cast("double") / col("len").cast("double"))
+          .as("avg_log_ratio"),
+        round(exp(col("s").cast("double") / col("len").cast("double")),
+          6).as("importance"))
   }
 
   /** C59: per-source bigram conditional entropy — H(next | prev) under

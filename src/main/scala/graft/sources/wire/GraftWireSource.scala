@@ -132,17 +132,23 @@ object GraftWireTable {
   }
 }
 
-class GraftWireTable(path: String) extends Table with SupportsRead {
+class GraftWireTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-wire requires .load(path)")
   override def name(): String = s"graft-wire:$path"
   override def schema(): StructType = GraftWireTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftWireScanBuilder(path,
       options.getLong("split.bytes", GraftWireTable.DefaultSplitBytes))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWireWriteBuilder(path, info.schema())
 }
 
 class GraftWireScanBuilder(path: String, splitBytes: Long)
@@ -324,6 +330,111 @@ class GraftWireFrameReader(part: GraftWirePartition, required: StructType)
 /** Distributed writer for the wire format (the capture-side analog): each
   * partition of `payloads` becomes one frame file — the same
   * files-as-parallelism layout the source reads back. */
+/** D13: the capture-side writer as a FIRST-CLASS DSv2 batch write with
+  * the full commit protocol — `df.write.format("graft-wire").save(dir)`
+  * (append) / `.mode("overwrite")` (truncate). Each task streams its
+  * partition's frames into a temp file the reader cannot see (temps
+  * don't end in `.bin` — [[GraftWireTable.listFrameFiles]] filters on
+  * the suffix), `commit()` hands the driver a rename intent, and
+  * [[GraftWireBatchWrite.commit]] publishes every file with one rename
+  * per task — so a failed or speculative task never leaves a partial
+  * frame file visible, which the foreachPartition writer this
+  * supersedes could not guarantee. `file`/`frame_idx` are
+  * storage-assigned on read and ignored on write (metadata columns). */
+class GraftWireWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write._
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftWireBatchWrite(path, doTruncate,
+        schema.fieldIndex("payload"))
+  }
+}
+
+case class GraftWireCommit(tmpPath: String, finalName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftWireBatchWrite(path: String, truncate: Boolean, payloadIdx: Int)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWireWriterFactory(path, payloadIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dirPath = new Path(path)
+    val fs = dirPath.getFileSystem(new Configuration())
+    fs.mkdirs(dirPath)
+    if (truncate)
+      fs.listStatus(dirPath).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".bin"))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.foreach { case GraftWireCommit(tmp, fin) =>
+      val dst = new Path(dirPath, fin)
+      if (fs.exists(dst)) fs.delete(dst, false) // re-run idempotence
+      fs.rename(new Path(tmp), dst)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.filter(_ != null).foreach {
+      case GraftWireCommit(tmp, _) =>
+        fs.delete(new Path(tmp), false)
+      case _ => ()
+    }
+  }
+}
+
+class GraftWireWriterFactory(path: String, payloadIdx: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftWireDataWriter(path, payloadIdx, partitionId, taskId)
+}
+
+/** Streams `[u32 LE length][payload]` frames to `part-<pid>.bin.<task>.tmp`;
+  * the suffix keeps uncommitted output invisible to the reader. */
+class GraftWireDataWriter(dir: String, payloadIdx: Int, pid: Int,
+    taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tmp = new Path(dir, s"part-w$pid.bin.$taskId.tmp")
+  private lazy val out = {
+    val fs = tmp.getFileSystem(new Configuration())
+    fs.setWriteChecksum(false)
+    fs.mkdirs(new Path(dir))
+    new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(tmp, true)))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val bytes = row.getBinary(payloadIdx)
+    out.write(bytes.length & 0xff)
+    out.write((bytes.length >> 8) & 0xff)
+    out.write((bytes.length >> 16) & 0xff)
+    out.write((bytes.length >> 24) & 0xff)
+    out.write(bytes)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    GraftWireCommit(tmp.toString, s"part-w$pid.bin")
+  }
+
+  override def abort(): Unit = {
+    scala.util.Try(out.close())
+    scala.util.Try(
+      tmp.getFileSystem(new Configuration()).delete(tmp, false))
+  }
+
+  override def close(): Unit = scala.util.Try(out.close())
+}
+
 object GraftWireWriter {
   def writeFrames(payloads: org.apache.spark.sql.DataFrame,
       dir: String): Unit = {

@@ -208,6 +208,35 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A16d: `dropDuplicatesWithinWatermark` — the OTHER streaming dedup
+    * contract (Spark 3.5+): duplicates are only guaranteed collapsed
+    * when they arrive within the watermark delay of each other, which
+    * lets state evict by EVENT TIME rather than key count — the right
+    * trade when duplicate bursts are time-local (the reference's
+    * signature cache has the same bounded-recency semantics). Under a
+    * single availableNow batch every duplicate is within the delay, so
+    * the result is the exact batch DISTINCT and the driver can
+    * hash-oracle the semantics. */
+  def dedupWithinWatermarkAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_ddw_${memCounter.incrementAndGet()}"
+    val deduped = eventsStream(spark, dir)
+      .withColumn("minute_bucket", expr("unix_micros(ts) div 60000000"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type",
+        "minute_bucket")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** A35 (north-star composite): the reference's whole pipeline as one
     * streaming query — framed wire bytes in (custom DSv2 micro-batch
     * source), discriminator-dispatch columnar decode, windowed buy/sell

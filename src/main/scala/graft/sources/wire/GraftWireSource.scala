@@ -148,7 +148,7 @@ class GraftWireTable(path: String) extends Table
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWireWriteBuilder(path, info.schema())
+    new GraftWireWriteBuilder(path, info.schema(), info.queryId())
 }
 
 class GraftWireScanBuilder(path: String, splitBytes: Long)
@@ -341,7 +341,8 @@ class GraftWireFrameReader(part: GraftWirePartition, required: StructType)
   * frame file visible, which the foreachPartition writer this
   * supersedes could not guarantee. `file`/`frame_idx` are
   * storage-assigned on read and ignored on write (metadata columns). */
-class GraftWireWriteBuilder(path: String, schema: StructType)
+class GraftWireWriteBuilder(path: String, schema: StructType,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   import org.apache.spark.sql.connector.write._
@@ -350,20 +351,21 @@ class GraftWireWriteBuilder(path: String, schema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftWireBatchWrite(path, doTruncate,
-        schema.fieldIndex("payload"))
+        schema.fieldIndex("payload"), queryId)
   }
 }
 
 case class GraftWireCommit(tmpPath: String, finalName: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-class GraftWireBatchWrite(path: String, truncate: Boolean, payloadIdx: Int)
+class GraftWireBatchWrite(path: String, truncate: Boolean, payloadIdx: Int,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWireWriterFactory(path, payloadIdx)
+    new GraftWireWriterFactory(path, payloadIdx, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dirPath = new Path(path)
@@ -390,19 +392,22 @@ class GraftWireBatchWrite(path: String, truncate: Boolean, payloadIdx: Int)
   }
 }
 
-class GraftWireWriterFactory(path: String, payloadIdx: Int)
+class GraftWireWriterFactory(path: String, payloadIdx: Int, queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GraftWireDataWriter(path, payloadIdx, partitionId, taskId)
+    new GraftWireDataWriter(path, payloadIdx, queryId, partitionId, taskId)
 }
 
-/** Streams `[u32 LE length][payload]` frames to `part-<pid>.bin.<task>.tmp`;
-  * the suffix keeps uncommitted output invisible to the reader. */
-class GraftWireDataWriter(dir: String, payloadIdx: Int, pid: Int,
-    taskId: Long)
+/** Streams `[u32 LE length][payload]` frames to a `.tmp`-suffixed temp
+  * (invisible to the reader); the committed name carries the JOB's
+  * queryId so an APPEND never collides with — and silently clobbers —
+  * a prior capture's `part-w<pid>.bin` (caught by Round11OpsSpec's
+  * overwrite/append pin). */
+class GraftWireDataWriter(dir: String, payloadIdx: Int, queryId: String,
+    pid: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val tmp = new Path(dir, s"part-w$pid.bin.$taskId.tmp")
+  private val tmp = new Path(dir, s"part-$queryId-w$pid.bin.$taskId.tmp")
   private lazy val out = {
     val fs = tmp.getFileSystem(new Configuration())
     fs.setWriteChecksum(false)
@@ -423,7 +428,7 @@ class GraftWireDataWriter(dir: String, payloadIdx: Int, pid: Int,
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    GraftWireCommit(tmp.toString, s"part-w$pid.bin")
+    GraftWireCommit(tmp.toString, s"part-$queryId-w$pid.bin")
   }
 
   override def abort(): Unit = {

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{QaGates, TextAnalysis}
+
+/** Round-11 operator pins: DSIR importance weights, the base58 decode
+  * expression, the DSv2 wire BatchWrite commit protocol, and — most
+  * importantly — NEGATIVE tests for the QA gates: a gate that cannot go
+  * red is decoration, so every gate family is driven to `holds=false`
+  * with a deliberately broken input or an impossible bound.
+  */
+class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
+  import spark.implicits._
+
+  test("dsirWeights: target-like doc outranks off-target doc") {
+    val docs = Seq(
+      (1L, "wiki", "alpha beta gamma delta alpha beta"),
+      (2L, "wiki", "alpha gamma alpha beta beta delta"),
+      (3L, "web", "zebra yak xylophone walrus zebra yak"),
+      (4L, "web", "alpha beta gamma delta alpha gamma"), // looks like wiki
+      (5L, "web", "zebra walrus yak yak xylophone zebra")
+    ).toDF("doc_id", "source", "text")
+    val w = TextAnalysis.dsirWeights(docs, col("source") === "wiki")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the wiki-looking web doc scores above the zebra docs...
+    assert(w(4L) > w(3L) && w(4L) > w(5L))
+    // ...and target docs score above off-target docs
+    assert(w(1L) > w(3L))
+    // weights are finite and deterministic across repartitionings
+    val w2 = TextAnalysis.dsirWeights(docs.repartition(7),
+      col("source") === "wiki")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w == w2, "avg_log_ratio must be partitioning-invariant")
+  }
+
+  test("base58 decode: roundtrip, leading zeros, invalid input -> null") {
+    import graft.functions.exprs._
+    val df = Seq(
+      Array[Byte](0, 0, 5, 77, -1),
+      Array[Byte](1),
+      Array.emptyByteArray
+    ).toDF("b")
+    val rt = df.select(unbase58(base58(col("b"))).as("d"), col("b"))
+      .collect()
+    rt.foreach(r => assert(
+      Option(r.getAs[Array[Byte]]("d")).map(_.toSeq)
+        == Option(r.getAs[Array[Byte]]("b")).map(_.toSeq)))
+    // '0', 'I', 'O', 'l' are not in the alphabet -> null, not a crash
+    val bad = Seq("0OIl", "abc!", "1").toDF("s")
+      .select(unbase58(col("s")).as("d")).collect()
+    assert(bad(0).isNullAt(0) && bad(1).isNullAt(0))
+    assert(bad(2).getAs[Array[Byte]](0).toSeq == Seq(0.toByte))
+  }
+
+  test("DSv2 wire write: overwrite truncates, append adds, temps invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_w11").toString
+    def frames(n: Int, tag: Int) = (1 to n)
+      .map(i => (s"", 0L, graft.functions.CodecOps.leBytes(tag * 100L + i, 8)))
+      .toDF("file", "frame_idx", "payload")
+    frames(6, 1).repartition(3)
+      .write.format("graft-wire").mode("overwrite").save(dir)
+    val first = spark.read.format("graft-wire").load(dir)
+    assert(first.count() == 6)
+    // overwrite replaces everything, even with fewer partitions/files
+    frames(2, 2).repartition(1)
+      .write.format("graft-wire").mode("overwrite").save(dir)
+    val second = spark.read.format("graft-wire").load(dir)
+    assert(second.count() == 2)
+    import graft.functions.exprs._
+    val ids = second.select(le_long(col("payload"), 0)).as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(201L, 202L))
+    // append keeps the existing capture
+    frames(3, 3).repartition(1)
+      .write.format("graft-wire").mode("append").save(dir)
+    assert(spark.read.format("graft-wire").load(dir).count() == 5)
+    // no temp artifacts survive a committed write
+    val leftover = new java.io.File(dir).list().filter(_.endsWith(".tmp"))
+    assert(leftover.isEmpty, s"uncleaned temps: ${leftover.mkString(",")}")
+  }
+
+  test("QA gates go RED on violated bounds (negative control)") {
+    val events = Tables.events(spark, sfDir)
+    // an impossible error bound must flip holds to false (negative,
+    // since rel-err >= 0 always — at tiny SFs the HLL is exact, so 0.0
+    // would NOT be a negative control)
+    val red = QaGates.approxUsersGate(events, bound = -1.0)
+      .collect().head
+    assert(red.getAs[Boolean]("holds") == false)
+    // a trivially satisfied bound holds
+    val green = QaGates.approxUsersGate(events, bound = 1.0)
+      .collect().head
+    assert(green.getAs[Boolean]("holds") == true)
+    // multiset equality gate: unequal frames -> false
+    val a = Seq((1L, 2L), (3L, 4L)).toDF("x", "y")
+    val b = Seq((1L, 2L), (3L, 5L)).toDF("x", "y")
+    assert(QaGates.multisetEqualGate(a, b, "neg")
+      .collect().head.getAs[Boolean]("holds") == false)
+    assert(QaGates.multisetEqualGate(a, a.select(col("x"), col("y")), "pos")
+      .collect().head.getAs[Boolean]("holds") == true)
+    // recall gate: an empty approximate result -> recall 0 -> false
+    val exact = Seq((1L, 2L), (1L, 3L)).toDF("q_id", "neighbor_id")
+    val empty = exact.filter(lit(false))
+    assert(QaGates.topKRecallGate(exact, empty, "neg", 0.5)
+      .collect().head.getAs[Boolean]("holds") == false)
+    assert(QaGates.topKRecallGate(exact, exact, "pos", 0.99)
+      .collect().head.getAs[Boolean]("holds") == true)
+  }
+
+  test("dropDuplicatesWithinWatermark collapses a cross-batch duplicate " +
+      "within the delay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val deduped = in.toDF().toDF("k", "ts_s")
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val name = "graft_r11_ddw"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, 100L), (2L, 110L))
+      q.processAllAvailable()
+      in.addData((1L, 160L), (3L, 170L)) // k=1 again, 60s later (< delay)
+      q.processAllAvailable()
+      val ks = spark.table(name).select("k").as[Long].collect().sorted.toSeq
+      assert(ks == Seq(1L, 2L, 3L), s"duplicate not collapsed: $ks")
+    } finally q.stop()
+  }
+}

@@ -232,7 +232,15 @@ object Bench {
     "q_stream_config_presets",
     "q_events_base58_roundtrip",
     "q_qa_ivf_recall",
-    "q_qa_approx_percentile")
+    "q_qa_approx_percentile",
+    // round-11 (2): winnowing fingerprint overlap, the Bonk trade-ix
+    // registry path, the end-to-end minute trade metrics stream, and
+    // the two new QA gates (CMS bounds, k-means descent)
+    "q_docs_winnow_pairs",
+    "q_events_bonk_trade_ix",
+    "q_stream_trade_metrics",
+    "q_qa_cms_error",
+    "q_qa_kmeans_descent")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1346,6 +1346,52 @@ object SparkEntry {
             col("ps_buy_ix.max_quote_amount_in"),
             col("bonk_migrate_to_amm.quote_lot_size"))).as("sum_arg2"))
     }),
+    "q_events_bonk_trade_ix" -> ((s, d) => {
+      // A63b promotion: all four REAL Bonk trade-instruction layouts
+      // (BuyExactIn/Out, SellExactIn/Out — bonk/parser.rs:136-300)
+      // encoded from the events table, routed through the ix registry
+      // by program id + 8-byte anchor discriminator, re-aggregated per
+      // decoded kind against a pure-SQL oracle over the same slices
+      import graft.sources.{ProtocolRegistry, RealLayouts}
+      val ev = Tables.events(s, d)
+      val cents = expr("cast(round(value * 100, 0) as bigint)")
+      def lay(k: String) = RealLayouts.BonkIx.layouts.find(_.kind == k).get
+      def enc(t: String, k: String, amt: String, thr: String) =
+        ProtocolRegistry.encode(
+          ev.filter(col("event_type") === t).select(
+            cents.as(amt), (col("event_id") + 3).as(thr),
+            (col("event_id") % 10000).as("share_fee_rate")),
+          lay(k)).select("payload")
+      val frames =
+        enc("purchase", "bonk_buy_exact_in", "amount_in",
+            "minimum_amount_out")
+          .union(enc("signup", "bonk_buy_exact_out", "amount_out",
+            "maximum_amount_in"))
+          .union(enc("view", "bonk_sell_exact_in", "amount_in",
+            "minimum_amount_out"))
+          .union(enc("click", "bonk_sell_exact_out", "amount_out",
+            "maximum_amount_in"))
+          .withColumn("program_id", lit(RealLayouts.BonkProgram))
+      ProtocolRegistry
+        .dispatch(frames, RealLayouts.ixRegistry,
+          programCol = Some("program_id"))
+        .groupBy("event_kind")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("bonk_buy_exact_in.amount_in"),
+            col("bonk_buy_exact_out.amount_out"),
+            col("bonk_sell_exact_in.amount_in"),
+            col("bonk_sell_exact_out.amount_out"))).as("sum_amount"),
+          sum(coalesce(col("bonk_buy_exact_in.minimum_amount_out"),
+            col("bonk_buy_exact_out.maximum_amount_in"),
+            col("bonk_sell_exact_in.minimum_amount_out"),
+            col("bonk_sell_exact_out.maximum_amount_in")))
+            .as("sum_threshold"),
+          sum(coalesce(col("bonk_buy_exact_in.share_fee_rate"),
+            col("bonk_buy_exact_out.share_fee_rate"),
+            col("bonk_sell_exact_in.share_fee_rate"),
+            col("bonk_sell_exact_out.share_fee_rate")))
+            .as("sum_fee_rate"))
+    }),
     "q_events_config_accounts" -> ((s, d) => {
       // config/global account breadth incl. the shared GlobalConfig and
       // AmmConfig account hashes routed by owner, and the borsh Vec<u8>
@@ -1817,6 +1863,8 @@ object SparkEntry {
       graft.streaming.EventStreamPipelines.dedupCountsAvailableNow(s, d)),
     "q_stream_wire_decoded" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.wireDecodedCountsAvailableNow(s, d)),
+    "q_stream_trade_metrics" -> ((s, d) =>
+      graft.streaming.EventStreamPipelines.tradeMetricsAvailableNow(s, d)),
     "q_stream_ss_attribution" -> ((s, d) =>
       graft.streaming.EventStreamPipelines.streamStreamAttribution(s, d)),
     "q_stream_static_enrich" -> ((s, d) =>
@@ -2070,6 +2118,8 @@ object SparkEntry {
     }),
     "q_docs_repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(Tables.documents(s, d))),
+    "q_docs_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowedOverlap(Tables.documents(s, d))),
     "q_docs_shuffle_order" -> ((s, d) =>
       Sampling.shuffleOrder(Tables.documents(s, d), "doc_id", "ep1")),
     "q_events_rate_spikes" -> ((s, d) =>
@@ -2489,6 +2539,10 @@ object SparkEntry {
       operators.QaGates.hllRangeGate(Tables.events(s, d))),
     "q_qa_approx_percentile" -> ((s, d) =>
       operators.QaGates.approxPercentileGate(Tables.events(s, d))),
+    "q_qa_cms_error" -> ((s, d) =>
+      operators.QaGates.cmsErrorGate(Tables.events(s, d))),
+    "q_qa_kmeans_descent" -> ((s, d) =>
+      operators.QaGates.kmeansDescentGate(Tables.embeddings(s, d))),
     "q_ann_truncation" -> ((s, d) =>
       Similarity.truncationFidelity(Tables.embeddings(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
@@ -4115,6 +4169,10 @@ object SparkEntry {
       operators.QaGates.gateOracle("hll_range_rel_err", 0.15),
     "q_qa_approx_percentile" ->
       operators.QaGates.gateOracle("approx_percentile_rank_err", 0.01),
+    "q_qa_cms_error" ->
+      operators.QaGates.gateOracle("cms_freq_bounds", 0.001),
+    "q_qa_kmeans_descent" ->
+      operators.QaGates.gateOracle("kmeans_objective_descent", 3.0),
     "q_docs_source_scorecard" ->
       """WITH b AS (
            SELECT doc_id, source, md5(text) AS h,
@@ -5077,6 +5135,20 @@ object SparkEntry {
                 CAST(sum(arg) AS BIGINT) AS sum_arg,
                 CAST(sum(arg2) AS BIGINT) AS sum_arg2
          FROM k GROUP BY 1, 2""",
+    "q_events_bonk_trade_ix" ->
+      """SELECT CASE event_type
+                WHEN 'purchase' THEN 'bonk_buy_exact_in'
+                WHEN 'signup' THEN 'bonk_buy_exact_out'
+                WHEN 'view' THEN 'bonk_sell_exact_in'
+                ELSE 'bonk_sell_exact_out' END AS event_kind,
+              count(*) AS n,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                AS sum_amount,
+              CAST(sum(event_id + 3) AS BIGINT) AS sum_threshold,
+              CAST(sum(event_id % 10000) AS BIGINT) AS sum_fee_rate
+         FROM events
+         WHERE event_type IN ('purchase', 'signup', 'view', 'click')
+         GROUP BY 1""",
     "q_events_config_accounts" ->
       """WITH k AS (
            SELECT CASE event_type WHEN 'purchase' THEN 'pumpfun_global_acct'
@@ -5716,6 +5788,38 @@ object SparkEntry {
                   AS shared_frac
          FROM d JOIN hot USING (dig)
          GROUP BY 1""",
+    "q_docs_winnow_pairs" ->
+      """WITH reps AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                       FROM documents GROUP BY md5(text)),
+         wins AS (SELECT doc_id,
+                         unnest(range(1, length(text) - 10)) AS pos, text
+                  FROM reps WHERE length(text) >= 15),
+         h AS (SELECT doc_id, pos,
+                      md5(substr(text, CAST(pos AS INT), 12)) AS hh
+               FROM wins),
+         sel AS (SELECT doc_id, pos,
+                        min(hh || lpad(CAST(999999999 - pos AS VARCHAR),
+                                       9, '0'))
+                          OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                          AS s
+                 FROM h),
+         fps AS (SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+                 FROM sel WHERE pos >= 4),
+         hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1000),
+         g AS (SELECT * FROM fps
+               WHERE fp NOT IN (SELECT fp FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS nfp FROM g GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                          count(*) AS shared
+                   FROM g a JOIN g b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p.d1, p.d2, p.shared, s1.nfp AS n1, s2.nfp AS n2,
+                p.shared * 1000000 // least(s1.nfp, s2.nfp) AS sim_ppm
+         FROM pairs p
+         JOIN sizes s1 ON p.d1 = s1.doc_id
+         JOIN sizes s2 ON p.d2 = s2.doc_id""",
     "q_docs_shuffle_order" ->
       """SELECT doc_id,
                 md5('ep1' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
@@ -6025,6 +6129,13 @@ object SparkEntry {
          FROM actives a LEFT JOIN ret r ON a.day = r.day""",
     "q_stream_wire_decoded" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM events GROUP BY 1, 2""",
+    "q_stream_trade_metrics" ->
+      """SELECT (epoch_us(ts) // 60000000) * 60 AS ws,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_buy,
                 count(*) AS n,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)

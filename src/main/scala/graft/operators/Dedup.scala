@@ -557,6 +557,75 @@ object Dedup {
         col("n_shared").cast("double") / col("n_windows").cast("double"))
   }
 
+  /** C74: winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm). Character `k`-gram hashes are
+    * sampled by the robust-winnowing rule — in every window of `w`
+    * consecutive hashes keep the minimum, rightmost occurrence on ties
+    * — giving each document a fingerprint set with the paper's
+    * guarantee: any shared substring of length ≥ k + w − 1 yields at
+    * least one shared fingerprint, at expected density 2/(w+1). Where
+    * [[repeatedSpans]] reports a per-doc shared-window fraction over
+    * EVERY token window and [[ngramJaccard]] compares whole-document
+    * gram sets, this is the sampled cross-doc OVERLAP detector: pairs
+    * of documents sharing ≥ `minShared` fingerprints, scored by
+    * shared / min(|fp₁|, |fp₂|) in exact parts-per-million.
+    *
+    * The rightmost-tie selection is encoded branch-free: the windowed
+    * min runs over `hash ‖ lpad(10⁹ − pos)` strings, so lexical order
+    * is (hash asc, pos desc) — one window pass, both engines agree
+    * exactly.
+    *
+    * Scale shape: identical texts collapse to a representative FIRST
+    * (one md5 group-by), so fingerprinting and the pair join cost ∝
+    * distinct content and the pair list is replication-invariant —
+    * exact copies are C1/exact-dedup's job, not this operator's. The
+    * per-position explode is linear in distinct-corpus characters; the
+    * only window function partitions by doc (bounded rows per
+    * partition). Fingerprints in more than `maxDocFreq` reps are
+    * boilerplate, definitionally shared, and dropped via a broadcast
+    * hot set before the inverted-index join, bounding per-key fan-out
+    * exactly like [[ngramJaccard]]'s stop-gram cap.
+    */
+  def winnowedOverlap(docs: DataFrame, k: Int = 12, w: Int = 4,
+      minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
+    require(k >= 1 && w >= 1 && minShared >= 1 && maxDocFreq >= 1)
+    val reps = docs
+      .groupBy(md5(col("text").cast("binary")).as("ht"))
+      .agg(min("doc_id").as("doc_id"), first("text").as("text"))
+    val wins = reps
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $k)").cast("binary")).as("h"))
+    val winSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    val fps = wins
+      .withColumn("sel",
+        min(concat(col("h"),
+          lpad((lit(999999999) - col("pos")).cast("string"), 9, "0")))
+          .over(winSpec))
+      .filter(col("pos") >= w)
+      .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+      .distinct()
+    val hot = fps.groupBy("fp").count()
+      .filter(col("count") > maxDocFreq).select("fp")
+    val g = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    g.as("a")
+      .join(g.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("d1"), col("nfp").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nfp").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
+        expr("shared * 1000000 div least(n1, n2)").as("sim_ppm"))
+  }
+
   /** Canonicalization: collapse near-dup pairs into clusters and pick one
     * keeper per cluster (min doc_id). Iterative min-label propagation to a
     * FIXED POINT — each round is one shuffle join; iteration stops when a

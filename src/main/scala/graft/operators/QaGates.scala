@@ -144,6 +144,58 @@ object QaGates {
         col("n_steps") === k && col("all_in_pool") === 1), sel)
   }
 
+  /** A26b gate: count-min sketch frequency bounds — the CMS contract is
+    * one-sided (estimate never BELOW the true count) with overcount
+    * bounded by eps·N at the sketch's confidence. The sketch binary is
+    * a single KB-sized aggregate row (collected like the codebook
+    * sites, never data-sized) deserialized via Spark's public
+    * CountMinSketch reader; estimates for the taxonomy-sized type list
+    * are broadcast back against the exact distributed counts. */
+  def cmsErrorGate(events: DataFrame, eps: Double = 0.001,
+      boundEps: Option[Double] = None): DataFrame = {
+    val bEps = boundEps.getOrElse(eps)
+    val bin = events.select(expr(
+      s"count_min_sketch(event_type, cast($eps as double), " +
+        "cast(0.99 as double), 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bin))
+    val exact = events.groupBy("event_type")
+      .agg(count(lit(1)).as("exact"))
+    val types = exact.select("event_type").collect().map(_.getString(0))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val est = types.toSeq.map(t => (t, sketch.estimateCount(t)))
+      .toDF("event_type", "est")
+    gate("cms_freq_bounds", eps,
+      min(col("est") >= col("exact")) &&
+        max(col("est") - col("exact")).cast("double") <=
+          sum(col("exact")).cast("double") * bEps + 1,
+      exact.join(broadcast(est), "event_type"))
+  }
+
+  /** C7e gate: Lloyd's objective is monotone non-increasing, so the
+    * refined centroids' total assignment cost must not exceed the seed
+    * centroids' (tiny multiplicative slack for FP summation order),
+    * and both passes must assign every vector. The fit runs on an
+    * id-bounded slice so the seed count — and with it the broadcast
+    * argmin's k — stays FIXED at any corpus size (the algorithm
+    * contract does not strengthen with replicated data; unbounded
+    * kmeansFit seeding is O(n/seedEvery) centroids, the documented C7e
+    * scale caveat this gate deliberately sidesteps). */
+  def kmeansDescentGate(emb: DataFrame, iters: Int = 3,
+      maxId: Long = 50000L): DataFrame = {
+    val e = emb.filter(col("vec_id") < maxId)
+    val cost0 = Similarity.kmeansCost(e, Similarity.kmeansFit(e, 0))
+      .select(col("cost").as("cost0"), col("n").as("n0"))
+    val cost1 = Similarity.kmeansCost(e, Similarity.kmeansFit(e, iters))
+      .select(col("cost").as("cost1"), col("n").as("n1"))
+    gate("kmeans_objective_descent", iters.toDouble,
+      min(col("cost1") <= col("cost0") * 1.000001 &&
+        col("n0") === col("n1") && col("n1") > 0),
+      cost0.crossJoin(cost1))
+  }
+
   /** C7h gate: the served (pre-trained codebook) PQ path must be
     * row-identical to the inline-training path — same codebook
     * derivation, so this pins the cache/serve plumbing. */

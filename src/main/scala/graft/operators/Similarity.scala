@@ -265,6 +265,30 @@ object Similarity {
     cents
   }
 
+  /** C7e gate support: total assignment cost of `emb` under the given
+    * centroid table — each vector's squared distance to its nearest
+    * centroid, summed, plus the assigned-vector count. One broadcast of
+    * the |k| centroid vectors and one map-side partial aggregate (the
+    * same shape as the [[kmeansFit]] assignment pass), reduced to a
+    * single row; Lloyd's monotonicity makes this the driver-checkable
+    * invariant of the fit.
+    */
+  def kmeansCost(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val cvecs = cents.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("centroid"))))
+        .as("pairs"))
+      .select(col("cell"),
+        expr("transform(pairs, p -> cast(p.centroid as float))").as("cvec"))
+    emb.crossJoin(broadcast(cvecs))
+      .select(col("vec_id"),
+        (vec_dot(col("embedding"), col("embedding"))
+          - vec_dot(col("embedding"), col("cvec")) * 2
+          + vec_dot(col("cvec"), col("cvec"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(argKey(col("d2"))).as("d2min"))
+      .agg(sum(col("d2min")).as("cost"), count(lit(1)).as("n"))
+  }
+
   /** C7f: per-subspace PQ codebook, Lloyd-refined. The embedding space
     * splits into `m` subspaces of `dims/m` components; each starts from
     * deterministic seed codewords (every `seedEvery`-th vector's slice,

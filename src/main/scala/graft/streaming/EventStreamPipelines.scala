@@ -268,6 +268,32 @@ object EventStreamPipelines {
     spark.table(name)
   }
 
+  /** A22 driven end to end: [[decodedTradeMetrics]] — the minute-
+    * grained, watermarked, length-guarded wire-to-metrics pipeline —
+    * fed by a real wire capture through the DSv2 source under
+    * availableNow, and oracle-checked against plain SQL over the
+    * events table. Output is (minutes-in-span × 2) rows — bounded by
+    * the data's TIME SPAN, never its size, so the Complete-mode memory
+    * sink stays driver-safe at any scale factor. */
+  def tradeMetricsAvailableNow(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{EventCodec, wire}
+    val name = s"graft_wire_tm_${memCounter.incrementAndGet()}"
+    val wireDir = s"${System.getProperty("java.io.tmpdir")}/graft_wire_s_" +
+      Integer.toHexString(sfDir.hashCode)
+    wire.GraftWireWriter.writeFrames(
+      EventCodec.encodeTrade(graft.Tables.events(spark, sfDir)), wireDir)
+    val agg = decodedTradeMetrics(
+      spark.readStream.format("graft-wire").load(wireDir))
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** A61/A63 streaming composite: the REAL-layout registry on a live
     * wire. PumpFun and Bonk trade frames — which share one anchor
     * TradeEvent discriminator — stream in from two wire captures, get

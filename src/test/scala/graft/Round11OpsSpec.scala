@@ -109,6 +109,59 @@ class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
       .collect().head.getAs[Boolean]("holds") == true)
   }
 
+  test("cmsErrorGate holds on real data and goes red on impossible bound") {
+    val events = Tables.events(spark, sfDir)
+    val green = QaGates.cmsErrorGate(events).collect().head
+    assert(green.getAs[Boolean]("holds"),
+      "CMS one-sided bound must hold on the synthetic corpus")
+    // an impossible (negative) bound arm: max overcount >= 0 can never
+    // sit under eps*N+1 when eps*N+1 < 0 — the gate must flip
+    val red = QaGates.cmsErrorGate(events, boundEps = Some(-1.0))
+      .collect().head
+    assert(!red.getAs[Boolean]("holds"))
+  }
+
+  test("kmeans: Lloyd objective descends and the gate pins it") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val slice = emb.filter(col("vec_id") < 50000L)
+    val c0 = graft.operators.Similarity.kmeansCost(slice,
+      graft.operators.Similarity.kmeansFit(slice, 0)).collect().head
+    val c2 = graft.operators.Similarity.kmeansCost(slice,
+      graft.operators.Similarity.kmeansFit(slice, 2)).collect().head
+    assert(c0.getAs[Long]("n") == c2.getAs[Long]("n"),
+      "every vector must assign under both centroid sets")
+    assert(c2.getAs[Double]("cost") <= c0.getAs[Double]("cost") * 1.000001,
+      s"objective ascended: ${c0.getAs[Double]("cost")} -> " +
+        s"${c2.getAs[Double]("cost")}")
+    val gate = QaGates.kmeansDescentGate(emb).collect().head
+    assert(gate.getAs[Boolean]("holds"))
+  }
+
+  test("winnowing: shared-substring guarantee, rep collapse, no false pairs") {
+    import graft.operators.Dedup
+    // k=12, w=4: any shared substring of >= 15 chars must surface at
+    // least one shared fingerprint (the winnowing coverage guarantee)
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"AAAA $shared AAAA padding padding padding one"),
+      (2L, s"BBBB $shared BBBB other other other other two"),
+      (3L, "completely different content with zero overlap at all xyz"),
+      (4L, s"AAAA $shared AAAA padding padding padding one") // = doc 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedOverlap(docs, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "shared 44-char substring must yield a shared fingerprint")
+    // identical texts collapse to the min-id rep: doc 4 never appears
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // the disjoint doc pairs with nobody
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // sim_ppm is exact integer arithmetic within [0, 1e6]
+    val ppm = Dedup.winnowedOverlap(docs, minShared = 1)
+      .select("sim_ppm").collect().map(_.getLong(0))
+    assert(ppm.forall(p => p >= 0 && p <= 1000000))
+  }
+
   test("dropDuplicatesWithinWatermark collapses a cross-batch duplicate " +
       "within the delay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -240,7 +240,11 @@ object Bench {
     "q_events_bonk_trade_ix",
     "q_stream_trade_metrics",
     "q_qa_cms_error",
-    "q_qa_kmeans_descent")
+    "q_qa_kmeans_descent",
+    // round-11 (3): LPA communities, MSTTR diversity, the MG gate
+    "q_events_communities",
+    "q_docs_msttr",
+    "q_qa_mg_bound")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

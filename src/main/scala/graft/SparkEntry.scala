@@ -2019,6 +2019,8 @@ object SparkEntry {
         policy = GraphOps.DropAll(acknowledgeVacuous = true))),
     "q_events_wallet_clusters" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d))),
+    "q_events_communities" -> ((s, d) =>
+      GraphOps.labelPropagation(Tables.events(s, d))),
     "q_events_wallet_clusters_dropall" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d),
         policy = GraphOps.DropAll(acknowledgeVacuous = true))),
@@ -2290,6 +2292,8 @@ object SparkEntry {
       TextAnalysis.scrubPii(Tables.documents(s, d))),
     "q_docs_vocab_stats" -> ((s, d) =>
       TextAnalysis.vocabStats(Tables.documents(s, d))),
+    "q_docs_msttr" -> ((s, d) =>
+      TextAnalysis.msttr(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d))),
     "q_text_boilerplate" -> ((s, d) =>
@@ -2543,6 +2547,8 @@ object SparkEntry {
       operators.QaGates.cmsErrorGate(Tables.events(s, d))),
     "q_qa_kmeans_descent" -> ((s, d) =>
       operators.QaGates.kmeansDescentGate(Tables.embeddings(s, d))),
+    "q_qa_mg_bound" -> ((s, d) =>
+      operators.QaGates.mgHeavyHittersGate(Tables.events(s, d))),
     "q_ann_truncation" -> ((s, d) =>
       Similarity.truncationFidelity(Tables.embeddings(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
@@ -3009,6 +3015,29 @@ object SparkEntry {
          SELECT cl.wallet, cl.cluster_id,
                 CAST(sz.cluster_size AS BIGINT) AS cluster_size
          FROM cl JOIN sz USING (cluster_id)""",
+    // A120 oracle: 4 unrolled synchronous LPA steps over the same
+    // capped edge set — majority neighbor label, count-desc /
+    // label-asc tie-break, initial label = own id
+    "q_events_communities" -> {
+      val steps = (1 to 4).map { k =>
+        s""",
+         l$k AS (
+           SELECT node, lbl FROM (
+             SELECT e.src AS node, p.lbl, count(*) AS c,
+                    row_number() OVER (PARTITION BY e.src
+                      ORDER BY count(*) DESC, p.lbl) AS rk
+             FROM e JOIN l${k - 1} p ON e.dst = p.node
+             GROUP BY e.src, p.lbl)
+           WHERE rk = 1)"""
+      }.mkString
+      s"""WITH $cappedEdgeCtes,
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)$steps,
+         sz AS (SELECT lbl, count(*) AS community_size
+                FROM l4 GROUP BY 1)
+         SELECT l.node AS wallet, l.lbl AS community,
+                CAST(sz.community_size AS BIGINT) AS community_size
+         FROM l4 l JOIN sz USING (lbl)"""
+    },
     "q_events_neighbor_sim" ->
       s"""WITH $cappedEdgeCtes,
          und AS (SELECT src, dst FROM e WHERE src < dst),
@@ -4173,6 +4202,8 @@ object SparkEntry {
       operators.QaGates.gateOracle("cms_freq_bounds", 0.001),
     "q_qa_kmeans_descent" ->
       operators.QaGates.gateOracle("kmeans_objective_descent", 3.0),
+    "q_qa_mg_bound" ->
+      operators.QaGates.gateOracle("mg_heavy_hitters", 64.0),
     "q_docs_source_scorecard" ->
       """WITH b AS (
            SELECT doc_id, source, md5(text) AS h,
@@ -6851,6 +6882,36 @@ object SparkEntry {
                       WHEN quality_score < 0.3 THEN 'low_quality'
                       ELSE 'kept' END) = 'kept' AS kept
          FROM c""",
+    // C75 oracle: same rep-collapse, same single-space-normalized ws
+    // tokens, positions zipped off the split array (DuckDB parallel
+    // unnest), 25-token full segments, truncating integer means
+    "q_docs_msttr" ->
+      """WITH reps AS (SELECT md5(text) AS h, min(text) AS text
+                       FROM documents GROUP BY 1),
+         p AS (SELECT h,
+                      string_split(regexp_replace(trim(lower(text)),
+                                                  ' +', ' ', 'g'),
+                                   ' ') AS l
+               FROM reps),
+         t AS (SELECT h, unnest(l) AS tok,
+                      unnest(range(0, len(l))) AS pos
+               FROM p),
+         s AS (SELECT h, pos // 25 AS seg, count(*) AS n,
+                      count(DISTINCT tok) AS d
+               FROM t WHERE tok <> '' GROUP BY 1, 2
+               HAVING count(*) = 25),
+         pr AS (SELECT h, count(*) AS n_segments,
+                       sum((d * 1000000) // 25) // count(*) AS msttr_ppm
+                FROM s GROUP BY 1),
+         dh AS (SELECT doc_id, source, md5(text) AS h FROM documents)
+         SELECT source, count(*) AS n_docs_scored,
+                CAST(sum(n_segments) AS BIGINT) AS total_segments,
+                CAST(sum(msttr_ppm) // count(*) AS BIGINT)
+                  AS avg_msttr_ppm,
+                CAST(min(msttr_ppm) AS BIGINT) AS min_msttr_ppm,
+                CAST(max(msttr_ppm) AS BIGINT) AS max_msttr_ppm
+         FROM dh JOIN pr USING (h)
+         GROUP BY 1""",
     "q_docs_vocab_stats" ->
       """WITH t AS (SELECT source,
                            unnest(string_split(lower(text), ' ')) AS token

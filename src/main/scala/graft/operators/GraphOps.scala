@@ -703,4 +703,68 @@ object GraphOps {
         col("ra").cast("double").as("ra_score"),
         coalesce(col("is_edge"), lit(false)).as("is_edge"))
   }
+
+  /** A120: label-propagation communities (synchronous LPA, Raghavan et
+    * al. 2007) over the co-activity graph — finer-grained than
+    * [[walletClusters]]' connected components: a single bridge wallet
+    * linking two dense rings collapses them into one component, but
+    * LPA keeps each ring its own community because a node adopts the
+    * MAJORITY label of its neighbors, not any reachable label. The
+    * reference's cluster tagging (`global_state.rs` dev-address sets)
+    * gets the community refinement this way without a modularity
+    * solver.
+    *
+    * Determinism: each of `iterations` SYNCHRONOUS rounds re-labels
+    * every node with its neighbors' most frequent label, ties broken
+    * by smallest label — no randomness, no partition dependence.
+    * Fixed unroll, no convergence stop: synchronous LPA can 2-cycle on
+    * bipartite-ish regions, and only a fixed iteration count keeps the
+    * result bit-identical to the oracle's k chained CTE steps (the
+    * [[coactivityPagerank]] lesson). Initial label = own wallet id.
+    *
+    * Scale shape: per round, one edge-sized join against node-sized
+    * label state (broadcast under `broadcastNodeLimit`, shuffle-join
+    * fallback above), one (node, label)-keyed count, and a rank-1
+    * filter directly on the count window so Catalyst plans a
+    * WindowGroupLimit (map-side top-1 per node, never a full sort).
+    * Label state lineage is truncated every other round like the rank
+    * loop. Output: wallet, community (final label), community_size. */
+  def labelPropagation(
+      events: DataFrame,
+      iterations: Int = 4,
+      maxGroupSize: Int = 16,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit,
+      policy: OverCapPolicy = CapTop): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Checkpoints.truncate(
+      coactivityEdges(events, maxGroupSize, policy))
+    var labels = Checkpoints.truncate(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    val bcast = labels.count() <= broadcastNodeLimit
+    for (i <- 1 to iterations) {
+      // every node has >= 1 neighbor (the edge set carries both
+      // directions), so the inner join against the label state never
+      // loses a node
+      val counts = edges
+        .join(if (bcast) broadcast(labels) else labels,
+          col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("lbl"))
+      if (i % 2 == 0 || i == iterations)
+        labels = Checkpoints.truncate(labels)
+    }
+    val sizes = labels.groupBy("lbl")
+      .agg(count(lit(1)).as("community_size"))
+    labels
+      .join(if (bcast) broadcast(sizes) else sizes, "lbl")
+      .select(col("node").as("wallet"), col("lbl").as("community"),
+        col("community_size"))
+  }
 }

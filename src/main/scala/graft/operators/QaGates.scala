@@ -196,6 +196,71 @@ object QaGates {
       cost0.crossJoin(cost1))
   }
 
+  /** A121 gate: Misra-Gries heavy hitters — the deterministic,
+    * mergeable counterpart of the CMS gate (never OVER-counts where
+    * CMS never under-counts). Summaries of `k` counters build per
+    * partition and merge driver-side (sum, then subtract the (k+1)-th
+    * largest count and drop non-positive — Agarwal et al., Mergeable
+    * Summaries, PODS'12); each summary is k-sized, so the collect is
+    * metadata-sized like the codebook sites. The theorem holds for ANY
+    * partitioning and merge order, which is what makes a constant-row
+    * oracle valid at every swept scale:
+    * (a) est ≤ true for every retained key,
+    * (b) true − est ≤ (N − M)/(k+1) with N = stream length, M = mass
+    *     retained in the merged summary,
+    * (c) every key with true > N/(k+1) is retained (implied by (b),
+    *     checked independently against the exact counts).
+    * The exact reference is the in-engine keyed count in the SAME
+    * plan; a regression in any of the three flips `holds`. */
+  def mgHeavyHittersGate(events: DataFrame, k: Int = 64): DataFrame = {
+    def mgMerge(a: scala.collection.mutable.HashMap[String, Long],
+        b: Map[String, Long], cap: Int)
+        : scala.collection.mutable.HashMap[String, Long] = {
+      b.foreach { case (key, c) => a(key) = a.getOrElse(key, 0L) + c }
+      if (a.size > cap) {
+        val cut = a.values.toArray.sorted(Ordering[Long].reverse)(cap)
+        val dead = a.collect { case (key, c) if c <= cut => key }.toList
+        dead.foreach(a.remove)
+        a.mapValuesInPlace((_, c) => c - cut)
+      }
+      a
+    }
+    val partials = events.select(col("user_id").cast("string").as("u"))
+      .rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { r =>
+          val u = r.getString(0)
+          if (m.contains(u) || m.size < k) m(u) = m.getOrElse(u, 0L) + 1
+          else { // decrement-all step, dropping zeros
+            val dead = m.collect { case (key, 1L) => key }.toList
+            m.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(m.remove)
+          }
+        }
+        Iterator(m.toMap)
+      }.collect()
+    val merged = partials.foldLeft(
+      scala.collection.mutable.HashMap.empty[String, Long])(
+      (acc, p) => mgMerge(acc, p, k))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val est = merged.toSeq.toDF("u", "est")
+    val exact = events.groupBy(col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("exact"))
+      .join(broadcast(est), Seq("u"), "left_outer")
+    val retainedMass = merged.values.sum
+    gate("mg_heavy_hitters", k.toDouble,
+      min(coalesce(col("est"), lit(0L)) <= col("exact")) &&
+        max(when(col("est").isNotNull, col("exact") - col("est"))
+          .otherwise(lit(0L))).cast("double") <=
+          (sum(col("exact")).cast("double") - lit(retainedMass.toDouble))
+            / (k + 1).toDouble &&
+        max(when(col("est").isNull,
+            col("exact").cast("double") * (k + 1).toDouble)
+          .otherwise(lit(0.0))) <= sum(col("exact")).cast("double"),
+      exact)
+  }
+
   /** C7h gate: the served (pre-trained codebook) PQ path must be
     * row-identical to the inline-training path — same codebook
     * derivation, so this pins the cache/serve plumbing. */

@@ -1067,4 +1067,52 @@ object TextAnalysis {
         (col("n_novel").cast("double") / col("n_grams").cast("double"))
           .as("novelty"))
   }
+
+  /** C75: MSTTR lexical diversity (mean segmental type-token ratio,
+    * Johnson 1944) — the length-robust vocabulary-richness score: raw
+    * TTR (distinct/total tokens) collapses for long documents purely
+    * because vocabulary saturates, so each document's token stream is
+    * cut into consecutive `segTokens`-token segments (trailing partial
+    * dropped), each FULL segment scores distinct-per-segment, and the
+    * document scores the mean — comparable across lengths, the signal
+    * quality filters want for template spam (low MSTTR) vs organic
+    * prose. All integer: per-segment ttr_ppm = d·10⁶ div segTokens,
+    * per-doc mean and the source rollup are truncating integer
+    * divisions — bit-identical in any engine.
+    *
+    * Tokens: single-space-normalized lowercase split (the corpus ws
+    * convention), so positions come straight off the split array — no
+    * per-token re-ranking window, no interpreted lambda.
+    *
+    * Shape: exact-dup collapse FIRST (the family's standard move —
+    * MSTTR is a pure function of the text): one rep per distinct text
+    * pays the token explode + two keyed aggs, copies rejoin by hash
+    * for the per-source rollup, so token traffic ∝ distinct content
+    * at any replication density. */
+  def msttr(docs: DataFrame, segTokens: Int = 25): DataFrame = {
+    val dh = docs.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"))
+    val reps = docs
+      .select(md5(col("text").cast("binary")).as("h"), col("text"))
+      .groupBy("h").agg(min("text").as("text")) // one row per distinct
+    val segs = reps
+      .select(col("h"), posexplode(split(
+        regexp_replace(trim(lower(col("text"))), " +", " "), " "))
+        .as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "") // only the all-whitespace degenerate
+      .groupBy(col("h"), expr(s"pos div $segTokens").as("seg"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("d"))
+      .filter(col("n") === segTokens)
+    val perRep = segs.groupBy("h")
+      .agg(count(lit(1)).as("n_segments"),
+        expr(s"sum((d * 1000000) div $segTokens) div count(1)")
+          .as("msttr_ppm"))
+    dh.join(perRep, "h") // docs under one full segment drop from scoring
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum("n_segments").as("total_segments"),
+        expr("sum(msttr_ppm) div count(1)").as("avg_msttr_ppm"),
+        min("msttr_ppm").as("min_msttr_ppm"),
+        max("msttr_ppm").as("max_msttr_ppm"))
+  }
 }

@@ -162,6 +162,78 @@ class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
     assert(ppm.forall(p => p >= 0 && p <= 1000000))
   }
 
+  test("labelPropagation separates bridge-linked rings that connected " +
+      "components collapse") {
+    import graft.operators.GraphOps
+    // two 4-cliques (same market-hour buckets) joined by ONE bridge
+    // edge: components see a single 8-wallet blob; LPA keeps each ring
+    // its own community because labels need neighbor MAJORITY to cross
+    def bucket(h: Long, us: String*) = us.zipWithIndex.map {
+      case (u, i) => (u, "t", h * 3600 + i)
+    }
+    val events = (
+      bucket(0, "a1", "a2", "a3", "a4") ++
+      bucket(2, "b1", "b2", "b3", "b4") ++
+      bucket(4, "a1", "b1") // the bridge
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
+    val comm = GraphOps.labelPropagation(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(Set("a1", "a2", "a3", "a4").forall(w =>
+      comm(w) == ("a1", 4L)), s"ring A broke: $comm")
+    assert(Set("b1", "b2", "b3", "b4").forall(w =>
+      comm(w) == ("b1", 4L)), s"ring B broke: $comm")
+    // the control: connected components DO collapse the two rings
+    val cc = GraphOps.walletClusters(events)
+      .select("cluster_size").distinct().collect()
+    assert(cc.map(_.getLong(0)).toSeq == Seq(8L))
+    // partitioning invariance (synchronous rounds + deterministic ties)
+    val comm2 = GraphOps.labelPropagation(events.repartition(7))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(comm == comm2)
+  }
+
+  test("mgHeavyHittersGate: bounds hold on skew, any partitioning, " +
+      "and on the corpus") {
+    import graft.operators.QaGates
+    // adversarial skew: one key with 60% of the mass, long uniform tail
+    val skew = ((1 to 6000).map(_ => "whale") ++
+      (1 to 4000).map(i => s"u${i % 500}"))
+      .toDF("user_id")
+    for (parts <- Seq(1, 13)) {
+      val g = QaGates.mgHeavyHittersGate(
+        skew.repartition(parts), k = 8).collect().head
+      assert(g.getAs[Boolean]("holds"),
+        s"MG bound broke at $parts partitions")
+    }
+    val real = QaGates.mgHeavyHittersGate(Tables.events(spark, sfDir))
+      .collect().head
+    assert(real.getAs[Boolean]("holds"))
+  }
+
+  test("msttr: known segment values, short docs drop, copies rejoin") {
+    import graft.operators.TextAnalysis
+    val distinct25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val same25 = Array.fill(25)("x").mkString(" ")
+    val docs = Seq(
+      // 2 full segments: ttr 1e6 and 40000 -> msttr (1e6+40000) div 2
+      (1L, "s1", s"$distinct25 $same25"),
+      (2L, "s1", s"$distinct25 $same25"), // exact copy, rejoins by hash
+      (3L, "s2", (1 to 24).map(_ => "y").mkString(" ")), // < 25 tokens
+      (4L, "s2", distinct25)
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.msttr(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getAs[Long]("n_docs_scored") == 2L)
+    assert(out("s1").getAs[Long]("total_segments") == 4L)
+    assert(out("s1").getAs[Long]("avg_msttr_ppm") == 520000L)
+    // s2: doc 3 drops (no full segment), doc 4 scores 1e6
+    assert(out("s2").getAs[Long]("n_docs_scored") == 1L)
+    assert(out("s2").getAs[Long]("avg_msttr_ppm") == 1000000L)
+  }
+
   test("dropDuplicatesWithinWatermark collapses a cross-batch duplicate " +
       "within the delay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -197,7 +197,10 @@ def run(chunk, idx):
 
 def main():
     os.makedirs(WORK, exist_ok=True)
-    plan = chunks()
+    # explicit chunk_csv args scope the run (gap-fill mode); otherwise
+    # the full default plan over every non-excluded registered query
+    plan = ([a.split(",") for a in sys.argv[4:]] if len(sys.argv) > 4
+            else chunks())
     total = sum(len(c) for c in plan)
     print(f"{len(plan)} chunks, {total} queries, sf={SF_DIR}", flush=True)
     for i, c in enumerate(plan):

@@ -241,10 +241,13 @@ object Bench {
     "q_stream_trade_metrics",
     "q_qa_cms_error",
     "q_qa_kmeans_descent",
-    // round-11 (3): LPA communities, MSTTR diversity, the MG gate
+    // round-11 (3): LPA communities, MSTTR diversity, the MG gate,
+    // template collisions, DoReMi-lite mixture weights
     "q_events_communities",
     "q_docs_msttr",
-    "q_qa_mg_bound")
+    "q_qa_mg_bound",
+    "q_events_template_collisions",
+    "q_docs_doremi_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2021,6 +2021,8 @@ object SparkEntry {
       GraphOps.walletClusters(Tables.events(s, d))),
     "q_events_communities" -> ((s, d) =>
       GraphOps.labelPropagation(Tables.events(s, d))),
+    "q_events_template_collisions" -> ((s, d) =>
+      EventOps.templateCollisions(Tables.events(s, d))),
     "q_events_wallet_clusters_dropall" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d),
         policy = GraphOps.DropAll(acknowledgeVacuous = true))),
@@ -2294,6 +2296,8 @@ object SparkEntry {
       TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_docs_msttr" -> ((s, d) =>
       TextAnalysis.msttr(Tables.documents(s, d))),
+    "q_docs_doremi_weights" -> ((s, d) =>
+      TextAnalysis.doremiLiteWeights(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d))),
     "q_text_boilerplate" -> ((s, d) =>
@@ -6882,6 +6886,72 @@ object SparkEntry {
                       WHEN quality_score < 0.3 THEN 'low_quality'
                       ELSE 'kept' END) = 'kept' AS kept
          FROM c""",
+    // A122 oracle: same epoch-hour phase bins (4 × 6h), decile
+    // truncating quantization, string profile key
+    "q_events_template_collisions" ->
+      """WITH hc AS (
+           SELECT user_id, count(*) AS total,
+             sum(CASE WHEN ((epoch_us(ts) // 3600000000) % 24) // 6 = 0
+                 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN ((epoch_us(ts) // 3600000000) % 24) // 6 = 1
+                 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN ((epoch_us(ts) // 3600000000) % 24) // 6 = 2
+                 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN ((epoch_us(ts) // 3600000000) % 24) // 6 = 3
+                 THEN 1 ELSE 0 END) AS c3
+           FROM events GROUP BY 1),
+         p AS (SELECT user_id, total,
+                 concat_ws(',', (c0 * 10) // total, (c1 * 10) // total,
+                           (c2 * 10) // total, (c3 * 10) // total)
+                   AS profile
+               FROM hc WHERE total >= 20)
+         SELECT profile, count(*) AS n_wallets,
+                CAST(sum(total) AS BIGINT) AS total_events,
+                min(user_id) AS sample_wallet
+         FROM p GROUP BY 1 HAVING count(*) >= 3""",
+    // C76 oracle: the C73 log-grid contract — DECIMAL(12,6) logs,
+    // exact decimal sums, one IEEE division per entropy, integer
+    // micro-unit exp before the truncating ppm division
+    "q_docs_doremi_weights" ->
+      """WITH tf AS (SELECT source, token, count(*) AS tf FROM (
+             SELECT source,
+                    unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+           WHERE token <> '' GROUP BY 1, 2),
+         vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt_c
+                   FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt_c) AS BIGINT) AS tot_c,
+                   count(*) AS v FROM vocab),
+         st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS tot_s
+                FROM tf GROUP BY 1),
+         terms AS (SELECT tf.source, tf.tf,
+                     CAST(round(ln(CAST(vocab.cnt_c + 1 AS DOUBLE) /
+                                   CAST(tot.tot_c + tot.v AS DOUBLE)), 6)
+                          AS DECIMAL(12,6)) AS lp_c,
+                     CAST(round(ln(CAST(tf.tf + 1 AS DOUBLE) /
+                                   CAST(st.tot_s + tot.v AS DOUBLE)), 6)
+                          AS DECIMAL(12,6)) AS lp_s
+                   FROM tf JOIN vocab USING (token)
+                   JOIN st USING (source) CROSS JOIN tot),
+         per AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   sum(CAST(tf AS BIGINT) * lp_c) AS s_c,
+                   sum(CAST(tf AS BIGINT) * lp_s) AS s_s
+                 FROM terms GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+                 -(CAST(s_c AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
+                   AS ce_corpus,
+                 -(CAST(s_s AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
+                   AS ce_self,
+                 CAST(s_s - s_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS excess,
+                 CAST(round(exp(1.0 * (CAST(s_s - s_c AS DOUBLE) /
+                                       CAST(n_tokens AS DOUBLE)))
+                            * 1000000, 0) AS BIGINT) AS w6
+               FROM per),
+         n AS (SELECT CAST(sum(w6) AS BIGINT) AS tot_w6 FROM w)
+         SELECT source, n_tokens, ce_corpus, ce_self, excess,
+                (w6 * 1000000) // tot_w6 AS weight_ppm
+         FROM w CROSS JOIN n""",
     // C75 oracle: same rep-collapse, same single-space-normalized ws
     // tokens, positions zipped off the split array (DuckDB parallel
     // unnest), 25-token full segments, truncating integer means

@@ -3232,4 +3232,47 @@ object EventOps {
         col("close_cents"), col("move_cents"),
         ((col("ofi_1e6") > 0) === (col("move_cents") > 0)).as("hit"))
   }
+
+  /** A122: diurnal template collisions — the bot-FARM screen the
+    * per-wallet scanners (A20 bursts, A114 runs, A51b burstiness) can't
+    * see: scripted wallet fleets share one scheduler, so their
+    * activity-by-time-of-day profiles are IDENTICAL after quantization,
+    * while organic wallets essentially never collide exactly. Each
+    * wallet with ≥ `minEvents` events gets a quantized diurnal
+    * profile — activity share per `binHours`-hour phase of day (A111's
+    * epoch-hour convention), truncated to `quant` levels — and the
+    * report lists every profile shared by ≥ `minWallets` wallets with
+    * its population and volume. Coarse defaults (4 phases × deciles)
+    * suit sparse per-wallet histories; at production density raise
+    * `quant`/lower `binHours` for sharper templates.
+    *
+    * All integer (counts, truncating share quantization, string-joined
+    * profile key) — bit-identical in any engine. Shape: one keyed
+    * count per wallet with the phase shares as `bins` conditional sums
+    * (pure codegen, no higher-order lambdas), one profile-keyed
+    * aggregate — linear, no joins, no windows. */
+  def templateCollisions(events: DataFrame, binHours: Int = 6,
+      quant: Long = 10, minEvents: Long = 20,
+      minWallets: Long = 3): DataFrame = {
+    require(24 % binHours == 0, s"binHours must divide 24, got $binHours")
+    val bins = 24 / binHours
+    val phase = expr(s"((unix_micros(ts) div 3600000000) % 24) div $binHours")
+    val counts = events
+      .select(col("user_id"), phase.as("ph"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("total"),
+        (0 until bins).map(b =>
+          sum(when(col("ph") === b, lit(1L)).otherwise(lit(0L)))
+            .as(s"c$b")): _*)
+    val prof = counts
+      .filter(col("total") >= minEvents)
+      .select(col("user_id"), col("total"),
+        concat_ws(",", (0 until bins).map(b =>
+          expr(s"(c$b * $quant) div total")): _*).as("profile"))
+    prof.groupBy("profile")
+      .agg(count(lit(1)).as("n_wallets"),
+        sum("total").as("total_events"),
+        min("user_id").as("sample_wallet"))
+      .filter(col("n_wallets") >= minWallets)
+  }
 }

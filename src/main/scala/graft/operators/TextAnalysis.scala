@@ -1089,6 +1089,74 @@ object TextAnalysis {
     * pays the token explode + two keyed aggs, copies rejoin by hash
     * for the per-source rollup, so token traffic ∝ distinct content
     * at any replication density. */
+  /** C76: DoReMi-lite mixture reweighting (after Xie et al. 2023's
+    * DoReMi, reduced to its one-shot deterministic core): each source's
+    * EXCESS cross-entropy — how many extra nats/token the corpus-level
+    * unigram LM pays on that source vs the source's own LM, i.e.
+    * KL(source ‖ corpus) under shared add-one smoothing — measures how
+    * under-served the source is by the current mixture, and the
+    * training weight exponentiates it: `w ∝ exp(eta · excess)`,
+    * reported as integer ppm. The C52 temperature mixture reweights by
+    * SIZE alone; this reweights by DISTRIBUTIONAL distance, which is
+    * the DoReMi insight (domains the reference model compresses worst
+    * get upsampled). Output per source: token count, both
+    * cross-entropies, excess, weight_ppm (sums to ≤ 1e6).
+    *
+    * Determinism: the C73 contract — every log lands on the 1e-6 grid
+    * as DECIMAL(12,6), so the per-source Σ tf·ln p sums are exact
+    * decimal arithmetic; one IEEE division per entropy at the close;
+    * exp is rounded to integer micro-units before the truncating ppm
+    * division, so the weight column is integer end-to-end.
+    *
+    * Shape: one tokenize pass, one (source, token) count, one
+    * token-keyed join against the corpus vocab, two keyed closes —
+    * token traffic shuffles twice, text once, exactly like C73. The
+    * weight normalizer is a source-count-sized aggregate broadcast
+    * back. */
+  def doremiLiteWeights(docs: DataFrame, eta: Double = 1.0): DataFrame = {
+    import graft.functions.exprs.ln_r6
+    val tf = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the vocab AND the per-source close
+    val vocab = tf.groupBy("token").agg(sum("tf").as("cnt_c"))
+    val totc = vocab.agg(sum("cnt_c").as("tot_c"),
+      count(lit(1)).as("v"))
+    val srcTot = tf.groupBy("source").agg(sum("tf").as("tot_s"))
+    val terms = tf
+      .join(broadcast(srcTot), "source")
+      .join(vocab, "token")
+      .join(broadcast(totc))
+      .select(col("source"), col("tf"),
+        ln_r6((col("cnt_c") + lit(1)).cast("double") /
+            (col("tot_c") + col("v")).cast("double"))
+          .cast("decimal(12,6)").as("lp_c"),
+        ln_r6((col("tf") + lit(1)).cast("double") /
+            (col("tot_s") + col("v")).cast("double"))
+          .cast("decimal(12,6)").as("lp_s"))
+    val per = terms.groupBy("source")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("lp_c")).as("s_c"),
+        sum(col("tf") * col("lp_s")).as("s_s"))
+      .select(col("source"), col("n_tokens"),
+        (-(col("s_c").cast("double")) / col("n_tokens").cast("double"))
+          .as("ce_corpus"),
+        (-(col("s_s").cast("double")) / col("n_tokens").cast("double"))
+          .as("ce_self"),
+        (((col("s_s") - col("s_c")).cast("double")) /
+          col("n_tokens").cast("double")).as("excess"))
+      .withColumn("w6",
+        round(exp(lit(eta) * col("excess")) * 1000000d, 0).cast("bigint"))
+      .localCheckpoint() // feeds the normalizer AND the final rows
+    val norm = per.agg(sum("w6").as("tot_w6"))
+    per.join(broadcast(norm))
+      .select(col("source"), col("n_tokens"), col("ce_corpus"),
+        col("ce_self"), col("excess"),
+        expr("(w6 * 1000000) div tot_w6").as("weight_ppm"))
+  }
+
   def msttr(docs: DataFrame, segTokens: Int = 25): DataFrame = {
     val dh = docs.select(col("doc_id"), col("source"),
       md5(col("text").cast("binary")).as("h"))

@@ -234,6 +234,58 @@ class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
     assert(out("s2").getAs[Long]("avg_msttr_ppm") == 1000000L)
   }
 
+  test("templateCollisions: identical schedules collide, organic don't") {
+    import graft.operators.EventOps
+    // 3 bot wallets: same 30-event schedule (all phase 0); 1 organic
+    // wallet spread across phases; 1 wallet under minEvents
+    val bots = for (b <- 1 to 3; i <- 0 until 30)
+      yield (s"bot$b", (i % 6) * 3600L + 60L * i)
+    val organic = (0 until 30).map(i => ("organic", i * 3600L * 4 + 7L))
+    val tiny = (0 until 5).map(i => ("tiny", i * 3600L))
+    val events = (bots ++ organic ++ tiny)
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
+    val out = EventOps.templateCollisions(events).collect()
+    assert(out.length == 1, s"expected one collision group: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("n_wallets") == 3L)
+    assert(r.getAs[Long]("total_events") == 90L)
+    assert(r.getAs[String]("sample_wallet") == "bot1")
+    assert(r.getAs[String]("profile") == "10,0,0,0")
+    // partitioning invariance
+    val out2 = EventOps.templateCollisions(events.repartition(7)).collect()
+    assert(out2.toSeq.map(_.toString).sorted ==
+      out.toSeq.map(_.toString).sorted)
+  }
+
+  test("doremiLiteWeights: divergent source gets the largest weight") {
+    import graft.operators.TextAnalysis
+    val common = "the quick brown fox jumps over the lazy dog again"
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "mainstream", common)) ++
+      (9 to 16).map(i => (i.toLong, "mainstream2", common)) ++
+      Seq((17L, "weird", "zxq vbn mlk poi uyt rew qas dfg hjk zxc"))
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.doremiLiteWeights(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the distributionally-divergent source pays the most excess nats
+    // under the corpus LM and therefore gets the largest weight
+    assert(out("weird").getAs[Double]("excess") >
+      out("mainstream").getAs[Double]("excess"))
+    assert(out("weird").getAs[Long]("weight_ppm") >
+      out("mainstream").getAs[Long]("weight_ppm"))
+    // excess is >= 0 (KL under shared smoothing) and ppm sums to <= 1e6
+    assert(out.values.forall(_.getAs[Double]("excess") >= -1e-9))
+    val s = out.values.map(_.getAs[Long]("weight_ppm")).sum
+    assert(s > 900000L && s <= 1000000L, s"ppm sum $s")
+    // partition invariance (grid-fixed decimal logs)
+    val out2 = TextAnalysis.doremiLiteWeights(docs.repartition(5))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("weight_ppm"))
+      .toMap
+    assert(out2 == out.map { case (k, v) =>
+      k -> v.getAs[Long]("weight_ppm") })
+  }
+
   test("dropDuplicatesWithinWatermark collapses a cross-batch duplicate " +
       "within the delay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

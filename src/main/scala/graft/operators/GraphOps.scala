@@ -743,20 +743,7 @@ object GraphOps {
         .withColumn("lbl", col("node")))
     val bcast = labels.count() <= broadcastNodeLimit
     for (i <- 1 to iterations) {
-      // every node has >= 1 neighbor (the edge set carries both
-      // directions), so the inner join against the label state never
-      // loses a node
-      val counts = edges
-        .join(if (bcast) broadcast(labels) else labels,
-          col("dst") === col("node"))
-        .groupBy(col("src"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      labels = counts
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("src"))
-            .orderBy(col("c").desc, col("lbl"))))
-        .filter(col("rk") === 1)
-        .select(col("src").as("node"), col("lbl"))
+      labels = lpaRound(edges, labels, bcast)
       if (i % 2 == 0 || i == iterations)
         labels = Checkpoints.truncate(labels)
     }
@@ -766,5 +753,25 @@ object GraphOps {
       .join(if (bcast) broadcast(sizes) else sizes, "lbl")
       .select(col("node").as("wallet"), col("lbl").as("community"),
         col("community_size"))
+  }
+
+  /** One synchronous LPA round — exposed for the plan audit (the loop
+    * truncates lineage, so the round's WindowGroupLimit shape is not
+    * visible on the returned frame's final plan). Every node has ≥ 1
+    * neighbor (the edge set carries both directions), so the inner
+    * join against the label state never loses a node. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame,
+      bcast: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    edges
+      .join(if (bcast) broadcast(labels) else labels,
+        col("dst") === col("node"))
+      .groupBy(col("src"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("c").desc, col("lbl"))))
+      .filter(col("rk") === 1)
+      .select(col("src").as("node"), col("lbl"))
   }
 }

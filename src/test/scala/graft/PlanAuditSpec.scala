@@ -852,4 +852,53 @@ class PlanAuditSpec extends TestSparkSession {
     assert(!diPlan.contains("windowspecdefinition"),
       "diurnal concentration must not use windows")
   }
+
+  test("round-11 plan shapes: LPA rank-1 is WindowGroupLimit, msttr " +
+      "explodes reps only, template profiles are join-free codegen") {
+    // LPA: the per-node majority pick must plan as WindowGroupLimit
+    // (map-side top-1 per node) with the label state broadcast — audit
+    // one ROUND (the loop truncates lineage between rounds)
+    val edges = GraphOps.coactivityEdges(Tables.events(spark, sfDir), 16)
+    val labels0 = edges.select(col("src").as("node"))
+      .distinct().withColumn("lbl", col("node"))
+    val lpaPlan = planOf(GraphOps.lpaRound(edges, labels0, bcast = true))
+    assert(lpaPlan.contains("WindowGroupLimit"),
+      "LPA majority pick must pre-filter map-side:\n" + lpaPlan.take(400))
+    assert(lpaPlan.contains("BroadcastHashJoin"),
+      "node-sized label state must broadcast against the edge list")
+    assert(!lpaPlan.contains("CartesianProduct") &&
+      !lpaPlan.contains("BroadcastNestedLoopJoin"))
+
+    // msttr: the token explode must be fed by the rep aggregate (one
+    // explode per DISTINCT text), and the segment distinct must expand
+    // BEFORE the final source rollup (partial aggregation throughout)
+    val ms = TextAnalysis.msttr(Tables.documents(spark, sfDir))
+    val msPlan = planOf(ms)
+    val genIdx = msPlan.indexOf("Generate posexplode")
+    assert(genIdx >= 0, "msttr must posexplode the normalized split")
+    assert(msPlan.substring(genIdx).contains("min(text#"),
+      "the explode must sit ABOVE the rep collapse (min(text) per " +
+        "hash), so token cost is per distinct text:\n" + msPlan.take(600))
+
+    // template collisions: two keyed aggregates, no joins, no windows,
+    // no higher-order lambdas (conditional sums are codegen)
+    val tc = EventOps.templateCollisions(Tables.events(spark, sfDir))
+    val tcPlan = planOf(tc)
+    assert(!tcPlan.contains("Join"), "template screen must be join-free")
+    assert(!tcPlan.contains("windowspecdefinition"))
+    assert(tcPlan.contains("partial_sum") || tcPlan.contains("partial_count"),
+      "expected map-side partials in the wallet profile build")
+
+    // doremi: the two metadata-sized sides (source totals, corpus
+    // totals) must broadcast — the only shuffles are token-keyed
+    val dw = TextAnalysis.doremiLiteWeights(Tables.documents(spark, sfDir))
+    val dwPlan = planOf(dw)
+    assert(dwPlan.contains("BroadcastHashJoin") ||
+      dwPlan.contains("BroadcastExchange"),
+      "source/corpus totals must broadcast")
+    assert(!dwPlan.contains("CartesianProduct") &&
+      !dwPlan.contains("SortMergeJoin"),
+      "no corpus-sized sort-merge join belongs in the weight build:\n" +
+        dwPlan.take(600))
+  }
 }

@@ -247,7 +247,8 @@ object Bench {
     "q_docs_msttr",
     "q_qa_mg_bound",
     "q_events_template_collisions",
-    "q_docs_doremi_weights")
+    "q_docs_doremi_weights",
+    "q_qa_whitening")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2553,6 +2553,8 @@ object SparkEntry {
       operators.QaGates.kmeansDescentGate(Tables.embeddings(s, d))),
     "q_qa_mg_bound" -> ((s, d) =>
       operators.QaGates.mgHeavyHittersGate(Tables.events(s, d))),
+    "q_qa_whitening" -> ((s, d) =>
+      operators.QaGates.whiteningGate(Tables.embeddings(s, d))),
     "q_ann_truncation" -> ((s, d) =>
       Similarity.truncationFidelity(Tables.embeddings(s, d))),
     // the 100 TB variants of the two dedup-composing reports: identical
@@ -4208,6 +4210,8 @@ object SparkEntry {
       operators.QaGates.gateOracle("kmeans_objective_descent", 3.0),
     "q_qa_mg_bound" ->
       operators.QaGates.gateOracle("mg_heavy_hitters", 64.0),
+    "q_qa_whitening" ->
+      operators.QaGates.gateOracle("whitening_decorrelates", 0.05),
     "q_docs_source_scorecard" ->
       """WITH b AS (
            SELECT doc_id, source, md5(text) AS h,

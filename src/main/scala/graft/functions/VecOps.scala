@@ -264,4 +264,33 @@ object VecOps {
     }
     new GenericArrayData(bands)
   }
+
+  /** Centered dense mat-vec for the whitening transform: out[j] =
+    * Σ_i flat[j·d + i] · (v[i] − mean[i]), accumulated in double in
+    * index order, emitted as floats. `flat` is the row-major dOut×d
+    * whitening matrix riding as a primitive reference object (the
+    * [[cellArgmin]] lesson — boxed literals cost ~100x in the hot
+    * loop). Null on dimension mismatch — malformed vectors must not
+    * fail a 100 TB job. */
+  def matVecCentered(v: ArrayData, mean: Array[Double],
+      flat: Array[Double]): ArrayData = {
+    val d = mean.length
+    if (v.numElements() != d || d == 0 ||
+      flat.length % d != 0) return null
+    val dOut = flat.length / d
+    val vv = new Array[Double](d)
+    var i = 0
+    while (i < d) { vv(i) = v.getFloat(i).toDouble - mean(i); i += 1 }
+    val out = new Array[Any](dOut)
+    var j = 0
+    while (j < dOut) {
+      var acc = 0.0
+      val base = j * d
+      var k = 0
+      while (k < d) { acc += flat(base + k) * vv(k); k += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }

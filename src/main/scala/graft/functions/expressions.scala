@@ -317,6 +317,33 @@ case class CellArgmin(child: Expression, flat: Array[Float],
     copy(child = newChild)
 }
 
+/** Centered dense mat-vec (see [[VecOps.matVecCentered]]): one compiled
+  * pass applies the broadcast whitening matrix to every embedding —
+  * replacing a d_out-way explode + zip_with dot whose interpreted
+  * lambdas would touch every component per output dim. */
+case class MatVecCentered(child: Expression, mean: Array[Double],
+    flat: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mat_vec_centered"
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.matVecCentered(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      mean, flat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("mvcMean", mean, "double[]")
+    val f = ctx.addReferenceObj("mvcFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""${ev.value} = graft.functions.VecOps.matVecCentered($v, $m, $f);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): MatVecCentered =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a document as four 16-bit band values (see
   * [[VecOps.simhashBands]]): one compiled pass instead of a
   * per-(token, bit) explode + two shuffles. */
@@ -422,6 +449,9 @@ object exprs {
       ids: Array[Long]): Column =
     col(CellArgmin(ex(v), flat, norms, ids))
   def vec_norm2(a: Column): Column = col(VecNorm2(ex(a)))
+  def mat_vec_centered(v: Column, mean: Array[Double],
+      flat: Array[Double]): Column =
+    col(MatVecCentered(ex(v), mean, flat))
   def hyperplane_sig(v: Column, bits: Int): Column =
     col(HyperplaneSig(ex(v), Literal(bits)))
   def simhash_bands(s: Column): Column = col(SimHashBands(ex(s)))

@@ -261,6 +261,66 @@ object QaGates {
       exact)
   }
 
+  /** C77 gate: whitening must actually whiten. On an id-bounded slice
+    * (the C7e fixed-cost contract — the algorithm's property does not
+    * strengthen with replicated data), fit [[Similarity.whiteningModel]],
+    * apply the codegen'd transform, and recompute the covariance of
+    * the OUTPUT: every pairwise correlation must fall under `tol`,
+    * every diagonal must sit in (0, 1] + slack (λ/(λ+eps) ≤ 1 by
+    * construction; a diagonal above 1 means the eigen solve went
+    * wrong), and no vector may be dropped. Tolerances carry margin for
+    * the float sums' partition-order drift — the property being gated
+    * is structural (decorrelation), not bit-exactness. */
+  def whiteningGate(emb: DataFrame, maxId: Long = 50000L,
+      eps: Double = 1e-3, tol: Double = 0.05): DataFrame = {
+    val slice = emb.filter(col("vec_id") < maxId)
+    val white = Similarity.whiten(slice, eps)
+    val d = white.select(size(col("embedding"))).head().getInt(0)
+    val zero = new Array[Double](1 + d + d * d)
+    val agg = white.select(col("embedding")).rdd.treeAggregate(zero)(
+      (b, row) => {
+        val v = row.getAs[scala.collection.Seq[Float]](0)
+        if (v != null && v.length == d) {
+          b(0) += 1
+          var j = 0
+          while (j < d) {
+            val vj = v(j).toDouble
+            b(1 + j) += vj
+            var k = j
+            while (k < d) { b(1 + d + j * d + k) += vj * v(k); k += 1 }
+            j += 1
+          }
+        }
+        b
+      },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val nIn = slice.count()
+    val n = agg(0)
+    var holds = n > 0 && n == nIn.toDouble
+    if (holds) {
+      val mean = Array.tabulate(d)(i => agg(1 + i) / n)
+      val cov = Array.tabulate(d, d)((j, k) => {
+        val (lo, hi) = if (j <= k) (j, k) else (k, j)
+        agg(1 + d + lo * d + hi) / n - mean(lo) * mean(hi)
+      })
+      var j = 0
+      while (j < d && holds) {
+        holds = cov(j)(j) > 0.0 && cov(j)(j) <= 1.0 + tol
+        var k = j + 1
+        while (k < d && holds) {
+          val corr = cov(j)(k) / math.sqrt(cov(j)(j) * cov(k)(k))
+          holds = math.abs(corr) <= tol
+          k += 1
+        }
+        j += 1
+      }
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq(("whitening_decorrelates", tol, holds))
+      .toDF("gate", "bound", "holds")
+  }
+
   /** C7h gate: the served (pre-trained codebook) PQ path must be
     * row-identical to the inline-training path — same codebook
     * derivation, so this pins the cache/serve plumbing. */

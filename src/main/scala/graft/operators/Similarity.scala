@@ -1136,4 +1136,155 @@ object Similarity {
       .select(col("q_id"), col("step"), col("vec_id"),
         (col("rel6").cast("double") / lit(1e6)).as("relevance"))
   }
+
+  /** C77 model build: corpus mean + ZCA whitening matrix
+    * `W = U·diag((λ+eps)^-½)·Uᵀ` over the embedding covariance.
+    * The d×d covariance accumulates in ONE `treeAggregate` pass over
+    * flat primitive buffers (count ‖ sum[d] ‖ sum-outer[d·d] — the
+    * codebook-class collect: d=64 ⇒ 33 KB per partition summary,
+    * depth-2 merge tree), then the eigendecomposition runs driver-side
+    * via cyclic Jacobi — a d×d symmetric problem is driver work by
+    * design, exactly like the k-means codebooks. `eps` regularizes
+    * near-null directions so W never amplifies noise unboundedly.
+    * Returns (mean, row-major W). */
+  def whiteningModel(emb: DataFrame,
+      eps: Double = 1e-3): (Array[Double], Array[Double]) = {
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val zero = new Array[Double](1 + d + d * d)
+    val agg = emb.select(col("embedding")).rdd.treeAggregate(zero)(
+      (b, row) => {
+        val v = row.getAs[scala.collection.Seq[Float]](0)
+        if (v != null && v.length == d) {
+          b(0) += 1
+          var j = 0
+          while (j < d) {
+            val vj = v(j).toDouble
+            b(1 + j) += vj
+            var k = j
+            val base = 1 + d + j * d
+            while (k < d) { b(base + k) += vj * v(k); k += 1 }
+            j += 1
+          }
+        }
+        b
+      },
+      (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    val n = math.max(agg(0), 1.0)
+    val mean = Array.tabulate(d)(i => agg(1 + i) / n)
+    val cov = new Array[Double](d * d)
+    var j = 0
+    while (j < d) {
+      var k = j
+      while (k < d) {
+        val c = agg(1 + d + j * d + k) / n - mean(j) * mean(k)
+        cov(j * d + k) = c
+        cov(k * d + j) = c
+        k += 1
+      }
+      j += 1
+    }
+    val (eig, vecs) = jacobiEigen(cov, d)
+    // W = V diag((λ+eps)^-1/2) V^T — symmetric, rotation-free (ZCA):
+    // whitened dims stay aligned with the originals, which is what the
+    // PQ sub-quantizer split wants
+    val inv = eig.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    val w = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var jj = i
+      while (jj < d) {
+        var acc = 0.0
+        var k = 0
+        while (k < d) {
+          acc += vecs(i * d + k) * inv(k) * vecs(jj * d + k)
+          k += 1
+        }
+        w(i * d + jj) = acc
+        w(jj * d + i) = acc
+        jj += 1
+      }
+      i += 1
+    }
+    (mean, w)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric row-major d×d
+    * matrix (in-place on a copy): returns (eigenvalues, eigenvector
+    * matrix V with V[row·d + col] = component `row` of eigenvector
+    * `col`). Deterministic rotation order (row-major upper triangle,
+    * fixed sweep count with an off-diagonal early-out) — same input
+    * bytes, same output bytes, any host. */
+  private[graft] def jacobiEigen(m: Array[Double], d: Int,
+      sweeps: Int = 16): (Array[Double], Array[Double]) = {
+    val a = m.clone()
+    val v = new Array[Double](d * d)
+    var i = 0
+    while (i < d) { v(i * d + i) = 1.0; i += 1 }
+    var s = 0
+    var off = Double.MaxValue
+    while (s < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p * d + q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-14) {
+            val theta = (a(q * d + q) - a(p * d + p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 -> 45-degree rotation
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k * d + p); val akq = a(k * d + q)
+              a(k * d + p) = c * akp - sn * akq
+              a(k * d + q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p * d + k); val aqk = a(q * d + k)
+              a(p * d + k) = c * apk - sn * aqk
+              a(q * d + k) = sn * apk + c * aqk
+              val vkp = v(k * d + p); val vkq = v(k * d + q)
+              v(k * d + p) = c * vkp - sn * vkq
+              v(k * d + q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    (Array.tabulate(d)(k => a(k * d + k)), v)
+  }
+
+  /** C77: ZCA-whitened embeddings — the standard ANN preprocessing
+    * that equalizes per-dimension variance and removes cross-dimension
+    * correlation, which is exactly the independence assumption PQ's
+    * per-subspace quantizers (C7f) and the hyperplane LSH's isotropy
+    * heuristic (C7b) lean on. One model build
+    * ([[whiteningModel]] — one corpus pass + driver-side d×d Jacobi),
+    * then ONE codegen'd `mat_vec_centered` projection per vector
+    * (the broadcast-matrix analog of `cell_argmin`; a per-output-dim
+    * explode with interpreted zip_with lambdas is the shape this
+    * kernel exists to avoid). Linear, shuffle-free after the stats
+    * pass. */
+  def whiten(emb: DataFrame, eps: Double = 1e-3): DataFrame = {
+    import graft.functions.exprs.mat_vec_centered
+    val (mean, w) = whiteningModel(emb, eps)
+    emb.select(col("vec_id"), col("label"),
+      mat_vec_centered(col("embedding"), mean, w).as("embedding"))
+  }
 }

@@ -286,6 +286,49 @@ class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
       k -> v.getAs[Long]("weight_ppm") })
   }
 
+  test("whitening: Jacobi reconstructs, output decorrelates, gate holds") {
+    import graft.operators.{QaGates, Similarity}
+    // Jacobi: A = V diag(eig) V^T on a fixed symmetric 3x3
+    val a = Array[Double](4, 1, 2, 1, 3, 0.5, 2, 0.5, 5)
+    val (eig, v) = Similarity.jacobiEigen(a, 3)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val recon = (0 until 3).map(k => v(i * 3 + k) * eig(k) * v(j * 3 + k)).sum
+      assert(math.abs(recon - a(i * 3 + j)) < 1e-9,
+        s"recon($i,$j)=$recon vs ${a(i * 3 + j)}")
+    }
+    // whiten a correlated synthetic cloud: x2 = x1 + noise
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 2000).map { i =>
+      val x1 = rnd.nextGaussian().toFloat
+      val x2 = (x1 * 0.9 + rnd.nextGaussian() * 0.3).toFloat
+      val x3 = (rnd.nextGaussian() * 4.0).toFloat // wildly bigger scale
+      (i.toLong, Array(x1, x2, x3), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val white = Similarity.whiten(emb)
+      .select("embedding").as[Array[Float]].collect()
+    val n = white.length.toDouble
+    assert(n == 2000)
+    val d = 3
+    val mean = Array.tabulate(d)(j => white.map(_(j).toDouble).sum / n)
+    def cov(j: Int, k: Int) =
+      white.map(v => (v(j) - mean(j)) * (v(k) - mean(k))).sum / n
+    for (j <- 0 until d) {
+      assert(cov(j, j) > 0.5 && cov(j, j) <= 1.01,
+        s"diag $j = ${cov(j, j)}")
+      for (k <- j + 1 until d)
+        assert(math.abs(cov(j, k) / math.sqrt(cov(j, j) * cov(k, k))) < 0.05,
+          s"corr($j,$k) survived whitening")
+    }
+    // the gate agrees on the real embeddings table
+    val gate = QaGates.whiteningGate(Tables.embeddings(spark, sfDir))
+      .collect().head
+    assert(gate.getAs[Boolean]("holds"))
+    // negative control: an impossible tolerance flips it
+    val red = QaGates.whiteningGate(Tables.embeddings(spark, sfDir),
+      tol = -1.0).collect().head
+    assert(!red.getAs[Boolean]("holds"))
+  }
+
   test("dropDuplicatesWithinWatermark collapses a cross-batch duplicate " +
       "within the delay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -248,7 +248,8 @@ object Bench {
     "q_qa_mg_bound",
     "q_events_template_collisions",
     "q_docs_doremi_weights",
-    "q_qa_whitening")
+    "q_qa_whitening",
+    "q_docs_dedup_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

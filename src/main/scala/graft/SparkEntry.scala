@@ -2124,6 +2124,8 @@ object SparkEntry {
       Dedup.repeatedSpans(Tables.documents(s, d))),
     "q_docs_winnow_pairs" -> ((s, d) =>
       Dedup.winnowedOverlap(Tables.documents(s, d))),
+    "q_docs_dedup_curve" -> ((s, d) =>
+      Dedup.dedupThresholdCurve(Tables.documents(s, d))),
     "q_docs_shuffle_order" -> ((s, d) =>
       Sampling.shuffleOrder(Tables.documents(s, d), "doc_id", "ep1")),
     "q_events_rate_spikes" -> ((s, d) =>
@@ -2803,6 +2805,41 @@ object SparkEntry {
     * because DuckDB evaluates MATERIALIZED CTEs EAGERLY even when
     * unreferenced — a consumer that never reads `e` must not pay for
     * (or spill on) it. */
+  /** C74/C78 shared oracle CTEs: the rep-collapsed winnowing
+    * fingerprint pair report, closed as `wp`. */
+  private val winnowPairCtes: String =
+    """reps AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                       FROM documents GROUP BY md5(text)),
+         wins AS (SELECT doc_id,
+                         unnest(range(1, length(text) - 10)) AS pos, text
+                  FROM reps WHERE length(text) >= 15),
+         h AS (SELECT doc_id, pos,
+                      md5(substr(text, CAST(pos AS INT), 12)) AS hh
+               FROM wins),
+         sel AS (SELECT doc_id, pos,
+                        min(hh || lpad(CAST(999999999 - pos AS VARCHAR),
+                                       9, '0'))
+                          OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                          AS s
+                 FROM h),
+         fps AS (SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+                 FROM sel WHERE pos >= 4),
+         hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1000),
+         g AS (SELECT * FROM fps
+               WHERE fp NOT IN (SELECT fp FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS nfp FROM g GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                          count(*) AS shared
+                   FROM g a JOIN g b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+         wp AS (SELECT p.d1, p.d2, p.shared, s1.nfp AS n1, s2.nfp AS n2,
+                p.shared * 1000000 // least(s1.nfp, s2.nfp) AS sim_ppm
+         FROM pairs p
+         JOIN sizes s1 ON p.d1 = s1.doc_id
+         JOIN sizes s2 ON p.d2 = s2.doc_id)"""
+
   private val cappedEdgeCtes: String =
     cappedBucketCtes + """,
        e AS MATERIALIZED (
@@ -5828,37 +5865,24 @@ object SparkEntry {
          FROM d JOIN hot USING (dig)
          GROUP BY 1""",
     "q_docs_winnow_pairs" ->
-      """WITH reps AS (SELECT min(doc_id) AS doc_id, min(text) AS text
-                       FROM documents GROUP BY md5(text)),
-         wins AS (SELECT doc_id,
-                         unnest(range(1, length(text) - 10)) AS pos, text
-                  FROM reps WHERE length(text) >= 15),
-         h AS (SELECT doc_id, pos,
-                      md5(substr(text, CAST(pos AS INT), 12)) AS hh
-               FROM wins),
-         sel AS (SELECT doc_id, pos,
-                        min(hh || lpad(CAST(999999999 - pos AS VARCHAR),
-                                       9, '0'))
-                          OVER (PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                          AS s
-                 FROM h),
-         fps AS (SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
-                 FROM sel WHERE pos >= 4),
-         hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1000),
-         g AS (SELECT * FROM fps
-               WHERE fp NOT IN (SELECT fp FROM hot)),
-         sizes AS (SELECT doc_id, count(*) AS nfp FROM g GROUP BY 1),
-         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-                          count(*) AS shared
-                   FROM g a JOIN g b
-                     ON a.fp = b.fp AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2 HAVING count(*) >= 2)
-         SELECT p.d1, p.d2, p.shared, s1.nfp AS n1, s2.nfp AS n2,
-                p.shared * 1000000 // least(s1.nfp, s2.nfp) AS sim_ppm
-         FROM pairs p
-         JOIN sizes s1 ON p.d1 = s1.doc_id
-         JOIN sizes s2 ON p.d2 = s2.doc_id""",
+      s"""WITH $winnowPairCtes SELECT * FROM wp""",
+    // C78 oracle: same rep-level pair CTEs, 9-decile threshold table
+    // left-joined for pair and doc-affected counts
+    "q_docs_dedup_curve" ->
+      s"""WITH $winnowPairCtes,
+         taus AS (SELECT unnest([100000, 200000, 300000, 400000, 500000,
+                                 600000, 700000, 800000, 900000]) AS tau),
+         dm AS (SELECT doc, max(m) AS m FROM (
+                  SELECT d1 AS doc, sim_ppm AS m FROM wp
+                  UNION ALL SELECT d2, sim_ppm FROM wp) GROUP BY 1),
+         pc AS (SELECT t.tau, count(wp.d1) AS n_pairs
+                FROM taus t LEFT JOIN wp ON wp.sim_ppm >= t.tau
+                GROUP BY 1),
+         dc AS (SELECT t.tau, count(dm.doc) AS n_docs_affected
+                FROM taus t LEFT JOIN dm ON dm.m >= t.tau GROUP BY 1)
+         SELECT CAST(pc.tau AS BIGINT) AS tau, pc.n_pairs,
+                dc.n_docs_affected
+         FROM pc JOIN dc USING (tau)""",
     "q_docs_shuffle_order" ->
       """SELECT doc_id,
                 md5('ep1' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

@@ -626,6 +626,46 @@ object Dedup {
         expr("shared * 1000000 div least(n1, n2)").as("sim_ppm"))
   }
 
+  /** C78: dedup threshold calibration curve — the knee-finding
+    * dashboard a curator reads BEFORE committing a dedup pass: for
+    * each candidate similarity threshold (sim_ppm deciles 1..9), how
+    * many cross-doc pairs and how many distinct documents a pass at
+    * that threshold would touch. Built over [[winnowedOverlap]]'s
+    * rep-level pair report, so the whole curve inherits its
+    * replication invariance (cost ∝ distinct content, sweepable at
+    * every scale — unlike a curve over the expanded n-gram pair
+    * lists). Docs-affected counts each rep's MAX pair similarity once
+    * — the quantity a keeper-vs-removed decision actually thresholds.
+    *
+    * Shape: the pair report materializes once and feeds both counts;
+    * each count is NINE CONDITIONAL SUMS in one aggregate pass (a
+    * threshold-table join would broadcast the pair side on the
+    * outer-join's build side — the conditional sums are join-free and
+    * map-side partial), then one `stack` unpivot of the two 1-row
+    * frames into the 9-row curve. */
+  def dedupThresholdCurve(docs: DataFrame, minShared: Int = 2)
+      : DataFrame = {
+    val taus = (1 to 9).map(i => i * 100000L)
+    val wp = winnowedOverlap(docs, minShared = minShared)
+      .localCheckpoint() // feeds the pair AND the doc-max consumers
+    def curve(df: DataFrame, v: String, pfx: String) =
+      df.agg(
+        sum(when(col(v) >= taus.head, 1L).otherwise(0L))
+          .as(s"$pfx${taus.head}"),
+        taus.tail.map(t =>
+          sum(when(col(v) >= t, 1L).otherwise(0L)).as(s"$pfx$t")): _*)
+    val pc = curve(wp, "sim_ppm", "p")
+    val dc = curve(
+      wp.select(col("d1").as("doc"), col("sim_ppm"))
+        .union(wp.select(col("d2").as("doc"), col("sim_ppm")))
+        .groupBy("doc").agg(max("sim_ppm").as("m")),
+      "m", "d")
+    pc.crossJoin(dc).selectExpr(
+      s"stack(9, ${taus.map(t =>
+        s"cast($t as bigint), p$t, d$t").mkString(", ")}) " +
+        "as (tau, n_pairs, n_docs_affected)")
+  }
+
   /** Canonicalization: collapse near-dup pairs into clusters and pick one
     * keeper per cluster (min doc_id). Iterative min-label propagation to a
     * FIXED POINT — each round is one shuffle join; iteration stops when a

@@ -329,6 +329,29 @@ class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
     assert(!red.getAs[Boolean]("holds"))
   }
 
+  test("dedupThresholdCurve: monotone, zero-tail, counts the known pair") {
+    import graft.operators.Dedup
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"AAAA $shared AAAA padding padding padding one"),
+      (2L, s"BBBB $shared BBBB other other other other two"),
+      (3L, "completely different content with zero overlap at all xyz")
+    ).toDF("doc_id", "text")
+    val curve = Dedup.dedupThresholdCurve(docs, minShared = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_affected")))
+      .toMap
+    assert(curve.size == 9, "one row per decile threshold")
+    // monotone non-increasing in tau, both series
+    val taus = curve.keys.toSeq.sorted
+    taus.sliding(2).foreach { case Seq(a, b) =>
+      assert(curve(a)._1 >= curve(b)._1 && curve(a)._2 >= curve(b)._2)
+    }
+    // the 1-2 pair exists at SOME low threshold and dies by 0.9
+    assert(curve(100000L)._1 >= 1L && curve(100000L)._2 == 2L)
+    assert(curve(900000L)._1 == 0L && curve(900000L)._2 == 0L)
+  }
+
   test("dropDuplicatesWithinWatermark collapses a cross-batch duplicate " +
       "within the delay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -249,7 +249,8 @@ object Bench {
     "q_events_template_collisions",
     "q_docs_doremi_weights",
     "q_qa_whitening",
-    "q_docs_dedup_curve")
+    "q_docs_dedup_curve",
+    "q_docs_bootstrap_ci")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

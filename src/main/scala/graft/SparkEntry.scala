@@ -2126,6 +2126,9 @@ object SparkEntry {
       Dedup.winnowedOverlap(Tables.documents(s, d))),
     "q_docs_dedup_curve" -> ((s, d) =>
       Dedup.dedupThresholdCurve(Tables.documents(s, d))),
+    "q_docs_bootstrap_ci" -> ((s, d) =>
+      Sampling.bootstrapCI(Tables.documents(s, d), "doc_id",
+        length(col("text")))),
     "q_docs_shuffle_order" -> ((s, d) =>
       Sampling.shuffleOrder(Tables.documents(s, d), "doc_id", "ep1")),
     "q_events_rate_spikes" -> ((s, d) =>
@@ -6980,6 +6983,46 @@ object SparkEntry {
          SELECT source, n_tokens, ce_corpus, ce_self, excess,
                 (w6 * 1000000) // tot_w6 AS weight_ppm
          FROM w CROSS JOIN n""",
+    // C79 oracle: same md5-hash 24-bit uniform, same Poisson(1)
+    // integer CDF cutpoints, same 2nd/39th order-statistic interval
+    "q_docs_bootstrap_ci" ->
+      """WITH base AS (SELECT source, doc_id AS bid,
+                CAST(length(text) AS BIGINT) AS x FROM documents),
+         pt AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS point_mean
+                FROM base GROUP BY 1),
+         r AS (SELECT base.*, rep FROM base
+               CROSS JOIN (SELECT unnest(range(0, 40)) AS rep)),
+         w AS (SELECT source, rep, x,
+                 CASE WHEN u < 6171992 THEN 0
+                      WHEN u < 12343985 THEN 1
+                      WHEN u < 15429982 THEN 2
+                      WHEN u < 16458647 THEN 3
+                      WHEN u < 16715813 THEN 4
+                      WHEN u < 16767247 THEN 5
+                      WHEN u < 16775819 THEN 6
+                      ELSE 7 END AS w
+               FROM (SELECT *, ('0x' || substring(
+                       md5('boot' || CAST(bid AS VARCHAR) || ':' ||
+                           CAST(rep AS VARCHAR)), 1, 6))::BIGINT AS u
+                     FROM r)),
+         m AS (SELECT source, rep,
+                 CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                   AS mean_r
+               FROM w GROUP BY 1, 2),
+         rk AS (SELECT source, mean_r,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY mean_r, rep) AS rk
+                FROM m),
+         ci AS (SELECT source,
+                  min(CASE WHEN rk = 2 THEN mean_r END) AS ci_lo,
+                  min(CASE WHEN rk = 39 THEN mean_r END) AS ci_hi,
+                  count(*) AS n_replicates
+                FROM rk GROUP BY 1)
+         SELECT pt.source, pt.n_docs, pt.point_mean, ci.ci_lo, ci.ci_hi,
+                ci.n_replicates
+         FROM pt JOIN ci USING (source)""",
     // C75 oracle: same rep-collapse, same single-space-normalized ws
     // tokens, positions zipped off the split array (DuckDB parallel
     // unnest), 25-token full segments, truncating integer means

@@ -308,4 +308,67 @@ object Sampling {
           .as("loss_frac"),
         col("p50_tok"), col("p90_tok"), col("p99_tok"))
   }
+
+  /** Poisson(1) CDF as integer cutpoints on a 24-bit uniform hash
+    * (⌊CDF(k)·2²⁴⌋ for k = 0..6; mass above the last cutpoint draws 7).
+    * Shared verbatim with the SQL oracle — the thresholds ARE the
+    * contract. */
+  private[graft] val PoissonCdf24: Seq[Long] = Seq(6171992L, 12343985L,
+    15429982L, 16458647L, 16715813L, 16767247L, 16775819L)
+
+  /** C79: deterministic Poisson-bootstrap confidence intervals for a
+    * per-source corpus metric — the error bars a curation dashboard
+    * needs before acting on a per-source mean (C18/C71 report points;
+    * a 2%-of-corpus source can move them on noise). Classic online
+    * bootstrap: replicate r reweights each doc by a Poisson(1) draw,
+    * but the draw is a HASH of (doc_id, r) pushed through the fixed
+    * integer CDF cutpoints ([[PoissonCdf24]]) — stateless,
+    * partition-proof, identical in any engine (the [[acceptanceHash]]
+    * contract), so the whole CI is oracle-checkable. 95%-ish interval
+    * by the percentile method: with `b` replicates, lo/hi are the
+    * 2nd/(b−1)th order statistics of the replicate means (exact
+    * integer ranks, (mean, rep) tie-break).
+    *
+    * Shape: one b-way `sequence` explode per doc collapses map-side
+    * into (source, rep) integer sums (weights and metric are exact
+    * integers; ONE IEEE division per replicate mean), then a ≤ b-row
+    * per-source window picks the order statistics — metadata-sized.
+    * Cost is linear ×b; b tunes precision against compute. */
+  def bootstrapCI(docs: DataFrame, idCol: String, metric: Column,
+      b: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(b >= 4, s"need >= 4 replicates for the rank CI, got $b")
+    val base = docs.select(col("source"), col(idCol).as("bid"),
+      metric.cast("bigint").as("x"))
+    val point = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("x").cast("double") / count(lit(1)).cast("double"))
+          .as("point_mean"))
+    val u = conv(substring(md5(concat(lit("boot"),
+      col("bid").cast("string"), lit(":"), col("rep").cast("string"))
+      .cast("binary")), 1, 6), 16, 10).cast("bigint")
+    val cdf = PoissonCdf24.zipWithIndex
+      .foldRight(lit(7L)) { case ((t, k), rest) =>
+        when(col("u") < t, k.toLong).otherwise(rest)
+      }
+    val reps = base
+      .select(col("source"), col("bid"), col("x"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("rep"))
+      .withColumn("u", u)
+      .withColumn("w", cdf)
+      .groupBy("source", "rep")
+      .agg(sum(col("w") * col("x")).as("sx"), sum("w").as("sw"))
+      .select(col("source"), col("rep"),
+        (col("sx").cast("double") / col("sw").cast("double"))
+          .as("mean_r"))
+    val ranked = reps.withColumn("rk", row_number().over(
+      Window.partitionBy("source").orderBy(col("mean_r"), col("rep"))))
+    val ci = ranked.groupBy("source")
+      .agg(min(when(col("rk") === 2, col("mean_r"))).as("ci_lo"),
+        min(when(col("rk") === b - 1, col("mean_r"))).as("ci_hi"),
+        count(lit(1)).as("n_replicates"))
+    point.join(ci, "source")
+      .select(col("source"), col("n_docs"), col("point_mean"),
+        col("ci_lo"), col("ci_hi"), col("n_replicates"))
+  }
 }

@@ -352,6 +352,36 @@ class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
     assert(curve(900000L)._1 == 0L && curve(900000L)._2 == 0L)
   }
 
+  test("bootstrapCI: brackets the mean, tighter with more data, " +
+      "partition-proof") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(11)
+    val docs = (
+      (1 to 400).map(i => (i.toLong, "big", "x" * (80 + rnd.nextInt(40)))) ++
+      (401 to 420).map(i => (i.toLong, "small", "x" * (80 + rnd.nextInt(40))))
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.bootstrapCI(docs, "doc_id", length(col("text")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((_, r) <- out) {
+      val (lo, m, hi) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("point_mean"), r.getAs[Double]("ci_hi"))
+      assert(lo <= m && m <= hi, s"CI [$lo, $hi] must bracket $m")
+      assert(r.getAs[Long]("n_replicates") == 40L)
+    }
+    // 20x the data -> materially tighter interval
+    val wBig = out("big").getAs[Double]("ci_hi") -
+      out("big").getAs[Double]("ci_lo")
+    val wSmall = out("small").getAs[Double]("ci_hi") -
+      out("small").getAs[Double]("ci_lo")
+    assert(wBig < wSmall, s"big-source CI $wBig !< small-source $wSmall")
+    // hash draws are a pure function of (doc_id, rep): layout-proof
+    val out2 = Sampling.bootstrapCI(docs.repartition(7), "doc_id",
+      length(col("text"))).collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out2 == out.map { case (k, v) =>
+      k -> (v.getDouble(3), v.getDouble(4)) })
+  }
+
   test("dropDuplicatesWithinWatermark collapses a cross-batch duplicate " +
       "within the delay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

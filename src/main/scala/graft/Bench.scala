@@ -250,7 +250,8 @@ object Bench {
     "q_docs_doremi_weights",
     "q_qa_whitening",
     "q_docs_dedup_curve",
-    "q_docs_bootstrap_ci")
+    "q_docs_bootstrap_ci",
+    "q_events_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

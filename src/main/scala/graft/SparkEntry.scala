@@ -2023,6 +2023,8 @@ object SparkEntry {
       GraphOps.labelPropagation(Tables.events(s, d))),
     "q_events_template_collisions" -> ((s, d) =>
       EventOps.templateCollisions(Tables.events(s, d))),
+    "q_events_assortativity" -> ((s, d) =>
+      GraphOps.degreeAssortativity(Tables.events(s, d))),
     "q_events_wallet_clusters_dropall" -> ((s, d) =>
       GraphOps.walletClusters(Tables.events(s, d),
         policy = GraphOps.DropAll(acknowledgeVacuous = true))),
@@ -3084,6 +3086,39 @@ object SparkEntry {
                 CAST(sz.community_size AS BIGINT) AS community_size
          FROM l4 l JOIN sz USING (lbl)"""
     },
+    // A123 oracle: exact DECIMAL(38,0) degree sums over the same
+    // capped edges, identical IEEE close
+    "q_events_assortativity" ->
+      s"""WITH $cappedEdgeCtes,
+         deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         s AS (SELECT count(*) AS m,
+                 CAST(sum(CAST(a.deg AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sx,
+                 CAST(sum(CAST(b.deg AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sy,
+                 CAST(sum(CAST(a.deg * b.deg AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS sxy,
+                 CAST(sum(CAST(a.deg * a.deg AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS sxx,
+                 CAST(sum(CAST(b.deg * b.deg AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS syy
+               FROM e JOIN deg a ON e.src = a.node
+               JOIN deg b ON e.dst = b.node),
+         nn AS (SELECT count(*) AS n_nodes,
+                  CAST(sum(CAST(deg AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                    AS sdeg
+                FROM deg)
+         SELECT nn.n_nodes, s.m AS n_edges,
+                CAST(nn.sdeg AS DOUBLE) / CAST(nn.n_nodes AS DOUBLE)
+                  AS mean_deg,
+                (CAST(s.m AS DOUBLE) * CAST(s.sxy AS DOUBLE) -
+                 CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE)) /
+                sqrt((CAST(s.m AS DOUBLE) * CAST(s.sxx AS DOUBLE) -
+                      CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)) *
+                     (CAST(s.m AS DOUBLE) * CAST(s.syy AS DOUBLE) -
+                      CAST(s.sy AS DOUBLE) * CAST(s.sy AS DOUBLE)))
+                  AS assortativity
+         FROM s CROSS JOIN nn""",
     "q_events_neighbor_sim" ->
       s"""WITH $cappedEdgeCtes,
          und AS (SELECT src, dst FROM e WHERE src < dst),

@@ -755,6 +755,56 @@ object GraphOps {
         col("community_size"))
   }
 
+  /** A123: degree assortativity of the co-activity graph — the Newman
+    * coefficient (Pearson correlation of endpoint degrees over the
+    * directed edge list): organic social graphs run positive
+    * (hubs befriend hubs), bot fleets run strongly NEGATIVE (many
+    * low-degree drones all wired to a few controllers), so the single
+    * number is a cheap structural fingerprint to trend per corpus
+    * slice alongside A73's clustering coefficient. Sums are exact
+    * DECIMAL(38,0) over integer degrees; the close is one fixed dag of
+    * IEEE ops over those exact integers — bit-identical in any engine.
+    * Shape: one degree aggregate + two node-keyed joins back to the
+    * edge list + one global aggregate; the degree table is node-sized
+    * (broadcast under the family limit). */
+  def degreeAssortativity(
+      events: DataFrame,
+      maxGroupSize: Int = 16,
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit,
+      policy: OverCapPolicy = CapTop): DataFrame = {
+    val edges = Checkpoints.truncate(
+      coactivityEdges(events, maxGroupSize, policy))
+    val deg = Checkpoints.truncate(
+      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val bcast = deg.count() <= broadcastNodeLimit
+    def side(c: String, as: String) = {
+      val r = deg.select(col("node").as(c), col("deg").as(as))
+      if (bcast) broadcast(r) else r
+    }
+    val sums = edges
+      .join(side("src", "dx"), "src")
+      .join(side("dst", "dy"), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg").cast("decimal(38,0)")).as("sdeg"))
+    sums.crossJoin(nodes).select(
+      col("n_nodes"), col("m").as("n_edges"),
+      (col("sdeg").cast("double") / col("n_nodes").cast("double"))
+        .as("mean_deg"),
+      ((col("m").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("m").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+          (col("m").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+        .as("assortativity"))
+  }
+
   /** One synchronous LPA round — exposed for the plan audit (the loop
     * truncates lineage, so the round's WindowGroupLimit shape is not
     * visible on the returned frame's final plan). Every node has ≥ 1

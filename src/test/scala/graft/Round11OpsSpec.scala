@@ -382,6 +382,25 @@ class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
       k -> (v.getDouble(3), v.getDouble(4)) })
   }
 
+  test("degreeAssortativity: star graph scores exactly -1") {
+    import graft.operators.GraphOps
+    // controller-and-drones: hub h meets one leaf per hour -> a star,
+    // the canonical perfectly-disassortative graph (r = -1): every
+    // edge joins deg 3 to deg 1
+    val events = Seq(
+      ("h", "t", 0L), ("l1", "t", 10L),
+      ("h", "t", 7200L), ("l2", "t", 7210L),
+      ("h", "t", 14400L), ("l3", "t", 14410L)
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
+    val r = GraphOps.degreeAssortativity(events).collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-12,
+      s"star must be perfectly disassortative: $r")
+    assert(math.abs(r.getAs[Double]("mean_deg") - 1.5) < 1e-12)
+  }
+
   test("dropDuplicatesWithinWatermark collapses a cross-batch duplicate " +
       "within the delay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

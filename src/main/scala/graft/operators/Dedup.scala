@@ -592,8 +592,23 @@ object Dedup {
     val reps = docs
       .groupBy(md5(col("text").cast("binary")).as("ht"))
       .agg(min("doc_id").as("doc_id"), first("text").as("text"))
+    // pre-partition by doc BEFORE the per-position explode: the rank
+    // window needs hashpartitioning(doc_id) anyway, and establishing it
+    // here moves each document's text across the exchange ONCE instead
+    // of one (doc_id, pos, 32-char digest) row per character — ~40x
+    // fewer shuffled bytes for the same clustering (guide §2.3/§8:
+    // shuffle the payload once, not a per-unit expansion of it). The
+    // per-doc distinct and the fingerprint-size aggregate downstream
+    // reuse the same partitioning, so neither pays an exchange.
+    // explicit partition count: a bare repartition(col) is AQE-coalescible
+    // — the doc-sized shuffle input is tiny next to the per-character
+    // explode it feeds, so AQE would collapse it to one task and
+    // serialize the window sort (the washPairs map-INPUT-sizing lesson)
+    val nPart = math.max(32,
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
     val wins = reps
       .filter(length(col("text")) >= k + w - 1)
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("pos"),
         col("text"))
@@ -610,18 +625,27 @@ object Dedup {
       .filter(col("pos") >= w)
       .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
       .distinct()
+      .localCheckpoint() // hot-set build, both inverted-index join sides
+                         // and the per-doc size aggregate all read it —
+                         // unmaterialized, each consumer re-ran the
+                         // scan + collapse + explode + window pipeline
     val hot = fps.groupBy("fp").count()
       .filter(col("count") > maxDocFreq).select("fp")
+    // per-doc fingerprint count attached BEFORE the inverted-index join
+    // (a whole-partition window over the checkpoint's existing
+    // hash(doc_id) clustering — no exchange), so n1/n2 ride the fp
+    // exchange as two longs per row instead of re-shuffling the pair
+    // set twice for post-aggregation size joins
     val g = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      .withColumn("nfp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     g.as("a")
       .join(g.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("a.nfp")).as("n1"), min(col("b.nfp")).as("n2"))
       .filter(col("shared") >= minShared)
-      .join(sizes.select(col("doc_id").as("d1"), col("nfp").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("nfp").as("n2")), "d2")
       .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
         expr("shared * 1000000 div least(n1, n2)").as("sim_ppm"))
   }
@@ -683,9 +707,16 @@ object Dedup {
     // in executor-loss-safe reliable checkpoints — Checkpoints.scala)
     // — otherwise every iteration re-derives the whole upstream
     // pair pipeline and plan size grows combinatorially.
+    // keyed on `a` once at build: every round's min-label aggregate
+    // groups by `a`, and the broadcast-regime neighbor join is
+    // map-side, so hash(a) makes each propagation round a single
+    // exchange-free stage (guide §2.4); the shuffle-join fallback
+    // re-keys on `b` per round exactly as before.
     val edges = Checkpoints.truncate(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
-        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+        .repartition(math.max(32, pairs.sparkSession.sessionState.conf
+          .numShufflePartitions), col("a")))
     var labels = Checkpoints.truncate(
       edges.select(col("a").as("doc_id"))
         .union(edges.select(col("b").as("doc_id"))).distinct()

@@ -93,6 +93,17 @@ object GraphOps {
     * integer arithmetic, only the join strategy differs. */
   val DefaultBroadcastNodeLimit: Long = 2L * 1000 * 1000
 
+  /** Pin an iterated table's partitioning to the column its per-round
+    * aggregate/join re-clusters on, with an EXPLICIT partition count: a
+    * bare repartition(col) is AQE-coalescible, and these shuffle inputs
+    * are small next to the per-round work they feed (the washPairs
+    * map-INPUT-sizing lesson), so AQE would collapse them to one task
+    * and serialize every round. */
+  private def keyed(df: DataFrame,
+      c: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(math.max(32,
+      df.sparkSession.sessionState.conf.numShufflePartitions), c)
+
   /** Per-(market, hour) membership lists under the DROP policy: groups
     * larger than `maxGroupSize` are deleted whole before the quadratic
     * pair fan-out. Output: (event_type, mb, us) with 2 ≤ |us| ≤ cap.
@@ -266,9 +277,18 @@ object GraphOps {
     }
     val bcast = n <= broadcastNodeLimit
     // degree-annotated edges: built once (broadcasting the node-sized
-    // degree table keeps the build a map-side join), iterated many times
-    val withDeg = Checkpoints.truncate(edges
-      .join(if (bcast) broadcast(nodes) else nodes, "src"))
+    // degree table keeps the build a map-side join), iterated many
+    // times. Pre-partition by the key each ROUND re-clusters on, so the
+    // per-round exchange disappears (guide §2.4 — operations keyed the
+    // same way share one exchange): under the broadcast regime a round
+    // is BHJ(ranks) → groupBy(dst), so hash(dst) makes every round a
+    // single exchange-free stage; past the limit the round's
+    // sort-merge join keys on src, so hash(src) keeps the EDGE side of
+    // that join from re-shuffling every round (only node-sized rank
+    // state and the combined partials move per round).
+    val withDeg = Checkpoints.truncate(keyed(edges
+      .join(if (bcast) broadcast(nodes) else nodes, "src"),
+      if (bcast) col("dst") else col("src")))
     val scale = 1000000000000L // total rank mass
     val base = (15L * scale / 100L) / n // (1 - d) / n, d = 0.85
     var ranks = nodes.select(col("src").as("node"),
@@ -322,8 +342,11 @@ object GraphOps {
     val nodes = Checkpoints.truncate(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val bcast = nodes.count() <= broadcastNodeLimit
-    val withDeg = Checkpoints.truncate(edges
-      .join(if (bcast) broadcast(nodes) else nodes, "src"))
+    // same per-round exchange elision as integerPagerankOn: key the
+    // iterated edge table on the round's re-cluster column
+    val withDeg = Checkpoints.truncate(keyed(edges
+      .join(if (bcast) broadcast(nodes) else nodes, "src"),
+      if (bcast) col("dst") else col("src")))
     val seeds = events.groupBy("user_id")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("user_id"))
@@ -412,7 +435,12 @@ object GraphOps {
       k: Int,
       maxPeels: Int,
       broadcastNodeLimit: Long): DataFrame = {
-    val edges = Checkpoints.truncate(rawEdges)
+    // keyed on src once at build: every peel's surviving-degree count
+    // groups by src, and under the broadcast regime the two semi-join
+    // gates are map-side — so hash(src) makes each peel a single
+    // exchange-free stage instead of re-shuffling the edge set per
+    // round (past the limit the src-keyed gate join also reuses it)
+    val edges = Checkpoints.truncate(keyed(rawEdges, col("src")))
     var survivors = Checkpoints.truncate(
       edges.select(col("src").as("node")).distinct())
     var nSurv = survivors.count()
@@ -736,8 +764,12 @@ object GraphOps {
       broadcastNodeLimit: Long = DefaultBroadcastNodeLimit,
       policy: OverCapPolicy = CapTop): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // keyed on src once at build: each synchronous round's label count
+    // groups by (src, lbl) and its top-1 window partitions by src, so
+    // hash(src) satisfies both and a broadcast-regime round runs as one
+    // exchange-free stage (the shuffle-join fallback is unchanged)
     val edges = Checkpoints.truncate(
-      coactivityEdges(events, maxGroupSize, policy))
+      keyed(coactivityEdges(events, maxGroupSize, policy), col("src")))
     var labels = Checkpoints.truncate(
       edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
@@ -772,8 +804,11 @@ object GraphOps {
       maxGroupSize: Int = 16,
       broadcastNodeLimit: Long = DefaultBroadcastNodeLimit,
       policy: OverCapPolicy = CapTop): DataFrame = {
+    // keyed on src at build: the degree aggregate and the
+    // broadcast-regime src-endpoint join both cluster on src, so
+    // neither re-shuffles the edge set
     val edges = Checkpoints.truncate(
-      coactivityEdges(events, maxGroupSize, policy))
+      keyed(coactivityEdges(events, maxGroupSize, policy), col("src")))
     val deg = Checkpoints.truncate(
       edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     val bcast = deg.count() <= broadcastNodeLimit

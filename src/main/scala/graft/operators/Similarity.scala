@@ -246,20 +246,34 @@ object Similarity {
           .as("pairs"))
         .select(col("cell"),
           expr("transform(pairs, p -> cast(p.centroid as float))").as("cvec"))
-      // argmin by min_by hash aggregate (deterministic (d2, cell)
-      // tie-break): map-side partials collapse the n·k fan-out to one
-      // row per vector before the shuffle — the row_number window
-      // shuffled and sorted every candidate row
-      val assigned = emb.crossJoin(broadcast(cvecs))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          (vec_dot(col("embedding"), col("embedding"))
-            - vec_dot(col("embedding"), col("cvec")) * 2
-            + vec_dot(col("cvec"), col("cvec"))).as("d2"))
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("cell"), col("embedding")),
-          struct(argKey(col("d2")), col("cell"))).as("am"))
-        .select(col("vec_id"), col("am.embedding").as("embedding"),
-          col("am.cell").as("cell"))
+      // argmin: when the centroid table is small enough to ride as a
+      // codegen literal (the common regime — the C7e gate runs on an
+      // id-bounded slice, so cells ≤ maxId/seedEvery), ONE compiled
+      // [[graft.functions.PqArgmin]] pass per vector replaces the
+      // n·k crossJoin fan-out through the min_by aggregate; arithmetic
+      // and (d2, cell) tie-break are bit-identical (VecOps.pqArgmin
+      // doc). Past the literal bound — unbounded kmeansFit seeding is
+      // O(n/seedEvery) centroids, the documented C7e scale caveat —
+      // the broadcast-join + min_by formulation is kept verbatim.
+      val probe = cvecs.limit(4097).collect()
+      val assigned =
+        if (probe.length <= 4096) {
+          val entries = probe.map(r =>
+            (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+          emb.select(col("vec_id"), col("embedding"),
+            graft.functions.exprs.pq_argmin(col("embedding"),
+              entries.flatMap(_._2), entries.map(_._1)).as("cell"))
+            .filter(col("cell").isNotNull)
+        } else emb.crossJoin(broadcast(cvecs))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            (vec_dot(col("embedding"), col("embedding"))
+              - vec_dot(col("embedding"), col("cvec")) * 2
+              + vec_dot(col("cvec"), col("cvec"))).as("d2"))
+          .groupBy("vec_id")
+          .agg(min_by(struct(col("cell"), col("embedding")),
+            struct(argKey(col("d2")), col("cell"))).as("am"))
+          .select(col("vec_id"), col("am.embedding").as("embedding"),
+            col("am.cell").as("cell"))
       cents = Checkpoints.truncate(centroids(assigned, "cell"))
     }
     cents
@@ -443,21 +457,29 @@ object Similarity {
     var cb = subs.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
     (1 to iters).foreach { _ =>
-      // argmin by min_by hash aggregate: map-side partials reduce the
-      // n·m·codes candidate rows to one per (vector, subspace) BEFORE
-      // the shuffle — the former row_number window shuffled and sorted
-      // the full candidate fan-out every round. (d2, code) ordering
-      // keeps the tie-break deterministic.
-      val assigned = trainSubs.join(broadcast(cb), "sub")
-        .select(col("vec_id"), col("sub"), col("code"), col("sv"),
-          (vec_dot(col("sv"), col("sv"))
-            - vec_dot(col("sv"), col("cw")) * 2
-            + vec_dot(col("cw"), col("cw"))).as("d2"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(struct(col("code"), col("sv")),
-          struct(argKey(col("d2")), col("code"))).as("am"))
-        .select(col("vec_id"), col("sub"),
-          col("am.code").as("code"), col("am.sv").as("sv"))
+      // argmin via the codegen'd [[graft.functions.PqArgmin]] literal
+      // kernel — the same rewrite the final encode (pqAssign) already
+      // carries: the codebook is ≤ m·maxCodes rows (KBs, collected
+      // once per round), and the kernel scans it in one compiled pass
+      // per (vector, subspace) row instead of fanning every training
+      // row out ×|codes| through a broadcast join + min_by aggregate.
+      // Arithmetic, NaN guard and (d2, code) tie-break are
+      // bit-identical to the join formulation (VecOps.pqArgmin doc);
+      // a subspace absent from the codebook yields null and is
+      // filtered, exactly like the former inner join.
+      val cbRows = cb.select(col("sub"), col("code"), col("cw")).collect()
+      val codeExpr = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .foldLeft(lit(null).cast("bigint")) { case (acc, (sub, rs)) =>
+          val entries = rs.map(r =>
+            (r.getLong(1), r.getSeq[Float](2).toArray)).sortBy(_._1)
+          when(col("sub") === sub,
+            graft.functions.exprs.pq_argmin(col("sv"),
+              entries.flatMap(_._2), entries.map(_._1)))
+            .otherwise(acc)
+        }
+      val assigned = trainSubs
+        .select(col("vec_id"), col("sub"), codeExpr.as("code"), col("sv"))
+        .filter(col("code").isNotNull)
       // update step: exact fixed-grid means per (sub, code, component),
       // reassembled to float codeword vectors (same trick as kmeansFit)
       cb = assigned

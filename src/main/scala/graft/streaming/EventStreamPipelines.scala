@@ -622,7 +622,18 @@ object EventStreamPipelines {
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     ev.coalesce(1).write.mode("append").parquet(inc)
-    ev.coalesce(1).write.mode("append").parquet(inc)
+    // second delivery = byte-identical file: an OS-level copy of the
+    // staged part file, not a second scan+encode of the events table
+    // (the replay contract only needs the same rows delivered twice)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(inc))
+        .iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .get
+      java.nio.file.Files.copy(part,
+        part.resolveSibling("part-replay.parquet"))
+    }
     val src = graft.Tables.tzNormalize(spark.readStream
       .schema(spark.read.parquet(inc).schema)
       .option("maxFilesPerTrigger", 1)

@@ -536,6 +536,10 @@ object Dedup {
         explode(expr("sequence(1, nw)")).as("i"), col("toks"))
       .select(col("doc_id"),
         md5(concat_ws(" ", expr(s"slice(toks, i, $w)"))).as("dig"))
+      .localCheckpoint() // the digest-frequency aggregate and the hot
+                         // tag-back both read it — unmaterialized, each
+                         // consumer re-ran the scan + tokenize + explode
+                         // + per-window md5 pipeline
     val spanDocs = wins.groupBy("dig")
       .agg(countDistinct("doc_id").as("n_docs"))
     // hot digests: in > maxDocFreq docs — few by construction (at most

@@ -2693,6 +2693,32 @@ object EventOps {
       return types.select(col("t").as("event_type"),
         lit(0L).as("pr"), lit(0.0).as("share"))
     val scale = 1000000000000L
+    if (k <= 1000) {
+      // driver-side matrix power: the transition matrix is taxonomy²
+      // rows — KBs, collected once like the codebook sites — and the
+      // iteration repeats the exact integer arithmetic of the
+      // distributed loop verbatim (per-row (pr·p6) div 1e6 BEFORE the
+      // sum; long sums are order-independent), so the fixed point is
+      // bit-identical while 10 rounds of broadcast joins + lineage
+      // checkpoints collapse to zero jobs. The distributed loop below
+      // remains the fallback for an unbounded type domain.
+      val tmRows = tm.select(col("a"), col("b"), col("p6")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val ts = types.collect().map(_.getString(0))
+      var pi = ts.map(t => t -> (scale / k)).toMap
+      for (_ <- 1 to iterations) {
+        val inc = scala.collection.mutable.HashMap.empty[String, Long]
+        tmRows.foreach { case (a, b, p6) =>
+          inc(b) = inc.getOrElse(b, 0L) + (pi(a) * p6) / 1000000L
+        }
+        pi = ts.map(t => t -> inc.getOrElse(t, 0L)).toMap
+      }
+      val spark = events.sparkSession
+      import spark.implicits._
+      return ts.toSeq.map(t =>
+          (t, pi(t), pi(t).toDouble / scale.toDouble))
+        .toDF("event_type", "pr", "share")
+    }
     var pi = types.select(col("t"), lit(scale / k).as("pr"))
     for (i <- 1 to iterations) {
       val inc = tm.join(broadcast(pi), col("a") === col("t"))
@@ -2775,6 +2801,35 @@ object EventOps {
     val types = events.select(col("event_type").as("t")).distinct()
       .localCheckpoint()
     val scale = 1000000000000L
+    val k = types.count() // metadata-sized action on the tiny type set
+    if (k > 0 && k <= 1000) {
+      // driver-side matrix power over the taxonomy²-bounded transition
+      // matrix — same collect-the-codebook pattern and bit-identical
+      // integer arithmetic as stationaryTypeMix's fast path (per-row
+      // (p6·p) div 1e6 before the long sum); the distributed loop
+      // below stays as the unbounded-domain fallback.
+      val tmRows = tm.select(col("a"), col("b"), col("p6")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val ts = types.collect().map(_.getString(0))
+      var p = ts.map(t =>
+        t -> (if (t == target) scale else 0L)).toMap
+      for (_ <- 1 to iterations) {
+        val inc = scala.collection.mutable.HashMap.empty[String, Long]
+        tmRows.foreach { case (a, b, p6) =>
+          inc(a) = inc.getOrElse(a, 0L) + (p6 * p(b)) / 1000000L
+        }
+        p = ts.map { t =>
+          t -> (if (t == target) scale
+                else if (t == trap) 0L
+                else inc.getOrElse(t, 0L))
+        }.toMap
+      }
+      val spark = events.sparkSession
+      import spark.implicits._
+      return ts.toSeq.map(t =>
+          (t, p(t), p(t).toDouble / 1e12))
+        .toDF("event_type", "p", "prob")
+    }
     var p = types.select(col("t"),
       when(col("t") === target, lit(scale)).otherwise(lit(0L)).as("p"))
     for (i <- 1 to iterations) {

@@ -629,16 +629,20 @@ object GraphOps {
       .filter(col("a") < col("b"))
       .distinct()
       .localCheckpoint() // feeds first-seen AND the day rollup
-    val firstSeen = dayPairs.groupBy("a", "b")
-      .agg(min("db").as("first_db"))
-    dayPairs.join(firstSeen, Seq("a", "b"))
-      .groupBy("db")
-      .agg(count(lit(1)).as("n_pairs"),
-        count(when(col("db") === col("first_db"), 1)).as("n_new"))
+    // two day-keyed aggregates instead of the pair-sized first-seen
+    // join: n_pairs(day) counts the day's pair rows, n_new(day) counts
+    // pairs whose MIN day is that day — identical quantities with no
+    // join back onto the pair set (the join re-shuffled the pair list
+    // twice to tag each row with its group min)
+    val perDay = dayPairs.groupBy("db").agg(count(lit(1)).as("n_pairs"))
+    val newPerDay = dayPairs.groupBy("a", "b")
+      .agg(min("db").as("db"))
+      .groupBy("db").agg(count(lit(1)).as("n_new"))
+    perDay.join(newPerDay, Seq("db"), "left_outer")
       .select((col("db") * 86400).as("day"), col("n_pairs"),
-        col("n_new"),
-        (col("n_new").cast("double") / col("n_pairs").cast("double"))
-          .as("new_ratio"))
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_new"), lit(0L)).cast("double") /
+          col("n_pairs").cast("double")).as("new_ratio"))
   }
 
   /** A95: neighbor-overlap similarity and link prediction over the

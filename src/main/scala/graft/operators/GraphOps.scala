@@ -100,9 +100,9 @@ object GraphOps {
     * map-INPUT-sizing lesson), so AQE would collapse them to one task
     * and serialize every round. */
   private def keyed(df: DataFrame,
-      c: org.apache.spark.sql.Column): DataFrame =
+      cs: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(math.max(32,
-      df.sparkSession.sessionState.conf.numShufflePartitions), c)
+      df.sparkSession.sessionState.conf.numShufflePartitions), cs: _*)
 
   /** Per-(market, hour) membership lists under the DROP policy: groups
     * larger than `maxGroupSize` are deleted whole before the quadratic
@@ -121,11 +121,16 @@ object GraphOps {
     * materializes its membership anywhere. */
   private def droppedBuckets(
       events: DataFrame, maxGroupSize: Int): DataFrame = {
-    // distinct (market, hour, wallet) activity, materialized once
-    val act = events.select(col("event_type"),
+    // distinct (market, hour, wallet) activity, materialized once —
+    // re-keyed to the bucket key AFTER the 3-key distinct (map-side
+    // partials still collapse before the first shuffle), so the size
+    // count, both sides of the membership join and the collect_list
+    // all reuse one clustering instead of paying three (event_type,
+    // mb) exchanges downstream
+    val act = keyed(events.select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("mb"),
         col("user_id"))
-      .distinct()
+      .distinct(), col("event_type"), col("mb"))
       .localCheckpoint()
     val sized = act.groupBy("event_type", "mb")
       .agg(count(lit(1)).as("gs"))

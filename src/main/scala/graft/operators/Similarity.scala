@@ -293,14 +293,36 @@ object Similarity {
         .as("pairs"))
       .select(col("cell"),
         expr("transform(pairs, p -> cast(p.centroid as float))").as("cvec"))
-    emb.crossJoin(broadcast(cvecs))
-      .select(col("vec_id"),
-        (vec_dot(col("embedding"), col("embedding"))
-          - vec_dot(col("embedding"), col("cvec")) * 2
-          + vec_dot(col("cvec"), col("cvec"))).as("d2"))
-      .groupBy("vec_id")
-      .agg(min(argKey(col("d2"))).as("d2min"))
-      .agg(sum(col("d2min")).as("cost"), count(lit(1)).as("n"))
+    // same literal-kernel split as kmeansFit's assign: when the
+    // centroid table fits a codegen literal, ONE PqArgmin pass picks
+    // each vector's nearest cell (bit-identical d2 arithmetic and
+    // NaN-to-MaxValue guard), then d2 to THAT cell is recomputed with
+    // the same index-order vec_dot — the identical double the
+    // crossJoin's min(argKey(d2)) produced — against the broadcast
+    // cell vectors. Past the literal bound the crossJoin formulation
+    // is kept verbatim (unbounded kmeansFit seeding, the C7e caveat).
+    val probe = cvecs.limit(4097).collect()
+    val perVec =
+      if (probe.length <= 4096) {
+        val entries = probe.map(r =>
+          (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        emb.select(col("vec_id"), col("embedding"),
+          graft.functions.exprs.pq_argmin(col("embedding"),
+            entries.flatMap(_._2), entries.map(_._1)).as("cell"))
+          .filter(col("cell").isNotNull)
+          .join(broadcast(cvecs), "cell")
+          .select(col("vec_id"),
+            argKey(vec_dot(col("embedding"), col("embedding"))
+              - vec_dot(col("embedding"), col("cvec")) * 2
+              + vec_dot(col("cvec"), col("cvec"))).as("d2min"))
+      } else emb.crossJoin(broadcast(cvecs))
+        .select(col("vec_id"),
+          (vec_dot(col("embedding"), col("embedding"))
+            - vec_dot(col("embedding"), col("cvec")) * 2
+            + vec_dot(col("cvec"), col("cvec"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min(argKey(col("d2"))).as("d2min"))
+    perVec.agg(sum(col("d2min")).as("cost"), count(lit(1)).as("n"))
   }
 
   /** C7f: per-subspace PQ codebook, Lloyd-refined. The embedding space

@@ -440,12 +440,13 @@ object GraphOps {
       k: Int,
       maxPeels: Int,
       broadcastNodeLimit: Long): DataFrame = {
-    // keyed on src once at build: every peel's surviving-degree count
-    // groups by src, and under the broadcast regime the two semi-join
-    // gates are map-side — so hash(src) makes each peel a single
-    // exchange-free stage instead of re-shuffling the edge set per
-    // round (past the limit the src-keyed gate join also reuses it)
-    val edges = Checkpoints.truncate(keyed(rawEdges, col("src")))
+    // Deliberately NOT pre-keyed on src like the sibling loops:
+    // measured at sf10 the peel loop got SLOWER with a keyed edge
+    // table (5.7 -> 8.8 s back-to-back on identical data) — each
+    // peel's degree count is already map-side-combined so its exchange
+    // moves node-sized partials, and the extra edge-sized build
+    // exchange never pays back across the handful of peels.
+    val edges = Checkpoints.truncate(rawEdges)
     var survivors = Checkpoints.truncate(
       edges.select(col("src").as("node")).distinct())
     var nSurv = survivors.count()

@@ -383,8 +383,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val totalCal = if (calOk) r3(total / calib).toString else "-1.0"
     val calibStr = if (calOk) r3(calib).toString else "-1.0"
+    // `cpus` rides in the record so a c8-vs-c32 scaling comparison can
+    // verify which core count a sidecar was actually produced at (the
+    // round-11 driver flagged the scaling block suspect partly because
+    // the records carried no core-count provenance)
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calibration":$calibStr,"value_calibrated":$totalCal,"queries":$qs,"queries_calibrated":$qsCal,"failed":$failed$peakJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"calibration":$calibStr,"value_calibrated":$totalCal,"queries":$qs,"queries_calibrated":$qsCal,"failed":$failed$peakJson,"sf":"$sfDir"}"""
     println(json)
     scala.util.Try {
       val p = java.nio.file.Paths.get(

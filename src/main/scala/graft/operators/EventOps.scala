@@ -2709,7 +2709,11 @@ object EventOps {
       for (_ <- 1 to iterations) {
         val inc = scala.collection.mutable.HashMap.empty[String, Long]
         tmRows.foreach { case (a, b, p6) =>
-          inc(b) = inc.getOrElse(b, 0L) + (pi(a) * p6) / 1000000L
+          // getOrElse: an `a` outside the collected type set (impossible
+          // by construction — types IS tm's distinct a-set) contributes
+          // 0, exactly like the distributed loop's inner join dropping
+          // the row, instead of a NoSuchElementException
+          inc(b) = inc.getOrElse(b, 0L) + (pi.getOrElse(a, 0L) * p6) / 1000000L
         }
         pi = ts.map(t => t -> inc.getOrElse(t, 0L)).toMap
       }
@@ -2816,7 +2820,12 @@ object EventOps {
       for (_ <- 1 to iterations) {
         val inc = scala.collection.mutable.HashMap.empty[String, Long]
         tmRows.foreach { case (a, b, p6) =>
-          inc(a) = inc.getOrElse(a, 0L) + (p6 * p(b)) / 1000000L
+          // getOrElse: a `b` outside the collected type set degrades to
+          // a 0 contribution like the distributed loop's inner join on
+          // b, instead of crashing the fast path (impossible today —
+          // types spans every event_type — but the two regimes must
+          // fail the same way if that invariant ever breaks)
+          inc(a) = inc.getOrElse(a, 0L) + (p6 * p.getOrElse(b, 0L)) / 1000000L
         }
         p = ts.map { t =>
           t -> (if (t == target) scale

@@ -257,13 +257,17 @@ object Similarity {
       // the broadcast-join + min_by formulation is kept verbatim.
       val probe = cvecs.limit(4097).collect()
       val assigned =
-        if (probe.length <= 4096) {
+        if (probe.nonEmpty && probe.length <= 4096) {
           val entries = probe.map(r =>
             (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+          // null embeddings get the smallest cell, matching the
+          // crossJoin fallback (null d2 → argKey MaxValue for every
+          // cell → min_by tie-break picks the min cell id) — without
+          // the coalesce the two regimes disagreed on null vectors
           emb.select(col("vec_id"), col("embedding"),
-            graft.functions.exprs.pq_argmin(col("embedding"),
-              entries.flatMap(_._2), entries.map(_._1)).as("cell"))
-            .filter(col("cell").isNotNull)
+            coalesce(graft.functions.exprs.pq_argmin(col("embedding"),
+                entries.flatMap(_._2), entries.map(_._1)),
+              lit(entries.head._1)).as("cell"))
         } else emb.crossJoin(broadcast(cvecs))
           .select(col("vec_id"), col("embedding"), col("cell"),
             (vec_dot(col("embedding"), col("embedding"))
@@ -303,13 +307,15 @@ object Similarity {
     // is kept verbatim (unbounded kmeansFit seeding, the C7e caveat).
     val probe = cvecs.limit(4097).collect()
     val perVec =
-      if (probe.length <= 4096) {
+      if (probe.nonEmpty && probe.length <= 4096) {
         val entries = probe.map(r =>
           (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        // null embeddings: smallest cell, like the crossJoin fallback
+        // (see kmeansFit) — d2min then evaluates to MaxValue in both
         emb.select(col("vec_id"), col("embedding"),
-          graft.functions.exprs.pq_argmin(col("embedding"),
-            entries.flatMap(_._2), entries.map(_._1)).as("cell"))
-          .filter(col("cell").isNotNull)
+          coalesce(graft.functions.exprs.pq_argmin(col("embedding"),
+              entries.flatMap(_._2), entries.map(_._1)),
+            lit(entries.head._1)).as("cell"))
           .join(broadcast(cvecs), "cell")
           .select(col("vec_id"),
             argKey(vec_dot(col("embedding"), col("embedding"))
@@ -488,20 +494,40 @@ object Similarity {
       // Arithmetic, NaN guard and (d2, code) tie-break are
       // bit-identical to the join formulation (VecOps.pqArgmin doc);
       // a subspace absent from the codebook yields null and is
-      // filtered, exactly like the former inner join.
-      val cbRows = cb.select(col("sub"), col("code"), col("cw")).collect()
-      val codeExpr = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-        .foldLeft(lit(null).cast("bigint")) { case (acc, (sub, rs)) =>
-          val entries = rs.map(r =>
-            (r.getLong(1), r.getSeq[Float](2).toArray)).sortBy(_._1)
-          when(col("sub") === sub,
-            graft.functions.exprs.pq_argmin(col("sv"),
-              entries.flatMap(_._2), entries.map(_._1)))
-            .otherwise(acc)
-        }
-      val assigned = trainSubs
-        .select(col("vec_id"), col("sub"), codeExpr.as("code"), col("sv"))
-        .filter(col("code").isNotNull)
+      // filtered, exactly like the former inner join, and a null
+      // subvector takes its subspace's smallest code — what the join's
+      // min_by does when every d2 is null (argKey → MaxValue).
+      // The literal chain is SIZE-BOUNDED like the kmeans paths: past
+      // 4096 collected rows (callers passing a large maxCodes·m) the
+      // broadcast-join + min_by formulation runs instead — an m-way
+      // when() chain of oversized literal matrices would blow codegen
+      // method limits into the interpreted path or strain the driver.
+      val cbRows = cb.select(col("sub"), col("code"), col("cw"))
+        .limit(4097).collect()
+      val assigned = if (cbRows.nonEmpty && cbRows.length <= 4096) {
+        val codeExpr = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .foldLeft(lit(null).cast("bigint")) { case (acc, (sub, rs)) =>
+            val entries = rs.map(r =>
+              (r.getLong(1), r.getSeq[Float](2).toArray)).sortBy(_._1)
+            when(col("sub") === sub,
+              coalesce(graft.functions.exprs.pq_argmin(col("sv"),
+                  entries.flatMap(_._2), entries.map(_._1)),
+                lit(entries.head._1)))
+              .otherwise(acc)
+          }
+        trainSubs
+          .select(col("vec_id"), col("sub"), codeExpr.as("code"), col("sv"))
+          .filter(col("code").isNotNull)
+      } else trainSubs.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"), col("sv"),
+          (vec_dot(col("sv"), col("sv"))
+            - vec_dot(col("sv"), col("cw")) * 2
+            + vec_dot(col("cw"), col("cw"))).as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("sv")),
+          struct(argKey(col("d2")), col("code"))).as("am"))
+        .select(col("vec_id"), col("sub"),
+          col("am.code").as("code"), col("am.sv").as("sv"))
       // update step: exact fixed-grid means per (sub, code, component),
       // reassembled to float codeword vectors (same trick as kmeansFit)
       cb = assigned

@@ -627,10 +627,17 @@ object EventStreamPipelines {
     // (the replay contract only needs the same rows delivered twice)
     locally {
       import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(inc))
-        .iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .get
+      // Using closes the directory stream (Files.list leaks a directory
+      // handle per call otherwise); the missing-part case gets a named
+      // error instead of a bare NoSuchElementException
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(inc))) { s =>
+        s.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"dedupReplayAvailableNow: no part- file staged under $inc " +
+            "(did the parquet writer's file naming change?)"))
+      }
       java.nio.file.Files.copy(part,
         part.resolveSibling("part-replay.parquet"))
     }

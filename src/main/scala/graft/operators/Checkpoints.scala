@@ -33,4 +33,24 @@ object Checkpoints {
       df.checkpoint(eager)
     } else df.localCheckpoint(eager)
   }
+
+  /** Truncate plus ONE observed aggregate in the SAME action: the
+    * metric (a convergence count, a node count for the broadcast-regime
+    * decision) rides the checkpoint's own materialization job via
+    * `Dataset.observe` — a codegen'd CollectMetrics pass, no UDF — so
+    * iterative loops stop paying a second job per round to re-read the
+    * rows they just materialized. `drop` lets probe-only columns (e.g.
+    * a prev-label column the convergence count compares against) be
+    * projected away AFTER the metric but BEFORE the checkpoint, so the
+    * stored blocks never carry them. Both checkpoint modes run through
+    * `Dataset.withAction`, which is what delivers the observed metric.
+    */
+  def truncateObserved(df: DataFrame,
+      metric: org.apache.spark.sql.Column,
+      drop: Seq[String] = Nil): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = truncate(df.observe(obs, metric.as("m")).drop(drop: _*))
+    val v = obs.get("m")
+    (out, if (v == null) 0L else v.asInstanceOf[Number].longValue)
+  }
 }

@@ -575,9 +575,11 @@ object Dedup {
     * shared / min(|fp₁|, |fp₂|) in exact parts-per-million.
     *
     * The rightmost-tie selection is encoded branch-free: the windowed
-    * min runs over `hash ‖ lpad(10⁹ − pos)` strings, so lexical order
-    * is (hash asc, pos desc) — one window pass, both engines agree
-    * exactly.
+    * min runs over `struct(hash, −pos)` — struct ordering compares
+    * field by field, so the order is (hash asc, pos desc), the same
+    * selection as a `hash ‖ lpad(10⁹ − pos)` string min but without
+    * building a 41-char string per window row — one window pass, both
+    * engines agree exactly.
     *
     * Scale shape: identical texts collapse to a representative FIRST
     * (one md5 group-by), so fingerprinting and the pair join cost ∝
@@ -621,13 +623,15 @@ object Dedup {
     val winSpec = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(w - 1), 0)
+    // struct min ≡ the former concat(h, lpad(10⁹−pos)) string min: md5
+    // digests are all exactly 32 chars, so comparing the concatenation
+    // was (h asc, then 10⁹−pos asc = pos desc) — exactly the struct's
+    // field-by-field order — without the per-row 41-char string build
     val fps = wins
       .withColumn("sel",
-        min(concat(col("h"),
-          lpad((lit(999999999) - col("pos")).cast("string"), 9, "0")))
-          .over(winSpec))
+        min(struct(col("h"), (-col("pos")).as("np"))).over(winSpec))
       .filter(col("pos") >= w)
-      .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+      .select(col("doc_id"), col("sel.h").as("fp"))
       .distinct()
       .localCheckpoint() // hot-set build, both inverted-index join sides
                          // and the per-doc size aggregate all read it —
@@ -697,8 +701,9 @@ object Dedup {
   /** Canonicalization: collapse near-dup pairs into clusters and pick one
     * keeper per cluster (min doc_id). Iterative min-label propagation to a
     * FIXED POINT — each round is one shuffle join; iteration stops when a
-    * round changes no label (a cheap count on the already-materialized
-    * round result), so clusters of any graph diameter fully converge —
+    * round changes no label (a changed-label count observed inside the
+    * round's own checkpoint job — no second probe job per round), so
+    * clusters of any graph diameter fully converge —
     * matching the recursive-CTE transitive closure the oracle computes.
     * `maxIterations` is only a runaway backstop (label propagation on a
     * connected component of n nodes converges in <= n rounds).
@@ -721,16 +726,19 @@ object Dedup {
         .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
         .repartition(math.max(32, pairs.sparkSession.sessionState.conf
           .numShufflePartitions), col("a")))
-    var labels = Checkpoints.truncate(
-      edges.select(col("a").as("doc_id"))
-        .union(edges.select(col("b").as("doc_id"))).distinct()
-        .withColumn("label", col("doc_id")))
     // label state is node-sized (two ids per row): when the graph is
     // small enough, broadcast it into the per-round joins so a round
     // never re-shuffles the edge list — same policy as the GraphOps
     // iteration loops; past the limit fall back to shuffle joins. The
-    // count is one metadata-sized job against the fresh checkpoint.
-    val bcast = labels.count() <= broadcastNodeLimit
+    // node count rides the checkpoint's own materialization job
+    // (Checkpoints.truncateObserved), not a second job.
+    val (labels0, nNodes) = Checkpoints.truncateObserved(
+      edges.select(col("a").as("doc_id"))
+        .union(edges.select(col("b").as("doc_id"))).distinct()
+        .withColumn("label", col("doc_id")),
+      count(lit(1)))
+    var labels = labels0
+    val bcast = nNodes <= broadcastNodeLimit
     var converged = false
     var round = 0
     while (!converged && round < maxIterations) {
@@ -741,14 +749,21 @@ object Dedup {
         }, col("b") === col("b2"))
         .groupBy(col("a").as("doc_id"))
         .agg(min("label").as("nlabel"))
-      val next = Checkpoints.truncate(labels.join(
-          if (bcast) broadcast(viaNeighbor) else viaNeighbor,
-          Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label")))
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
-      labels = next.drop("prev")
+      // the convergence probe rides the checkpoint's materialization
+      // job (one job per round instead of materialize + probe), and
+      // the prev column is dropped BEFORE the checkpoint so the stored
+      // label state is one column narrower
+      val (next, changed) = Checkpoints.truncateObserved(
+        labels.join(
+            if (bcast) broadcast(viaNeighbor) else viaNeighbor,
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label")),
+        count(when(col("label") =!= col("prev"), lit(1))),
+        drop = Seq("prev"))
+      converged = changed == 0
+      labels = next
       round += 1
     }
     labels.withColumnRenamed("label", "keep_id")

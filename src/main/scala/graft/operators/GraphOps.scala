@@ -273,9 +273,9 @@ object GraphOps {
     // degree count and the annotated join, and an unmaterialized lineage
     // would re-run the whole activity build once per consumer
     val edges = Checkpoints.truncate(rawEdges)
-    val nodes = Checkpoints.truncate(
-      edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    val n = nodes.count() // one metadata-sized driver action
+    // node count observed inside the checkpoint job, not a second action
+    val (nodes, n) = Checkpoints.truncateObserved(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")), count(lit(1)))
     if (n == 0) {
       return nodes.select(col("src").as("node"), col("deg"),
         col("deg").as("pr"))
@@ -344,9 +344,10 @@ object GraphOps {
       policy: OverCapPolicy = CapTop): DataFrame = {
     val edges = Checkpoints.truncate(
       coactivityEdges(events, maxGroupSize, policy))
-    val nodes = Checkpoints.truncate(
-      edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    val bcast = nodes.count() <= broadcastNodeLimit
+    // node count observed inside the checkpoint job, not a second action
+    val (nodes, nNodes) = Checkpoints.truncateObserved(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")), count(lit(1)))
+    val bcast = nNodes <= broadcastNodeLimit
     // same per-round exchange elision as integerPagerankOn: key the
     // iterated edge table on the round's re-cluster column
     val withDeg = Checkpoints.truncate(keyed(edges
@@ -447,9 +448,11 @@ object GraphOps {
     // moves node-sized partials, and the extra edge-sized build
     // exchange never pays back across the handful of peels.
     val edges = Checkpoints.truncate(rawEdges)
-    var survivors = Checkpoints.truncate(
-      edges.select(col("src").as("node")).distinct())
-    var nSurv = survivors.count()
+    // the survivor count rides the checkpoint's materialization job
+    // (truncateObserved) — here and per peel below, one job per round
+    // instead of materialize + count
+    var (survivors, nSurv) = Checkpoints.truncateObserved(
+      edges.select(col("src").as("node")).distinct(), count(lit(1)))
     var round = 0
     var done = false
     def gate(e: DataFrame, s: DataFrame): DataFrame = {
@@ -464,9 +467,8 @@ object GraphOps {
       val deg = gate(edges, survivors)
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-      val next = Checkpoints.truncate(
-        deg.filter(col("deg") >= k).select("node"))
-      val nNext = next.count()
+      val (next, nNext) = Checkpoints.truncateObserved(
+        deg.filter(col("deg") >= k).select("node"), count(lit(1)))
       done = nNext == nSurv // peels only remove: equal count = fixed point
       survivors = next
       nSurv = nNext
@@ -780,10 +782,13 @@ object GraphOps {
     // exchange-free stage (the shuffle-join fallback is unchanged)
     val edges = Checkpoints.truncate(
       keyed(coactivityEdges(events, maxGroupSize, policy), col("src")))
-    var labels = Checkpoints.truncate(
+    // node count observed inside the checkpoint job, not a second action
+    val (labels0, nNodes) = Checkpoints.truncateObserved(
       edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")))
-    val bcast = labels.count() <= broadcastNodeLimit
+        .withColumn("lbl", col("node")),
+      count(lit(1)))
+    var labels = labels0
+    val bcast = nNodes <= broadcastNodeLimit
     for (i <- 1 to iterations) {
       labels = lpaRound(edges, labels, bcast)
       if (i % 2 == 0 || i == iterations)
@@ -819,9 +824,11 @@ object GraphOps {
     // neither re-shuffles the edge set
     val edges = Checkpoints.truncate(
       keyed(coactivityEdges(events, maxGroupSize, policy), col("src")))
-    val deg = Checkpoints.truncate(
-      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
-    val bcast = deg.count() <= broadcastNodeLimit
+    // node count observed inside the checkpoint job, not a second action
+    val (deg, nNodes) = Checkpoints.truncateObserved(
+      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+      count(lit(1)))
+    val bcast = nNodes <= broadcastNodeLimit
     def side(c: String, as: String) = {
       val r = deg.select(col("node").as(c), col("deg").as(as))
       if (bcast) broadcast(r) else r

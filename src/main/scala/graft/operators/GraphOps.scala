@@ -108,38 +108,35 @@ object GraphOps {
     * larger than `maxGroupSize` are deleted whole before the quadratic
     * pair fan-out. Output: (event_type, mb, us) with 2 ≤ |us| ≤ cap.
     *
-    * Shape: the 3-key distinct runs FIRST (hashed on the full key, so
-    * map-side partials collapse a wallet's many same-hour events before
-    * anything ships — a group-key-first repartition would force a
-    * complete-mode aggregate that shuffles every raw row) and is
-    * `localCheckpoint`ed: the activity set feeds both the group-size
-    * count and the membership join, and without the materialization
-    * each consumer re-runs the scan + dedup shuffle (measured: the AQE
-    * stage cache does NOT dedupe the branches — column pruning gives
-    * them different canonical schemas). The membership list is
-    * collected AFTER the size filter, so a corpus-wide hot hour never
-    * materializes its membership anywhere. */
+    * Shape: ONE bucket-keyed aggregate ([[graft.functions.
+    * BoundedMembershipAgg]]) — the map-side partial dedupes a wallet's
+    * many same-hour events locally and the single exchange ships one
+    * ≤ cap-entry set per (bucket, map partition). This replaces the
+    * former three-stage pipeline (3-key `distinct` exchange →
+    * bucket-key re-exchange + localCheckpoint → size count + membership
+    * join + `collect_list`): two distinct-activity-sized exchanges, a
+    * checkpoint and a join collapse into one bounded-bytes shuffle.
+    * The old safety property — a corpus-wide hot hour never
+    * materializes its membership — holds by construction: a buffer
+    * collapses to an overflow sentinel the moment it exceeds the cap.
+    *
+    * The explicit repartition AFTER the aggregate is task spreading,
+    * not clustering: the kept-bucket table is tiny (AQE would coalesce
+    * it to one task by map-input size) but the pair explode downstream
+    * fans out quadratically in |us| — the washPairs lesson. It moves
+    * ≤ cap longs per KEPT bucket, a sliver of the former re-exchange. */
   private def droppedBuckets(
-      events: DataFrame, maxGroupSize: Int): DataFrame = {
-    // distinct (market, hour, wallet) activity, materialized once —
-    // re-keyed to the bucket key AFTER the 3-key distinct (map-side
-    // partials still collapse before the first shuffle), so the size
-    // count, both sides of the membership join and the collect_list
-    // all reuse one clustering instead of paying three (event_type,
-    // mb) exchanges downstream
-    val act = keyed(events.select(col("event_type"),
+      events: DataFrame, maxGroupSize: Int): DataFrame =
+    events.select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("mb"),
         col("user_id"))
-      .distinct(), col("event_type"), col("mb"))
-      .localCheckpoint()
-    val sized = act.groupBy("event_type", "mb")
-      .agg(count(lit(1)).as("gs"))
-      .filter(col("gs") >= 2 && col("gs") <= maxGroupSize)
-      .select(col("event_type"), col("mb"))
-    act.join(sized, Seq("event_type", "mb"))
       .groupBy("event_type", "mb")
-      .agg(collect_list(col("user_id")).as("us")) // bounded ≤ maxGroupSize
-  }
+      .agg(graft.functions.BoundedMembershipAgg.boundedMembership(
+        col("user_id"), maxGroupSize).as("us"))
+      .filter(col("us").isNotNull)
+      .repartition(math.max(32,
+        events.sparkSession.sessionState.conf.numShufflePartitions),
+        col("event_type"), col("mb"))
 
   /** Per-(market, hour) membership lists under the DEGRADE policy: each
     * bucket keeps its `maxGroupSize` MOST-ACTIVE wallets (event count

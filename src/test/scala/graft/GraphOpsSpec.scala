@@ -133,4 +133,55 @@ class GraphOpsSpec extends TestSparkSession {
     assert(out(0).getLong(2) === 1L) // one victim trade
     assert(out(0).getLong(4) === 700L) // its cents
   }
+
+  test("boundedMembership ≡ distinct + size-filter + collect_list " +
+      "(nulls count toward the size like distinct(), never the list)") {
+    import graft.functions.BoundedMembershipAgg.boundedMembership
+    // groups: g1 = {1,2,3} dup-heavy (kept), g2 = {1..5} over cap 4
+    // (dropped), g3 = {7} singleton (dropped), g4 = {null, 9} (kept —
+    // distinct() counts the null row, collect_list drops it),
+    // g5 = {null} (dropped: 1 distinct), g6 = {null, 10, 11, 12, 13}
+    // (over cap 4 BECAUSE of the null — the old count(*) did too)
+    val rows: Seq[(String, java.lang.Long)] =
+      Seq[(String, java.lang.Long)](("g1", 1L), ("g1", 2L), ("g1", 3L),
+        ("g1", 2L), ("g1", 1L)) ++
+      (1 to 5).map(i => ("g2", java.lang.Long.valueOf(i.toLong))) ++
+      Seq(("g3", java.lang.Long.valueOf(7L)), ("g4", null), ("g4", 9L),
+        ("g5", null), ("g6", null), ("g6", 10L), ("g6", 11L),
+        ("g6", 12L), ("g6", 13L))
+    val df = rows.toDF("g", "uid")
+    val got = df.groupBy("g")
+      .agg(boundedMembership(col("uid"), 4).as("us"))
+      .filter(col("us").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // reference formulation: the pre-round-12 three-stage pipeline
+    val act = df.distinct()
+    val sized = act.groupBy("g").agg(count(lit(1)).as("gs"))
+      .filter(col("gs") >= 2 && col("gs") <= 4).select("g")
+    val ref = act.join(sized, "g").groupBy("g")
+      .agg(sort_array(collect_list(col("uid"))).as("us"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got === ref)
+    assert(got.keySet === Set("g1", "g4"))
+    assert(got("g1") === Seq(1L, 2L, 3L))
+    assert(got("g4") === Seq(9L)) // null counted the group in, not listed
+  }
+
+  test("boundedMembership partial buffers stay bounded through merge " +
+      "(over-cap group collapses to the overflow sentinel, not a set)") {
+    import graft.functions.BoundedMembershipAgg
+    val agg = BoundedMembershipAgg(
+      org.apache.spark.sql.GraftBridge.expression(lit(0L)), 3)
+    val b = agg.createAggregationBuffer()
+    val other = agg.createAggregationBuffer()
+    (1L to 3L).foreach(v => other.set.add(v))
+    (10L to 12L).foreach(v => b.set.add(v))
+    val merged = agg.merge(b, other) // 6 distinct > cap 3
+    assert(merged.overflowed)
+    assert(merged.set.isEmpty) // the sentinel holds no members
+    assert(agg.eval(merged) === null)
+    // serialize round-trip keeps the sentinel
+    val rt = agg.deserialize(agg.serialize(merged))
+    assert(rt.overflowed && rt.set.isEmpty)
+  }
 }

@@ -293,4 +293,37 @@ object VecOps {
     }
     new GenericArrayData(out)
   }
+
+  /** ADC distance of one PQ-coded vector to one query, over PRE-SCALED
+    * decimal lookups: `scaled(sub)(idx)` is the query's per-(sub, code)
+    * squared distance already fixed to the 1e-9 grid as an unscaled
+    * long (see Similarity.pqTopK's adcScaled9 — the exact
+    * `round(d2, 9) :: cast decimal(25,9)` emulation). The sum of
+    * unscaled longs IS the decimal(·,9) sum (exact, order-free), and
+    * the close converts once — `BigDecimal.valueOf(sum, 9).doubleValue`
+    * ≡ Decimal.toDouble of the old aggregate. Null codes (a subspace
+    * absent from the codebook) are skipped exactly like the former
+    * inner join; a vector with NO non-null code yields null (the old
+    * join produced no row for it). Code ids resolve to table slots by
+    * binary search over the per-sub sorted id arrays. */
+  def pqAdc(codes: ArrayData, codeIds: Array[Array[Long]],
+      scaled: Array[Array[Long]]): java.lang.Double = {
+    val m = codes.numElements()
+    var sum = 0L
+    var any = false
+    var s = 0
+    while (s < m) {
+      if (!codes.isNullAt(s)) {
+        val idx = java.util.Arrays.binarySearch(codeIds(s), codes.getLong(s))
+        if (idx >= 0) { // codes come from this codebook by construction
+          sum += scaled(s)(idx)
+          any = true
+        }
+      }
+      s += 1
+    }
+    if (!any) null
+    else java.lang.Double.valueOf(
+      java.math.BigDecimal.valueOf(sum, 9).doubleValue())
+  }
 }

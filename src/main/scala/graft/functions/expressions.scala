@@ -287,6 +287,38 @@ case class PqArgmin(child: Expression, flat: Array[Float],
     copy(child = newChild)
 }
 
+/** ADC lookup-table distance (see [[VecOps.pqAdc]]): PQ code array ×
+  * per-subspace sorted code ids × one query's pre-scaled decimal
+  * lookup table → the query's summed distance, in one compiled pass.
+  * Replaces the codes ⋈ query-table join + decimal-sum aggregate whose
+  * n·m·|queries| row fan-through was the serve path's dominant stage;
+  * arithmetic is bit-identical (lookups pre-fixed to the 1e-9 grid,
+  * exact long sum, one Decimal→double close). */
+case class PqAdc(child: Expression, codeIds: Array[Array[Long]],
+    scaled: Array[Array[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+  override protected def nullSafeEval(codes: Any): Any =
+    VecOps.pqAdc(
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codeIds, scaled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("adcCodeIds", codeIds, "long[][]")
+    val tab = ctx.addReferenceObj("adcScaled", scaled, "long[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("adc")
+      s"""java.lang.Double $tmp = graft.functions.VecOps.pqAdc($c, $ids, $tab);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+}
+
 /** Nearest-IVF-cell argmax-cosine (see [[VecOps.cellArgmin]]): vector ×
   * row-major centroid matrix × centroid norms × centroid ids → winning
   * cell id in one compiled pass, replacing the n·cells crossJoin +
@@ -448,6 +480,10 @@ object exprs {
   def cell_argmin(v: Column, flat: Array[Float], norms: Array[Double],
       ids: Array[Long]): Column =
     col(CellArgmin(ex(v), flat, norms, ids))
+
+  def pq_adc(codes: Column, codeIds: Array[Array[Long]],
+      scaled: Array[Array[Long]]): Column =
+    col(PqAdc(ex(codes), codeIds, scaled))
   def vec_norm2(a: Column): Column = col(VecNorm2(ex(a)))
   def mat_vec_centered(v: Column, mean: Array[Double],
       flat: Array[Double]): Column =

@@ -581,17 +581,18 @@ object Similarity {
     * tie-break are bit-identical (pinned: the refactor reproduced the
     * exact pre-change parquet bytes at sf0.01, and the full-probe ≡ PQ
     * equality spec still holds). */
-  private def pqAssign(emb: DataFrame, codebook: DataFrame,
-      dims: Int, m: Int): DataFrame = {
+  /** The per-subspace nearest-codeword columns (one compiled
+    * [[graft.functions.PqArgmin]] each) for a collected codebook; None
+    * when the codebook is empty. Shared by the exploded-row assign
+    * ([[pqAssign]]) and the array-form assign the ADC kernel scans. */
+  private def pqCodeCols(codebook: DataFrame, dims: Int,
+      m: Int): Option[Seq[org.apache.spark.sql.Column]] = {
     import graft.functions.exprs.pq_argmin
     val w = dims / m
     val rows = codebook.select(col("sub"), col("code"), col("cw")).collect()
-    if (rows.isEmpty)
-      return emb.sparkSession.emptyDataFrame
-        .select(lit(0L).as("vec_id"), lit(0).as("sub"), lit(0L).as("code"))
-        .limit(0)
+    if (rows.isEmpty) return None
     val bySub = rows.groupBy(_.getInt(0))
-    val codeCols = (0 until m).map { sub =>
+    Some((0 until m).map { sub =>
       bySub.get(sub) match {
         case Some(rs) =>
           val entries = rs.map(r => (r.getLong(1),
@@ -602,11 +603,21 @@ object Similarity {
                                               // inner join dropped the
                                               // subspace — filtered below
       }
-    }
-    widen(emb).select(col("vec_id"),
-        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
-      .filter(col("code").isNotNull)
+    })
   }
+
+  private def pqAssign(emb: DataFrame, codebook: DataFrame,
+      dims: Int, m: Int): DataFrame =
+    pqCodeCols(codebook, dims, m) match {
+      case None =>
+        emb.sparkSession.emptyDataFrame
+          .select(lit(0L).as("vec_id"), lit(0).as("sub"), lit(0L).as("code"))
+          .limit(0)
+      case Some(codeCols) =>
+        widen(emb).select(col("vec_id"),
+            posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+          .filter(col("code").isNotNull)
+    }
 
   /** C7f query side: asymmetric-distance (ADC) top-k over PQ codes. The
     * query builds an (m × |codebook|) distance lookup table against the
@@ -630,8 +641,6 @@ object Similarity {
       .getOrElse(pqCodebook(emb, dims, m, seedEvery, maxCodes = maxCodes,
         trainEvery = trainEvery))
       .localCheckpoint(eager = true)
-    val codes = pqAssign(emb, cb, dims, m)
-      .withColumnRenamed("vec_id", "neighbor_id")
     val qTable = queries
       .select(col("vec_id").as("q_id"), col("embedding"))
       .crossJoin(broadcast(cb))
@@ -646,13 +655,80 @@ object Similarity {
     // the sum: a raw double sum of the lookups is partial-aggregation-
     // order dependent (ulp drift across layouts/plans) — caught by the
     // IVF-PQ full-probe equality pin
-    codes.join(qTable, Seq("sub", "code"))
-      .filter(col("neighbor_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("neighbor_id"))
-      .agg(sum(round(col("d2"), 9).cast("decimal(25,9)")).cast("double")
-        .as("adc_d2"))
-      .withColumn("rk", row_number().over(rankW).cast("bigint"))
-      .filter(col("rk") <= k)
+    //
+    // When the query-side lookup table is literal-sized (queries ×
+    // m × |codes| rows — KBs for a serve batch), it is collected and
+    // shipped INSIDE one codegen'd [[graft.functions.PqAdc]] pass per
+    // (corpus vector, query): each lookup is pre-fixed to the 1e-9
+    // grid as an unscaled long on the driver (adcScaled9 below — the
+    // exact round(d2,9)::cast(decimal(25,9)) emulation), the per-query
+    // sum is an exact long sum (≡ the decimal(·,9) aggregate, order-
+    // free), and one Decimal→double close matches Decimal.toDouble.
+    // This removes the n·m-row posexplode, the codes ⋈ table join and
+    // the n·m·q-row partial aggregate — the serve path's dominant
+    // stage — leaving one compiled scan feeding the rank window (which
+    // Spark bounds map-side via WindowGroupLimit). Past the literal
+    // bound (huge query batches) the join formulation runs verbatim.
+    val qtProbe = qTable.limit(65537).collect()
+    val codeColsOpt = if (qtProbe.nonEmpty && qtProbe.length <= 65536)
+      pqCodeCols(cb, dims, m) else None
+    codeColsOpt match {
+      case Some(codeCols) =>
+        val subIds: Array[Array[Long]] = (0 until m).map { sub =>
+          qtProbe.iterator.filter(_.getInt(1) == sub)
+            .map(_.getLong(2)).toArray.distinct.sorted
+        }.toArray
+        val qs = qtProbe.map(_.getLong(0)).distinct.sorted
+        val adcStructs = qs.map { qid =>
+          val scaled: Array[Array[Long]] = {
+            val mine = qtProbe.iterator.filter(r =>
+              r.getLong(0) == qid).map(r =>
+              (r.getInt(1), r.getLong(2)) ->
+                (if (r.isNullAt(3)) 0L else adcScaled9(r.getDouble(3))))
+              .toMap
+            (0 until m).map(sub =>
+              subIds(sub).map(c => mine((sub, c)))).toArray
+          }
+          struct(lit(qid).as("q_id"),
+            graft.functions.exprs.pq_adc(col("codes"), subIds, scaled)
+              .as("adc_d2"))
+        }
+        widen(emb)
+          .select(col("vec_id").as("neighbor_id"),
+            array(codeCols: _*).as("codes"))
+          .select(col("neighbor_id"),
+            explode(array(adcStructs: _*)).as("qa"))
+          .select(col("qa.q_id").as("q_id"), col("neighbor_id"),
+            col("qa.adc_d2").as("adc_d2"))
+          .filter(col("adc_d2").isNotNull &&
+            col("neighbor_id") =!= col("q_id"))
+          .withColumn("rk", row_number().over(rankW).cast("bigint"))
+          .filter(col("rk") <= k)
+      case None =>
+        val codes = pqAssign(emb, cb, dims, m)
+          .withColumnRenamed("vec_id", "neighbor_id")
+        codes.join(qTable, Seq("sub", "code"))
+          .filter(col("neighbor_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("neighbor_id"))
+          .agg(sum(round(col("d2"), 9).cast("decimal(25,9)")).cast("double")
+            .as("adc_d2"))
+          .withColumn("rk", row_number().over(rankW).cast("bigint"))
+          .filter(col("rk") <= k)
+    }
+  }
+
+  /** The driver-side twin of `round(d2, 9).cast("decimal(25,9)")` as an
+    * unscaled (scale-9) long: Spark's Round(double, 9) is
+    * BigDecimal.valueOf(d).setScale(9, HALF_UP).doubleValue, and the
+    * Cast re-parses that double's shortest decimal representation and
+    * fixes scale 9 with HALF_UP — reproduced step for step so the
+    * PqAdc kernel's long sums are bit-identical to the decimal
+    * aggregate they replace. */
+  private[graft] def adcScaled9(d2: Double): Long = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val r9 = JBD.valueOf(d2).setScale(9, RoundingMode.HALF_UP).doubleValue()
+    new JBD(java.lang.Double.toString(r9))
+      .setScale(9, RoundingMode.HALF_UP).unscaledValue().longValueExact()
   }
 
   /** C51: IVF-PQ composite — the standard billion-vector index shape

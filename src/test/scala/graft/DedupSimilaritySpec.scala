@@ -353,4 +353,29 @@ class DedupSimilaritySpec extends TestSparkSession {
     // set should be nearly identical, far above the PQ bound
     assert(recall >= 0.7, s"int8 MIPS recall was $recall")
   }
+
+  test("PqAdc scaled-long arithmetic ≡ the round/decimal(25,9) aggregate " +
+      "it replaces, across magnitudes") {
+    import spark.implicits._
+    // the ADC kernel pre-fixes each lookup to the 1e-9 grid as an
+    // unscaled long (Similarity.adcScaled9) and sums longs; that must
+    // reproduce sum(round(d2,9)::decimal(25,9))::double bit for bit
+    val rnd = new scala.util.Random(42)
+    val d2s = Seq.fill(512)(
+      rnd.nextDouble() * math.pow(10.0, rnd.nextInt(9) - 4))
+    val df = d2s.zipWithIndex.map { case (d, i) => (i / 8, d) }
+      .toDF("g", "d2")
+    val ref = df.groupBy("g")
+      .agg(sum(round(col("d2"), 9).cast("decimal(25,9)")).cast("double")
+        .as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val got = d2s.zipWithIndex.groupBy(_._2 / 8).map { case (g, vs) =>
+      g -> java.math.BigDecimal.valueOf(
+        vs.map(v => Similarity.adcScaled9(v._1)).sum, 9).doubleValue()
+    }
+    ref.foreach { case (g, r) =>
+      assert(java.lang.Double.doubleToRawLongBits(got(g)) ===
+        java.lang.Double.doubleToRawLongBits(r), s"group $g: ${got(g)} != $r")
+    }
+  }
 }

@@ -590,24 +590,27 @@ class PlanAuditSpec extends TestSparkSession {
       "the capped edge build must stay equi-keyed end to end")
   }
 
-  test("coactivity edge build: three exchanges, explode fan-out, " +
-      "map-side partial dedup") {
-    // the builder's scale contract: the distinct activity set is
-    // materialized ONCE (the checkpoint leaf replaces the raw scan for
-    // both consumers — without it each branch re-runs scan + dedup
-    // shuffle, and the AQE stage cache does not dedupe them because
-    // column pruning gives the branches different canonical schemas),
-    // and the pair fan-out is a map-side double-explode, never a
+  test("dropall coactivity edge build: ONE bounded-membership aggregate " +
+      "over one raw scan, explode fan-out, no membership join") {
+    // the round-12 builder contract: the drop-policy buckets come from
+    // a single bucket-keyed BoundedMembershipAgg pass (map-side partial
+    // dedup, one bounded-bytes exchange) — never the old three-stage
+    // distinct → re-key+checkpoint → size-filter join + collect_list —
+    // and the pair fan-out stays a map-side double-explode, never a
     // self-join re-shuffle
     val plan = planOf(GraphOps.coactivityEdges(
       Tables.events(spark, sfDir), 64, GraphOps.DropAll(acknowledgeVacuous = true)))
+    assert(plan.contains("graft_bounded_membership"),
+      "bucket membership must fold in the bounded one-pass aggregate:\n" +
+        plan.take(600))
+    assert("(FileScan|Scan parquet)".r.findAllIn(plan).size == 1,
+      "the events table must be scanned exactly once:\n" + plan)
     assert(plan.contains("Generate explode"),
       "pair fan-out must be the map-side double-explode")
-    assert(!plan.contains("FileScan"),
-      "both consumers must read the one materialized activity set, " +
-        "not re-scan the raw events:\n" + plan)
-    assert(plan.contains("Scan ExistingRDD"),
-      "expected the checkpointed activity leaf")
+    assert(!plan.contains("collect_list") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "no membership join / collect_list belongs in the drop-policy " +
+        "bucket build:\n" + plan.take(600))
   }
 
   test("pagerank round in the broadcast regime never re-shuffles edges") {

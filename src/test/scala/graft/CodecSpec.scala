@@ -112,6 +112,46 @@ class CodecSpec extends TestSparkSession {
     assert(Base58.decode(Base58.encode(bytes)).toSeq == bytes.toSeq)
   }
 
+  test("base58 limb codec ≡ schoolbook BigInteger reference, all sizes " +
+      "and zero prefixes") {
+    // the 32-bit-limb divmod (5 digits per pass) must reproduce the
+    // canonical positional encoding digit for digit — checked against
+    // an independent BigInteger digit-at-a-time reference over lengths
+    // 0..64 with 0..3 leading zero bytes, plus the exact inverse
+    val alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    def refEncode(b: Array[Byte]): String = {
+      val zeros = b.takeWhile(_ == 0).length
+      var n = new java.math.BigInteger(1, b)
+      val fiftyEight = java.math.BigInteger.valueOf(58)
+      val sb = new StringBuilder
+      while (n.signum > 0) {
+        val qr = n.divideAndRemainder(fiftyEight)
+        sb.append(alphabet.charAt(qr(1).intValue))
+        n = qr(0)
+      }
+      "1" * zeros + sb.reverse.toString
+    }
+    val rnd = new scala.util.Random(20260819)
+    for (len <- 0 to 64; zeros <- 0 to 3) {
+      val body = new Array[Byte](len)
+      rnd.nextBytes(body)
+      if (len > 0 && zeros < len) body(zeros) = // keep the zero count exact
+        (((body(zeros) & 0xff) % 254) + 1).toByte
+      java.util.Arrays.fill(body, 0, math.min(zeros, len), 0.toByte)
+      val enc = Base58.encode(body)
+      assert(enc == refEncode(body), s"len=$len zeros=$zeros")
+      assert(Base58.decode(enc).toSeq == body.toSeq, s"len=$len zeros=$zeros")
+    }
+    // boundary magnitudes around the 58^5 grouping
+    for (v <- Seq(58L * 58 * 58 * 58 * 58, 58L * 58 * 58 * 58 * 58 - 1,
+        58L * 58 * 58 * 58 * 58 + 1, 1L, 57L, 58L)) {
+      val b = java.math.BigInteger.valueOf(v).toByteArray.dropWhile(_ == 0)
+      assert(Base58.encode(b) == refEncode(b), s"v=$v")
+      assert(Base58.decode(Base58.encode(b)).toSeq == b.toSeq, s"v=$v")
+    }
+    assert(Base58.decodeOrNull("0OIl") == null) // invalid chars still null
+  }
+
   test("le long/int read-write round trip") {
     val vals = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 123456789012345L)
     vals.foreach { v =>

@@ -294,6 +294,19 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** Non-empty intersection of two long-array bitmasks over the same
+    * fixed grid (index i covers bits 64i..64i+63). Shorter array ≡
+    * zero-padded; one branch-light pass, codegen-friendly. */
+  def maskIntersects(a: ArrayData, b: ArrayData): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if ((a.getLong(i) & b.getLong(i)) != 0L) return true
+      i += 1
+    }
+    false
+  }
+
   /** ADC distance of one PQ-coded vector to one query, over PRE-SCALED
     * decimal lookups: `scaled(sub)(idx)` is the query's per-(sub, code)
     * squared distance already fixed to the 1e-9 grid as an unscaled

@@ -319,6 +319,30 @@ case class PqAdc(child: Expression, codeIds: Array[Array[Long]],
     copy(child = newChild)
 }
 
+/** Bitmask-array intersection test (see [[VecOps.maskIntersects]]):
+  * true iff two long-array bitmasks over the same fixed grid share a
+  * set bit. The washPairs reversal pre-filter evaluates this per
+  * directed fan-out row — a higher-order `exists(zip_with(...))` would
+  * run interpreted per the repo's lambda rule; this stays inside
+  * whole-stage codegen. */
+case class MaskIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_mask_intersects"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.maskIntersects(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecOps.maskIntersects($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaskIntersects =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Nearest-IVF-cell argmax-cosine (see [[VecOps.cellArgmin]]): vector ×
   * row-major centroid matrix × centroid norms × centroid ids → winning
   * cell id in one compiled pass, replacing the n·cells crossJoin +
@@ -484,6 +508,9 @@ object exprs {
   def pq_adc(codes: Column, codeIds: Array[Array[Long]],
       scaled: Array[Array[Long]]): Column =
     col(PqAdc(ex(codes), codeIds, scaled))
+
+  def mask_intersects(a: Column, b: Column): Column =
+    col(MaskIntersects(ex(a), ex(b)))
   def vec_norm2(a: Column): Column = col(VecNorm2(ex(a)))
   def mat_vec_centered(v: Column, mean: Array[Double],
       flat: Array[Double]): Column =

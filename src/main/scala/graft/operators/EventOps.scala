@@ -1818,8 +1818,77 @@ object EventOps {
         Window.partitionBy(col("mb")).orderBy(n.desc, col("uid"))))
       .filter(col("rk") <= maxBucketWallets)
       .select(col("mb"), col("uid").as(out))
-    val buyers = topSide(col("nb"), "bu")
-    val sellers = topSide(col("ns"), "se")
+    val buyers0 = topSide(col("nb"), "bu")
+    val sellers0 = topSide(col("ns"), "se")
+    // Reversal pre-filter (guide §3.2, a semi-join in bitmask clothing):
+    // a pair only survives the final `hours_ab >= 1 && hours_ba >= 1`
+    // filter if a REVERSE directed row exists — ∃h′: se ∈ buyers(h′) ∧
+    // bu ∈ sellers(h′) over the SAME capped side tables. Each wallet
+    // gets one hour-grid bitmask per side (bit = hour − minHour, built
+    // by nLongs bit_or aggregates over the capped rows); the masks ride
+    // a wallet-sized broadcast onto the opposite side table, and the
+    // fan-out keeps a directed row only when buyMask(se) ∩ sellMask(bu)
+    // ≠ ∅ — i.e. EXACTLY when the reverse row exists (hour-granular, no
+    // false positives; no false negatives, so every row of a surviving
+    // pair is kept and the counts are unchanged; rows of never-surviving
+    // pairs are the only ones dropped). Measured at sf10 the dominant
+    // pair exchange carries 128M rows instead of 755M (DuckDB ground
+    // truth: 754 963 336 directed rows, 127 666 971 in surviving pairs)
+    // — the §2.5 skew levers were measured inapplicable first: every
+    // hour saturates the cap on both sides (per-hour fan-out max =
+    // median = 1 048 576), so there is no hot bucket to salt or split.
+    // The mask test itself is a codegen'd expression (MaskIntersects):
+    // the equivalent exists(zip_with(..)) lambda runs interpreted.
+    // Scale guard: masks are (hour-span)/8 bytes per wallet-side; past
+    // the bound (deep history × huge wallet count) the unfiltered shape
+    // runs verbatim — same outputs, just without the pre-filter.
+    // engage only when the corpus is big enough that the saved exchange
+    // rows outweigh the pre-filter's ~4 extra scheduler rounds (mask
+    // aggregates, broadcasts, side-table materialization): measured at
+    // sf0.1 (7k wallets, ~8M fan-out rows) the masked path LOST 3.5 →
+    // 6.0 s — fixed job overhead, nothing to save — while at sf10
+    // (722k wallets, 755M fan-out rows) it won 108.5 → 26.4 s. The
+    // gate is data-derived (the already-computed distinct-wallet
+    // count), not a core-count constant; conf-overridable either way.
+    val maskMinWallets = events.sparkSession.conf
+      .get("spark.graft.washPairsMaskMinWallets", "65536").toLong
+    val mbStats =
+      if (dictCount < maskMinWallets) null
+      else sides.agg(min(col("mb")).as("lo"), max(col("mb")).as("hi")).head
+    val maskable = mbStats != null && !mbStats.isNullAt(0) && {
+      val span = mbStats.getLong(1) - mbStats.getLong(0) + 1
+      span <= 65536 && dictCount * ((span + 63) / 64) <= (1L << 25)
+    }
+    val (buyers, sellers) =
+      if (!maskable) (buyers0, sellers0)
+      else {
+        val lo = mbStats.getLong(0)
+        val nLongs = ((mbStats.getLong(1) - lo) / 64 + 1).toInt
+        // windows computed once: masks and the fan-out both read the
+        // materialized capped side tables (two small checkpoints)
+        val bC = buyers0.localCheckpoint()
+        val sC = sellers0.localCheckpoint()
+        def sideMask(df: DataFrame, idCol: String, out: String) = {
+          val aggs = (0 until nLongs).map(i =>
+            bit_or(when(expr(s"(mb - $lo) div 64") === i,
+              expr(s"shiftleft(1L, cast((mb - $lo) % 64 as int))"))
+              .otherwise(0L)).as(s"m$i"))
+          df.groupBy(col(idCol).as("muid"))
+            .agg(aggs.head, aggs.tail: _*)
+            .select(col("muid").as(idCol),
+              array((0 until nLongs).map(i => col(s"m$i")): _*).as(out))
+        }
+        // inner join: a buyer that never tops the sell side has a null
+        // sell-mask — no reverse row can exist, so dropping the row is
+        // the filter's own verdict
+        (bC.join(broadcast(sideMask(sC, "se", "bu_sm")
+            .withColumnRenamed("se", "bu")), Seq("bu")),
+          sC.join(broadcast(sideMask(bC, "bu", "se_bm")
+            .withColumnRenamed("bu", "se")), Seq("se")))
+      }
+    val maskFilter =
+      if (!maskable) lit(true)
+      else graft.functions.exprs.mask_intersects(col("bu_sm"), col("se_bm"))
     // ONE signed 64-bit key per directed pair row: (min id << 32 | max
     // id), direction in the sign. The pair exchange is the dominant
     // cost of the whole query (~755M rows at sf10) and its row was
@@ -1838,7 +1907,7 @@ object EventOps {
     // partitioning (no second shuffle) and every copy of a pair,
     // either direction, lands in one task.
     val pairs = buyers.join(sellers, Seq("mb"))
-      .filter(col("bu") =!= col("se"))
+      .filter(col("bu") =!= col("se") && maskFilter)
       .select(when(col("bu") < col("se"),
           col("bu") * lit(4294967296L) + col("se"))
         .otherwise(-(col("se") * lit(4294967296L) + col("bu")))

@@ -27,6 +27,14 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLANCONF="k=v,k=v": session confs to apply before the
+    // plan builds — lets a dump capture a size-gated regime (e.g. the
+    // washPairs mask path) that the tiny default sfDir would not trip
+    sys.env.get("SPARK_GRAFT_PLANCONF").foreach(_.split(",")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
       try {

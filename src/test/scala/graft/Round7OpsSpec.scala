@@ -272,6 +272,41 @@ class Round7OpsSpec extends TestSparkSession {
     assert(overCap.isEmpty, s"beyond-cap wallets leaked: $overCap")
   }
 
+  test("washPairs reversal-mask pre-filter ≡ the unfiltered shape " +
+      "(both regimes, same synthetic corpus)") {
+    // same corpus as the planted-ring test, plus wallets that trade
+    // ONE direction only (pure buyers 200..204, pure sellers 300..304
+    // across both hours) — the rows the mask filter exists to drop
+    val h1 = 0L; val h2 = 3600L
+    val ring = Seq.tabulate(10)(i => (h1 + i, 1L, "purchase")) ++
+      Seq.tabulate(10)(i => (h1 + i, 2L, "view")) ++
+      Seq.tabulate(10)(i => (h2 + i, 2L, "purchase")) ++
+      Seq.tabulate(10)(i => (h2 + i, 1L, "view"))
+    val oneSided = for {
+      h <- Seq(h1, h2); w <- 200L to 204L
+      r <- Seq((h + w, w, "purchase"), (h + w + 500, w + 100, "view"))
+    } yield r
+    val bg = for {
+      h <- Seq(h1, h2); w <- 100L to 149L
+      r <- Seq((h + w, w, "purchase"), (h + w, w, "view"))
+    } yield r
+    val ev = (ring ++ oneSided ++ bg).toDF("sec", "user_id", "event_type")
+      .select(expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"), col("event_type"))
+    def run(): Set[(Long, Long, Long, Long)] =
+      EventOps.washPairs(ev, maxBucketWallets = 16)
+        .collect().map(r => (r.getAs[Long]("wallet_a"),
+          r.getAs[Long]("wallet_b"), r.getAs[Long]("hours_ab"),
+          r.getAs[Long]("hours_ba"))).toSet
+    val conf = "spark.graft.washPairsMaskMinWallets"
+    spark.conf.set(conf, "0") // force the masked path on a tiny corpus
+    val masked = try run() finally spark.conf.unset(conf)
+    val plain = run() // 112 wallets < the default gate → fallback shape
+    assert(masked == plain && masked.contains((1L, 2L, 1L, 1L)),
+      s"regimes disagree: masked=${masked.size} plain=${plain.size} " +
+        s"diff=${(masked diff plain) ++ (plain diff masked)}")
+  }
+
   test("coactivityPagerankCapped: an over-cap hour degrades to its " +
       "heaviest wallets instead of dropping (A71 goes vacuous there)") {
     // one (type, hour) bucket with 40 wallets: 1..16 have 3 events

@@ -319,6 +319,27 @@ case class PqAdc(child: Expression, codeIds: Array[Array[Long]],
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint set of a document (see [[TextOps.winnowFps]]):
+  * the MOSS sampling rule — min md5 per `w`-window of character
+  * `k`-gram hashes, rightmost on ties, distinct — in one compiled pass,
+  * replacing the per-character posexplode + md5 column + window
+  * struct-min + distinct pipeline it is byte-equivalent to. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.ADT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_fps"
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.winnowFps(s.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.TextOps.winnowFps($s, $k, $w);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 /** Bitmask-array intersection test (see [[VecOps.maskIntersects]]):
   * true iff two long-array bitmasks over the same fixed grid share a
   * set bit. The washPairs reversal pre-filter evaluates this per
@@ -511,6 +532,9 @@ object exprs {
 
   def mask_intersects(a: Column, b: Column): Column =
     col(MaskIntersects(ex(a), ex(b)))
+
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    col(WinnowFps(ex(text), k, w))
   def vec_norm2(a: Column): Column = col(VecNorm2(ex(a)))
   def mat_vec_centered(v: Column, mean: Array[Double],
       flat: Array[Double]): Column =

@@ -598,41 +598,28 @@ object Dedup {
     val reps = docs
       .groupBy(md5(col("text").cast("binary")).as("ht"))
       .agg(min("doc_id").as("doc_id"), first("text").as("text"))
-    // pre-partition by doc BEFORE the per-position explode: the rank
-    // window needs hashpartitioning(doc_id) anyway, and establishing it
-    // here moves each document's text across the exchange ONCE instead
-    // of one (doc_id, pos, 32-char digest) row per character — ~40x
-    // fewer shuffled bytes for the same clustering (guide §2.3/§8:
-    // shuffle the payload once, not a per-unit expansion of it). The
-    // per-doc distinct and the fingerprint-size aggregate downstream
-    // reuse the same partitioning, so neither pays an exchange.
-    // explicit partition count: a bare repartition(col) is AQE-coalescible
-    // — the doc-sized shuffle input is tiny next to the per-character
-    // explode it feeds, so AQE would collapse it to one task and
-    // serialize the window sort (the washPairs map-INPUT-sizing lesson)
+    // pre-partition by doc BEFORE the fingerprint kernel: the kernel
+    // does the per-character work (one md5 per position) inside one
+    // expression, and AQE sizes stages by map INPUT — the doc table is
+    // tiny next to the per-character hashing it feeds, so without the
+    // explicit exchange the whole corpus would hash in a handful of
+    // tasks (the washPairs map-INPUT-sizing lesson). The fingerprint
+    // count window downstream reuses the same clustering.
     val nPart = math.max(32,
       docs.sparkSession.sessionState.conf.numShufflePartitions)
-    val wins = reps
+    // One compiled pass per document (graft_winnow_fps) replaces the
+    // former per-character posexplode + md5 column + w-row window
+    // struct-min + global distinct: the kernel emits the distinct
+    // selected digests directly (hex order ≡ raw-digest unsigned order,
+    // so the rolling min compares 16 bytes and hex-encodes only
+    // winners). Byte-equivalent by construction — pinned by the
+    // kernel-vs-DataFrame spec and the hash oracle.
+    val fps = reps
       .filter(length(col("text")) >= k + w - 1)
       .repartition(nPart, col("doc_id"))
       .select(col("doc_id"),
-        explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(text, pos, $k)").cast("binary")).as("h"))
-    val winSpec = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(w - 1), 0)
-    // struct min ≡ the former concat(h, lpad(10⁹−pos)) string min: md5
-    // digests are all exactly 32 chars, so comparing the concatenation
-    // was (h asc, then 10⁹−pos asc = pos desc) — exactly the struct's
-    // field-by-field order — without the per-row 41-char string build
-    val fps = wins
-      .withColumn("sel",
-        min(struct(col("h"), (-col("pos")).as("np"))).over(winSpec))
-      .filter(col("pos") >= w)
-      .select(col("doc_id"), col("sel.h").as("fp"))
-      .distinct()
+        explode(graft.functions.exprs.winnow_fps(col("text"), k, w))
+          .as("fp"))
       .localCheckpoint() // hot-set build, both inverted-index join sides
                          // and the per-doc size aggregate all read it —
                          // unmaterialized, each consumer re-ran the

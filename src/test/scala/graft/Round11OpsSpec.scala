@@ -162,6 +162,46 @@ class Round11OpsSpec extends AnyFunSuite with TestSparkSession {
     assert(ppm.forall(p => p >= 0 && p <= 1000000))
   }
 
+  test("winnow_fps kernel ≡ the posexplode + window struct-min + " +
+      "distinct DataFrame pipeline it replaced") {
+    // the retired formulation, reconstructed verbatim: per-position md5,
+    // min(struct(h, -pos)) over the trailing w-window, distinct
+    val k = 12; val w = 4
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // all-equal hashes: tie-breaks
+      "abcabcabcabcabcabcabcabcabc", // period-3 repeats inside a window
+      "exactly-15-ch!!", // minimum legal length = k + w - 1
+      "päällekkäisyys ja tõlgendus üle tekstide müü", // multi-byte UTF-8
+      "z" + ("the quick brown fox jumps over the lazy dog" * 3)
+    )
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .filter(length(col("text")) >= k + w - 1)
+    val winSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    val ref = docs
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $k)").cast("binary")).as("h"))
+      .withColumn("sel",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(winSpec))
+      .filter(col("pos") >= w)
+      .select(col("doc_id"), col("sel.h").as("fp"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = docs
+      .select(col("doc_id"),
+        explode(graft.functions.exprs.winnow_fps(col("text"), k, w))
+          .as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == ref, s"kernel diverged: only-kernel=${got diff ref}, " +
+      s"only-ref=${ref diff got}")
+    assert(got.nonEmpty)
+  }
+
   test("labelPropagation separates bridge-linked rings that connected " +
       "components collapse") {
     import graft.operators.GraphOps

@@ -163,7 +163,13 @@ object EventSubscription {
     val events = graft.Tables.events(spark, sfDir)
     val stage = java.nio.file.Files
       .createTempDirectory("graft_preset_stage").toString
-    events.repartition(4).write.mode("overwrite").parquet(stage)
+    // the drain only watermarks on ts and counts rows (both presets run
+    // with empty include-lists), so the capture stages ONE column —
+    // same 4 files, same row count, ~6x fewer bytes through the
+    // round-robin exchange and both AvailableNow scans (guide §2.3:
+    // project before the exchange)
+    events.select(col("ts")).repartition(4)
+      .write.mode("overwrite").parquet(stage)
     val schema = spark.read.parquet(stage).schema
     def drain(preset: String, config: SubscriptionConfig): (String, Long, Long) = {
       val batches = new java.util.concurrent.atomic.AtomicLong(0)

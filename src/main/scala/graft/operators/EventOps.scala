@@ -1857,7 +1857,13 @@ object EventOps {
       else sides.agg(min(col("mb")).as("lo"), max(col("mb")).as("hi")).head
     val maskable = mbStats != null && !mbStats.isNullAt(0) && {
       val span = mbStats.getLong(1) - mbStats.getLong(0) + 1
-      span <= 65536 && dictCount * ((span + 63) / 64) <= (1L << 25)
+      // mask tables are built on the CAPPED side tables, so the wallets
+      // carrying a mask are bounded by span·maxBucketWallets no matter
+      // how many wallets the corpus holds — the broadcast stays
+      // ≤ 2²⁵ longs (256 MB of mask words) at ANY corpus size once the
+      // hour span is bounded
+      val maskedWallets = math.min(dictCount, span * maxBucketWallets)
+      span <= 65536 && maskedWallets * ((span + 63) / 64) <= (1L << 25)
     }
     val (buyers, sellers) =
       if (!maskable) (buyers0, sellers0)

@@ -707,12 +707,16 @@ object Dedup {
     // groups by `a`, and the broadcast-regime neighbor join is
     // map-side, so hash(a) makes each propagation round a single
     // exchange-free stage (guide §2.4); the shuffle-join fallback
-    // re-keys on `b` per round exactly as before.
+    // re-keys on `b` per round exactly as before. Partition COUNT is
+    // AQE's (bare repartition(col) is coalescible): a round's work is
+    // proportional to the edge table itself — no downstream explosion —
+    // so byte-proportional sizing replaces the former max(32, conf)
+    // constant (32 near-empty tasks per round on pair-sized state at
+    // bench scale; see GraphOps.keyed).
     val edges = Checkpoints.truncate(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-        .repartition(math.max(32, pairs.sparkSession.sessionState.conf
-          .numShufflePartitions), col("a")))
+        .repartition(col("a")))
     // label state is node-sized (two ids per row): when the graph is
     // small enough, broadcast it into the per-round joins so a round
     // never re-shuffles the edge list — same policy as the GraphOps

@@ -94,15 +94,19 @@ object GraphOps {
   val DefaultBroadcastNodeLimit: Long = 2L * 1000 * 1000
 
   /** Pin an iterated table's partitioning to the column its per-round
-    * aggregate/join re-clusters on, with an EXPLICIT partition count: a
-    * bare repartition(col) is AQE-coalescible, and these shuffle inputs
-    * are small next to the per-round work they feed (the washPairs
-    * map-INPUT-sizing lesson), so AQE would collapse them to one task
-    * and serialize every round. */
+    * aggregate/join re-clusters on. The partition COUNT is left to AQE
+    * (a bare repartition(col) is coalescible): unlike the fan-out
+    * spreaders (cappedBuckets/washPairs — explicit counts because their
+    * downstream explodes far beyond the map input), a loop round's work
+    * is proportional to the iterated table itself, so byte-proportional
+    * sizing is exactly right (guide §2: derive partitioning from input
+    * size, not a constant tuned for one deployment) — the former
+    * max(32, shuffle.partitions) ran 32 near-empty tasks per round per
+    * query on node-sized state at bench scale and was no less arbitrary
+    * one decade up. */
   private def keyed(df: DataFrame,
       cs: org.apache.spark.sql.Column*): DataFrame =
-    df.repartition(math.max(32,
-      df.sparkSession.sessionState.conf.numShufflePartitions), cs: _*)
+    df.repartition(cs: _*)
 
   /** Per-(market, hour) membership lists under the DROP policy: groups
     * larger than `maxGroupSize` are deleted whole before the quadratic

@@ -613,6 +613,39 @@ class PlanAuditSpec extends TestSparkSession {
         "bucket build:\n" + plan.take(600))
   }
 
+  test("washPairs masked regime: the reversal test compiles into the " +
+      "fan-out filter, masks attach by broadcast") {
+    // the round-12 contract: with the size gate forced open, the pair
+    // fan-out's filter carries the codegen'd mask intersection (never an
+    // interpreted zip_with/exists lambda) and the wallet-sized mask
+    // tables join in by broadcast — the fan-out join itself must never
+    // degrade to a sort-merge of the side tables
+    val conf = "spark.graft.washPairsMaskMinWallets"
+    spark.conf.set(conf, "0")
+    try {
+      val plan = planOf(EventOps.washPairs(Tables.events(spark, sfDir)))
+      assert(plan.contains("graft_mask_intersects"),
+        "reversal filter must be the compiled MaskIntersects kernel:\n" +
+          plan.take(600))
+      assert(plan.contains("BroadcastHashJoin"),
+        "masks must attach by broadcast")
+    } finally spark.conf.unset(conf)
+  }
+
+  test("pqTopK serve regime: ADC distances come from the compiled " +
+      "lookup kernel, not the codes-join aggregate") {
+    // the round-12 contract: a literal-sized query batch compiles into
+    // one PqAdc pass per query — the n·m posexplode, the codes ⋈ table
+    // join and the n·m·q decimal-sum aggregate must be gone
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = planOf(Similarity.pqTopK(emb,
+      emb.filter(col("vec_id") < 3), 64, 5))
+    assert(plan.contains("graft_pq_adc"),
+      "serve path must use the compiled ADC kernel:\n" + plan.take(600))
+    assert(!plan.contains("posexplode"),
+      "the per-(vector, sub) code explode must not materialize")
+  }
+
   test("pagerank round in the broadcast regime never re-shuffles edges") {
     // mirror one iteration of coactivityPagerank's broadcast regime:
     // rank state broadcasts into the round (no sort-merge join, so the

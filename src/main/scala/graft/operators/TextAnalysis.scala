@@ -1052,12 +1052,21 @@ object TextAnalysis {
         graft.functions.exprs.trigrams(col("text")).as("grams"))
       .filter(col("grams").isNotNull)
       .select(col("mdoc"), explode(col("grams")).as("g"))
+    // join-free scoring (§2.3 aggregate-before-shuffle): grams are
+    // DISTINCT per rep (the trigrams kernel emits a set), so the rep
+    // that first-occurs a gram holds exactly one row for it — n_novel
+    // per rep is just the first-occurrence table regrouped by its min
+    // doc, and n_grams is a per-rep count. The former g ⋈ first join
+    // re-exchanged the full (rep, gram) explode by gram a second time
+    // and shipped every gram row into a doc-keyed aggregate; both
+    // aggregates below ship map-side COUNT partials instead.
     val first = g.groupBy("g").agg(min("mdoc").as("fd"))
-    val repNov = g.join(first, "g")
-      .groupBy("mdoc")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("mdoc") === col("fd"), lit(1L)).otherwise(lit(0L)))
-          .as("n_novel"))
+    val novel = first.groupBy(col("fd").as("mdoc"))
+      .agg(count(lit(1)).as("n_novel"))
+    val repNov = g.groupBy("mdoc").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("mdoc"), "left")
+      .select(col("mdoc"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
     dh.join(tc, "h")
       .join(repNov, "mdoc") // short-text groups (grams null) drop whole
       .select(col("doc_id"), col("n_grams"),
